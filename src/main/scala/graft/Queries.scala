@@ -1,0 +1,649 @@
+package graft
+
+import graft.functions.{Calendar, Indicators}
+import graft.operators.{Conform, DailySeries, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** The relational operator surface (SURVEY.md §2) as named queries over
+  * the driver's star schema, each with a DuckDB oracle.
+  *
+  * Mapping of the reference's trading model onto the testdata:
+  * `events.user_id` = symbol, daily avg(value) = closing price
+  * (see DailySeries). Dims: nation/region/supplier = tech_companies.
+  *
+  * Every query:
+  *  - ends in a total ORDER BY (deterministic row order),
+  *  - aliases every computed column identically in Spark and SQL,
+  *  - rounds double outputs (fp-order differences between engines),
+  *  - outputs DATE / BIGINT / STRING / DOUBLE only (no raw ns
+  *    timestamps, no float32, no arrays — oracle-safe types).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+  /** name -> (query, optional DuckDB oracle SQL) */
+  val registry = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
+
+  private def register(name: String, oracle: String)(fn: Q): Unit =
+    registry(name) = (fn, Some(oracle.stripMargin))
+  private def registerNoOracle(name: String)(fn: Q): Unit =
+    registry(name) = (fn, None)
+
+  // ───────────────────────── aggregations ─────────────────────────
+
+  // A1/A4/P12 — grouped rollup with sum/avg/count (TPC-H Q1 shape).
+  // Reference: analyze_news_stock_patterns.py:20-28.
+  // (determinism: quantities are integer-valued and prices 2-decimal,
+  // so sums run over exact integers — order-independent, no rounding.)
+  register("q_agg_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+      |       avg(l_quantity) AS avg_qty,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0).as("sum_price"),
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // A2 — market-wide daily average. Reference: data_loader.py:208-213.
+  // (re-aggregated doubles are pre-scaled to fixed-point so the second
+  // sum is also exact and order-independent.)
+  register("q_market_behavior",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT d,
+       |       CAST(sum(CAST(round(close * 1000000) AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)) AS avg_close,
+       |       count(*) AS n_users
+       |FROM daily GROUP BY d ORDER BY d""") { (s, dir) =>
+    DailySeries(s, dir)
+      .groupBy("d")
+      .agg(
+        (sum(round(col("close") * 1000000).cast("long")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("avg_close"),
+        count(lit(1)).as("n_users"))
+      .orderBy("d")
+  }
+
+  // A3 — per-key latest date. Reference: data_loader.py:145-148.
+  register("q_latest_day_per_user",
+    """SELECT user_id, max(CAST(ts AS DATE)) AS last_d, count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max("event_date").as("last_d"), count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  // A5/P2 — DISTINCT projection. Reference: data_loader.py:30-33.
+  register("q_distinct_dims",
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""") { (s, dir) =>
+    Tables.customer(s, dir)
+      .select("c_nationkey", "c_mktsegment").distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  // ─────────────────────── scans / conform ────────────────────────
+
+  // S6/P2/P9/P10 — pushed-down filter + pruned projection.
+  // Reference: data_loader.py:43-57.
+  register("q_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |       l_extendedprice AS price
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount <= 0.02
+      |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02 &&
+        to_date(col("l_shipdate")).between("1995-01-01", "1997-12-31"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // P1-P4 — rename / subset / add-missing-default / cast+fill conform.
+  // Reference: full_stock_pipeline.py:282-317.
+  register("q_conform",
+    """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+      |       l_extendedprice AS price, l_discount AS disc, 0.0 AS adj
+      |FROM lineitem ORDER BY okey, line""") { (s, dir) =>
+    val renamed = Conform.rename(Tables.lineitem(s, dir), Map(
+      "l_orderkey" -> "okey", "l_linenumber" -> "line", "l_quantity" -> "qty",
+      "l_extendedprice" -> "price", "l_discount" -> "disc"))
+    val subset = Conform.selectSubset(renamed, Seq("okey", "line", "qty", "price", "disc"))
+    val conformed = Conform.castAndFill(
+      Conform.addMissing(subset, Seq("adj" -> lit(0.0))),
+      Map("qty" -> DoubleType, "price" -> DoubleType, "disc" -> DoubleType), 0.0)
+    conformed.orderBy("okey", "line")
+  }
+
+  // P6/P15 — money-string strip + cast (round-trips a '$1,234.56'-style
+  // string). Reference: fetch_tech_companies.py:52-53.
+  register("q_money_strip",
+    """SELECT p_partkey,
+      |       '$' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS money_raw,
+      |       CAST(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), '[$,]', '', 'g') AS DOUBLE) AS price_clean
+      |FROM part ORDER BY p_partkey""") { (s, dir) =>
+    Tables.part(s, dir)
+      .withColumn("money_raw",
+        concat(lit("$"), col("p_retailprice").cast("decimal(12,2)").cast("string")))
+      .withColumn("price_clean",
+        regexp_replace(col("money_raw"), "[$,]", "").cast("double"))
+      .select("p_partkey", "money_raw", "price_clean")
+      .orderBy("p_partkey")
+  }
+
+  // P7 — regex predicate. Reference: fetch_tech_companies.py:56.
+  register("q_regex_filter",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE regexp_matches(p_name, '^(red|blue) [a-z]+$')
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_name").rlike("^(red|blue) [a-z]+$"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  // P16 — CSV-ish split → explode → trim → distinct.
+  // Reference: fetch_transform_news.py:60-66.
+  register("q_split_explode",
+    """SELECT DISTINCT trim(tok) AS tok
+      |FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part) t
+      |ORDER BY tok""") { (s, dir) =>
+    Tables.part(s, dir)
+      .select(explode(split(col("p_type"), " ")).as("tok"))
+      .select(trim(col("tok")).as("tok")).distinct()
+      .orderBy("tok")
+  }
+
+  // P5/P9/P17/P18/P19 — date surface: epoch→date, last-trading-day
+  // calendar fold, next-day shift, range predicate.
+  // Reference: full_stock_pipeline.py:51-57,321; analyze...py:217.
+  register("q_dates",
+    """SELECT event_id,
+      |       epoch_ns(ts) // 1000000000 AS ts_sec,
+      |       CAST(ts AS DATE) AS d,
+      |       CASE WHEN isodow(CAST(ts AS DATE)) = 6 THEN CAST(ts AS DATE) - 1
+      |            WHEN isodow(CAST(ts AS DATE)) = 7 THEN CAST(ts AS DATE) - 2
+      |            ELSE CAST(ts AS DATE) END AS trading_d,
+      |       CAST(ts AS DATE) + 1 AS next_d
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+      |ORDER BY event_id""") { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_date") >= lit("2024-01-05"))
+      .select(
+        col("event_id"),
+        col("ts_sec"),
+        col("event_date").as("d"),
+        Calendar.lastTradingDay(col("event_date")).as("trading_d"),
+        Calendar.nextDay(col("event_date")).as("next_d"))
+      .orderBy("event_id")
+  }
+
+  // ───────────────────────────── joins ─────────────────────────────
+
+  // J1 — facts × broadcast dim chain (supplier→nation→region), LEFT.
+  // Reference: full_stock_pipeline.py:403-404.
+  register("q_join_enrich",
+    """SELECT r_name, n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |LEFT JOIN nation ON s_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // J2/A1 — two-key left join: per-(user, day) news-ish rollup joined to
+  // the daily price series. Reference: analyze_news_stock_patterns.py:58-59.
+  register("q_join_two_key",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |clicks AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_clicks,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS avg_click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT c.user_id, c.d, c.n_clicks, c.avg_click_value, daily.close
+       |FROM clicks c LEFT JOIN daily
+       |  ON c.user_id = daily.user_id AND c.d = daily.d
+       |ORDER BY c.user_id, c.d""") { (s, dir) =>
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("event_date").as("d"))
+      .agg(count(lit(1)).as("n_clicks"),
+        (sum(DailySeries.cents(col("value"))).cast("double") /
+          (lit(100.0) * count(lit(1)))).as("avg_click_value"))
+    val daily = DailySeries(s, dir).select("user_id", "d", "close")
+    clicks.join(daily, Seq("user_id", "d"), "left")
+      .select("user_id", "d", "n_clicks", "avg_click_value", "close")
+      .orderBy("user_id", "d")
+  }
+
+  // J5/O5 — latest row per group via row_number (better than the
+  // reference's self-join-to-max). Reference: data_loader.py:143-148.
+  register("q_latest_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS od
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("od"))
+      .orderBy("o_custkey")
+  }
+
+  // J6 — as-of lookup: most recent purchase value at or before each
+  // event, per user (ignore-nulls last over a running frame — the
+  // window form of the reference's correlated LIMIT 1 subquery).
+  // Reference: full_stock_pipeline.py:397-399.
+  register("q_asof_lookup",
+    """SELECT event_id, user_id,
+      |       round(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase
+      |FROM events ORDER BY event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w), 2).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  // J7/A4 — latest-partition filter via a 1-row broadcast join (the
+  // distributed form of the scalar subquery). Reference: data_loader.py:118.
+  register("q_latest_partition",
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS od
+      |FROM orders WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val mx = orders.agg(max("o_orderdate").as("mx"))
+    orders.join(broadcast(mx), col("o_orderdate") === col("mx"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("od"))
+      .orderBy("o_orderkey")
+  }
+
+  // J4/O6 — inner broadcast dim join + rank cap.
+  // Reference: data_loader.py:116-120.
+  register("q_rank_limit",
+    """SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_acctbal DESC, s_suppkey LIMIT 100""") { (s, dir) =>
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal"), 2).as("acctbal"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  // O7 — plain multi-column sort over a broadcast-joined dim pair.
+  register("q_sorted_dims",
+    """SELECT r_name, n_name, n_nationkey
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY r_name, n_name""") { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "n_nationkey")
+      .orderBy("r_name", "n_name")
+  }
+
+  // O4 — global latest-N (TakeOrderedAndProject, true top-k).
+  // Reference: data_loader.py:93-94.
+  register("q_latest_events",
+    """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec
+      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 5""") { (s, dir) =>
+    Tables.events(s, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select("event_id", "user_id", "event_type", "ts_sec")
+      .limit(5)
+  }
+
+  // ───────────────────── top-k dashboard views ─────────────────────
+
+  private def gainersSql(dirWord: String): String =
+    s"""WITH daily AS (${DailySeries.sql}),
+       |chg AS (
+       |  SELECT user_id, d, close,
+       |         round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0) * 100, 4) AS pct_change,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+       |SELECT user_id, d, round(close, 2) AS close, pct_change
+       |FROM chg WHERE rn = 1 AND pct_change IS NOT NULL
+       |ORDER BY pct_change $dirWord, user_id LIMIT 10"""
+
+  private def gainers(s: SparkSession, dir: String, asc: Boolean): DataFrame = {
+    val w = Indicators.series("user_id", "d")
+    val latest = Window.partitionBy("user_id").orderBy(col("d").desc)
+    val chg = DailySeries(s, dir)
+      .withColumn("pct_change", round(Indicators.pctChange(col("close"), w), 4))
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1 && col("pct_change").isNotNull)
+      .select(col("user_id"), col("d"), round(col("close"), 2).as("close"), col("pct_change"))
+    val sorted = if (asc) chg.orderBy(col("pct_change").asc, col("user_id"))
+                 else chg.orderBy(col("pct_change").desc, col("user_id"))
+    sorted.limit(10)
+  }
+
+  // O1/W1/P11-P13/J5 — top-10 gainers on the latest day.
+  // Reference: data_loader.py:138-154.
+  register("q_top_gainers", gainersSql("DESC")) { (s, dir) => gainers(s, dir, asc = false) }
+  // O1 (ASC) — top-10 losers. Reference: data_loader.py:157-175.
+  register("q_top_losers", gainersSql("ASC")) { (s, dir) => gainers(s, dir, asc = true) }
+
+  // O3/P10/P11 — top-10 intraday volatility on the latest day.
+  // Reference: data_loader.py:218-232.
+  register("q_top_volatility",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |v AS (
+       |  SELECT user_id, d, round((high - low) / low * 100, 4) AS pct_range,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+       |  FROM daily WHERE low > 0)
+       |SELECT user_id, d, pct_range FROM v WHERE rn = 1
+       |ORDER BY pct_range DESC, user_id LIMIT 10""") { (s, dir) =>
+    val latest = Window.partitionBy("user_id").orderBy(col("d").desc)
+    DailySeries(s, dir)
+      .filter(col("low") > 0)
+      .withColumn("pct_range", round((col("high") - col("low")) / col("low") * 100, 4))
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select("user_id", "d", "pct_range")
+      .orderBy(col("pct_range").desc, col("user_id"))
+      .limit(10)
+  }
+
+  // ─────────────────────── window functions ───────────────────────
+
+  private val winSql = "PARTITION BY user_id ORDER BY d"
+
+  // W1 — previous close. Reference: full_stock_pipeline.py:396.
+  register("q_w1_prev_close",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d, close, lag(close) OVER ($winSql) AS prev_close
+       |FROM daily ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"), col("close"),
+        Indicators.prev(col("close"), w).as("prev_close"))
+      .orderBy("user_id", "d")
+  }
+
+  // W4 — groupby-shift + fill 0. Reference: full_stock_pipeline.py:324-330.
+  register("q_w4_shift_fill",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d, close,
+       |       coalesce(lag(close) OVER ($winSql), 0.0) AS prev_filled
+       |FROM daily ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"), col("close"),
+        coalesce(Indicators.prev(col("close"), w), lit(0.0)).as("prev_filled"))
+      .orderBy("user_id", "d")
+  }
+
+  // W5/P13 — per-key percent change, null-guarded.
+  // Reference: analyze_news_stock_patterns.py:96.
+  register("q_w5_pct_change",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d,
+       |       round((close - lag(close) OVER ($winSql))
+       |             / nullif(lag(close) OVER ($winSql), 0) * 100, 4) AS pct_change
+       |FROM daily ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"),
+        round(Indicators.pctChange(col("close"), w), 4).as("pct_change"))
+      .orderBy("user_id", "d")
+  }
+
+  // W6 — next-day label (lead). Reference: analyze_news_stock_patterns.py:110.
+  register("q_w6_next_label",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d, close, lead(close) OVER ($winSql) AS next_close
+       |FROM daily ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"), col("close"),
+        lead(col("close"), 1).over(w).as("next_close"))
+      .orderBy("user_id", "d")
+  }
+
+  // W2/P14 — 3-point monotone trend classification.
+  // Reference: full_stock_pipeline.py:434-443.
+  register("q_w2_trend",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |l AS (SELECT user_id, d, close,
+       |             lag(close, 1) OVER ($winSql) AS c1,
+       |             lag(close, 2) OVER ($winSql) AS c2
+       |      FROM daily)
+       |SELECT user_id, d,
+       |       CASE WHEN close > c1 AND c1 > c2 THEN 'Bullish Trend'
+       |            WHEN close < c1 AND c1 < c2 THEN 'Bearish Trend'
+       |            ELSE 'Neutral' END AS pattern
+       |FROM l WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .withColumn("c1", lag(col("close"), 1).over(w))
+      .withColumn("c2", lag(col("close"), 2).over(w))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+      .select(col("user_id"), col("d"),
+        when(col("close") > col("c1") && col("c1") > col("c2"), "Bullish Trend")
+          .when(col("close") < col("c1") && col("c1") < col("c2"), "Bearish Trend")
+          .otherwise("Neutral").as("pattern"))
+      .orderBy("user_id", "d")
+  }
+
+  // W3/P14 — moving-average crossover over partial frames (SQL AVG
+  // semantics: value from row 1). Reference: full_stock_pipeline.py:452-471.
+  // Frames scaled to the 30-day series: MA-5 vs MA-20.
+  // (windowed averages run over fixed-point micros of the close so the
+  // frame sums are exact integers — identical across engines; double
+  // frame-sums differ in the last ulp between Spark's sequential frames
+  // and DuckDB's segment tree, which flips rounding on boundary rows.)
+  register("q_w3_ma_cross",
+    s"""WITH daily AS (SELECT user_id, d,
+       |                      CAST(round(close * 1000000) AS BIGINT) AS c6
+       |               FROM (${DailySeries.sql}) ds),
+       |m AS (SELECT user_id, d,
+       |             CAST(sum(c6) OVER w5 AS DOUBLE) / (1000000.0 * count(*) OVER w5) AS ma_fast,
+       |             CAST(sum(c6) OVER w20 AS DOUBLE) / (1000000.0 * count(*) OVER w20) AS ma_slow
+       |      FROM daily
+       |      WINDOW w5 AS ($winSql ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |             w20 AS ($winSql ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, d, ma_fast, ma_slow,
+       |       CASE WHEN ma_fast > ma_slow THEN 'Golden Cross'
+       |            WHEN ma_fast < ma_slow THEN 'Death Cross'
+       |            ELSE 'None' END AS signal
+       |FROM m ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    val f5 = w.rowsBetween(-4, 0)
+    val f20 = w.rowsBetween(-19, 0)
+    def ma(frame: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("c6")).over(frame).cast("double") / (lit(1000000.0) * count(lit(1)).over(frame))
+    DailySeries(s, dir)
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .withColumn("ma_fast", ma(f5))
+      .withColumn("ma_slow", ma(f20))
+      .select(col("user_id"), col("d"), col("ma_fast"), col("ma_slow"),
+        when(col("ma_fast") > col("ma_slow"), "Golden Cross")
+          .when(col("ma_fast") < col("ma_slow"), "Death Cross")
+          .otherwise("None").as("signal"))
+      .orderBy("user_id", "d")
+  }
+
+  // W7 — pandas-style SMA (null below min_periods).
+  // Reference: indicators.py:1-4.
+  register("q_w7_sma14",
+    s"""WITH daily AS (SELECT user_id, d,
+       |                      CAST(round(close * 1000000) AS BIGINT) AS c6
+       |               FROM (${DailySeries.sql}) ds)
+       |SELECT user_id, d,
+       |       CASE WHEN count(*) OVER w14 >= 14
+       |            THEN CAST(sum(c6) OVER w14 AS DOUBLE) / (1000000.0 * count(*) OVER w14) END AS sma_14
+       |FROM daily
+       |WINDOW w14 AS ($winSql ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    val f14 = w.rowsBetween(-13, 0)
+    DailySeries(s, dir)
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .select(col("user_id"), col("d"),
+        when(count(lit(1)).over(f14) >= 14,
+          sum(col("c6")).over(f14).cast("double") /
+            (lit(1000000.0) * count(lit(1)).over(f14))).as("sma_14"))
+      .orderBy("user_id", "d")
+  }
+
+  // W9 — RSI-14. Reference: indicators.py:11-18.
+  register("q_w9_rsi14",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |diffs AS (
+       |  SELECT user_id, d,
+       |         close - lag(close) OVER ($winSql) AS delta
+       |  FROM daily),
+       |gl AS (
+       |  SELECT user_id, d,
+       |         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+       |         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+       |  FROM diffs),
+       |ag AS (
+       |  SELECT user_id, d,
+       |         avg(gain) OVER w14 AS avg_gain, avg(loss) OVER w14 AS avg_loss
+       |  FROM gl
+       |  WINDOW w14 AS ($winSql ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, d,
+       |       round(CASE WHEN avg_loss = 0 THEN 100.0
+       |                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 4) AS rsi_14
+       |FROM ag ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"),
+        round(Indicators.rsi(col("close"), w, 14), 4).as("rsi_14"))
+      .orderBy("user_id", "d")
+  }
+
+  // W10 — Bollinger bands (sample stddev). Reference: indicators.py:20-27.
+  // (sample stddev from exact fixed-point frame sums: the textbook
+  // (Σx² − (Σx)²/n)/(n−1) over integer micros, evaluated with the same
+  // op order in both engines — IndicatorsSpec ties this to the
+  // stddev_samp-based library form within 1e-9.)
+  register("q_w10_bollinger",
+    s"""WITH daily AS (SELECT user_id, d,
+       |                      CAST(round(close * 1000000) AS BIGINT) AS c6
+       |               FROM (${DailySeries.sql}) ds),
+       |m AS (SELECT user_id, d,
+       |             CAST(sum(c6) OVER w20 AS DOUBLE) AS s,
+       |             CAST(sum(c6 * c6) OVER w20 AS DOUBLE) AS q,
+       |             CAST(count(*) OVER w20 AS DOUBLE) AS n
+       |      FROM daily
+       |      WINDOW w20 AS ($winSql ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, d,
+       |       s / n / 1000000.0 AS bb_mid,
+       |       s / n / 1000000.0 + 2.0 * (CASE WHEN n > 1 THEN sqrt(greatest(q - s * s / n, 0.0) / (n - 1.0)) / 1000000.0 END) AS bb_up,
+       |       s / n / 1000000.0 - 2.0 * (CASE WHEN n > 1 THEN sqrt(greatest(q - s * s / n, 0.0) / (n - 1.0)) / 1000000.0 END) AS bb_low
+       |FROM m ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    val f20 = w.rowsBetween(-19, 0)
+    DailySeries(s, dir)
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .withColumn("s", sum(col("c6")).over(f20).cast("double"))
+      .withColumn("q", sum(col("c6") * col("c6")).over(f20).cast("double"))
+      .withColumn("n", count(lit(1)).over(f20).cast("double"))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(greatest(col("q") - col("s") * col("s") / col("n"), lit(0.0)) /
+          (col("n") - lit(1.0))) / lit(1000000.0)))
+      .select(col("user_id"), col("d"),
+        (col("s") / col("n") / lit(1000000.0)).as("bb_mid"),
+        (col("s") / col("n") / lit(1000000.0) + lit(2.0) * col("sd")).as("bb_up"),
+        (col("s") / col("n") / lit(1000000.0) - lit(2.0) * col("sd")).as("bb_low"))
+      .orderBy("user_id", "d")
+  }
+
+  // W8/F3 — EMA-14 (pandas ewm(span=14, adjust=False)), exact recursion
+  // via collect_list + aggregate HOF; oracle folds the same recursion
+  // with DuckDB's list_reduce. Reference: indicators.py:6-9.
+  register("q_w8_ema14",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |h AS (SELECT user_id, d,
+       |             list(close) OVER ($winSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+       |      FROM daily)
+       |SELECT user_id, d,
+       |       round(list_reduce(hist, (acc, x) -> x * (2.0 / 15.0) + acc * (1.0 - 2.0 / 15.0)), 4) AS ema_14
+       |FROM h ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"),
+        round(Indicators.ema(col("close"), w, 14), 4).as("ema_14"))
+      .orderBy("user_id", "d")
+  }
+
+  // ──────────────────────── merge / upsert ────────────────────────
+
+  private val mergeTargetSql =
+    s"""SELECT * FROM (${DailySeries.sql}) WHERE d < DATE '2024-01-20'"""
+  private val mergeUpdatesSql =
+    s"""SELECT user_id, d, round(close * 1.05, 6) AS close, high, low, n_events
+       |FROM (${DailySeries.sql}) WHERE d >= DATE '2024-01-15'""".stripMargin
+
+  private def mergeFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val daily = DailySeries(s, dir)
+    val target = daily.filter(col("d") < lit("2024-01-20"))
+    val updates = daily.filter(col("d") >= lit("2024-01-15"))
+      .withColumn("close", round(col("close") * 1.05, 6))
+      .select("user_id", "d", "close", "high", "low", "n_events")
+    (target, updates)
+  }
+
+  // U1/U4/U5 — keyed DO-UPDATE merge: updates win on (user_id, d).
+  // Reference: full_stock_pipeline.py:405-415.
+  register("q_merge_upsert",
+    s"""WITH t AS ($mergeTargetSql), u AS ($mergeUpdatesSql)
+       |SELECT * FROM u
+       |UNION ALL
+       |SELECT t.* FROM t WHERE NOT EXISTS
+       |  (SELECT 1 FROM u WHERE u.user_id = t.user_id AND u.d = t.d)
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val (target, updates) = mergeFrames(s, dir)
+    Merge.upsert(target, updates, Seq("user_id", "d")).orderBy("user_id", "d")
+  }
+
+  // U2/U3/U7 — keyed DO-NOTHING merge: existing target wins.
+  // Reference: full_stock_pipeline.py:449,471,482.
+  register("q_merge_ignore",
+    s"""WITH t AS ($mergeTargetSql), u AS ($mergeUpdatesSql)
+       |SELECT * FROM t
+       |UNION ALL
+       |SELECT u.* FROM u WHERE NOT EXISTS
+       |  (SELECT 1 FROM t WHERE t.user_id = u.user_id AND t.d = u.d)
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val (target, updates) = mergeFrames(s, dir)
+    Merge.insertIgnore(target, updates, Seq("user_id", "d")).orderBy("user_id", "d")
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.functions.{Sentiment, TextStats}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline queries: dedup, text analysis, similarity search,
+  * multimodal plumbing — registered into the same registry as the
+  * relational surface. Oracles are provided wherever DuckDB can express
+  * the computation; signature-based ops (MinHash/SimHash/LSH) are
+  * fixture-verified in ScalaTest instead (DedupSpec/SimilaritySpec).
+  */
+object QueriesText {
+  import Queries.{registry, Q}
+
+  private def register(name: String, oracle: String)(fn: Q): Unit =
+    registry(name) = (fn, Some(oracle.stripMargin))
+  private def registerNoOracle(name: String)(fn: Q): Unit =
+    registry(name) = (fn, None)
+
+  def init(): Unit = if (!registry.contains("q_dedup_exact")) {
+
+    // Exact dedup on normalized content (hash groupBy — one shuffle).
+    register("q_dedup_exact",
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |      FROM documents) t
+        |GROUP BY norm ORDER BY keeper_id""") { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("keeper_id")
+    }
+
+    // Text analysis: token counts, BPE-ish counts, quality scoring.
+    register("q_text_stats",
+      """SELECT doc_id,
+        |       len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |       round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |             / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')), 4) AS avg_tok_len,
+        |       round(CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |                       x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+        |             / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')), 4) AS stop_ratio,
+        |       round(least(1.0, len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) / 100.0)
+        |             * (1.0 - CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |                       x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+        |               / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))), 4) AS quality
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextStats.nTokens(col("text")).as("n_tokens"),
+          TextStats.bpeishCount(col("text")).as("n_bpeish"),
+          round(TextStats.avgTokenLen(col("text")), 4).as("avg_tok_len"),
+          round(TextStats.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          round(TextStats.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    }
+
+    // Language-ID heuristic vs the labeled lang column.
+    register("q_lang_id",
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |                      x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+        |                   / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) >= 0.05
+        |              THEN 'en' ELSE 'unknown' END AS guessed
+        |  FROM documents)
+        |SELECT guessed, lang, count(*) AS n FROM g
+        |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextStats.langGuess(col("text")).as("guessed"))
+        .groupBy("guessed", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("guessed", "lang")
+    }
+
+    // Document fingerprinting (md5 content hash + LSH-ish band).
+    register("q_fingerprint",
+      """SELECT doc_id,
+        |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 4) AS band
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextStats.fingerprint(col("text")).as("fp"),
+          TextStats.fingerprintBand(col("text")).as("band"))
+        .orderBy("doc_id")
+    }
+
+    // VADER-style sentiment (UDF — no SQL oracle; SentimentSpec is the
+    // fixture gate).
+    registerNoOracle("q_sentiment") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Sentiment.compound(col("text")).as("sentiment"))
+        .orderBy("doc_id")
+    }
+
+    // MinHash-LSH near-dup (banded; DedupSpec checks recall vs brute
+    // force).
+    registerNoOracle("q_dedup_minhash") { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    }
+
+    // SimHash near-dup.
+    registerNoOracle("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    }
+
+    // n-gram Jaccard near-dup (min-k sketch bucketing).
+    registerNoOracle("q_dedup_ngram") { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    }
+
+    // Brute-force cosine top-5 for 10 probe vectors (exact baseline).
+    register("q_ann_brute",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |probes AS (SELECT * FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.vec_id AS q_id, n.vec_id AS n_id,
+        |         round(list_dot_product(p.emb, n.emb)
+        |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        |  FROM probes p JOIN c n ON p.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rnk")
+    }
+
+    // LSH-bucketed ANN (approximate; SimilaritySpec measures recall).
+    registerNoOracle("q_ann_lsh") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rnk")
+    }
+
+    // Multimodal plumbing: binary payload + metadata + stubbed
+    // frame-extraction features (typed mapPartitions pass).
+    register("q_multimodal",
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS BIGINT) AS n_frames,
+        |       substring(hex(CAST(text AS BLOB)), 1, 16) AS frame0_head
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(Tables.documents(s, dir)))
+      feats.select(
+        col("doc_id"),
+        col("n_bytes"),
+        col("n_frames"),
+        hex(expr("substring(frame0, 1, 8)")).as("frame0_head"))
+        .orderBy("doc_id")
+    }
+  }
+}

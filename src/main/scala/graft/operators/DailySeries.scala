@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's "stock price" time series, derived from `events`:
+  * user_id plays the symbol, the daily average `value` plays the close.
+  * This mirrors the reference's (symbol, trade_date, closing_price)
+  * fact table (stock_price_history — SURVEY.md §1.3) on the driver's
+  * synthetic schema.
+  *
+  * Determinism: `value` is 2-decimal money, so the daily average is
+  * computed over EXACT integer cents (`round(value*100)::long`). Integer
+  * sums are order-independent, so `close` is bit-identical across
+  * engines, partition counts, and retries — double summation would vary
+  * in the last ulp with shuffle layout and break hash-compares (and, at
+  * 100 TB, silently change results between runs).
+  *
+  * Scale: one hash-aggregate shuffle on (user_id, event_date); every
+  * downstream window partitions by user_id, so AQE can reuse the
+  * shuffle's partitioning.
+  */
+object DailySeries {
+
+  /** Exact cents column. */
+  def cents(value: Column): Column = round(value * 100).cast("long")
+
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_date").as("d"))
+      .agg(
+        (sum(cents(col("value"))).cast("double") / (lit(100.0) * count(lit(1)))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+
+  /** DuckDB-side equivalent (oracle building block) — the exact same
+    * fixed-point arithmetic, op for op. */
+  val sql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS d,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS close,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

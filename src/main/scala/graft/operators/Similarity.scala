@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, mirroring a production ANN stack:
+  *  - `bruteTopK`: exact cosine top-k for a SMALL query set — the query
+  *    side is broadcast, so the "cross join" is a single linear scan of
+  *    the corpus per partition (no shuffle of the big side). This is the
+  *    correctness baseline and is how you'd score 10 probes against
+  *    100 TB anyway.
+  *  - `lshTopK`: random-hyperplane LSH — corpus and queries are hashed
+  *    into sign-pattern buckets (per-row, no shuffle), candidates come
+  *    from an equi-join on bucket keys, and only candidates are scored.
+  *    Sub-linear reads at scale; recall measured against brute force in
+  *    SimilaritySpec.
+  *
+  * All arithmetic is done in double after an exact float→double widen,
+  * with a fixed left-to-right summation order (aggregate HOF), so
+  * results are deterministic and oracle-comparable.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays, sequential sum order. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na  = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val nb  = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  private def widened(df: DataFrame): DataFrame =
+    df.withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+
+  /** Exact top-k neighbors of each query vector (queries ≪ corpus). */
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = widened(embeddings).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
+    val probes = widened(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(probes), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim, seed 42. */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed approximate top-k: multi-table random-hyperplane
+    * signatures; candidates share a full signature in any table. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val bucketUdf = udf((emb: Seq[Float]) => {
+      val v = emb.map(_.toDouble).toArray
+      (0 until nTables).map { t =>
+        var sig = 0
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = planes(t * bitsPerTable + b)
+          var dot = 0.0
+          var i = 0
+          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+        s"$t:$sig"
+      }
+    })
+    val corpus = widened(embeddings)
+      .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+        explode(bucketUdf(col("embedding"))).as("bucket"))
+    val probes = widened(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(bucketUdf(col("embedding"))).as("bucket"))
+    val candidates = corpus
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+}
