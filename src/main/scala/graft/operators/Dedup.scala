@@ -44,7 +44,7 @@ object Dedup {
 
   /** MinHash signature: numHashes permutations approximated by
     * (a*h + b) mod p over a base shingle hash. Deterministic (seed 42). */
-  private[operators] def minhashSignature(toks: Seq[String], k: Int, numHashes: Int): Array[Long] = {
+  private[graft] def minhashSignature(toks: Seq[String], k: Int, numHashes: Int): Array[Long] = {
     val rng = new scala.util.Random(42)
     val p = 4294967311L // prime > 2^32
     val ab = Array.fill(numHashes)((1 + rng.nextLong(p - 1), rng.nextLong(p)))
@@ -65,7 +65,7 @@ object Dedup {
     }
   }
 
-  private[operators] def jaccard(a: Set[String], b: Set[String]): Double =
+  private[graft] def jaccard(a: Set[String], b: Set[String]): Double =
     if (a.isEmpty && b.isEmpty) 1.0
     else a.intersect(b).size.toDouble / a.union(b).size
 
@@ -108,7 +108,7 @@ object Dedup {
   // ── SimHash ────────────────────────────────────────────────────────
 
   /** 64-bit SimHash over token hashes (Charikar 2002). */
-  private[operators] def simhash64(toks: Seq[String]): Long = {
+  private[graft] def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
     toks.foreach { t =>
       val h = scala.util.hashing.MurmurHash3.stringHash(t, 77).toLong << 32 |

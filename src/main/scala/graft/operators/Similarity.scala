@@ -50,7 +50,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: nPlanes × dim, seed 42. */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }

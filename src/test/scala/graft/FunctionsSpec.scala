@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{Calendar, Sentiment, TextStats}
+import graft.operators.Conform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Fixtures for the scalar surface: calendar fold (P18/P19), conform
+  * transforms (P1-P4), text stats, and the sentiment scorer (F1).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastTradingDay folds weekends to Friday (reference full_stock_pipeline.py:51-57)") {
+    val d = Seq("2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08")
+      .toDF("s").select(to_date($"s").as("d"))
+    val got = d.select(date_format(Calendar.lastTradingDay($"d"), "yyyy-MM-dd"))
+      .as[String].collect().toSeq
+    // Fri stays, Sat→Fri, Sun→Fri, Mon stays
+    assert(got === Seq("2024-01-05", "2024-01-05", "2024-01-05", "2024-01-08"))
+  }
+
+  test("conform: rename + subset + addMissing + castAndFill") {
+    val df = Seq((1, "x", Some(2.5)), (2, "y", None)).toDF("id", "name", "v")
+    val out = Conform.castAndFill(
+      Conform.addMissing(
+        Conform.selectSubset(
+          Conform.rename(df, Map("name" -> "label", "missing_col" -> "ignored")),
+          Seq("id", "label", "v", "not_there")),
+        Seq("extra" -> lit(7L))),
+      Map("v" -> DoubleType, "extra" -> LongType), 0.0)
+    assert(out.columns.toSeq === Seq("id", "label", "v", "extra"))
+    val rows = out.orderBy("id").as[(Int, String, Double, Long)].collect().toSeq
+    assert(rows === Seq((1, "x", 2.5, 7L), (2, "y", 0.0, 7L))) // null v filled
+  }
+
+  test("text stats on a known sentence") {
+    val df = Seq((1L, "The quick  brown fox, the fast one!")).toDF("doc_id", "text")
+    val r = df.select(
+      TextStats.nTokens($"text").as("nt"),
+      TextStats.punctCount($"text").as("pc"),
+      TextStats.stopwordRatio($"text").as("sr"),
+      TextStats.bpeishCount($"text").as("bp")).collect().head
+    assert(r.getInt(0) === 7) // whitespace-collapsed tokens
+    assert(r.getInt(1) === 2) // comma + bang
+    assert(math.abs(r.getDouble(2) - 2.0 / 7) < 1e-9) // "the" twice (case-folded)
+    assert(r.getInt(3) === 9) // 7 words + 2 punct symbols
+  }
+
+  test("fingerprint is stable under whitespace/case noise") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TextStats.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("sentiment: direction, negation flip, booster, neutral zero") {
+    val fast = Sentiment.score(Seq("fast"))
+    val slow = Sentiment.score(Seq("slow"))
+    val notFast = Sentiment.score(Seq("not", "fast"))
+    val veryFast = Sentiment.score(Seq("very", "fast"))
+    val neutral = Sentiment.score(Seq("table", "row"))
+    assert(fast > 0 && slow < 0 && neutral === 0.0)
+    assert(notFast < 0, "negation flips polarity")
+    assert(veryFast > fast, "booster amplifies")
+    assert(math.abs(fast) <= 1 && math.abs(slow) <= 1)
+  }
+
+  test("sentiment column form scores the documents fixture deterministically") {
+    val df = Seq(
+      (1L, "spark is fast and the query is good"),
+      (2L, "slow scan error bad merge"),
+      (3L, "table row column")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", Sentiment.compound($"text").as("s"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got(0)._2 > 0 && got(1)._2 < 0 && got(2)._2 === 0.0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+
+/** Brute-force kNN exactness on a hand-checkable fixture + LSH recall
+  * against the brute-force ground truth on a deterministic corpus.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("bruteTopK ranks by exact cosine") {
+    // 2-d-style vectors padded into the API's float arrays
+    val d = emb(
+      0L -> Seq(1f, 0f), // probe
+      1L -> Seq(1f, 0.01f), // nearly parallel → top 1
+      2L -> Seq(1f, 1f), // 45° → top 2
+      3L -> Seq(0f, 1f), // orthogonal → top 3
+      4L -> Seq(-1f, 0f)) // opposite → last
+    val out = Similarity.bruteTopK(d, d.filter($"vec_id" === 0L), 4)
+      .orderBy("rnk").as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(math.abs(out.head._3 - 1.0) < 1e-4)
+    assert(math.abs(out.last._3 + 1.0) < 1e-9)
+  }
+
+  /** Deterministic clustered corpus: 8 cluster centers, 25 points each,
+    * 64-dim — neighbors should overwhelmingly be cluster-mates. */
+  private lazy val corpus: DataFrame = {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val rows = for {
+      c <- 0 until 8
+      i <- 0 until 25
+    } yield {
+      val v = centers(c).map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      ((c * 25 + i).toLong, v.toSeq)
+    }
+    emb(rows: _*)
+  }
+
+  test("lshTopK recall ≥ 0.8 vs brute force on clustered corpus") {
+    val probes = corpus.filter($"vec_id" % 25 === 0L) // one probe per cluster
+    val truth = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.lshTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+}
