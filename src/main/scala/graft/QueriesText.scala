@@ -138,6 +138,13 @@ object QueriesText {
         .orderBy("q_id", "rnk")
     }
 
+    // F4/F5 — StandardScaler + LinearRegression + residual-correction
+    // next-day prediction (spark.ml; not DuckDB-expressible — MlSpec
+    // checks MAE/RMSE bounds instead).
+    registerNoOracle("q_ml_predict") { (s, dir) =>
+      graft.ml.PricePredictor.predictNextDay(s, dir).orderBy("user_id", "d")
+    }
+
     // Multimodal plumbing: binary payload + metadata + stubbed
     // frame-extraction features (typed mapPartitions pass).
     register("q_multimodal",

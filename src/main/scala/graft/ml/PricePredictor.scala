@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.functions.Indicators
+import graft.operators.DailySeries
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F4/F5 — next-day price prediction: StandardScaler + LinearRegression
+  * with a residual-correction second model, then a next-day merge row.
+  *
+  * Reference: analyze_news_stock_patterns.py:76-147 (scale at 121-123,
+  * primary fit 126-127, MAE/RMSE 129-133, residual model 135-138) and
+  * :150-238 (predict, sum of primary+correction at 212-214, date+1 at
+  * 217, upsert U5 at 225-230).
+  *
+  * Features mirror the reference's: previous close, per-symbol percent
+  * change, rolling volatility proxy — all window-derived, partitioned
+  * by user (no global sorts). Training data collects to the driver only
+  * inside spark.ml's L-BFGS (standard for linear models); scoring is a
+  * distributed `transform`.
+  */
+object PricePredictor {
+
+  case class Metrics(mae: Double, rmse: Double)
+
+  /** Window-feature frame: label = next-day close (W6). */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val w = Indicators.series("user_id", "d")
+    DailySeries(spark, dir)
+      .withColumn("prev_close", Indicators.prev(col("close"), w))
+      .withColumn("pct_change", Indicators.pctChange(col("close"), w))
+      .withColumn("vol", (col("high") - col("low")) / col("low") * 100)
+      .withColumn("label", lead(col("close"), 1).over(w))
+      .na.drop(Seq("prev_close", "pct_change", "label"))
+  }
+
+  private def assembler = new VectorAssembler()
+    .setInputCols(Array("close", "prev_close", "pct_change", "vol"))
+    .setOutputCol("raw_features")
+
+  /** Primary pipeline: assemble → standardize → linear regression. */
+  def fitPrimary(train: DataFrame): PipelineModel = {
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LinearRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setPredictionCol("prediction")
+    new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
+  }
+
+  /** Residual model: a second LinearRegression on (label − prediction),
+    * mirroring analyze_news_stock_patterns.py:135-138. */
+  def fitResidual(primary: PipelineModel, train: DataFrame): PipelineModel = {
+    val withResidual = primary.transform(train)
+      .withColumn("residual", col("label") - col("prediction"))
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("res_features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LinearRegression()
+      .setFeaturesCol("res_features").setLabelCol("residual")
+      .setPredictionCol("residual_pred")
+    new Pipeline().setStages(Array(scaler, lr))
+      .fit(withResidual.drop("features"))
+  }
+
+  /** MAE/RMSE as logged by the reference (analyze...py:129-133). */
+  def evaluate(model: PipelineModel, df: DataFrame): Metrics = {
+    val scored = model.transform(df)
+    val mae = new RegressionEvaluator().setLabelCol("label")
+      .setPredictionCol("prediction").setMetricName("mae").evaluate(scored)
+    val rmse = new RegressionEvaluator().setLabelCol("label")
+      .setPredictionCol("prediction").setMetricName("rmse").evaluate(scored)
+    Metrics(mae, rmse)
+  }
+
+  /** F5 — corrected next-day predictions: primary + residual correction,
+    * stamped onto trade_date + 1 (analyze...py:212-217). */
+  def predictNextDay(spark: SparkSession, dir: String): DataFrame = {
+    val feats = features(spark, dir).cache()
+    try {
+      val primary = fitPrimary(feats)
+      val residual = fitResidual(primary, feats)
+      val scored = residual.transform(
+        primary.transform(feats).drop("features"))
+      scored
+        .withColumn("predicted_close", col("prediction") + col("residual_pred"))
+        .select(
+          col("user_id"),
+          date_add(col("d"), 1).as("d"),
+          col("close").as("previous_close"),
+          round(col("predicted_close"), 4).as("predicted_close"))
+    } finally feats.unpersist()
+  }
+}

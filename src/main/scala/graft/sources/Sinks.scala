@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** File sinks (SURVEY.md §2.1).
+  *
+  *  - S2: date-foldered JSON raw zone — the reference writes
+  *    `YYYY/MM/DD/{symbol}_{yyyymmdd}.json` (full_stock_pipeline.py:104-111);
+  *    Spark's equivalent is hive-style `partitionBy(y,m,d)`, which
+  *    Catalyst prunes on read.
+  *  - S5: parquet processed zone (full_stock_pipeline.py:222-235).
+  *  - S7: overwrite staging (truncate-and-replace semantics,
+  *    full_stock_pipeline.py:347-354).
+  *  - S8-equivalent: `mergeInto` — read-merge-write with the §2.8 rules
+  *    instead of the reference's row-at-a-time JDBC upsert loop.
+  *
+  * S3 (object-store upload) needs no code: Spark writes `gs://`/`s3a://`
+  * paths through the Hadoop FS layer directly.
+  */
+object Sinks {
+
+  /** S2 — raw zone: JSON partitioned by date folders derived from `dateCol`. */
+  def rawJsonZone(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("y", date_format(col(dateCol), "yyyy"))
+      .withColumn("m", date_format(col(dateCol), "MM"))
+      .withColumn("dd", date_format(col(dateCol), "dd"))
+      .write.mode(SaveMode.Append).partitionBy("y", "m", "dd").json(path)
+
+  /** S5 — processed zone: parquet partitioned by the date column. */
+  def processedParquet(df: DataFrame, dateCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(path)
+
+  /** S7 — staging: truncate-and-replace. */
+  def overwriteStaging(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8/U* — keyed merge into a parquet target: read target ∪ updates,
+    * resolve by key, rewrite. At lake scale, pair with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` and a
+    * date-partitioned target so only touched partitions rewrite. */
+  def mergeInto(updates: DataFrame, targetPath: String, keys: Seq[String],
+                doUpdate: Boolean): Unit = {
+    val spark = updates.sparkSession
+    val targetExists = {
+      val p = new org.apache.hadoop.fs.Path(targetPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val merged =
+      if (!targetExists) Merge.overwrite(updates, keys)
+      else {
+        val target = spark.read.parquet(targetPath)
+        if (doUpdate) Merge.upsert(target, updates, keys)
+        else Merge.insertIgnore(target, updates, keys)
+      }
+    // rewrite via a temp path: the source scan and the overwrite target
+    // must not be the same files
+    val tmp = targetPath.stripSuffix("/") + "__staged"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetPath))
+  }
+}

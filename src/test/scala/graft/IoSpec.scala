@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** End-to-end file IO: date-foldered sinks, filename-derived source
+  * columns, CSV header validation, and the read-merge-write sink.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("S2/S4 round-trip: date-foldered JSON sink, filename key recovery") {
+    val dir = tmp()
+    val df = Seq(
+      ("AAPL", "2024-01-05", 101.5), ("MSFT", "2024-01-05", 402.0),
+      ("AAPL", "2024-01-06", 103.0)).toDF("symbol", "trade_date", "close")
+      .select($"symbol", to_date($"trade_date").as("trade_date"), $"close")
+    Sinks.rawJsonZone(df, "trade_date", dir)
+    // partition folders exist (y=2024/m=01/dd=05)
+    assert(new java.io.File(s"$dir/y=2024/m=01/dd=05").exists())
+
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("trade_date", DateType),
+      StructField("close", DoubleType)))
+    val back = Sources.jsonWithFilenameKey(spark, dir, schema,
+      "day_folder", raw"dd=(\d+)")
+    assert(back.count() === 3)
+    assert(back.filter($"day_folder" === "05").count() === 2)
+  }
+
+  test("S9: CSV header validation accepts expected, rejects drifted") {
+    val dir = tmp()
+    Seq(("a", "1"), ("b", "2")).toDF("name", "rank")
+      .write.option("header", "true").csv(s"$dir/ok")
+    val ok = Sources.csvValidated(spark, s"$dir/ok", Seq("name", "rank"))
+    assert(ok.columns.toSeq === Seq("name", "rank") && ok.count() === 2)
+    val err = intercept[IllegalArgumentException] {
+      Sources.csvValidated(spark, s"$dir/ok", Seq("name", "rank", "market_cap"))
+    }
+    assert(err.getMessage.contains("market_cap"))
+  }
+
+  test("S7 overwrite staging replaces content") {
+    val dir = tmp() + "/staging"
+    Sinks.overwriteStaging(Seq((1, "a")).toDF("k", "v"), dir)
+    Sinks.overwriteStaging(Seq((2, "b"), (3, "c")).toDF("k", "v"), dir)
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("mergeInto: creates, upserts, and stays idempotent on disk") {
+    val dir = tmp() + "/target"
+    Sinks.mergeInto(Seq((1, "a", 1.0), (2, "a", 2.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+    Sinks.mergeInto(Seq((2, "a", 20.0), (3, "a", 3.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+    val after = spark.read.parquet(dir).as[(Int, String, Double)].collect().toSet
+    assert(after === Set((1, "a", 1.0), (2, "a", 20.0), (3, "a", 3.0)))
+    // re-apply: no change
+    Sinks.mergeInto(Seq((2, "a", 20.0), (3, "a", 3.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+    assert(spark.read.parquet(dir).as[(Int, String, Double)].collect().toSet === after)
+  }
+
+  test("S5 processed parquet zone is date-partitioned (prunable)") {
+    val dir = tmp() + "/processed"
+    val df = Seq(("2024-01-05", 1.0), ("2024-01-06", 2.0)).toDF("d", "v")
+      .select(to_date($"d").as("d"), $"v")
+    Sinks.processedParquet(df, "d", dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("d=")))
+    // partition-pruned read touches one folder
+    val one = spark.read.parquet(dir).filter($"d" === "2024-01-05")
+    assert(one.count() === 1)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.ml.PricePredictor
+
+/** F4/F5 — metric-level test (SURVEY.md §5: MAE/RMSE per
+  * analyze_news_stock_patterns.py:129-133, not coefficient equality)
+  * on the sf0.001 fixture data.
+  */
+class MlSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("primary model beats the naive persistence baseline on MAE") {
+    val feats = PricePredictor.features(spark, dir).cache()
+    val model = PricePredictor.fitPrimary(feats)
+    val m = PricePredictor.evaluate(model, feats)
+    // naive baseline: predict tomorrow = today
+    import org.apache.spark.sql.functions._
+    val naiveMae = feats.select(avg(abs(col("label") - col("close"))))
+      .head().getDouble(0)
+    assert(m.mae.isFinite && m.rmse >= m.mae)
+    assert(m.mae <= naiveMae * 1.05,
+      s"model MAE ${m.mae} should not be worse than naive $naiveMae")
+    feats.unpersist()
+  }
+
+  test("predictNextDay emits one corrected row per (user, next day)") {
+    val preds = PricePredictor.predictNextDay(spark, dir)
+    val n = preds.count()
+    assert(n > 0)
+    assert(preds.select("user_id", "d").distinct().count() === n, "key-unique")
+    assert(preds.filter(org.apache.spark.sql.functions.col("predicted_close").isNull).count() === 0)
+  }
+}
