@@ -26,6 +26,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warmup at the smallest SF: JIT + codegen compilation for
+    // every query's operator graph, so the timed pass measures
+    // steady-state execution rather than first-call compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
+
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -46,13 +46,15 @@ object QueriesText {
         |               / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))), 4) AS quality
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       Tables.documents(s, dir)
+        .withColumn("toks", TextStats.tokens(col("text"))) // tokenize once
         .select(
           col("doc_id"),
-          TextStats.nTokens(col("text")).as("n_tokens"),
+          size(col("toks")).as("n_tokens"),
           TextStats.bpeishCount(col("text")).as("n_bpeish"),
-          round(TextStats.avgTokenLen(col("text")), 4).as("avg_tok_len"),
-          round(TextStats.stopwordRatio(col("text")), 4).as("stop_ratio"),
-          round(TextStats.qualityScore(col("text")), 4).as("quality"))
+          round(TextStats.nCharsNoSpace(col("text")).cast("double") / size(col("toks")), 4)
+            .as("avg_tok_len"),
+          round(TextStats.stopwordRatioOf(col("toks")), 4).as("stop_ratio"),
+          round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
         .orderBy("doc_id")
     }
 
@@ -68,7 +70,8 @@ object QueriesText {
         |SELECT guessed, lang, count(*) AS n FROM g
         |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("lang"), TextStats.langGuess(col("text")).as("guessed"))
+        .withColumn("toks", TextStats.tokens(col("text")))
+        .select(col("lang"), TextStats.langGuessOf(col("toks")).as("guessed"))
         .groupBy("guessed", "lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("guessed", "lang")
@@ -81,10 +84,8 @@ object QueriesText {
         |       substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 4) AS band
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          TextStats.fingerprint(col("text")).as("fp"),
-          TextStats.fingerprintBand(col("text")).as("band"))
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .withColumn("band", substring(col("fp"), 1, 4)) // hash once
         .orderBy("doc_id")
     }
 

@@ -37,24 +37,32 @@ object TextStats {
 
   val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and", "is")
 
-  /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val hits = size(filter(tokens(text), t => t.isin(stopwords: _*)))
-    hits.cast("double") / nTokens(text)
+  /** Fraction of tokens that are stopwords (over a precomputed token
+    * array — tokenize ONCE per row, then derive; re-running the regex
+    * pipeline per metric multiplies scan cost). */
+  def stopwordRatioOf(toks: Column): Column = {
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    hits.cast("double") / size(toks)
   }
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
   /** Heuristic quality score in [0,1]: length credit × non-stopword
     * density (the length/stopword-ratio style scoring used by web-scale
     * corpus filters). */
-  def qualityScore(text: Column): Column =
-    least(lit(1.0), nTokens(text) / lit(100.0)) * (lit(1.0) - stopwordRatio(text))
+  def qualityScoreOf(toks: Column): Column =
+    least(lit(1.0), size(toks) / lit(100.0)) * (lit(1.0) - stopwordRatioOf(toks))
+
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text))
 
   /** Language-ID heuristic: English function-word density. A real
     * pipeline extends the wordlists per language; the testdata corpus is
     * synthetic English-vocab word salad, so the interesting output is
     * the deterministic decision boundary. */
-  def langGuess(text: Column): Column =
-    when(stopwordRatio(text) >= 0.05, "en").otherwise("unknown")
+  def langGuessOf(toks: Column): Column =
+    when(stopwordRatioOf(toks) >= 0.05, "en").otherwise("unknown")
+
+  def langGuess(text: Column): Column = langGuessOf(tokens(text))
 
   /** Stable document fingerprint (content hash of the canonical form). */
   def fingerprint(text: Column): Column = md5(normalize(text))

@@ -34,7 +34,9 @@ object PricePredictor {
     DailySeries(spark, dir)
       .withColumn("prev_close", Indicators.prev(col("close"), w))
       .withColumn("pct_change", Indicators.pctChange(col("close"), w))
-      .withColumn("vol", (col("high") - col("low")) / col("low") * 100)
+      .withColumn("vol",
+        when(col("low") =!= 0, (col("high") - col("low")) / col("low") * 100)
+          .otherwise(lit(0.0)))
       .withColumn("label", lead(col("close"), 1).over(w))
       .na.drop(Seq("prev_close", "pct_change", "label"))
   }

@@ -28,6 +28,12 @@ object DailySeries {
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // One shuffle for the whole series pipeline: hash-partitioning by
+      // user_id alone satisfies the aggregate's (user_id, d) clustering
+      // AND every downstream Window.partitionBy(user_id) — without this
+      // the plan pays a second user_id exchange after the rollup.
+      // (Map-side partial aggregation still combines before the wire.)
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("event_date").as("d"))
       .agg(
         (sum(cents(col("value"))).cast("double") / (lit(100.0) * count(lit(1)))).as("close"),

@@ -91,16 +91,36 @@ object Dedup {
     verifyJaccard(docs, candidates, shingleK, threshold)
   }
 
-  /** Verify candidate pairs with exact shingle Jaccard ≥ threshold. */
+  /** Exact Jaccard of two SORTED hash arrays via linear merge —
+    * O(|a|+|b|) per pair instead of re-shingling both documents. */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  private def sortedShingleHashes(toks: Seq[String], k: Int): Array[Long] =
+    shingles(toks, k).map(s => hash64(s, 1234567)).toArray.sorted
+
+  /** Verify candidate pairs with exact shingle Jaccard ≥ threshold.
+    * Shingle sets are hashed + sorted ONCE per document, so each pair
+    * costs a linear merge, not a re-shingling of both texts. */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
                             shingleK: Int, threshold: Double): DataFrame = {
-    val jacUdf = udf((a: Seq[String], b: Seq[String]) =>
-      jaccard(shingles(a, shingleK), shingles(b, shingleK)))
-    val toks = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val hashUdf = udf((toks: Seq[String]) => sortedShingleHashes(toks, shingleK))
+    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      jaccardSorted(a.toArray, b.toArray))
+    val sh = docs.select(col("doc_id"),
+      hashUdf(TextStats.tokens(col("text"))).as("sh"))
     candidates
-      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), Seq("doc_a"))
-      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), Seq("doc_b"))
-      .withColumn("jaccard", round(jacUdf(col("toks_a"), col("toks_b")), 4))
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard", round(jacUdf(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -153,7 +173,7 @@ object Dedup {
     * usable key (min shingle hash) to stay sub-quadratic, then verified
     * exactly. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        buckets: Int = 8): DataFrame = {
+                        buckets: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // min-k sketch of shingle hashes as the bucketing keys: docs sharing
