@@ -15,6 +15,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as
       // a raw ns Long (Tables.events converts downstream).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

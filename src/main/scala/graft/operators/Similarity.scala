@@ -24,12 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays, sequential sum order. */
+  /** Cosine similarity of two double arrays, sequential sum order.
+    * Uses the native codegen'd [[graft.plans.CosineSimilarity]] when the
+    * engine extensions are installed (one fused loop, no allocation);
+    * falls back to the equivalent higher-order-function form on a plain
+    * session. Both accumulate left-to-right in double → identical bits. */
   private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na  = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-    val nb  = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    val native = try {
+      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_cosine")
+    } catch { case _: Throwable => false }
+    if (native) call_function("graft_cosine", a, b)
+    else {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val na  = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      val nb  = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      dot / (na * nb)
+    }
   }
 
   private def widened(df: DataFrame): DataFrame =

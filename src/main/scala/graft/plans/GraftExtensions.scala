@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Engine extensions, installed via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`:
+  *
+  *  - `graft_cosine(a, b)`: the native codegen'd cosine expression,
+  *    available to SQL and (via `call_function`) the DataFrame API.
+  *  - [[SelfCosineRule]]: optimizer rule folding `graft_cosine(x, x)`
+  *    to 1.0 (null-preserving) — a vector compared to itself needs no
+  *    arithmetic; catches the reflexive pairs ANN pipelines generate.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(a, b) takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectOptimizerRule(_ => SelfCosineRule)
+  }
+}
+
+/** cos(x, x) = 1 for any non-null x (deterministic child) — skip the
+  * whole loop. */
+object SelfCosineRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+    }
+}
