@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructType}
 
 /** Technical-indicator column functions over a per-key ordered series.
   *
@@ -68,6 +69,39 @@ object Indicators {
       element_at(hist, 1),
       (acc, x) => x * lit(alpha) + acc * lit(1 - alpha)
     )
+  }
+
+  /** W8 at scale — single-pass EMA: O(rows) per key instead of the
+    * window form's O(rows × history). One shuffle (repartition by key),
+    * an in-partition sort, then a streaming fold over each partition —
+    * no per-key state beyond one double, so a key with years of history
+    * costs memory O(1). Recursion is written identically to [[ema]]
+    * (x*α + acc*(1−α)), so results are bit-identical (IndicatorsSpec).
+    *
+    * Appends `outCol` to `df`'s schema.
+    */
+  def emaByKey(df: DataFrame, key: String, time: Seq[String], value: String,
+               span: Int, outCol: String = "ema"): DataFrame = {
+    val alpha = 2.0 / (span + 1)
+    val schema = df.schema
+    val outSchema = schema.add(outCol, DoubleType, nullable = true)
+    val keyIdx = schema.fieldIndex(key)
+    val valIdx = schema.fieldIndex(value)
+    val sortCols = (key +: time).map(col)
+    df.repartition(col(key))
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var hasKey = false
+        var acc = 0.0
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          val x = r.getDouble(valIdx)
+          if (!hasKey || k != curKey) { curKey = k; hasKey = true; acc = x }
+          else acc = x * alpha + acc * (1 - alpha)
+          Row.fromSeq(r.toSeq :+ acc)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** W9 — RSI(n): mean gain / mean loss over the last n rows,

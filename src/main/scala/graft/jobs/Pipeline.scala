@@ -1,0 +1,125 @@
+package graft.jobs
+
+import graft.Tables
+import graft.functions.Indicators
+import graft.ml.PricePredictor
+import graft.operators.DailySeries
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E1 — the reference's daily DAG (dags/trading_dashboard.py:47-100) as
+  * a staged Spark pipeline over a parquet lake:
+  *
+  *   ingest (S4/S6 conform → DailySeries)           [stage 1]
+  *   → merge into history (J1/W1/U1)                 [stage 2]
+  *   → detect patterns (W2/W3/P14/U2)                [stage 3]
+  *   → behavior analysis (A1/J2/U4)                  [stage 4]
+  *   → train + predict (F4/F5/U5)                    [stage 5]
+  *
+  * Each stage is one DataFrame plan ending in a keyed merge — the same
+  * idempotent upsert semantics the reference gets from ON CONFLICT, so
+  * re-running a day is a no-op (PipelineSpec proves it). Airflow-level
+  * orchestration stays external, exactly like the reference.
+  */
+object Pipeline {
+
+  case class LakePaths(root: String) {
+    val history = s"$root/stock_price_history"
+    val patterns = s"$root/trading_patterns"
+    val analysis = s"$root/news_stock_analysis"
+    val predictions = s"$root/stock_predictions"
+  }
+
+  /** Stage 2 — merge the day's series into history (U1 DO-UPDATE). */
+  def mergeHistory(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
+    val w = Indicators.series("user_id", "d")
+    val daily = DailySeries(spark, sfDir)
+      .withColumn("prev_close", Indicators.prev(col("close"), w))
+    Sinks.mergeInto(daily, lake.history, Seq("user_id", "d"), doUpdate = true)
+  }
+
+  /** Stage 3 — trend + MA-cross patterns over the merged history
+    * (full_stock_pipeline.py:425-489), U2 DO-NOTHING on
+    * (user, d, pattern). */
+  def detectPatterns(spark: SparkSession, lake: LakePaths): Unit = {
+    val hist = spark.read.parquet(lake.history)
+    val w = Indicators.series("user_id", "d")
+    val trend = hist
+      .withColumn("c1", lag(col("close"), 1).over(w))
+      .withColumn("c2", lag(col("close"), 2).over(w))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+      .withColumn("pattern",
+        when(col("close") > col("c1") && col("c1") > col("c2"), "Bullish Trend")
+          .when(col("close") < col("c1") && col("c1") < col("c2"), "Bearish Trend"))
+      .filter(col("pattern").isNotNull)
+      .withColumn("pattern_category", lit("Trend Patterns"))
+    val cross = hist
+      .withColumn("ma_fast", Indicators.movingAvgPartial(col("close"), w, 5))
+      .withColumn("ma_slow", Indicators.movingAvgPartial(col("close"), w, 20))
+      .withColumn("pattern",
+        when(col("ma_fast") > col("ma_slow"), "Golden Cross")
+          .when(col("ma_fast") < col("ma_slow"), "Death Cross"))
+      .filter(col("pattern").isNotNull)
+      .withColumn("pattern_category", lit("Moving Average Patterns"))
+    val all = trend.select("user_id", "d", "pattern_category", "pattern")
+      .unionByName(cross.select("user_id", "d", "pattern_category", "pattern"))
+    Sinks.mergeInto(all, lake.patterns, Seq("user_id", "d", "pattern"), doUpdate = false)
+  }
+
+  /** Stage 4 — per-(user, day) activity/price analysis
+    * (analyze_news_stock_patterns.py:17-74), U4 DO-UPDATE. */
+  def analyze(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
+    val w = Indicators.series("user_id", "d")
+    val hist = spark.read.parquet(lake.history)
+      .withColumn("price_change", col("close") - col("prev_close"))
+      .withColumn("price_direction",
+        when(col("price_change") > 0, "Up")
+          .when(col("price_change") < 0, "Down")
+          .otherwise("No Change"))
+      .withColumn("volatility_score",
+        when(col("low") > 0, (col("high") - col("low")) / col("low") * 100))
+    val activity = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("event_date").as("d"))
+      .agg(count(lit(1)).as("news_count"))
+    val joined = activity.join(hist, Seq("user_id", "d"), "left")
+      .select("user_id", "d", "news_count", "price_change", "price_direction",
+        "volatility_score")
+    Sinks.mergeInto(joined, lake.analysis, Seq("user_id", "d"), doUpdate = true)
+  }
+
+  /** Stage 5 — train + next-day predictions (F4/F5), U5 DO-UPDATE. */
+  def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
+    val preds = PricePredictor.predictNextDay(spark, sfDir)
+    Sinks.mergeInto(preds, lake.predictions, Seq("user_id", "d"), doUpdate = true)
+  }
+
+  /** Run the full E1 sequence. */
+  def run(spark: SparkSession, sfDir: String, lakeRoot: String): LakePaths = {
+    val lake = LakePaths(lakeRoot)
+    mergeHistory(spark, sfDir, lake)
+    detectPatterns(spark, lake)
+    analyze(spark, sfDir, lake)
+    predict(spark, sfDir, lake)
+    lake
+  }
+
+  /** CLI: graft.jobs.Pipeline <sfDir> <lakeRoot> */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, lakeRoot) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lake = run(spark, sfDir, lakeRoot)
+    for (t <- Seq(lake.history, lake.patterns, lake.analysis, lake.predictions))
+      println(s"$t: ${spark.read.parquet(t).count()} rows")
+    spark.stop()
+  }
+}

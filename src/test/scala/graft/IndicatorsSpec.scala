@@ -82,6 +82,23 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(gotUp(i).get - (m + 2 * sd)) < 1e-9)
   }
 
+  test("emaByKey single-pass ≡ window-HOF ema bit-for-bit (multi-key)") {
+    val rng = new scala.util.Random(5)
+    val df = (for { k <- Seq("A", "B", "C"); t <- 0 until 40 }
+      yield (k, t, math.rint(rng.nextDouble() * 10000) / 100))
+      .toDF("sym", "t", "close")
+    val viaWindow = df.withColumn("ema",
+      Indicators.ema(col("close"), Indicators.series("sym", "t"), 14))
+      .select("sym", "t", "ema")
+    val viaPass = Indicators.emaByKey(df, "sym", Seq("t"), "close", 14)
+      .select("sym", "t", "ema")
+    val joined = viaWindow.as("w").join(viaPass.as("p"), Seq("sym", "t"))
+      .select(col("w.ema").as("we"), col("p.ema").as("pe"))
+      .as[(Double, Double)].collect()
+    assert(joined.length === 120)
+    joined.foreach { case (w, p) => assert(w === p) }
+  }
+
   test("fixed-point bollinger in q_w10 ≡ stddev_samp library form within 1e-9") {
     import org.apache.spark.sql.expressions.Window
     val df = series.withColumn("c6", round(col("close") * 1000000).cast("long"))
