@@ -139,6 +139,19 @@ object QueriesText {
         .orderBy("q_id", "rnk")
     }
 
+    // IVF-bucketed ANN (KMeans inverted file; the probe-side scale path).
+    registerNoOracle("q_ann_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rnk")
+    }
+
+    // Embedding-cosine near-dup pairs (banded LSH candidates).
+    registerNoOracle("q_dedup_embedding") { (s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.95)
+        .orderBy("vec_a", "vec_b")
+    }
+
     // F4/F5 — StandardScaler + LinearRegression + residual-correction
     // next-day prediction (spark.ml; not DuckDB-expressible — MlSpec
     // checks MAE/RMSE bounds instead).

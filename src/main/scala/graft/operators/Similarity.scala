@@ -107,4 +107,82 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** IVF-style ANN: coarse-quantize the corpus with KMeans (the
+    * inverted-file index), then probe each query against only the
+    * `nProbe` nearest cluster lists. The index build is one ML fit; a
+    * probe reads corpus_rows × nProbe / nCells — the classic IVF
+    * read-reduction. Deterministic (fixed seed). */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val widenedCorpus = widened(embeddings)
+      .withColumn("fv", array_to_vector(col("emb")))
+    val km = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(widenedCorpus)
+    val corpus = km.transform(widenedCorpus)
+      .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
+    // nProbe nearest centroids per query (centroid list is tiny: driver math)
+    val centers = km.clusterCenters.map(_.toArray)
+    val probeCellsUdf = udf((emb: Seq[Double]) => {
+      val v = emb.toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val probes = widened(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probeCellsUdf(col("emb"))).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Embedding-cosine near-dup pairs (the dedup flavor of ANN): LSH
+    * buckets generate candidates, exact cosine ≥ threshold keeps them.
+    * Banded — never an all-pairs crossJoin. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val bucketUdf = udf((emb: Seq[Float]) => {
+      val v = emb.map(_.toDouble).toArray
+      (0 until nTables).map { t =>
+        var sig = 0
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = planes(t * bitsPerTable + b)
+          var dot = 0.0
+          var i = 0
+          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+        s"$t:$sig"
+      }
+    })
+    val banded = widened(embeddings)
+      .select(col("vec_id"), col("emb"), explode(bucketUdf(col("embedding"))).as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.emb".as("emb_a"), $"b.emb".as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
 }

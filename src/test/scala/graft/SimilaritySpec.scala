@@ -51,4 +51,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.intersect(approx).size.toDouble / truth.size
     assert(recall >= 0.8, s"LSH recall $recall")
   }
+
+  test("ivfTopK recall ≥ 0.8 vs brute force on clustered corpus") {
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    val truth = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.ivfTopK(corpus, probes, 5, nCells = 8, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("cosinePairs finds planted near-duplicate embeddings, no false positives") {
+    // plant near-dups: cluster-mate pairs have cos ≈ 1 only for copies
+    val rng = new scala.util.Random(23)
+    val base = Array.fill(30)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      base.take(5).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, v.map(x => x * 1.0001f).toSeq) // same direction
+      }
+    val d = emb(rows: _*)
+    val pairs = Similarity.cosinePairs(d, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert((0 until 5).map(i => (i.toLong, (100 + i).toLong)).forall(found.contains),
+      s"missed planted dups: $found")
+    assert(pairs.forall(_._3 >= 0.999))
+  }
 }
