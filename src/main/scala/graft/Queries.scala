@@ -604,6 +604,42 @@ object Queries {
       .orderBy("user_id", "d")
   }
 
+  // §2.7 JSON functions — parse the events' JSON props payload
+  // relationally (the schema-first cousin of S4's raw-zone ingest).
+  register("q_json_props",
+    """SELECT event_type,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // Corpus quality thresholds — exact interpolated percentiles of the
+  // per-doc token count per language (the p50/p95 cutoffs an LLM-corpus
+  // filter derives before dropping outliers).
+  register("q_quality_quantiles",
+    """SELECT lang,
+      |       round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+      |       round(quantile_cont(nt, 0.95), 4) AS p95_tokens,
+      |       count(*) AS n_docs
+      |FROM (SELECT lang,
+      |             len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS nt
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), graft.functions.TextStats.nTokens(col("text")).as("nt"))
+      .groupBy("lang")
+      .agg(
+        round(percentile(col("nt"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("nt"), lit(0.95)), 4).as("p95_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =

@@ -146,9 +146,17 @@ object QueriesText {
         .orderBy("q_id", "rnk")
     }
 
-    // Embedding-cosine near-dup pairs (banded LSH candidates).
+    // Embedding-cosine near-dup pairs (banded LSH candidates). The
+    // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
+    // so the corpus itself contains no near-dups; the query plants
+    // deterministic scaled variants of the first 10 vectors (same
+    // direction → cos ≈ 1) and must recover exactly those pairs.
     registerNoOracle("q_dedup_embedding") { (s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.95)
+      val emb = Tables.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0001f)))
+      Similarity.cosinePairs(emb.unionByName(planted), threshold = 0.95)
         .orderBy("vec_a", "vec_b")
     }
 
