@@ -90,11 +90,43 @@ object QueriesText {
     }
 
     // VADER-style sentiment (UDF — no SQL oracle; SentimentSpec is the
-    // fixture gate).
+    // fixture gate for negation/booster heuristics).
     registerNoOracle("q_sentiment") { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Sentiment.compound(col("text")).as("sentiment"))
         .orderBy("doc_id")
+    }
+
+    // The scorer's lexicon core, pure-relational (no UDF): per-token
+    // valence lookup → sum → compound normalization s/sqrt(s²+α). This
+    // IS DuckDB-expressible, so the lexicon path gets a value-exact
+    // oracle; the negation/booster lookback stays UDF-side (q_sentiment).
+    {
+      val caseSql = Sentiment.lexicon.toSeq.sortBy(_._1)
+        .map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ")
+      register("q_sentiment_lexicon",
+        s"""SELECT doc_id,
+           |       round(s / sqrt(s * s + 15.0), 4) AS lex_score
+           |FROM (
+           |  SELECT doc_id,
+           |         list_sum(list_transform(
+           |           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+           |           x -> CASE x $caseSql ELSE 0.0 END)) AS s
+           |  FROM documents) t
+           |ORDER BY doc_id""") { (s, dir) =>
+        def valence(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          Sentiment.lexicon.toSeq.sortBy(_._1)
+            .foldLeft(when(lit(false), lit(0.0))) { case (acc, (w, v)) =>
+              acc.when(t === w, lit(v))
+            }.otherwise(lit(0.0))
+        Tables.documents(s, dir)
+          .withColumn("s", aggregate(
+            transform(TextStats.tokens(col("text")), valence _),
+            lit(0.0), (acc, x) => acc + x))
+          .select(col("doc_id"),
+            round(col("s") / sqrt(col("s") * col("s") + lit(15.0)), 4).as("lex_score"))
+          .orderBy("doc_id")
+      }
     }
 
     // MinHash-LSH near-dup (banded; DedupSpec checks recall vs brute
