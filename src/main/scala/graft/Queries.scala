@@ -115,7 +115,7 @@ object Queries {
   // Reference: full_stock_pipeline.py:282-317.
   register("q_conform",
     """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
-      |       l_extendedprice AS price, l_discount AS disc, 0.0 AS adj
+      |       l_extendedprice AS price, l_discount AS disc, CAST(0.0 AS DOUBLE) AS adj
       |FROM lineitem ORDER BY okey, line""") { (s, dir) =>
     val renamed = Conform.rename(Tables.lineitem(s, dir), Map(
       "l_orderkey" -> "okey", "l_linenumber" -> "line", "l_quantity" -> "qty",
@@ -608,7 +608,7 @@ object Queries {
   // relationally (the schema-first cousin of S4's raw-zone ingest).
   register("q_json_props",
     """SELECT event_type,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
     Tables.events(s, dir)

@@ -49,8 +49,8 @@ object QueriesText {
         .withColumn("toks", TextStats.tokens(col("text"))) // tokenize once
         .select(
           col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          TextStats.bpeishCount(col("text")).as("n_bpeish"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextStats.bpeishCount(col("text")).cast("long").as("n_bpeish"),
           round(TextStats.nCharsNoSpace(col("text")).cast("double") / size(col("toks")), 4)
             .as("avg_tok_len"),
           round(TextStats.stopwordRatioOf(col("toks")), 4).as("stop_ratio"),

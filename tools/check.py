@@ -45,6 +45,13 @@ for name, sql in sorted(oracle.items()):
     s = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
     scols = [d[0] for d in s.description]
     srows = s.fetchall()
+    # schema check: column type classes must agree (driver schema_match)
+    otypes = {d[0]: d[1] for d in o.description}
+    stypes = {d[0]: d[1] for d in s.description}
+    tmismatch = {c: (stypes.get(c), otypes.get(c)) for c in otypes
+                 if c in stypes and stypes[c] != otypes[c]}
+    if tmismatch:
+        print(f"WARN {name}: column type mismatch {tmismatch}")
     oc, orw = canon(orows, ocols)
     sc, srw = canon(srows, scols)
     if oc != sc:
