@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("MSFT", "2024-01-05")) === 402.0, "untouched row preserved")
   }
 
+  test("mapGroupsWithState running EMA carries recursion across micro-batches") {
+    import graft.streaming.StatefulIndicators
+    import graft.streaming.StatefulIndicators.{EmaOut, Tick}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Tick]
+    val q = StatefulIndicators.runningEma(input.toDS(), span = 3)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 sees 10, 20  → ema = 20*0.5 + 10*0.5 = 15
+      input.addData(Tick(1L, 1L, 10.0), Tick(1L, 2L, 20.0))
+      q.processAllAvailable()
+      val b1 = spark.table("ema_out").as[EmaOut].collect().last
+      assert(b1.ema === 15.0 && b1.n_seen === 2)
+
+      // batch 2: user 1 sees 30 → ema = 30*0.5 + 15*0.5 = 22.5
+      // (state carried: a fresh fold would seed at 30)
+      input.addData(Tick(1L, 3L, 30.0))
+      q.processAllAvailable()
+      val b2 = spark.table("ema_out").as[EmaOut].collect().last
+      assert(b2.ema === 22.5 && b2.n_seen === 1 && b2.lastTs === 3L)
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation shape compiles against a rate-like frame") {
     // semantics of window+watermark verified on a batch frame (same expr)
     val df = Seq(
