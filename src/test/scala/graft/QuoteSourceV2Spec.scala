@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector: schema, determinism, filter pushdown (generation
+  * actually restricted, not post-filtered), and column pruning.
+  */
+class QuoteSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = spark.read.format("graft.sources.QuoteSourceV2")
+    .option("symbols", "20").option("days", "10").option("start", "2024-01-01")
+    .load()
+
+  test("reads symbols × days deterministic rows") {
+    assert(quotes.count() === 200)
+    val a = quotes.orderBy("symbol", "trade_date").collect()
+    val b = quotes.orderBy("symbol", "trade_date").collect()
+    assert(a.sameElements(b), "re-scan must regenerate identical rows")
+    val r = quotes.filter($"high" < $"low").count()
+    assert(r === 0, "high >= low invariant")
+  }
+
+  test("symbol equality and date range push into the scan") {
+    val filtered = quotes
+      .filter($"symbol" === "SYM0003" &&
+        $"trade_date" >= "2024-01-03" && $"trade_date" <= "2024-01-05")
+    assert(filtered.count() === 3)
+    val scanDesc = filtered.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushed=[") && scanDesc.contains("EqualTo(symbol,SYM0003)"),
+      s"pushdown missing from scan description:\n$scanDesc")
+    // partition planning honored the filters: only one symbol generated
+    assert(filtered.select("symbol").distinct().count() === 1)
+  }
+
+  test("column pruning reaches the reader") {
+    val pruned = quotes.select("symbol", "close")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=[symbol,close]"), s"pruning not visible:\n$desc")
+    assert(pruned.columns.toSeq === Seq("symbol", "close"))
+    assert(pruned.count() === 200)
+  }
+
+  test("connector feeds the engine: daily rollup over generated quotes") {
+    val top = quotes.groupBy("symbol")
+      .agg(round(avg("close"), 2).as("avg_close"))
+      .orderBy(desc("avg_close")).limit(3)
+    assert(top.count() === 3)
+  }
+}
