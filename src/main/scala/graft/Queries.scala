@@ -640,6 +640,37 @@ object Queries {
       .orderBy("lang")
   }
 
+  // E2 — the dashboard's hottest loader (data_loader.py:43-57 +
+  // indicators.py): one symbol's range slice with SMA/EMA/Bollinger-mid
+  // columns. Same fixed-point / list-fold formulations as the W-suite
+  // so the oracle is value-exact.
+  register("q_stock_range",
+    s"""WITH daily AS (SELECT user_id, d, close,
+       |                      CAST(round(close * 1000000) AS BIGINT) AS c6
+       |               FROM (${DailySeries.sql}) ds
+       |               WHERE user_id = 7 AND d BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+       |h AS (SELECT user_id, d, close,
+       |             CASE WHEN count(*) OVER w5 >= 5
+       |                  THEN CAST(sum(c6) OVER w5 AS DOUBLE) / (1000000.0 * count(*) OVER w5) END AS sma_5,
+       |             list(close) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+       |      FROM daily
+       |      WINDOW w5 AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, d, close, sma_5,
+       |       round(list_reduce(hist, (acc, x) -> x * (2.0 / 15.0) + acc * (1.0 - 2.0 / 15.0)), 4) AS ema_14
+       |FROM h ORDER BY d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    val f5 = w.rowsBetween(-4, 0)
+    DailySeries(s, dir)
+      .filter(col("user_id") === 7 && col("d").between("2024-01-05", "2024-01-25"))
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .select(col("user_id"), col("d"), col("close"),
+        when(count(lit(1)).over(f5) >= 5,
+          sum(col("c6")).over(f5).cast("double") /
+            (lit(1000000.0) * count(lit(1)).over(f5))).as("sma_5"),
+        round(Indicators.ema(col("close"), w, 14), 4).as("ema_14"))
+      .orderBy("d")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =
