@@ -59,6 +59,22 @@ object Indicators {
     * at scale prefer `emaByKey` below (single pass per key).
     */
   def ema(c: Column, w: WindowSpec, span: Int): Column = {
+    // Prefer the native TypedImperativeAggregate (plans/EmaAggregate):
+    // the growing-frame window evaluates it incrementally — O(n) per
+    // key vs the HOF closed form's O(n²). Bit-identical recursion
+    // (PlansSpec), so oracle results don't change with the path taken.
+    val native = try {
+      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_ema")
+    } catch { case _: Throwable => false }
+    if (native)
+      call_function("graft_ema", c, lit(span))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    else emaHof(c, w, span)
+  }
+
+  /** Composable fallback: exact-recursion fold over the collected
+    * history (no extensions required). O(rows × history) per key. */
+  def emaHof(c: Column, w: WindowSpec, span: Int): Column = {
     val alpha = 2.0 / (span + 1)
     val hist = collect_list(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
     // fold the tail of the history with the head as the seed

@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine(a, b) takes 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ema"),
+      new ExpressionInfo(classOf[EmaAggregate].getName, "graft_ema"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ema(value, span) takes 2 arguments")
+        EmaAggregate(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

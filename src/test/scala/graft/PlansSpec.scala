@@ -59,6 +59,31 @@ class PlansSpec extends SparkSpec {
     assert(q.as[Double].collect().toSeq === Seq.fill(3)(1.0))
   }
 
+  test("graft_ema window aggregate ≡ HOF ema bit-for-bit, O(n) incremental") {
+    import graft.functions.Indicators
+    val rng = new scala.util.Random(9)
+    val series = (for { k <- Seq("A", "B"); t <- 0 until 50 }
+      yield (k, t, math.rint(rng.nextDouble() * 10000) / 100))
+      .toDF("sym", "t", "close")
+    val w = Indicators.series("sym", "t").rowsBetween(Long.MinValue, 0)
+    val both = series
+      .withColumn("native", call_function("graft_ema", col("close"), lit(14)).over(w))
+      .withColumn("hof", Indicators.emaHof(col("close"), Indicators.series("sym", "t"), 14))
+    val rows = both.select("native", "hof").as[(Double, Double)].collect()
+    assert(rows.length === 100)
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("graft_ema refuses to merge partial states (order-sensitivity guard)") {
+    import graft.plans.EmaAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = intercept[UnsupportedOperationException] {
+      val agg = EmaAggregate(Literal(1.0), Literal(14))
+      agg.merge(EmaAggregate.State(seeded = true, 1.0), EmaAggregate.State(seeded = true, 2.0))
+    }
+    assert(e.getMessage.contains("order-sensitive"))
+  }
+
   test("null vector → null similarity (both paths)") {
     val d = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
     val r = d.select(call_function("graft_cosine", $"a", $"b")).collect().head
