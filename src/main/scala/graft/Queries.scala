@@ -604,6 +604,55 @@ object Queries {
       .orderBy("user_id", "d")
   }
 
+  // Multi-join analytical shapes on the star schema (the reference has
+  // no >2-way joins, but a complete engine must plan them well — these
+  // are the TPC-H Q3/Q5 patterns, and PlanAudit keeps them
+  // broadcast/pushdown-clean).
+  register("q_mjoin_priority",
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1996-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, dir) =>
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(to_date(col("o_orderdate")) < "1998-01-01"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(to_date(col("l_shipdate")) > "1996-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  register("q_mjoin_volume",
+    """SELECT n_name, r_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.orders(s, dir).filter(to_date(col("o_orderdate")) >= "1996-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("n_name", "r_name")
+  }
+
   // §2.7 JSON functions — parse the events' JSON props payload
   // relationally (the schema-first cousin of S4's raw-zone ingest).
   register("q_json_props",
