@@ -653,6 +653,30 @@ object Queries {
       .orderBy("n_name", "r_name")
   }
 
+  // J6 general form — native two-table AS-OF join (plans/AsOfJoin):
+  // each purchase matched to the user's latest click at-or-before it.
+  // Oracle: DuckDB's built-in ASOF JOIN.
+  register("q_asof_join",
+    """SELECT p.event_id, p.user_id,
+      |       round(p.value, 2) AS purchase_value,
+      |       round(c.click_value, 2) AS click_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts AS click_ts, value AS click_value FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+      |ORDER BY p.event_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   // §2.7 JSON functions — parse the events' JSON props payload
   // relationally (the schema-first cousin of S4's raw-zone ingest).
   register("q_json_props",

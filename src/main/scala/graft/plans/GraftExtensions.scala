@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EmaAggregate(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
