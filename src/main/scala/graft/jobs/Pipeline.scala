@@ -36,7 +36,7 @@ object Pipeline {
     val w = Indicators.series("user_id", "d")
     val daily = DailySeries(spark, sfDir)
       .withColumn("prev_close", Indicators.prev(col("close"), w))
-    Sinks.mergeInto(daily, lake.history, Seq("user_id", "d"), doUpdate = true)
+    Sinks.mergeIntoPartitioned(daily, lake.history, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
   /** Stage 3 — trend + MA-cross patterns over the merged history
@@ -64,7 +64,7 @@ object Pipeline {
       .withColumn("pattern_category", lit("Moving Average Patterns"))
     val all = trend.select("user_id", "d", "pattern_category", "pattern")
       .unionByName(cross.select("user_id", "d", "pattern_category", "pattern"))
-    Sinks.mergeInto(all, lake.patterns, Seq("user_id", "d", "pattern"), doUpdate = false)
+    Sinks.mergeIntoPartitioned(all, lake.patterns, Seq("user_id", "d", "pattern"), "d", doUpdate = false)
   }
 
   /** Stage 4 — per-(user, day) activity/price analysis
@@ -86,13 +86,13 @@ object Pipeline {
     val joined = activity.join(hist, Seq("user_id", "d"), "left")
       .select("user_id", "d", "news_count", "price_change", "price_direction",
         "volatility_score")
-    Sinks.mergeInto(joined, lake.analysis, Seq("user_id", "d"), doUpdate = true)
+    Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
   /** Stage 5 — train + next-day predictions (F4/F5), U5 DO-UPDATE. */
   def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
     val preds = PricePredictor.predictNextDay(spark, sfDir)
-    Sinks.mergeInto(preds, lake.predictions, Seq("user_id", "d"), doUpdate = true)
+    Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
   /** Run the full E1 sequence. */

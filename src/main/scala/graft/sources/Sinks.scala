@@ -36,10 +36,54 @@ object Sinks {
   def overwriteStaging(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** S8/U* — keyed merge into a parquet target: read target ∪ updates,
-    * resolve by key, rewrite. At lake scale, pair with
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` and a
-    * date-partitioned target so only touched partitions rewrite. */
+  /** S8/U* — keyed merge into a partitioned parquet target that only
+    * rewrites the partitions the batch touches: read the TOUCHED slice
+    * of the target (partition-pruned scan), merge with the batch, write
+    * back with dynamic partition overwrite. Untouched partitions are
+    * neither read nor rewritten — at 100 TB a daily batch costs one
+    * day's partition, not the table. Requires every merge key group to
+    * live in one partition (true when partitionCol is derived from the
+    * key, as with date-keyed facts). */
+  def mergeIntoPartitioned(updates: DataFrame, targetPath: String, keys: Seq[String],
+                           partitionCol: String, doUpdate: Boolean): Unit = {
+    require(keys.contains(partitionCol),
+      s"partition column $partitionCol must be part of the merge key")
+    val spark = updates.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(targetPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val merged =
+        if (!exists) Merge.overwrite(updates, keys)
+        else {
+          val touched = updates.select(partitionCol).distinct().collect()
+            .map(_.get(0)).toSeq
+          val slice = spark.read.parquet(targetPath)
+            .filter(col(partitionCol).isInCollection(touched))
+          val m = if (doUpdate) Merge.upsert(slice, updates, keys)
+                  else Merge.insertIgnore(slice, updates, keys)
+          m
+        }
+      // truncate lineage before writing: the merged plan scans the very
+      // files dynamic overwrite will replace, and Spark (rightly)
+      // refuses to overwrite a path it is reading from
+      val materialized = merged.localCheckpoint(true)
+      materialized.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(targetPath)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** S8/U* — keyed merge into an unpartitioned parquet target: read
+    * target ∪ updates, resolve by key, rewrite. Prefer
+    * [[mergeIntoPartitioned]] for lake-scale targets. */
   def mergeInto(updates: DataFrame, targetPath: String, keys: Seq[String],
                 doUpdate: Boolean): Unit = {
     val spark = updates.sparkSession

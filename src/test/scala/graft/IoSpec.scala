@@ -65,6 +65,32 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[(Int, String, Double)].collect().toSet === after)
   }
 
+  test("mergeIntoPartitioned rewrites only touched partitions") {
+    val dir = tmp() + "/ptarget"
+    val day1 = Seq((1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0)).toDF("k", "d", "v")
+    val day2 = Seq((1, "2024-01-02", 3.0)).toDF("k", "d", "v")
+    Sinks.mergeIntoPartitioned(day1.unionByName(day2), dir, Seq("k", "d"), "d", doUpdate = true)
+    val day1Dir = new java.io.File(s"$dir/d=2024-01-01")
+    assert(day1Dir.exists())
+    val day1FilesBefore = day1Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // merge a batch touching ONLY day 2 (update k=1 + insert k=3)
+    Thread.sleep(1100)
+    val batch = Seq((1, "2024-01-02", 30.0), (3, "2024-01-02", 9.0)).toDF("k", "d", "v")
+    Sinks.mergeIntoPartitioned(batch, dir, Seq("k", "d"), "d", doUpdate = true)
+
+    val after = spark.read.parquet(dir).as[(Int, Double, String)].collect()
+    val rows = spark.read.parquet(dir).select("k", "d", "v")
+      .as[(Int, String, Double)].collect().toSet
+    assert(rows === Set((1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0),
+      (1, "2024-01-02", 30.0), (3, "2024-01-02", 9.0)))
+    // day-1 partition files untouched (same names + mtimes)
+    val day1FilesAfter = day1Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(day1FilesAfter === day1FilesBefore, "untouched partition was rewritten")
+  }
+
   test("S5 processed parquet zone is date-partitioned (prunable)") {
     val dir = tmp() + "/processed"
     val df = Seq(("2024-01-05", 1.0), ("2024-01-06", 2.0)).toDF("d", "v")
