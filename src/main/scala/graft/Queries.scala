@@ -744,6 +744,30 @@ object Queries {
       .orderBy("d")
   }
 
+  // Range join — clicks falling inside the 1-hour incident window
+  // after each error event, per user (banded equi-join, never a
+  // nested-loop theta join). Oracle: DuckDB theta join (tiny at sf0.01).
+  register("q_range_join",
+    """SELECT c.event_id AS click_id, e.event_id AS incident_id, c.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, incident_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val hourNs = 3600L * 1000000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts").as("w_start"), (col("ts") + hourNs).as("w_end"))
+    graft.operators.RangeJoin
+      .pointInInterval(clicks, incidents, Seq("user_id"), "ts", "w_start", "w_end",
+        bucketWidth = hourNs)
+      .select("click_id", "incident_id", "user_id")
+      .orderBy("click_id", "incident_id")
+  }
+
   // Sketches — approximate distinct (HyperLogLog++) and approximate
   // quantiles (Greenwald-Khanna), the mergeable one-pass summaries a
   // 100 TB profile pass runs instead of exact DISTINCT/sort. Not
