@@ -773,14 +773,16 @@ object Queries {
   // 100 TB profile pass runs instead of exact DISTINCT/sort. Not
   // DuckDB-oracle-able (different sketch impls); SketchSpec bounds the
   // error against exact answers.
+  // (sketches only: mixing an exact count_distinct in forces an
+  // Expand-based two-phase plan that multiplies the scan — the exact
+  // comparison lives in SketchSpec, not the hot path.)
   registerNoOracle("q_sketch_profile") { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        count_distinct(col("l_orderkey")).as("exact_orders"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50_price"),
-        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 2).as("p99_price"))
+        round(expr("approx_percentile(l_extendedprice, 0.5, 2500)"), 2).as("p50_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 2500)"), 2).as("p99_price"))
       .orderBy("l_returnflag")
   }
 

@@ -28,13 +28,16 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.01, s"p50 approx $approx vs $exact")
   }
 
-  test("q_sketch_profile runs and is internally consistent") {
+  test("q_sketch_profile approx distincts bounded by exact per group") {
     val out = Queries.registry("q_sketch_profile")._1(spark, dir).collect()
     assert(out.nonEmpty)
+    val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     out.foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.06)
+      val e = exact(r.getAs[String]("l_returnflag"))
+      assert(math.abs(approx - e) / e <= 0.06)
       assert(r.getAs[Double]("p99_price") >= r.getAs[Double]("p50_price"))
     }
   }
