@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, n_bytes: Long)
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_frames: Long, frame0: Array[Byte])
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_frames: Long, frame0: Array[Byte],
+                           thumb: Array[Byte])
 
   /** Attach a binary payload + metadata struct to the documents table.
     * (Testdata has no binary column; the text bytes stand in for an
@@ -39,6 +40,16 @@ object Multimodal {
     if (payload.isEmpty) Seq.empty
     else payload.grouped(frameSize).toSeq
 
+  /** STUB resize: a real implementation would rescale pixels; the fake
+    * strided-subsample keeps the shape contract (fixed output size,
+    * deterministic) a resize kernel would satisfy. */
+  private def resizeStub(payload: Array[Byte], outBytes: Int): Array[Byte] =
+    if (payload.isEmpty) Array.emptyByteArray
+    else {
+      val stride = math.max(1, payload.length / outBytes)
+      payload.indices.by(stride).take(outBytes).map(payload).toArray
+    }
+
   /** Frame-sample features via a partition-local typed pass
     * (the `mapPartitions` batch shape a real decoder needs). */
   def extractFeatures(media: DataFrame, frameSize: Int = 16): DataFrame = {
@@ -53,7 +64,8 @@ object Multimodal {
       rows.map { r =>
         val frames = decodeStub(r.payload, frameSize)
         MediaFeatures(r.doc_id, r.n_bytes, frames.length.toLong,
-          frames.headOption.getOrElse(Array.emptyByteArray))
+          frames.headOption.getOrElse(Array.emptyByteArray),
+          resizeStub(r.payload, 8))
       }
     }.toDF()
   }
