@@ -35,15 +35,31 @@ object Sentiment {
   val negations: Set[String] = Set("not", "no", "never", "without", "isnt", "dont")
 
   private val normAlpha = 15.0
+  private val capsBoost = 0.733      // ALL-CAPS emphasis (Hutto & Gilbert §2.2)
+  private val exclAmp = 0.292        // per '!' amplification, capped at 4
 
-  /** Score a token sequence -> compound in [-1, 1]. */
-  def score(toks: Seq[String]): Double = {
+  /** Score a RAW token sequence (original casing/punctuation kept so
+    * the emphasis heuristics can see it) -> compound in [-1, 1]. */
+  def score(rawToks: Seq[String]): Double = {
+    val stripped = rawToks.map(_.replaceAll("[!?.,;:]+$", ""))
+    val toks = stripped.map(_.toLowerCase)
+    // ALL-CAPS boost only applies in mixed-case text (all-caps shouting
+    // everywhere carries no differential emphasis)
+    val mixedCase = {
+      val lettered = stripped.filter(_.exists(_.isLetter))
+      val caps = lettered.count(t => t.toUpperCase == t)
+      caps > 0 && caps < lettered.length
+    }
+    // trailing-exclamation emphasis applies to the whole utterance
+    val nExcl = math.min(4, rawToks.map(t => t.count(_ == '!')).sum)
     var total = 0.0
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      lexicon.get(t).foreach { valence =>
+      lexicon.get(toks(i)).foreach { valence =>
         var v = valence
+        if (mixedCase && stripped(i).exists(_.isLetter) &&
+          stripped(i).toUpperCase == stripped(i))
+          v += math.signum(valence) * capsBoost
         // booster / negation lookback over up to 3 preceding tokens
         var j = math.max(0, i - 3)
         while (j < i) {
@@ -56,12 +72,17 @@ object Sentiment {
       }
       i += 1
     }
+    if (total > 0) total += nExcl * exclAmp
+    else if (total < 0) total -= nExcl * exclAmp
     val compound = total / math.sqrt(total * total + normAlpha)
     math.rint(compound * 10000) / 10000
   }
 
   private val scoreUdf = udf((toks: Seq[String]) => score(toks))
 
-  /** Column form: compound sentiment of a text column. */
-  def compound(text: Column): Column = scoreUdf(TextStats.tokens(text))
+  /** Column form: compound sentiment of a text column. Tokenizes on
+    * whitespace WITHOUT case-folding — the scorer needs raw casing and
+    * trailing punctuation for its emphasis heuristics. */
+  def compound(text: Column): Column =
+    scoreUdf(split(trim(text), "\\s+"))
 }

@@ -55,6 +55,17 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("sentiment: ALL-CAPS boost and exclamation emphasis amplify") {
+    val plain = Sentiment.score(Seq("spark", "is", "fast"))
+    val caps = Sentiment.score(Seq("spark", "is", "FAST"))
+    val excl = Sentiment.score(Seq("spark", "is", "fast!!"))
+    assert(caps > plain, "caps boost")
+    assert(excl > plain, "exclamation emphasis")
+    // all-caps utterance: no differential emphasis
+    val shouting = Sentiment.score(Seq("SPARK", "IS", "FAST"))
+    assert(shouting === plain)
+  }
+
   test("sentiment: direction, negation flip, booster, neutral zero") {
     val fast = Sentiment.score(Seq("fast"))
     val slow = Sentiment.score(Seq("slow"))
