@@ -199,6 +199,17 @@ object QueriesText {
       graft.ml.PricePredictor.predictNextDay(s, dir).orderBy("user_id", "d")
     }
 
+    // Corpus curation: key-hash-deterministic stratified downsampling
+    // per language (partition-layout independent — SamplingSpec; not
+    // oracle-able: DuckDB's hash differs).
+    registerNoOracle("q_sample_stratified") { (s, dir) =>
+      graft.operators.Sampling.stratified(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+
     // Multimodal plumbing: binary payload + metadata + stubbed
     // frame-extraction features (typed mapPartitions pass).
     register("q_multimodal",

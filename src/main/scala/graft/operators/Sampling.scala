@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation sampling for training-data pipelines: stratified
+  * downsampling and weighted source mixing.
+  *
+  * Determinism: membership is decided by a hash of the ROW KEY, not a
+  * per-partition RNG — the same row makes the same cut regardless of
+  * partition layout, retries, or cluster size (Spark's `sample`/
+  * `sampleBy` are seed-stable only for a fixed partitioning, which a
+  * 100 TB job cannot promise). `xxhash64(key, salt)` → uniform in
+  * [0, 1) → keep if below the stratum's rate.
+  */
+object Sampling {
+
+  private def unit(keyCol: Column, salt: Int): Column =
+    (pmod(xxhash64(keyCol, lit(salt)), lit(1000000000L)).cast("double") / 1000000000.0)
+
+  /** Keep each row of stratum s with probability rates(s) —
+    * key-hash-deterministic. Strata missing from `rates` are dropped. */
+  def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+                 rates: Map[String, Double], salt: Int = 42): DataFrame = {
+    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("__rate", rate)
+      .filter(unit(col(keyCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** Mix sources to target proportions: compute per-source keep rates
+    * from the observed counts so the OUTPUT approximates `weights`
+    * (scaled to the largest feasible total without upsampling). */
+  def weightedMix(df: DataFrame, sourceCol: String, keyCol: String,
+                  weights: Map[String, Double], salt: Int = 42): DataFrame = {
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val w = weights.filter { case (s, _) => counts.contains(s) }
+    require(w.nonEmpty, "no overlap between weights and observed sources")
+    // largest total T with T*w_s <= n_s for all s
+    val total = w.map { case (s, ws) => counts(s) / ws }.min
+    val rates = w.map { case (s, ws) => s -> math.min(1.0, total * ws / counts(s)) }
+    stratified(df, sourceCol, keyCol, rates, salt)
+  }
+}
