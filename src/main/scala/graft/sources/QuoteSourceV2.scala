@@ -74,7 +74,7 @@ private class QuoteTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_quotes"
   override def schema(): StructType = QuoteSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new QuoteScanBuilder(
       nSymbols = opts.getInt("symbols", options.getInt("symbols", 100)),
@@ -125,6 +125,9 @@ private class QuoteScanBuilder(nSymbols: Int, days: Int, start: LocalDate)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = requiredSchema
     override def toBatch: Batch = this
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new QuoteMicroBatchStream(nSymbols, minDay, maxDay, requiredSchema)
     override def description(): String =
       s"graft_quotes pushed=[${pushed.mkString(",")}] cols=[${requiredSchema.fieldNames.mkString(",")}]"
     override def planInputPartitions(): Array[InputPartition] = {
@@ -165,4 +168,37 @@ private class QuoteReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+/** Streaming form of the daily poll (S1): each micro-batch delivers the
+  * next unconsumed span of trading days; offsets are epoch-day
+  * watermarks checkpointed by the engine, so a restart resumes exactly
+  * after the last committed day — the semantics the reference
+  * approximates with cron + idempotent upserts.
+  */
+private class QuoteMicroBatchStream(nSymbols: Int, minDay: Int, maxDay: Int,
+                                    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class DayOffset(day: Int) extends Offset {
+    override def json(): String = day.toString
+  }
+
+  // "the feed has data through maxDay"; initial = day before start
+  override def latestOffset(): Offset = DayOffset(maxDay)
+  override def initialOffset(): Offset = DayOffset(minDay - 1)
+  override def deserializeOffset(json: String): Offset = DayOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DayOffset].day + 1
+    val e = end.asInstanceOf[DayOffset].day
+    if (s > e) Array.empty
+    else (0 until nSymbols).map(i => QuotePartition(i, s, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new QuoteReaderFactory(required)
 }

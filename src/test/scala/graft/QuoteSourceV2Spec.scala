@@ -41,6 +41,29 @@ class QuoteSourceV2Spec extends SparkSpec {
     assert(pruned.count() === 200)
   }
 
+  test("streaming read: availableNow drains all days, restart resumes after committed offset") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    def stream(days: Int) = spark.readStream.format("graft.sources.QuoteSourceV2")
+      .option("symbols", "5").option("days", days.toString)
+      .option("start", "2024-01-01").load()
+    def drain(days: Int): Unit = {
+      val q = stream(days).writeStream.format("parquet").option("path", out)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    drain(4)
+    assert(spark.read.parquet(out).count() === 20) // 5 symbols × 4 days
+
+    // feed advances to 6 days: restart delivers ONLY the 2 new days
+    drain(6)
+    val all = spark.read.parquet(out)
+    assert(all.count() === 30, "exactly the unconsumed days appended")
+    assert(all.groupBy("trade_date").count().count() === 6)
+  }
+
   test("connector feeds the engine: daily rollup over generated quotes") {
     val top = quotes.groupBy("symbol")
       .agg(round(avg("close"), 2).as("avg_close"))
