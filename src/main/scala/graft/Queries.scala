@@ -586,6 +586,33 @@ object Queries {
       .orderBy("user_id", "d")
   }
 
+  // W1/W3 over the fact table (VERDICT: window suite over events AND
+  // lineitem): per-supplier daily revenue, previous-day revenue, and a
+  // 7-row moving total — fixed-point exact.
+  register("q_w_lineitem_supplier",
+    """WITH daily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey, d,
+      |       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+      |       CAST(lag(rev_c) OVER w AS DOUBLE) / 100.0 AS prev_revenue,
+      |       CAST(sum(rev_c) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rev_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY d)
+      |ORDER BY l_suppkey, d""") { (s, dir) =>
+    val w = Indicators.series("l_suppkey", "d")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_c"))
+      .select(col("l_suppkey"), col("d"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        (lag(col("rev_c"), 1).over(w).cast("double") / 100.0).as("prev_revenue"),
+        (sum(col("rev_c")).over(w.rowsBetween(-6, 0)).cast("double") / 100.0).as("rev_7d"))
+      .orderBy("l_suppkey", "d")
+  }
+
   // W8/F3 — EMA-14 (pandas ewm(span=14, adjust=False)), exact recursion
   // via collect_list + aggregate HOF; oracle folds the same recursion
   // with DuckDB's list_reduce. Reference: indicators.py:6-9.
