@@ -771,6 +771,43 @@ object Queries {
       .orderBy("d")
   }
 
+  // Semi/anti joins (beyond the reference's surface, core engine ops):
+  // customers WITH open orders vs customers with NO orders at all.
+  register("q_semi_anti",
+    """SELECT c_custkey, c_mktsegment,
+      |       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |            THEN 'has_orders' ELSE 'no_orders' END AS status
+      |FROM customer c ORDER BY c_custkey""") { (s, dir) =>
+    val customers = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir).select("o_custkey")
+    val withOrders = customers
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("status", lit("has_orders"))
+    val without = customers
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("status", lit("no_orders"))
+    withOrders.unionByName(without)
+      .select("c_custkey", "c_mktsegment", "status")
+      .orderBy("c_custkey")
+  }
+
+  // Set operations: brands selling via both channels / only one
+  // (INTERSECT and EXCEPT over derived key sets).
+  register("q_set_ops",
+    """WITH cheap AS (SELECT DISTINCT p_brand FROM part WHERE p_retailprice < 950),
+      |expensive AS (SELECT DISTINCT p_brand FROM part WHERE p_retailprice >= 970)
+      |SELECT p_brand, 'both' AS tier FROM (SELECT * FROM cheap INTERSECT SELECT * FROM expensive) b
+      |UNION ALL
+      |SELECT p_brand, 'cheap_only' AS tier FROM (SELECT * FROM cheap EXCEPT SELECT * FROM expensive) c
+      |ORDER BY tier, p_brand""") { (s, dir) =>
+    val part = Tables.part(s, dir)
+    val cheap = part.filter(col("p_retailprice") < 950).select("p_brand").distinct()
+    val expensive = part.filter(col("p_retailprice") >= 970).select("p_brand").distinct()
+    cheap.intersect(expensive).withColumn("tier", lit("both"))
+      .unionByName(cheap.except(expensive).withColumn("tier", lit("cheap_only")))
+      .orderBy("tier", "p_brand")
+  }
+
   // Range join — clicks falling inside the 1-hour incident window
   // after each error event, per user (banded equi-join, never a
   // nested-loop theta join). Oracle: DuckDB theta join (tiny at sf0.01).
