@@ -850,6 +850,60 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // MACD(12,26) + signal EMA(9) of the MACD — two windowing passes,
+  // the second over a derived column. Oracle folds the same recursions
+  // with list_reduce; macd is rounded to fixed precision BEFORE the
+  // signal pass so both engines fold identical inputs.
+  register("q_w_macd",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |m AS (SELECT user_id, d,
+       |             round(list_reduce(list(close) OVER win, (acc, x) -> x * (2.0 / 13.0) + acc * (1.0 - 2.0 / 13.0))
+       |                   - list_reduce(list(close) OVER win, (acc, x) -> x * (2.0 / 27.0) + acc * (1.0 - 2.0 / 27.0)), 6) AS macd
+       |      FROM daily
+       |      WINDOW win AS ($winSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |sig AS (SELECT user_id, d, macd,
+       |               round(list_reduce(list(macd) OVER win, (acc, x) -> x * (2.0 / 10.0) + acc * (1.0 - 2.0 / 10.0)), 4) AS signal
+       |        FROM m
+       |        WINDOW win AS ($winSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT user_id, d, macd, signal FROM sig ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    DailySeries(s, dir)
+      .withColumn("macd", round(Indicators.macd(col("close"), w, 12, 26), 6))
+      .withColumn("signal", round(Indicators.ema(col("macd"), w, 9), 4))
+      .select("user_id", "d", "macd", "signal")
+      .orderBy("user_id", "d")
+  }
+
+  // Stochastic oscillator %K(14) + %D (SMA-3 of %K) — window min/max
+  // range position; %K pre-scaled to fixed-point before the %D average
+  // so the 3-row frame sums are exact in both engines.
+  register("q_w_stochastic",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |k AS (SELECT user_id, d,
+       |             CASE WHEN max(close) OVER w14 <> min(close) OVER w14
+       |                  THEN round((close - min(close) OVER w14)
+       |                             / (max(close) OVER w14 - min(close) OVER w14) * 100, 4) END AS pct_k
+       |      FROM daily
+       |      WINDOW w14 AS ($winSql ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       |k4 AS (SELECT user_id, d, pct_k,
+       |              CAST(round(pct_k * 10000) AS BIGINT) AS ki
+       |       FROM k)
+       |SELECT user_id, d, pct_k,
+       |       CAST(sum(ki) OVER w3 AS DOUBLE) / (10000.0 * count(ki) OVER w3) AS pct_d
+       |FROM k4
+       |WINDOW w3 AS ($winSql ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val w = Indicators.series("user_id", "d")
+    val f3 = w.rowsBetween(-2, 0)
+    DailySeries(s, dir)
+      .withColumn("pct_k", round(Indicators.stochasticK(col("close"), w, 14), 4))
+      .withColumn("ki", round(col("pct_k") * 10000).cast("long"))
+      .select(col("user_id"), col("d"), col("pct_k"),
+        (sum(col("ki")).over(f3).cast("double") /
+          (lit(10000.0) * count(col("ki")).over(f3))).as("pct_d"))
+      .orderBy("user_id", "d")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =

@@ -120,6 +120,21 @@ object Indicators {
       }(Encoders.row(outSchema))
   }
 
+  /** MACD(fast, slow): EMA(fast) − EMA(slow) of the series. The signal
+    * line is an EMA of the MACD itself — a second windowing pass over
+    * the derived column (see q_w_macd). */
+  def macd(c: Column, w: WindowSpec, fast: Int = 12, slow: Int = 26): Column =
+    ema(c, w, fast) - ema(c, w, slow)
+
+  /** Stochastic %K(n): position of the close inside the last-n-rows
+    * low/high range, 0..100; null when the range is degenerate. */
+  def stochasticK(c: Column, w: WindowSpec, n: Int = 14): Column = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val lo = min(c).over(frame)
+    val hi = max(c).over(frame)
+    when(hi =!= lo, (c - lo) / (hi - lo) * 100)
+  }
+
   /** W9 — RSI(n): mean gain / mean loss over the last n rows,
     * rsi = 100 - 100/(1+rs). Reference: indicators.py:11-18. */
   def rsi(c: Column, w: WindowSpec, n: Int): Column = {

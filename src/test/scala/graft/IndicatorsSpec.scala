@@ -99,6 +99,20 @@ class IndicatorsSpec extends SparkSpec {
     joined.foreach { case (w, p) => assert(w === p) }
   }
 
+  test("macd = ema(fast) - ema(slow); stochasticK bounded in [0,100]") {
+    val m = colVals(Indicators.macd(col("close"), w, 3, 5))
+    val e3 = colVals(Indicators.ema(col("close"), w, 3))
+    val e5 = colVals(Indicators.ema(col("close"), w, 5))
+    m.indices.foreach { i =>
+      assert(math.abs(m(i).get - (e3(i).get - e5(i).get)) < 1e-12)
+    }
+    val k = colVals(Indicators.stochasticK(col("close"), w, 3))
+    assert(k.head === None) // first frame is degenerate (single value)
+    k.flatten.foreach(v => assert(v >= 0 && v <= 100))
+    // row 2 frame (10,11,12): close=12 is the max → %K = 100
+    assert(math.abs(k(2).get - 100.0) < 1e-12)
+  }
+
   test("fixed-point bollinger in q_w10 ≡ stddev_samp library form within 1e-9") {
     import org.apache.spark.sql.expressions.Window
     val df = series.withColumn("c6", round(col("close") * 1000000).cast("long"))
