@@ -771,6 +771,42 @@ object Queries {
       .orderBy("d")
   }
 
+  // ROLLUP subtotals (OLAP staple beyond the reference): per-(flag,
+  // status), per-flag, and grand-total quantity sums. Subtotal rows'
+  // NULL group keys are labeled 'ALL' in BOTH engines so sort keys stay
+  // non-null (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+  register("q_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+  }
+
+  // Pivot (wide rollup): line status quantities as columns per flag —
+  // Spark's .pivot against the portable CASE-aggregation formulation.
+  register("q_pivot",
+    """SELECT l_returnflag,
+      |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F,
+      |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .select(col("l_returnflag"), col("F").as("qty_F"), col("O").as("qty_O"))
+      .orderBy("l_returnflag")
+  }
+
   // Semi/anti joins (beyond the reference's surface, core engine ops):
   // customers WITH open orders vs customers with NO orders at all.
   register("q_semi_anti",
