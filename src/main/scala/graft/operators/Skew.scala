@@ -45,6 +45,13 @@ object Skew {
     * into all buckets, so each bucket joins 1/salts of the hot key. */
   def saltedJoin(big: DataFrame, medium: DataFrame, keys: Seq[String],
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    // replication is only correct when every medium-side row that joins
+    // appears in each salt bucket at most once AND unmatched medium rows
+    // are never emitted: with "right"/"full" an unmatched medium row
+    // surfaces once per salt value (duplicated `salts` times)
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(right/full would duplicate unmatched medium-side rows per salt)")
     val bigSalted = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(salts)))
     val mediumExploded = medium.withColumn("__salt",

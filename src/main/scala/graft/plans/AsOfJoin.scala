@@ -152,8 +152,12 @@ object AsOf {
         lPlan, rPlan,
         keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)),
         resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol))
-      // project away the duplicated right-side key columns
-      val keep = lPlan.output ++ rPlan.output.filterNot(a => keys.contains(a.name))
+      // project away the duplicated right-side key columns; take the
+      // right-side attributes from asof.output (NOT rPlan.output) so the
+      // public schema keeps the nullable=true the null-padding implies —
+      // otherwise the optimizer may fold isNull checks on padded columns
+      val keep = asof.output.take(lPlan.output.length) ++
+        asof.output.drop(lPlan.output.length).filterNot(a => keys.contains(a.name))
       GraftInternal.ofRows(spark,
         org.apache.spark.sql.catalyst.plans.logical.Project(keep, asof))
     } else fallback(left, right, keys, leftTimeCol, rightTimeCol)

@@ -78,3 +78,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 }
+
+/** `graft_cosine(x, x)` reduced to one accumulator ([[SelfCosineRule]]).
+  *
+  * Bit-identical to the binary form for EVERY input: in the self case
+  * dot, |a|² and |b|² accumulate the same values in the same order, so
+  * `n / (sqrt(n) * sqrt(n))` reproduces the exact result — including
+  * NaN for empty/zero-norm vectors, NaN/Inf element propagation, and
+  * the ±1-ulp rounding of sqrt(n)² ≠ n. One array walk and a third of
+  * the multiply-adds instead of the fused three-accumulator loop.
+  */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_self_cosine requires ARRAY<DOUBLE>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); na += xi * xi; i += 1 }
+    na / (math.sqrt(na) * math.sqrt(na))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  $na += $xi * $xi;
+         |}
+         |${ev.value} = $na / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($na));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_self_cosine"
+}

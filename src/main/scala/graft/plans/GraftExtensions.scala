@@ -2,10 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.plans.GraftExtensions`:
@@ -37,12 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** cos(x, x) = 1 for any non-null x (deterministic child) — skip the
-  * whole loop. */
+/** cos(x, x) (deterministic child) — one accumulator instead of three.
+  * Folding to a literal 1.0 would be wrong for degenerate vectors
+  * (empty / zero-norm / NaN elements all yield NaN at runtime);
+  * [[SelfCosine]] is bit-identical to the binary form on every input,
+  * so the rule firing can never change results. */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        SelfCosine(a)
     }
 }

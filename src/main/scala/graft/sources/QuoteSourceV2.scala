@@ -89,6 +89,10 @@ private class QuoteScanBuilder(nSymbols: Int, days: Int, start: LocalDate)
   private var requiredSchema: StructType = QuoteSourceV2.schema
   private var pushed: Array[Filter] = Array.empty
   private var symbolEq: Option[String] = None
+  // two EqualTo(symbol, a) AND EqualTo(symbol, b) with a != b: the
+  // conjunction is unsatisfiable — claiming both is only correct if we
+  // actually produce the empty intersection
+  private var symbolContradiction: Boolean = false
   private var minDay: Int = start.toEpochDay.toInt
   private var maxDay: Int = start.toEpochDay.toInt + days - 1
 
@@ -105,7 +109,9 @@ private class QuoteScanBuilder(nSymbols: Int, days: Int, start: LocalDate)
       case _ => false
     }
     accepted.foreach {
-      case EqualTo("symbol", v: String) => symbolEq = Some(v)
+      case EqualTo("symbol", v: String) =>
+        if (symbolEq.exists(_ != v)) symbolContradiction = true
+        else symbolEq = Some(v)
       case GreaterThan("trade_date", d: java.sql.Date) =>
         minDay = math.max(minDay, d.toLocalDate.toEpochDay.toInt + 1)
       case GreaterThanOrEqual("trade_date", d: java.sql.Date) =>
@@ -127,15 +133,18 @@ private class QuoteScanBuilder(nSymbols: Int, days: Int, start: LocalDate)
     override def toBatch: Batch = this
     override def toMicroBatchStream(checkpointLocation: String):
         org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new QuoteMicroBatchStream(nSymbols, minDay, maxDay, requiredSchema)
+      new QuoteMicroBatchStream(nSymbols, minDay, maxDay, requiredSchema,
+        symbolEq, symbolContradiction)
     override def description(): String =
       s"graft_quotes pushed=[${pushed.mkString(",")}] cols=[${requiredSchema.fieldNames.mkString(",")}]"
     override def planInputPartitions(): Array[InputPartition] = {
-      val symIdxs = symbolEq match {
-        case Some(s) =>
-          (0 until nSymbols).filter(i => QuoteSourceV2.symbolName(i) == s)
-        case None => 0 until nSymbols
-      }
+      val symIdxs =
+        if (symbolContradiction) Seq.empty
+        else symbolEq match {
+          case Some(s) =>
+            (0 until nSymbols).filter(i => QuoteSourceV2.symbolName(i) == s)
+          case None => 0 until nSymbols
+        }
       symIdxs.map(i => QuotePartition(i, minDay, maxDay): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -177,7 +186,9 @@ private class QuoteReaderFactory(required: StructType)
   * approximates with cron + idempotent upserts.
   */
 private class QuoteMicroBatchStream(nSymbols: Int, minDay: Int, maxDay: Int,
-                                    required: StructType)
+                                    required: StructType,
+                                    symbolEq: Option[String] = None,
+                                    symbolContradiction: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -195,8 +206,15 @@ private class QuoteMicroBatchStream(nSymbols: Int, minDay: Int, maxDay: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DayOffset].day + 1
     val e = end.asInstanceOf[DayOffset].day
+    val symIdxs =
+      if (symbolContradiction) Seq.empty
+      else symbolEq match {
+        case Some(sym) =>
+          (0 until nSymbols).filter(i => QuoteSourceV2.symbolName(i) == sym)
+        case None => 0 until nSymbols
+      }
     if (s > e) Array.empty
-    else (0 until nSymbols).map(i => QuotePartition(i, s, e): InputPartition).toArray
+    else symIdxs.map(i => QuotePartition(i, s, e): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -83,14 +83,24 @@ object Sinks {
 
   /** S8/U* — keyed merge into an unpartitioned parquet target: read
     * target ∪ updates, resolve by key, rewrite. Prefer
-    * [[mergeIntoPartitioned]] for lake-scale targets. */
+    * [[mergeIntoPartitioned]] for lake-scale targets.
+    *
+    * Crash-safe promote: the merged result is staged to `__staged`,
+    * the live target is renamed aside to `__old`, the staged dir is
+    * renamed into place, and only then is `__old` deleted. At every
+    * instant either the old or the new table exists at a recoverable
+    * location; [[recoverMergeTarget]] (run on entry) rolls an
+    * interrupted promote back or forward, so a retry after a crash
+    * never rebuilds the table from the current batch alone.
+    */
   def mergeInto(updates: DataFrame, targetPath: String, keys: Seq[String],
                 doUpdate: Boolean): Unit = {
     val spark = updates.sparkSession
-    val targetExists = {
-      val p = new org.apache.hadoop.fs.Path(targetPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = targetP.getFileSystem(conf)
+    recoverMergeTarget(fs, targetPath)
+    val targetExists = fs.exists(targetP)
     val merged =
       if (!targetExists) Merge.overwrite(updates, keys)
       else {
@@ -100,11 +110,34 @@ object Sinks {
       }
     // rewrite via a temp path: the source scan and the overwrite target
     // must not be the same files
-    val tmp = targetPath.stripSuffix("/") + "__staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetPath))
+    val tmp = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (targetExists && !fs.rename(targetP, old))
+      throw new java.io.IOException(s"mergeInto: could not rename $targetP aside to $old")
+    if (!fs.rename(tmp, targetP))
+      throw new java.io.IOException(s"mergeInto: could not promote $tmp to $targetP")
+    fs.delete(old, true)
+  }
+
+  /** Recovery for an interrupted [[mergeInto]] promote. Idempotent.
+    *  - `__old` exists and the target is missing → the crash hit between
+    *    rename-aside and promote: roll back (`__old` → target).
+    *  - `__old` exists alongside the target → the promote completed but
+    *    cleanup didn't: the new table already contains the old rows,
+    *    drop `__old`.
+    *  - a `__staged` dir is always stale (promotes are renames, never
+    *    partial) → drop it. */
+  def recoverMergeTarget(fs: org.apache.hadoop.fs.FileSystem, targetPath: String): Unit = {
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val tmp = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(targetP)) {
+        if (!fs.rename(old, targetP))
+          throw new java.io.IOException(s"mergeInto recovery: could not restore $old to $targetP")
+      } else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 }

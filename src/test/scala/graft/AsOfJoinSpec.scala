@@ -39,6 +39,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(canon(out) === expected)
   }
 
+  test("right-side columns are nullable in the public schema (null-pad visible to optimizer)") {
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt")
+    // pre-fix the Project rebuilt right columns from rPlan.output with
+    // nullable=false, letting the optimizer fold isNull(padded) → false
+    assert(out.schema("qt").nullable && out.schema("quote_px").nullable, out.schema.treeString)
+    val unmatched = out.filter($"quote_px".isNull)
+    assert(unmatched.select("sym").as[String].collect().toSeq === Seq("C"))
+  }
+
   test("plan uses AsOfJoinExec with one exchange per side") {
     val plan = AsOf.join(trades, quotes, Seq("sym"), "t", "qt")
       .queryExecution.executedPlan.toString

@@ -65,6 +65,35 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[(Int, String, Double)].collect().toSet === after)
   }
 
+  test("mergeInto recovery: interrupted promote never loses merged history") {
+    val dir = tmp() + "/target"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.mergeInto(Seq((1, "a", 1.0), (2, "a", 2.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+
+    // simulate a crash between rename-aside and promote: target gone,
+    // history sits at __old, a half-written __staged dir is lying around
+    fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + "__old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__staged"))
+
+    // retry with ONLY the new batch — pre-fix this rebuilt the table
+    // from the batch alone, discarding rows 1 and 2
+    Sinks.mergeInto(Seq((3, "a", 3.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+    val rows = spark.read.parquet(dir).as[(Int, String, Double)].collect().toSet
+    assert(rows === Set((1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__staged")))
+
+    // crash AFTER promote but before cleanup: stale __old alongside target
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__old"))
+    Sinks.mergeInto(Seq((4, "a", 4.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), doUpdate = true)
+    assert(spark.read.parquet(dir).count() === 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+  }
+
   test("mergeIntoPartitioned rewrites only touched partitions") {
     val dir = tmp() + "/ptarget"
     val day1 = Seq((1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0)).toDF("k", "d", "v")

@@ -45,18 +45,40 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 24.0 / 25.0) < 1e-12)
   }
 
-  test("SelfCosineRule folds cos(x, x) to 1.0 without running the loop") {
+  test("SelfCosineRule rewrites cos(x, x) to the one-accumulator form, bit-identically") {
     // must be file-backed: a local Seq relation is eagerly folded into a
     // LocalRelation before user rules can be observed
     val p = java.nio.file.Files.createTempDirectory("graft-plans").toString + "/v"
-    df.write.parquet(p)
+    // include degenerate vectors: empty and zero-norm must stay NaN
+    // after the rewrite (folding to literal 1.0 would change them)
+    df.select($"id", $"a").unionByName(
+      Seq((90L, Seq.empty[Double]), (91L, Seq(0.0, 0.0))).toDF("id", "a"))
+      .write.parquet(p)
     val filed = spark.read.parquet(p)
-    val q = filed.select(call_function("graft_cosine", col("a"), col("a")).as("c"))
+    val q = filed.select($"id", call_function("graft_cosine", col("a"), col("a")).as("c"))
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("graft_cosine"), s"rule did not fire:\n$optimized")
-    // cos(x,x) on (1,1,0) is 0.99999... if the loop actually runs —
-    // exact 1.0 proves the fold, not luck
-    assert(q.as[Double].collect().toSeq === Seq.fill(3)(1.0))
+    assert(optimized.contains("graft_self_cosine"), s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("graft_cosine("), s"binary form survived:\n$optimized")
+    // the rewrite must match the un-rewritten loop on every row,
+    // including the ±1-ulp sqrt rounding (cos((1,1,0),(1,1,0)) is
+    // 0.9999999999999998, NOT 1.0) and NaN for degenerate vectors. In
+    // the self case dot == |a|² == |b|² bit-exactly, so the binary
+    // loop's result is na / (sqrt(na) * sqrt(na)).
+    def binaryLoop(v: Seq[Double]): Double = {
+      val na = v.foldLeft(0.0)((acc, x) => acc + x * x)
+      na / (math.sqrt(na) * math.sqrt(na))
+    }
+    val vecs = Map(1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(1.0, 0.0, 0.0),
+      3L -> Seq(1.0, 1.0, 0.0), 90L -> Seq.empty[Double], 91L -> Seq(0.0, 0.0))
+    val got = q.orderBy("id").as[(Long, Double)].collect()
+    assert(got.length === vecs.size)
+    got.foreach { case (id, c) =>
+      assert(java.lang.Double.doubleToLongBits(c) ===
+        java.lang.Double.doubleToLongBits(binaryLoop(vecs(id))), s"id=$id: $c")
+    }
+    // (1,1,0) really exercises the ulp case, and degenerates stay NaN
+    assert(got.find(_._1 == 3L).get._2 === 0.9999999999999998)
+    assert(got.filter(_._1 >= 90L).forall(_._2.isNaN))
   }
 
   test("graft_ema window aggregate ≡ HOF ema bit-for-bit, O(n) incremental") {

@@ -33,6 +33,32 @@ class QuoteSourceV2Spec extends SparkSpec {
     assert(filtered.select("symbol").distinct().count() === 1)
   }
 
+  test("conflicting symbol equalities yield the empty intersection, not last-wins") {
+    // x = a AND x = b is unsatisfiable; claiming both filters as pushed
+    // is only correct if the scan actually produces zero rows
+    val contradictory = quotes.filter($"symbol" === "SYM0003" && $"symbol" === "SYM0004")
+    assert(contradictory.count() === 0)
+    // repeated identical equality stays satisfiable
+    val same = quotes.filter($"symbol" === "SYM0003" && $"symbol" === "SYM0003")
+    assert(same.count() === 10)
+  }
+
+  test("streaming scan honors the pushed symbol equality") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = java.nio.file.Files.createTempDirectory("graft-qstream-sym").toString
+    val q = spark.readStream.format("graft.sources.QuoteSourceV2")
+      .option("symbols", "5").option("days", "4").option("start", "2024-01-01")
+      .load()
+      .filter($"symbol" === "SYM0002")
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.count() === 4)
+    assert(got.select("symbol").distinct().as[String].collect().toSeq === Seq("SYM0002"))
+  }
+
   test("column pruning reaches the reader") {
     val pruned = quotes.select("symbol", "close")
     val desc = pruned.queryExecution.executedPlan.toString

@@ -34,6 +34,17 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin rejects join types the replication scheme can't honor") {
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), joinType = "full")
+    }
+    assert(e.getMessage.contains("inner/left"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), joinType = "right")
+    }
+  }
+
   test("salt actually spreads the hot key across buckets") {
     val withSalt = skewed.withColumn("__salt",
       pmod(hash(skewed.columns.map(col): _*), lit(16)))
