@@ -140,8 +140,36 @@ object QueriesText {
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
     }
 
-    // n-gram Jaccard near-dup (min-k sketch bucketing).
-    registerNoOracle("q_dedup_ngram") { (s, dir) =>
+    // n-gram Jaccard near-dup (min-k sketch bucketing). Pure built-ins
+    // over engine-portable md5 shingle hashes → the whole pipeline
+    // (shingle → hash → min-k buckets → candidate join → exact Jaccard)
+    // is replayed value-exactly by DuckDB.
+    register("q_dedup_ngram",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_transform(
+        |           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                ELSE list_transform(range(len(toks) - 2),
+        |                                    i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |  FROM t),
+        |keyed AS (SELECT doc_id, unnest(h[1:4]) AS bucket FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+        |               / (len(sa.h) + len(sb.h) - len(list_intersect(sa.h, sb.h))), 4) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.doc_a
+        |  JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""") { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
     }
 
@@ -183,7 +211,24 @@ object QueriesText {
     // so the corpus itself contains no near-dups; the query plants
     // deterministic scaled variants of the first 10 vectors (same
     // direction → cos ≈ 1) and must recover exactly those pairs.
-    registerNoOracle("q_dedup_embedding") { (s, dir) =>
+    // The oracle is the SEMANTIC spec — brute-force all pairs ≥
+    // threshold — which the banded LSH must reproduce exactly: a scaled
+    // copy keeps every hyperplane sign, so each planted pair shares all
+    // its buckets and candidate recall on true near-dups is 1.0.
+    register("q_dedup_embedding",
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.0001 AS FLOAT) AS DOUBLE))
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_dot_product(a.emb, b.emb)
+        |               / (sqrt(list_dot_product(a.emb, a.emb))
+        |                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.95 ORDER BY vec_a, vec_b""") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val planted = emb.filter(col("vec_id") < 10)
         .withColumn("vec_id", col("vec_id") + 1000000)
@@ -200,9 +245,16 @@ object QueriesText {
     }
 
     // Corpus curation: key-hash-deterministic stratified downsampling
-    // per language (partition-layout independent — SamplingSpec; not
-    // oracle-able: DuckDB's hash differs).
-    registerNoOracle("q_sample_stratified") { (s, dir) =>
+    // per language (partition-layout independent — SamplingSpec). The
+    // md5-derived uniform is engine-portable, so the sampling decision
+    // itself is oracle-checked value-exactly in DuckDB.
+    register("q_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substring(md5(concat(doc_id, ':42')), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+        |                  WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25 ELSE -1.0 END
+        |ORDER BY doc_id""") { (s, dir) =>
       graft.operators.Sampling.stratified(
         Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))

@@ -169,23 +169,44 @@ object Dedup {
 
   // ── n-gram Jaccard ─────────────────────────────────────────────────
 
+  /** Sorted distinct 60-bit md5 hashes of the word n-grams of `text` —
+    * pure built-ins (codegen'd, engine-portable: any SQL engine with
+    * md5 reproduces the exact values, which is what lets q_dedup_ngram
+    * carry a value-exact DuckDB oracle). Shorter-than-n docs hash the
+    * whole token string, matching [[shingles]]. */
+  private[graft] def shingleHashSet(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = TextStats.tokens(text)
+    val grams = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    array_sort(array_distinct(transform(grams,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+  }
+
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
-    * usable key (min shingle hash) to stay sub-quadratic, then verified
-    * exactly. */
+    * usable key (min-k shingle hashes) to stay sub-quadratic, then
+    * verified exactly. No UDFs: shingling, hashing, bucketing and the
+    * Jaccard verify are all built-in column functions. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         buckets: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val hashed = docs.select(col("doc_id"), shingleHashSet(col("text"), n).as("sh"))
     // min-k sketch of shingle hashes as the bucketing keys: docs sharing
-    // any of their `buckets` smallest shingle hashes become candidates.
-    val minKUdf = udf((toks: Seq[String]) =>
-      shingles(toks, n).map(s => hash64(s, 555)).toSeq.sorted.take(buckets))
-    val keyed = docs
-      .select(col("doc_id"), explode(minKUdf(TextStats.tokens(col("text")))).as("bucket"))
+    // any of their `buckets` smallest shingle hashes become candidates
+    val keyed = hashed.select(col("doc_id"),
+      explode(slice(col("sh"), 1, buckets)).as("bucket"))
     val candidates = keyed.as("a")
       .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    verifyJaccard(docs, candidates, n, threshold)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates
+      .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 }

@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * per-partition RNG — the same row makes the same cut regardless of
   * partition layout, retries, or cluster size (Spark's `sample`/
   * `sampleBy` are seed-stable only for a fixed partitioning, which a
-  * 100 TB job cannot promise). `xxhash64(key, salt)` → uniform in
-  * [0, 1) → keep if below the stratum's rate.
+  * 100 TB job cannot promise). The uniform is derived from md5 — not
+  * the fastest hash, but ENGINE-portable: the first 60 bits of
+  * md5(key || ':' || salt) parse identically in any SQL engine, so a
+  * sampling decision can be audited (and oracle-checked) outside
+  * Spark. Swap [[unit]] to xxhash64 if per-row hash cost ever shows
+  * up against a 100 TB scan (it is ~ns-level either way).
   */
 object Sampling {
 
+  /** Uniform in [0, 1): first 15 hex chars of md5 (60 bits) / 2^60. */
   private def unit(keyCol: Column, salt: Int): Column =
-    (pmod(xxhash64(keyCol, lit(salt)), lit(1000000000L)).cast("double") / 1000000000.0)
+    conv(substring(md5(concat(keyCol.cast("string"), lit(":"), lit(salt.toString))), 1, 15),
+      16, 10).cast("long").cast("double") / 1152921504606846976.0
 
   /** Keep each row of stratum s with probability rates(s) —
     * key-hash-deterministic. Strata missing from `rates` are dropped. */
