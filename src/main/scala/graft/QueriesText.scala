@@ -89,12 +89,66 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
-    // VADER-style sentiment (UDF — no SQL oracle; SentimentSpec is the
-    // fixture gate for negation/booster heuristics).
-    registerNoOracle("q_sentiment") { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Sentiment.compound(col("text")).as("sentiment"))
-        .orderBy("doc_id")
+    // VADER-style sentiment — full scorer (lexicon + caps boost +
+    // booster/negation lookback + exclamation emphasis) as pure
+    // built-ins, so the ENTIRE heuristic carries a value-exact DuckDB
+    // oracle: the bounded 3-token lookback fold is unrolled closed-form
+    // on both sides (see Sentiment.compound).
+    {
+      val valCase = Sentiment.lexicon.toSeq.sortBy(_._1)
+        .map { case (w, v) => s"WHEN '$w' THEN CAST($v AS DOUBLE)" }.mkString(" ")
+      val sgnCase = Sentiment.lexicon.toSeq.sortBy(_._1)
+        .map { case (w, v) => s"WHEN '$w' THEN CAST(${math.signum(v)} AS DOUBLE)" }.mkString(" ")
+      def boostCase(subject: String) = Sentiment.boosters.toSeq.sortBy(_._1)
+        .map { case (w, b) => s"WHEN '$w' THEN CAST($b AS DOUBLE)" }
+        .mkString(s"CASE $subject ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+      val negList = Sentiment.negations.toSeq.sorted.map(n => s"'$n'").mkString(", ")
+      def pred(back: Int) = s"(CASE WHEN i > $back THEN toks[i - $back] ELSE NULL END)"
+      def flip(back: Int) =
+        s"(CASE WHEN ${pred(back)} IN ($negList) THEN CAST(-0.74 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)"
+      // ((vInit + sgn·B(p3))·F(p3) + sgn·B(p2))·F(p2) + sgn·B(p1))·F(p1)
+      val contrib = Seq(3, 2, 1).foldLeft(
+        s"""((CASE x $valCase ELSE CAST(0.0 AS DOUBLE) END)
+           | + (CASE WHEN (n_caps > 0 AND n_caps < n_lettered)
+           |           AND regexp_matches(stripped[i], '[A-Za-z]')
+           |           AND upper(stripped[i]) = stripped[i]
+           |         THEN (CASE x $sgnCase ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.733 AS DOUBLE)
+           |         ELSE CAST(0.0 AS DOUBLE) END))""".stripMargin) { (acc, back) =>
+        s"""(($acc
+           | + (CASE x $sgnCase ELSE CAST(0.0 AS DOUBLE) END) * ${boostCase(pred(back))})
+           | * ${flip(back)})""".stripMargin
+      }
+      register("q_sentiment",
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS raw FROM documents),
+           |s1 AS (
+           |  SELECT doc_id, raw,
+           |         list_transform(raw, x -> regexp_replace(x, '[!?.,;:]+${"$"}', '')) AS stripped
+           |  FROM t),
+           |s2 AS (
+           |  SELECT doc_id, raw, stripped,
+           |         list_transform(stripped, x -> lower(x)) AS toks,
+           |         len(list_filter(stripped, x -> regexp_matches(x, '[A-Za-z]'))) AS n_lettered,
+           |         len(list_filter(stripped, x -> regexp_matches(x, '[A-Za-z]') AND upper(x) = x)) AS n_caps,
+           |         least(4, list_sum(list_transform(raw, x -> length(x) - length(replace(x, '!', ''))))) AS n_excl
+           |  FROM s1),
+           |s3 AS (
+           |  SELECT doc_id, n_excl,
+           |         list_sum(list_transform(toks, (x, i) -> $contrib)) AS total
+           |  FROM s2)
+           |SELECT doc_id,
+           |       round(adj / sqrt(adj * adj + CAST(15.0 AS DOUBLE)), 4) AS sentiment
+           |FROM (
+           |  SELECT doc_id,
+           |         CASE WHEN total > 0 THEN total + n_excl * CAST(0.292 AS DOUBLE)
+           |              WHEN total < 0 THEN total - n_excl * CAST(0.292 AS DOUBLE)
+           |              ELSE total END AS adj
+           |  FROM s3) f
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Sentiment.compound(col("text")).as("sentiment"))
+          .orderBy("doc_id")
+      }
     }
 
     // The scorer's lexicon core, pure-relational (no UDF): per-token

@@ -80,9 +80,64 @@ object Sentiment {
 
   private val scoreUdf = udf((toks: Seq[String]) => score(toks))
 
-  /** Column form: compound sentiment of a text column. Tokenizes on
-    * whitespace WITHOUT case-folding — the scorer needs raw casing and
-    * trailing punctuation for its emphasis heuristics. */
-  def compound(text: Column): Column =
+  /** UDF form of the scorer — kept as the executable spec for
+    * [[compound]] (SentimentSpec asserts column ≡ UDF on fixtures). */
+  def compoundUdf(text: Column): Column =
     scoreUdf(split(trim(text), "\\s+"))
+
+  /** Compound sentiment as PURE built-in column functions — no UDF, so
+    * the whole scorer inlines into whole-stage codegen and (because
+    * every step is plain SQL semantics) is replayed value-exactly by
+    * the DuckDB oracle for q_sentiment.
+    *
+    * The 3-token booster/negation lookback is a bounded fold, so it is
+    * unrolled closed-form: with b_k = sign(v)·booster(p_k) and
+    * f_k = -0.74 if p_k negates else 1, the loop
+    * `for j: v += b_j; if neg: v = -0.74·v` is exactly
+    * `((vInit+b1)·f1 + b2)·f2 + b3)·f3` — the same additions and
+    * multiplications in the same order, hence bit-identical to the
+    * UDF loop. Adding a literal 0.0 for absent boosters cannot change
+    * bits (v is nonzero whenever the token scores). */
+  def compound(text: Column): Column = {
+    val raw = split(trim(text), "\\s+")
+    val stripped = transform(raw, x => regexp_replace(x, "[!?.,;:]+$", ""))
+    val toksCol = transform(stripped, x => lower(x))
+    val lettered = filter(stripped, x => x.rlike("[A-Za-z]"))
+    val nCaps = size(filter(lettered, x => upper(x) === x))
+    val mixed = nCaps > 0 && nCaps < size(lettered)
+    val nExcl = least(lit(4), aggregate(raw, lit(0),
+      (acc, t) => acc + (length(t) - length(translate(t, "!", "")))))
+
+    def valence(t: Column): Column =
+      lexicon.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (w, v)) => acc.when(t === w, lit(v))
+      }.otherwise(lit(0.0))
+    def boosterOf(t: Column): Column =
+      boosters.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (w, b)) => acc.when(t === w, lit(b))
+      }.otherwise(lit(0.0))
+    def flipOf(t: Column): Column =
+      when(t.isin(negations.toSeq: _*), lit(-0.74)).otherwise(lit(1.0))
+
+    // per-token contribution; i and get() are both 0-based, and get()
+    // returns NULL for any out-of-range index (including negative), so
+    // missing predecessors need no explicit guard
+    val contribs = transform(toksCol, (x, i) => {
+      val v0 = valence(x)
+      val sgn = signum(v0)
+      val strippedI = get(stripped, i)
+      val capsAdj = when(mixed && strippedI.rlike("[A-Za-z]") && upper(strippedI) === strippedI,
+        sgn * lit(capsBoost)).otherwise(lit(0.0))
+      val vInit = v0 + capsAdj
+      Seq(3, 2, 1).foldLeft(vInit) { (acc, back) =>
+        val p = get(toksCol, i - back)
+        (acc + sgn * boosterOf(p)) * flipOf(p)
+      }
+    })
+    val total = aggregate(contribs, lit(0.0), (acc, v) => acc + v)
+    val adjusted = when(total > 0, total + nExcl * lit(exclAmp))
+      .when(total < 0, total - nExcl * lit(exclAmp))
+      .otherwise(total)
+    round(adjusted / sqrt(adjusted * adjusted + lit(normAlpha)), 4)
+  }
 }

@@ -78,6 +78,25 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(fast) <= 1 && math.abs(slow) <= 1)
   }
 
+  test("sentiment built-in column form ≡ UDF scorer on emphasis/negation/booster fixtures") {
+    val texts = Seq(
+      "spark is fast and the query is good",
+      "slow scan error bad merge",
+      "table row column",
+      "not fast", "very fast", "never very FAST!!", "NOT GOOD at all",
+      "really really great win", "somewhat bad, slightly slow.",
+      "no gain without loss", "Mixed CASE Crash!! here", "fast! fast! fast! fast! fast!",
+      "", "   ", "the BIG win!?", "dont crash; not a loss", "extremely slow...")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select($"doc_id",
+      Sentiment.compound($"text").as("col_form"),
+      Sentiment.compoundUdf($"text").as("udf_form"))
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, c, u) =>
+      assert(math.abs(c - u) < 1e-12, s"doc $id (${texts(id.toInt)}): builtin=$c udf=$u")
+    }
+  }
+
   test("sentiment column form scores the documents fixture deterministically") {
     val df = Seq(
       (1L, "spark is fast and the query is good"),
