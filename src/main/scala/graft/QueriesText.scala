@@ -184,14 +184,86 @@ object QueriesText {
     }
 
     // MinHash-LSH near-dup (banded; DedupSpec checks recall vs brute
-    // force).
-    registerNoOracle("q_dedup_minhash") { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    // force). The md5-based permutation family is overflow-free 64-bit
+    // arithmetic, so signatures, banding, the candidate join AND the
+    // exact-Jaccard verify all replay value-exactly in DuckDB.
+    {
+      val coeffs = Dedup.minhashCoeffs(64)
+      val sigEntries = coeffs.map { case (a, b) =>
+        s"list_min(list_transform(h32, x -> (x * $a + $b) % ${Dedup.minhashP}))"
+      }.mkString("[", ",\n           ", "]")
+      register("q_dedup_minhash",
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |              ELSE list_transform(range(len(toks) - 2),
+           |                                  i -> array_to_string(toks[(i+1):(i+3)], ' ')) END AS grams
+           |  FROM t),
+           |h AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(grams,
+           |           s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT))) AS h32,
+           |         list_sort(list_distinct(list_transform(grams,
+           |           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h60
+           |  FROM g),
+           |sig AS (
+           |  SELECT doc_id, $sigEntries AS sigs
+           |  FROM h),
+           |keyed AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(16),
+           |           t -> concat(t, ':', array_to_string(sigs[(t*4+1):(t*4+4)], ',')))) AS band
+           |  FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.doc_id < b.doc_id),
+           |j AS (
+           |  SELECT doc_a, doc_b,
+           |         round(CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
+           |               / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))), 4) AS jaccard
+           |  FROM cand
+           |  JOIN h sa ON sa.doc_id = cand.doc_a
+           |  JOIN h sb ON sb.doc_id = cand.doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+           |ORDER BY doc_a, doc_b""") { (s, dir) =>
+        Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+      }
     }
 
-    // SimHash near-dup.
-    registerNoOracle("q_dedup_simhash") { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    // SimHash near-dup — 60-bit md5-based signature: per-bit majority
+    // votes, banding, and Hamming verify all replay exactly in DuckDB.
+    {
+      val sigTerms = (0 until 60).map { b =>
+        s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n           + ")
+      register("q_dedup_simhash",
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_transform(
+           |           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+           |           tok -> CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)) AS th
+           |  FROM documents),
+           |sig AS (
+           |  SELECT doc_id, $sigTerms AS sig
+           |  FROM t),
+           |keyed AS (
+           |  SELECT doc_id, sig,
+           |         unnest(list_transform(range(4),
+           |           i -> concat(i, ':', (sig >> (i*15)) & 32767))) AS band
+           |  FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |                  a.sig AS sig_a, b.sig AS sig_b
+           |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+           |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+           |ORDER BY doc_a, doc_b""") { (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+      }
     }
 
     // n-gram Jaccard near-dup (min-k sketch bucketing). Pure built-ins
@@ -246,11 +318,48 @@ object QueriesText {
         .orderBy("q_id", "rnk")
     }
 
-    // LSH-bucketed ANN (approximate; SimilaritySpec measures recall).
-    registerNoOracle("q_ann_lsh") { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
-        .orderBy("q_id", "rnk")
+    // LSH-bucketed ANN (SimilaritySpec measures recall vs brute). The
+    // Rademacher (±1) hyperplanes are literal constants, so the exact
+    // bucketing — sign patterns per table — candidate join, scoring and
+    // ranking replay value-exactly in DuckDB.
+    {
+      val nTables = 8; val bits = 8
+      val planes = Similarity.hyperplanes(nTables * bits, 64)
+      def planeLit(p: Array[Double]) =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bucketEntries = (0 until nTables).map { t =>
+        val sig = (0 until bits).map { b =>
+          s"(CASE WHEN list_dot_product(emb, ${planeLit(planes(t * bits + b))}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"concat('$t:', $sig)"
+      }.mkString("[", ",\n           ", "]")
+      register("q_ann_lsh",
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |cb AS (
+           |  SELECT vec_id, emb,
+           |         unnest($bucketEntries) AS bucket
+           |  FROM c),
+           |cand AS (
+           |  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM cb p JOIN cb n ON p.bucket = n.bucket
+           |  WHERE p.vec_id < 10 AND p.vec_id <> n.vec_id),
+           |scored AS (
+           |  SELECT q_id, n_id,
+           |         round(list_dot_product(qe.emb, ne.emb)
+           |               / (sqrt(list_dot_product(qe.emb, qe.emb))
+           |                  * sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+           |  FROM cand
+           |  JOIN c qe ON qe.vec_id = cand.q_id
+           |  JOIN c ne ON ne.vec_id = cand.n_id)
+           |SELECT q_id, n_id, cos,
+           |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           |FROM scored
+           |QUALIFY rnk <= 5
+           |ORDER BY q_id, rnk""") { (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rnk")
+      }
     }
 
     // IVF-bucketed ANN (KMeans inverted file; the probe-side scale path).

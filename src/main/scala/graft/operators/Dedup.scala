@@ -35,134 +35,114 @@ object Dedup {
   // ── MinHash-LSH ────────────────────────────────────────────────────
 
   /** Word k-shingles of a token array (as strings). */
-  private def shingles(toks: Seq[String], k: Int): Set[String] =
+  private[graft] def shingles(toks: Seq[String], k: Int): Set[String] =
     if (toks.length < k) Set(toks.mkString(" "))
     else toks.sliding(k).map(_.mkString(" ")).toSet
-
-  private def hash64(s: String, seed: Int): Long =
-    scala.util.hashing.MurmurHash3.stringHash(s, seed).toLong & 0xffffffffL
-
-  /** MinHash signature: numHashes permutations approximated by
-    * (a*h + b) mod p over a base shingle hash. Deterministic (seed 42). */
-  private[graft] def minhashSignature(toks: Seq[String], k: Int, numHashes: Int): Array[Long] = {
-    val rng = new scala.util.Random(42)
-    val p = 4294967311L // prime > 2^32
-    val ab = Array.fill(numHashes)((1 + rng.nextLong(p - 1), rng.nextLong(p)))
-    val sh = shingles(toks, k).map(s => hash64(s, 1234567)).toArray
-    Array.tabulate(numHashes) { i =>
-      val (a, b) = ab(i)
-      if (sh.isEmpty) 0L
-      else {
-        var m = Long.MaxValue
-        var j = 0
-        while (j < sh.length) {
-          val v = (a * sh(j) + b) % p
-          if (v < m) m = v
-          j += 1
-        }
-        m
-      }
-    }
-  }
 
   private[graft] def jaccard(a: Set[String], b: Set[String]): Double =
     if (a.isEmpty && b.isEmpty) 1.0
     else a.intersect(b).size.toDouble / a.union(b).size
 
+  /** Deterministic (a, b) pairs for the (a·h + b) mod P permutation
+    * family. a < 2^31 and h < 2^32 keep a·h + b inside a signed 64-bit
+    * long, so the SAME arithmetic runs overflow-free in any SQL engine
+    * (wrapping semantics never enter the picture). */
+  private[graft] val minhashP = 4294967311L // prime > 2^32
+  private[graft] def minhashCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(numHashes)((1 + rng.nextLong(Int.MaxValue.toLong), rng.nextLong(minhashP)))
+  }
+
+  /** Word n-grams of a token array column (shorter docs → one whole-
+    * text gram, matching [[shingles]]). */
+  private def gramsOf(toks: org.apache.spark.sql.Column, n: Int) =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Distinct 32-bit md5 gram hashes (the minhash base domain). */
+  private def gramHash32(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(transform(gramsOf(TextStats.tokens(text), n),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+
   /** Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
-    * bands × rowsPerBand = signature length. */
+    * bands × rowsPerBand = signature length. Pure built-ins end to end
+    * (md5-based permutations), so the whole pipeline — signatures,
+    * banding, candidate join, verify — carries a value-exact DuckDB
+    * oracle (q_dedup_minhash). */
   def minhashPairs(docs: DataFrame, shingleK: Int = 3, bands: Int = 16,
                    rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val numHashes = bands * rowsPerBand
-    val sigUdf = udf((toks: Seq[String]) =>
-      minhashSignature(toks, shingleK, numHashes).grouped(rowsPerBand)
-        .zipWithIndex.map { case (band, i) => s"$i:${band.mkString(",")}" }.toSeq)
+    val ab = minhashCoeffs(bands * rowsPerBand)
+    val sigs = array(ab.map { case (a, b) =>
+      array_min(transform(col("h32"), h => (h * lit(a) + lit(b)) % lit(minhashP)))
+    }: _*)
+    val bandCol = transform(sequence(lit(0), lit(bands - 1)),
+      t => concat_ws(":", t,
+        concat_ws(",", slice(col("sigs"), t * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
     val banded = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .withColumn("band", explode(sigUdf(col("toks"))))
-      .select("doc_id", "band")
+      .select(col("doc_id"), gramHash32(col("text"), shingleK).as("h32"))
+      .withColumn("sigs", sigs)
+      .select(col("doc_id"), explode(bandCol).as("band"))
     // candidate pairs: only within a band bucket (no crossJoin)
     val candidates = banded.as("a")
       .join(banded.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    verifyJaccard(docs, candidates, shingleK, threshold)
+    jaccardVerify(docs, candidates, shingleK, threshold)
   }
 
-  /** Exact Jaccard of two SORTED hash arrays via linear merge —
-    * O(|a|+|b|) per pair instead of re-shingling both documents. */
-  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
-    var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    inter.toDouble / (a.length + b.length - inter)
-  }
-
-  private def sortedShingleHashes(toks: Seq[String], k: Int): Array[Long] =
-    shingles(toks, k).map(s => hash64(s, 1234567)).toArray.sorted
-
-  /** Verify candidate pairs with exact shingle Jaccard ≥ threshold.
-    * Shingle sets are hashed + sorted ONCE per document, so each pair
-    * costs a linear merge, not a re-shingling of both texts. */
-  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+  /** Verify candidate pairs with exact Jaccard over the 60-bit md5
+    * shingle-hash sets ([[shingleHashSet]]) — hash once per document,
+    * set-intersect per pair. Pure built-ins. */
+  private def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                             shingleK: Int, threshold: Double): DataFrame = {
-    val hashUdf = udf((toks: Seq[String]) => sortedShingleHashes(toks, shingleK))
-    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      jaccardSorted(a.toArray, b.toArray))
-    val sh = docs.select(col("doc_id"),
-      hashUdf(TextStats.tokens(col("text"))).as("sh"))
+    val hashed = docs.select(col("doc_id"), shingleHashSet(col("text"), shingleK).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard", round(jacUdf(col("sh_a"), col("sh_b")), 4))
+      .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   // ── SimHash ────────────────────────────────────────────────────────
 
-  /** 64-bit SimHash over token hashes (Charikar 2002). */
-  private[graft] def simhash64(toks: Seq[String]): Long = {
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t, 77).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(t.reverse, 99).toLong & 0xffffffffL)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
+  /** 60-bit SimHash (Charikar 2002) over md5 token hashes, as pure
+    * built-ins: per bit, the majority vote of the token hash bits
+    * (each occurrence counted, like the classic accumulate loop) sets
+    * the signature bit. 60 bits = the 15-hex-char md5 prefix, which
+    * any SQL engine reproduces — q_dedup_simhash carries a value-exact
+    * DuckDB oracle built from the same per-bit expressions. */
+  private[graft] def simhashSig(text: org.apache.spark.sql.Column) = {
+    val th = transform(TextStats.tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    (0 until 60).map { b =>
+      val vote = aggregate(th, lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
-  /** Near-dup pairs via SimHash banding: 4 bands of 16 bits; pairs
+  /** Near-dup pairs via SimHash banding: 4 bands of 15 bits; pairs
     * sharing any band are verified by Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shUdf = udf((toks: Seq[String]) => simhash64(toks))
-    val sigs = docs
-      .select(col("doc_id"), shUdf(TextStats.tokens(col("text"))).as("sig"))
+    val sigs = docs.select(col("doc_id"), simhashSig(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
-        concat_ws(":", lit(i), shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)))): _*)).as("band"))
+        concat_ws(":", lit(i), shiftright(col("sig"), i * 15).bitwiseAND(lit(0x7fffL)))): _*)).as("band"))
     val pairs = banded.as("a")
       .join(banded.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
       .distinct()
     pairs
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
@@ -174,14 +154,9 @@ object Dedup {
     * md5 reproduces the exact values, which is what lets q_dedup_ngram
     * carry a value-exact DuckDB oracle). Shorter-than-n docs hash the
     * whole token string, matching [[shingles]]. */
-  private[graft] def shingleHashSet(text: org.apache.spark.sql.Column, n: Int) = {
-    val toks = TextStats.tokens(text)
-    val grams = when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    array_sort(array_distinct(transform(grams,
+  private[graft] def shingleHashSet(text: org.apache.spark.sql.Column, n: Int) =
+    array_sort(array_distinct(transform(gramsOf(TextStats.tokens(text), n),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
-  }
 
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then
@@ -200,13 +175,6 @@ object Dedup {
       .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    candidates
-      .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    jaccardVerify(docs, candidates, n, threshold)
   }
 }

@@ -59,10 +59,32 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Deterministic random hyperplanes: nPlanes × dim, seed 42. */
+  /** Deterministic Rademacher (±1) hyperplanes: nPlanes × dim, seed 42.
+    * ±1 components make the plane·vector dot a signed subset sum that
+    * any SQL engine reproduces exactly from the same literal arrays —
+    * which is what lets the LSH bucketing itself be oracle-checked
+    * (sign-pattern distribution properties match Gaussian planes for
+    * LSH purposes: P[sign differs] grows with the angle). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    Array.fill(nPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH bucket keys "t:sig" of a double-array column, pure built-ins:
+    * per table, each bit is the sign of the ±1-plane dot product. */
+  private[graft] def lshBuckets(emb: Column, nTables: Int, bitsPerTable: Int): Column = {
+    val planes = hyperplanes(nTables * bitsPerTable, 64)
+    val tables = (0 until nTables).map { t =>
+      val sig = (0 until bitsPerTable).map { b =>
+        val plane = planes(t * bitsPerTable + b)
+        val dot = aggregate(
+          zip_with(emb, typedLit(plane.toSeq), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      concat_ws(":", lit(t), sig)
+    }
+    array(tables: _*)
   }
 
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane
@@ -71,30 +93,12 @@ object Similarity {
               nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = 64
-    val planes = hyperplanes(nTables * bitsPerTable, dim)
-    val bucketUdf = udf((emb: Seq[Float]) => {
-      val v = emb.map(_.toDouble).toArray
-      (0 until nTables).map { t =>
-        var sig = 0
-        var b = 0
-        while (b < bitsPerTable) {
-          val p = planes(t * bitsPerTable + b)
-          var dot = 0.0
-          var i = 0
-          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
-          if (dot > 0) sig |= (1 << b)
-          b += 1
-        }
-        s"$t:$sig"
-      }
-    })
     val corpus = widened(embeddings)
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
-        explode(bucketUdf(col("embedding"))).as("bucket"))
+        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
     val probes = widened(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        explode(bucketUdf(col("embedding"))).as("bucket"))
+        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
     val candidates = corpus
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -156,26 +160,9 @@ object Similarity {
                   nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = 64
-    val planes = hyperplanes(nTables * bitsPerTable, dim)
-    val bucketUdf = udf((emb: Seq[Float]) => {
-      val v = emb.map(_.toDouble).toArray
-      (0 until nTables).map { t =>
-        var sig = 0
-        var b = 0
-        while (b < bitsPerTable) {
-          val p = planes(t * bitsPerTable + b)
-          var dot = 0.0
-          var i = 0
-          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
-          if (dot > 0) sig |= (1 << b)
-          b += 1
-        }
-        s"$t:$sig"
-      }
-    })
     val banded = widened(embeddings)
-      .select(col("vec_id"), col("emb"), explode(bucketUdf(col("embedding"))).as("bucket"))
+      .select(col("vec_id"), col("emb"),
+        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
     banded.as("a")
       .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),

@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash flags exact dups at hamming 0 and near-dups at small distance") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 6)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     val exactPairs = got.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
     assert((10L until 15L).map(i => (i, i + 200)).forall(exactPairs.contains))
   }
