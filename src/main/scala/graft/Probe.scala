@@ -28,7 +28,19 @@ object Probe {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name; have ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
-      if (explain) fn(spark, sfDir).explain("formatted")
+      if (explain) {
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        var md5s = 0; var hofs = 0; var nodes = 0
+        plan.foreach { op =>
+          op.expressions.foreach(_.foreach { e =>
+            nodes += 1
+            val n = e.getClass.getSimpleName
+            if (n == "Md5") md5s += 1
+            if (n == "ArrayTransform" || n == "ArrayAggregate" || n == "ArrayFilter") hofs += 1
+          })
+        }
+        println(s"PLAN $name md5Exprs=$md5s hofExprs=$hofs exprNodes=$nodes")
+      }
       val c0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       val cold = (System.nanoTime() - c0) / 1e9

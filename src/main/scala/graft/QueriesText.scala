@@ -145,8 +145,8 @@ object QueriesText {
            |              ELSE total END AS adj
            |  FROM s3) f
            |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), Sentiment.compound(col("text")).as("sentiment"))
+        Sentiment.withCompound(Tables.documents(s, dir), "text", "sentiment")
+          .select("doc_id", "sentiment")
           .orderBy("doc_id")
       }
     }

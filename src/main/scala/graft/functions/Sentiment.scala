@@ -97,17 +97,33 @@ object Sentiment {
     * `((vInit+b1)·f1 + b2)·f2 + b3)·f3` — the same additions and
     * multiplications in the same order, hence bit-identical to the
     * UDF loop. Adding a literal 0.0 for absent boosters cannot change
-    * bits (v is nonzero whenever the token scores). */
-  def compound(text: Column): Column = {
-    val raw = split(trim(text), "\\s+")
-    val stripped = transform(raw, x => regexp_replace(x, "[!?.,;:]+$", ""))
-    val toksCol = transform(stripped, x => lower(x))
-    val lettered = filter(stripped, x => x.rlike("[A-Za-z]"))
-    val nCaps = size(filter(lettered, x => upper(x) === x))
-    val mixed = nCaps > 0 && nCaps < size(lettered)
-    val nExcl = least(lit(4), aggregate(raw, lit(0),
-      (acc, t) => acc + (length(t) - length(translate(t, "!", "")))))
+    * bits (v is nonzero whenever the token scores).
+    *
+    * PERFORMANCE: this is a DataFrame transform, not a single Column,
+    * on purpose. An expression referenced from inside a higher-order
+    * lambda is re-evaluated PER ARRAY ELEMENT — a one-Column form made
+    * `get(stripped, i)` rebuild the whole regex-stripped array for
+    * every token (O(n²) regex calls per document: 373 s at sf0.1).
+    * Materializing each intermediate as a real projection column makes
+    * the lambdas reference per-row attributes instead. */
+  def withCompound(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   outCol: String): org.apache.spark.sql.DataFrame = {
+    // fused native expression when the extensions are installed — same
+    // arithmetic, one JIT'd pass (plans/TextSignatures.scala); the
+    // column pipeline is the plain-session fallback
+    val native = try {
+      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_sentiment")
+    } catch { case _: Throwable => false }
+    if (native)
+      df.withColumn(outCol,
+        call_function("graft_sentiment", split(trim(col(textCol)), "\\s+")))
+    else withCompoundColumns(df, textCol, outCol)
+  }
 
+  /** The composable-builtins fallback (TextSignaturesSpec asserts the
+    * native expression matches it bit for bit). */
+  private[graft] def withCompoundColumns(df: org.apache.spark.sql.DataFrame, textCol: String,
+                                         outCol: String): org.apache.spark.sql.DataFrame = {
     def valence(t: Column): Column =
       lexicon.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
         case (acc, (w, v)) => acc.when(t === w, lit(v))
@@ -119,25 +135,45 @@ object Sentiment {
     def flipOf(t: Column): Column =
       when(t.isin(negations.toSeq: _*), lit(-0.74)).otherwise(lit(1.0))
 
+    val withArrays = df
+      .withColumn("__s_raw", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__s_stripped",
+        transform(col("__s_raw"), x => regexp_replace(x, "[!?.,;:]+$", "")))
+      .withColumn("__s_toks", transform(col("__s_stripped"), x => lower(x)))
+      .withColumn("__s_lettered",
+        filter(col("__s_stripped"), x => x.rlike("[A-Za-z]")))
+      .withColumn("__s_ncaps",
+        size(filter(col("__s_lettered"), x => upper(x) === x)))
+      .withColumn("__s_nlettered", size(col("__s_lettered")))
+      .withColumn("__s_nexcl", least(lit(4), aggregate(col("__s_raw"), lit(0),
+        (acc, t) => acc + (length(t) - length(translate(t, "!", ""))))))
+      // per-token lexicon valence, computed ONCE per token: the 18-way
+      // CASE chain would otherwise re-run 5× per token (v0 + each
+      // signum reference) inside the contribution lambda
+      .withColumn("__s_vals", transform(col("__s_toks"), t => valence(t)))
+
+    val mixed = col("__s_ncaps") > 0 && col("__s_ncaps") < col("__s_nlettered")
     // per-token contribution; i and get() are both 0-based, and get()
     // returns NULL for any out-of-range index (including negative), so
     // missing predecessors need no explicit guard
-    val contribs = transform(toksCol, (x, i) => {
-      val v0 = valence(x)
+    val contribs = transform(col("__s_vals"), (v0, i) => {
       val sgn = signum(v0)
-      val strippedI = get(stripped, i)
+      val strippedI = get(col("__s_stripped"), i)
       val capsAdj = when(mixed && strippedI.rlike("[A-Za-z]") && upper(strippedI) === strippedI,
         sgn * lit(capsBoost)).otherwise(lit(0.0))
       val vInit = v0 + capsAdj
       Seq(3, 2, 1).foldLeft(vInit) { (acc, back) =>
-        val p = get(toksCol, i - back)
+        val p = get(col("__s_toks"), i - back)
         (acc + sgn * boosterOf(p)) * flipOf(p)
       }
     })
     val total = aggregate(contribs, lit(0.0), (acc, v) => acc + v)
-    val adjusted = when(total > 0, total + nExcl * lit(exclAmp))
-      .when(total < 0, total - nExcl * lit(exclAmp))
+    val adjusted = when(total > 0, total + col("__s_nexcl") * lit(exclAmp))
+      .when(total < 0, total - col("__s_nexcl") * lit(exclAmp))
       .otherwise(total)
-    round(adjusted / sqrt(adjusted * adjusted + lit(normAlpha)), 4)
+    withArrays
+      .withColumn(outCol, round(adjusted / sqrt(adjusted * adjusted + lit(normAlpha)), 4))
+      .drop("__s_raw", "__s_stripped", "__s_toks", "__s_lettered",
+        "__s_ncaps", "__s_nlettered", "__s_nexcl", "__s_vals")
   }
 }

@@ -54,16 +54,35 @@ object Dedup {
   }
 
   /** Word n-grams of a token array column (shorter docs → one whole-
-    * text gram, matching [[shingles]]). */
+    * text gram, matching [[shingles]]).
+    *
+    * `toks` MUST be a materialized column attribute, not an expression:
+    * the slice runs inside a per-element lambda, and Spark re-evaluates
+    * lambda-captured EXPRESSIONS once per element — an inlined
+    * regex-split would re-tokenize the whole document for every gram
+    * (O(n²) regex work; this exact shape cost 6 s of a 10 s query at
+    * sf0.1). [[withGrams]] stages the pipeline correctly. */
   private def gramsOf(toks: org.apache.spark.sql.Column, n: Int) =
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  /** Distinct 32-bit md5 gram hashes (the minhash base domain). */
-  private def gramHash32(text: org.apache.spark.sql.Column, n: Int) =
-    array_distinct(transform(gramsOf(TextStats.tokens(text), n),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+  /** doc_id + word n-grams of `text`, with tokens materialized as a
+    * real projection column before the per-gram lambda touches them. */
+  private def withGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), gramsOf(col("toks"), n).as("grams"))
+
+  /** True when the fused native signature expressions (plans/
+    * TextSignatures.scala) are registered via GraftExtensions. The HOF
+    * column forms below compute identical VALUES (TextSignaturesSpec)
+    * but evaluate interpreted per element; native is one JIT'd pass. */
+  private def nativeSigs: Boolean = try {
+    SparkSession.active.catalog.functionExists("graft_minhash_sigs")
+  } catch { case _: Throwable => false }
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
 
   /** Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
     * bands × rowsPerBand = signature length. Pure built-ins end to end
@@ -81,10 +100,15 @@ object Dedup {
     val bandCol = transform(sequence(lit(0), lit(bands - 1)),
       t => concat_ws(":", t,
         concat_ws(",", slice(col("sigs"), t * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
-    val banded = docs
-      .select(col("doc_id"), gramHash32(col("text"), shingleK).as("h32"))
-      .withColumn("sigs", sigs)
-      .select(col("doc_id"), explode(bandCol).as("band"))
+    val sigsStage =
+      if (nativeSigs && bands * rowsPerBand == 64)
+        withToks(docs).select(col("doc_id"),
+          call_function("graft_minhash_sigs", col("toks"), lit(shingleK)).as("sigs"))
+      else withGrams(docs, shingleK)
+        .select(col("doc_id"), array_distinct(transform(col("grams"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))).as("h32"))
+        .select(col("doc_id"), sigs.as("sigs"))
+    val banded = sigsStage.select(col("doc_id"), explode(bandCol).as("band"))
     // candidate pairs: only within a band bucket (no crossJoin)
     val candidates = banded.as("a")
       .join(banded.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
@@ -98,7 +122,7 @@ object Dedup {
     * set-intersect per pair. Pure built-ins. */
   private def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                             shingleK: Int, threshold: Double): DataFrame = {
-    val hashed = docs.select(col("doc_id"), shingleHashSet(col("text"), shingleK).as("sh"))
+    val hashed = withShingleHashSet(docs, shingleK)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     candidates
       .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
@@ -117,22 +141,33 @@ object Dedup {
     * the signature bit. 60 bits = the 15-hex-char md5 prefix, which
     * any SQL engine reproduces — q_dedup_simhash carries a value-exact
     * DuckDB oracle built from the same per-bit expressions. */
-  private[graft] def simhashSig(text: org.apache.spark.sql.Column) = {
-    val th = transform(TextStats.tokens(text),
+  /** Token md5 hash array (materialize this as a COLUMN before feeding
+    * [[simhashSigOfTh]] — each of the 60 per-bit votes walks the array,
+    * and a lambda-inlined expression would recompute every token's md5
+    * 60 times per row). */
+  private[graft] def tokenHashes(text: org.apache.spark.sql.Column) =
+    transform(TextStats.tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** SimHash signature from a materialized token-hash column. */
+  private[graft] def simhashSigOfTh(th: org.apache.spark.sql.Column) =
     (0 until 60).map { b =>
       val vote = aggregate(th, lit(0), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Near-dup pairs via SimHash banding: 4 bands of 15 bits; pairs
     * sharing any band are verified by Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"), simhashSig(col("text")).as("sig"))
+    val sigs =
+      if (nativeSigs)
+        withToks(docs).select(col("doc_id"),
+          call_function("graft_simhash_sig", col("toks")).as("sig"))
+      else docs.select(col("doc_id"), tokenHashes(col("text")).as("th"))
+        .select(col("doc_id"), simhashSigOfTh(col("th")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         concat_ws(":", lit(i), shiftright(col("sig"), i * 15).bitwiseAND(lit(0x7fffL)))): _*)).as("band"))
@@ -154,9 +189,15 @@ object Dedup {
     * md5 reproduces the exact values, which is what lets q_dedup_ngram
     * carry a value-exact DuckDB oracle). Shorter-than-n docs hash the
     * whole token string, matching [[shingles]]. */
-  private[graft] def shingleHashSet(text: org.apache.spark.sql.Column, n: Int) =
-    array_sort(array_distinct(transform(gramsOf(TextStats.tokens(text), n),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+  /** doc_id + sorted distinct 60-bit md5 gram-hash set (staged so the
+    * tokenizer never lands inside a lambda). */
+  private def withShingleHashSet(docs: DataFrame, n: Int): DataFrame =
+    if (nativeSigs)
+      withToks(docs).select(col("doc_id"),
+        call_function("graft_gram_hashes", col("toks"), lit(n)).as("sh"))
+    else withGrams(docs, n).select(col("doc_id"),
+      array_sort(array_distinct(transform(col("grams"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
 
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then
@@ -166,7 +207,7 @@ object Dedup {
                         buckets: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hashed = docs.select(col("doc_id"), shingleHashSet(col("text"), n).as("sh"))
+    val hashed = withShingleHashSet(docs, n)
     // min-k sketch of shingle hashes as the bucketing keys: docs sharing
     // any of their `buckets` smallest shingle hashes become candidates
     val keyed = hashed.select(col("doc_id"),

@@ -31,6 +31,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_ema(value, span) takes 2 arguments")
         EmaAggregate(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash_sigs(toks, k) takes 2 arguments")
+        MinhashSigs(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash_sig(toks) takes 1 argument")
+        SimhashSig(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_gram_hashes(toks, k) takes 2 arguments")
+        GramHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sentiment"),
+      new ExpressionInfo(classOf[SentimentCompound].getName, "graft_sentiment"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_sentiment(raw_toks) takes 1 argument")
+        SentimentCompound(children.head)
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

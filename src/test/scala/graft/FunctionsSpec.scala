@@ -88,9 +88,8 @@ class FunctionsSpec extends SparkSpec {
       "no gain without loss", "Mixed CASE Crash!! here", "fast! fast! fast! fast! fast!",
       "", "   ", "the BIG win!?", "dont crash; not a loss", "extremely slow...")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val rows = df.select($"doc_id",
-      Sentiment.compound($"text").as("col_form"),
-      Sentiment.compoundUdf($"text").as("udf_form"))
+    val rows = Sentiment.withCompound(df, "text", "col_form")
+      .select($"doc_id", $"col_form", Sentiment.compoundUdf($"text").as("udf_form"))
       .as[(Long, Double, Double)].collect()
     rows.foreach { case (id, c, u) =>
       assert(math.abs(c - u) < 1e-12, s"doc $id (${texts(id.toInt)}): builtin=$c udf=$u")
@@ -102,7 +101,8 @@ class FunctionsSpec extends SparkSpec {
       (1L, "spark is fast and the query is good"),
       (2L, "slow scan error bad merge"),
       (3L, "table row column")).toDF("doc_id", "text")
-    val got = df.select($"doc_id", Sentiment.compound($"text").as("s"))
+    val got = Sentiment.withCompound(df, "text", "s")
+      .select("doc_id", "s")
       .orderBy("doc_id").as[(Long, Double)].collect()
     assert(got(0)._2 > 0 && got(1)._2 < 0 && got(2)._2 === 0.0)
   }
