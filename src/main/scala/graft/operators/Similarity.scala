@@ -70,9 +70,17 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** LSH bucket keys "t:sig" of a double-array column, pure built-ins:
-    * per table, each bit is the sign of the ±1-plane dot product. */
+  /** LSH bucket keys "t:sig" of a double-array column: per table, each
+    * bit is the sign of the ±1-plane dot product. Uses the fused native
+    * expression when the extensions are installed (one pass; the 64
+    * interpreted zip_with+aggregate walks below are the plain-session
+    * fallback — bit-identical, TextSignaturesSpec). */
   private[graft] def lshBuckets(emb: Column, nTables: Int, bitsPerTable: Int): Column = {
+    val native = try {
+      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_lsh_buckets")
+    } catch { case _: Throwable => false }
+    if (native && nTables == 8 && bitsPerTable == 8)
+      return call_function("graft_lsh_buckets", emb)
     val planes = hyperplanes(nTables * bitsPerTable, 64)
     val tables = (0 until nTables).map { t =>
       val sig = (0 until bitsPerTable).map { b =>

@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GramHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lsh_buckets(emb) takes 1 argument")
+        LshBuckets(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sentiment"),
       new ExpressionInfo(classOf[SentimentCompound].getName, "graft_sentiment"),
       (children: Seq[Expression]) => {

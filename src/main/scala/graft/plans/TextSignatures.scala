@@ -238,6 +238,71 @@ case class SentimentCompound(child: Expression)
   override def prettyName: String = "graft_sentiment"
 }
 
+/** graft_lsh_buckets(emb) → ARRAY<STRING> of the 8 "t:sig" bucket keys.
+  *
+  * Same Rademacher ±1 hyperplanes (seed 42) and the same sequential
+  * left-to-right dot accumulation as Similarity.lshBuckets' HOF form —
+  * identical sign decisions, so the q_ann_lsh DuckDB oracle (which
+  * replays the planes as literal constants) stays valid. One fused
+  * pass instead of 64 interpreted zip_with+aggregate walks.
+  */
+object LshBucketSig {
+  val NTables = 8
+  val BitsPerTable = 8
+  // same construction as Similarity.hyperplanes(64, 64): seed 42,
+  // nextBoolean per component
+  val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(NTables * BitsPerTable)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  def buckets(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = emb.getDouble(i); i += 1 }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](NTables)
+    // HOF parity: zip_with null-pads when lengths differ, making the
+    // dot NULL and every `dot > 0` test false — a non-64-dim vector
+    // lands in bucket 0 of every table on both paths
+    val degenerate = n != 64
+    var t = 0
+    while (t < NTables) {
+      var sig = 0
+      if (!degenerate) {
+        var b = 0
+        while (b < BitsPerTable) {
+          val p = planes(t * BitsPerTable + b)
+          var dot = 0.0
+          var j = 0
+          while (j < 64) { dot += v(j) * p(j); j += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+      }
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromString(s"$t:$sig")
+      t += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
+case class LshBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires ARRAY<DOUBLE>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(emb: Any): Any =
+    LshBucketSig.buckets(emb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e =>
+      s"${ev.value} = graft.plans.LshBucketSig.buckets($e);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_lsh_buckets"
+}
+
 /** graft_minhash_sigs(toks, k) → ARRAY<BIGINT> of the 64 signature values. */
 case class MinhashSigs(left: Expression, right: Expression)
     extends BinaryExpression with TokensExpression {

@@ -71,6 +71,33 @@ class TextSignaturesSpec extends SparkSpec {
       native.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq)
   }
 
+  test("graft_lsh_buckets ≡ HOF zip_with dot signs (incl. non-64-dim degenerate)") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(64)(rng.nextDouble() - 0.5))) :+
+      (99L, Seq.fill(10)(1.0)) // wrong dim → bucket 0 everywhere on both paths
+    val vdf = vecs.toDF("vec_id", "emb")
+    val planes = operators.Similarity.hyperplanes(64, 64)
+    val hofBuckets = {
+      val tables = (0 until 8).map { t =>
+        val sig = (0 until 8).map { b =>
+          val plane = planes(t * 8 + b)
+          val dot = aggregate(zip_with(col("emb"), typedLit(plane.toSeq), (x, s) => x * s),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        concat_ws(":", lit(t), sig)
+      }
+      array(tables: _*)
+    }
+    val hof = vdf.select(col("vec_id"), hofBuckets.as("b"))
+      .orderBy("vec_id").as[(Long, Seq[String])].collect()
+    val native = vdf.select(col("vec_id"),
+      call_function("graft_lsh_buckets", col("emb")).as("b"))
+      .orderBy("vec_id").as[(Long, Seq[String])].collect()
+    assert(hof.toSeq === native.toSeq)
+    assert(native.last._2.forall(_.endsWith(":0")))
+  }
+
   test("graft_sentiment ≡ column-pipeline scorer bit for bit") {
     import graft.functions.Sentiment
     val texts = Seq(
