@@ -39,11 +39,17 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // two timed passes per query, min taken: the host shows 3-4× wall
+    // time swings from neighbor contention, and min-of-2 measures the
+    // engine rather than the noisiest scheduling window
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-        times(name) = (System.nanoTime() - t0) / 1e9
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        }
+        times(name) = passes.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -161,6 +161,67 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Persist an IVF index to `indexPath`: tiny `centroids` table
+    * (cell id + centroid vector) plus the inverted file itself —
+    * corpus vectors written PARTITIONED BY cell. Build once (one
+    * KMeans fit + one co-partitioned write), then every
+    * [[ivfTopKIndexed]] probe reads only its nProbe cell partitions:
+    * the IVF read-reduction made physical as partition pruning, which
+    * is the shape that matters at 100 TB — a probe touches
+    * nProbe/nCells of the corpus files, not the table. */
+  def buildIvfIndex(embeddings: DataFrame, indexPath: String, nCells: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val widenedCorpus = widened(embeddings).withColumn("fv", array_to_vector(col("emb")))
+    val km = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(widenedCorpus)
+    km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    km.transform(widenedCorpus)
+      .select(col("vec_id"), col("emb"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/inverted")
+  }
+
+  /** ANN top-k against a persisted IVF index: centroids are a tiny
+    * driver-side read; the inverted file is scanned with
+    * `cell IN (probed cells)` — a partition-pruned read of only the
+    * probed lists. Results are identical to [[ivfTopK]] built with the
+    * same seed (SimilaritySpec). */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String, queries: DataFrame,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val probeCellsUdf = udf((emb: Seq[Double]) => {
+      val v = emb.toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val probes = widened(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probeCellsUdf(col("emb"))).as("cell"))
+    val probedCells = probes.select("cell").distinct().as[Int].collect()
+    val corpus = spark.read.parquet(s"$indexPath/inverted")
+      .filter(col("cell").isInCollection(probedCells.toSeq)) // partition-pruned
+      .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup flavor of ANN): LSH
     * buckets generate candidates, exact cosine ≥ threshold keeps them.
     * Banded — never an all-pairs crossJoin. */

@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall")
   }
 
+  test("persisted IVF index: identical results to in-memory IVF, partition-pruned probe scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.buildIvfIndex(corpus, dir, nCells = 8)
+    // inverted file is physically partitioned by cell
+    assert(new java.io.File(s"$dir/inverted").listFiles().exists(_.getName.startsWith("cell=")))
+    val probes = corpus.filter($"vec_id" < 5)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inMemory = Similarity.ivfTopK(corpus, probes, 5, nCells = 8, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(indexed === inMemory, "same seed → same index → same neighbors")
+    // the probe scan reads only the probed cells' partitions
+    val scanned = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(scanned.contains("cell"), scanned.take(500))
+  }
+
   test("ivfTopK recall ≥ 0.8 vs brute force on clustered corpus") {
     val probes = corpus.filter($"vec_id" % 25 === 0L)
     val truth = Similarity.bruteTopK(corpus, probes, 5)

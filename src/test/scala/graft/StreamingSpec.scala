@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first-wins fingerprint state spans micro-batches") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.exactFirstWins(
+      input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "hello world"), (2L, "Hello  WORLD"), (3L, "other"))
+      q.processAllAvailable()
+      // normalized-content dup (2) suppressed within the batch
+      assert(spark.table("dedup_out").select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+
+      // a later batch resending the same content must ALSO be suppressed
+      // (state spans batches), while new content passes
+      input.addData((4L, "hello   world"), (5L, "fresh text"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation shape compiles against a rate-like frame") {
     // semantics of window+watermark verified on a batch frame (same expr)
     val df = Seq(
