@@ -425,6 +425,30 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Weighted source mixing: per-source keep rates derived from the
+    // observed counts so the output approximates the target weights
+    // (scaled to the largest feasible total, never upsampling). The
+    // rate arithmetic is plain double division both sides, and the
+    // membership hash is the md5 uniform — value-exact in DuckDB.
+    register("q_sample_mix",
+      """WITH w(lang, wt) AS (VALUES ('en', CAST(0.6 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |                            ('fr', CAST(0.2 AS DOUBLE))),
+        |counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN w USING (lang)),
+        |t AS (SELECT min(n / wt) AS total FROM j),
+        |rates AS (SELECT lang, least(1.0, (SELECT total FROM t) * wt / n) AS rate FROM j)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE CAST(concat('0x', substring(md5(concat(d.doc_id, ':42')), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0 < r.rate
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.Sampling.weightedMix(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+
     // Multimodal plumbing: binary payload + metadata + stubbed
     // frame-extraction features (typed mapPartitions pass).
     register("q_multimodal",
