@@ -118,6 +118,54 @@ class TextSignaturesSpec extends SparkSpec {
     }
   }
 
+  test("native ≡ HOF on randomized corpora (property, seed 1234)") {
+    val rng = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "beta", "GAMMA", "delta!", "e", "ünïcø", "x,y.z", "", "the", "not")
+    val docs = (0L until 60L).map { i =>
+      val n = rng.nextInt(12) // 0..11 tokens, hits the <k gram branch often
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+
+    // minhash: native vs HOF
+    val ab = operators.Dedup.minhashCoeffs(64)
+    val grams = when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))
+    val hofSigs = d.select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), array_distinct(transform(col("grams"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))).as("h32"))
+      .select(col("doc_id"), array(ab.map { case (a, b) =>
+        array_min(transform(col("h32"), h => (h * lit(a) + lit(b)) % lit(operators.Dedup.minhashP)))
+      }: _*).as("sigs"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val natSigs = d.select(col("doc_id"),
+      call_function("graft_minhash_sigs", col("toks"), lit(3)).as("sigs"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(hofSigs.toSeq === natSigs.toSeq)
+
+    // gram hash set: native vs HOF
+    val hofSh = d.select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), array_sort(array_distinct(transform(col("grams"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val natSh = d.select(col("doc_id"),
+      call_function("graft_gram_hashes", col("toks"), lit(3)).as("sh"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(hofSh.toSeq === natSh.toSeq)
+
+    // sentiment: native vs column pipeline, bit-exact
+    val txt = docs.toDF("doc_id", "text")
+    val nat = graft.functions.Sentiment.withCompound(txt, "text", "s")
+      .orderBy("doc_id").select("s").as[Double].collect()
+    val colForm = graft.functions.Sentiment.withCompoundColumns(txt, "text", "s")
+      .orderBy("doc_id").select("s").as[Double].collect()
+    nat.zip(colForm).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) === java.lang.Double.doubleToLongBits(b))
+    }
+  }
+
   test("hash helpers match the conv(substring(md5)) definition exactly") {
     val rows = Seq("a", "", "the quick", "ünïcødé").toDF("s")
       .select(col("s"),
