@@ -680,6 +680,35 @@ object Queries {
       .orderBy("n_name", "r_name")
   }
 
+  // TPC-H Q18 shape ("big customers"): aggregate-filtered key set
+  // (HAVING over a fact rollup) joined back to two dimensions. The
+  // HAVING set is tiny relative to lineitem → at scale the plan is one
+  // fact-table aggregation plus broadcast-able joins, never a second
+  // fact scan per customer. Quantities are exact integers, so the sum
+  // is an exact BIGINT (no double-order sensitivity).
+  register("q_mjoin_bigcust",
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""") { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   // J6 general form — native two-table AS-OF join (plans/AsOfJoin):
   // each purchase matched to the user's latest click at-or-before it.
   // Oracle: DuckDB's built-in ASOF JOIN.
