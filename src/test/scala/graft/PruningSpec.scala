@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dynamic partition pruning — the third pruning tier after static
+  * partition pruning (IoSpec: date-partitioned sinks) and filter/column
+  * pushdown (QuoteSourceV2Spec, PlanAudit): when a date-partitioned
+  * fact joins a FILTERED dim, the partitions to scan are only known at
+  * runtime from the dim's rows, and Spark must inject a dynamic
+  * pruning subquery into the fact scan. At 100 TB this is the
+  * difference between scanning one day's folder and scanning the lake.
+  */
+class PruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fact scan is dynamically pruned by the filtered dim side of a join") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fact: 30 date partitions × 200 rows
+    val facts = (for { d <- 1 to 30; i <- 1 to 200 }
+      yield (f"2024-01-$d%02d", i.toLong, i * 1.0)).toDF("d", "id", "v")
+    facts.write.partitionBy("d").parquet(s"$root/facts")
+    // dim: one row per date, only 2 dates marked active. The flag is a
+    // string equality (not a bare boolean) because the DPP rule only
+    // fires behind a "likely selective" predicate (EqualTo/In/Like...)
+    // on the dim side.
+    val dim = (1 to 30).map(d => (f"2024-01-$d%02d", if (d <= 2) "on" else "off"))
+      .toDF("d", "status")
+    dim.write.parquet(s"$root/dim")
+
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // force the DPP path regardless of size estimates on this tiny fixture
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    // keep the partition column a string so the join key needs no cast
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val joined = spark.read.parquet(s"$root/facts")
+        .join(broadcast(spark.read.parquet(s"$root/dim").filter($"status" === "on")), "d")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamic pruning subquery in the fact scan:\n${plan.take(2000)}")
+      assert(joined.count() === 400) // 2 active dates × 200 rows
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+    }
+  }
+
+  test("static partition pruning: date-range predicate touches only matching folders") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spp").toString
+    val facts = (for { d <- 1 to 10; i <- 1 to 50 }
+      yield (f"2024-02-$d%02d", i.toLong)).toDF("d", "id")
+    facts.write.partitionBy("d").parquet(s"$root/facts")
+    val pruned = spark.read.parquet(s"$root/facts").filter($"d" >= "2024-02-09")
+    // the scan's partition filters carry the predicate (pruning at
+    // planning time, no data files outside the range are read)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-02-09"), scan.take(800))
+    assert(pruned.count() === 100)
+  }
+}
