@@ -915,6 +915,45 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Error-bound verification for the sketch pass: each sketch estimate
+  // is checked in-engine against the exact answer (±3σ for HLL++ at
+  // rsd=0.02; a ±2-rank-percent band for the GK quantiles — the
+  // accuracy-2500 guarantee is ±0.04%, so the band is generous), and
+  // DuckDB verifies the exact distinct counts plus asserts the bounds
+  // held. q_sketch_profile above stays sketch-only — it IS the 100 TB
+  // hot path (mergeable one-pass summaries, no Expand); this query is
+  // the audit pass a pipeline would run on a sampled slice.
+  register("q_sketch_check",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS exact_orders,
+      |       TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    // The quantile sketches are audited by RANK, not by value: join the
+    // 3-row sketch output back onto the fact and count rows below each
+    // estimate — two codegen counting scans, no value-buffering exact
+    // percentile (which at 100 TB would be the one non-mergeable step).
+    val sk = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 2500)").as("ap"))
+    li.join(broadcast(sk), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        first(col("approx_orders")).as("approx_orders"),
+        count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") < col("ap")(0), 1)).as("c50"),
+        count(when(col("l_extendedprice") < col("ap")(1), 1)).as("c99"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <= col("exact_orders") * 0.06)
+          .as("orders_ok"),
+        (col("c50") / col("n")).between(0.48, 0.52).as("p50_ok"),
+        (col("c99") / col("n")).between(0.985, 0.997).as("p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
   // MACD(12,26) + signal EMA(9) of the MACD — two windowing passes,
   // the second over a derived column. Oracle folds the same recursions
   // with list_reduce; macd is rounded to fixed precision BEFORE the

@@ -18,6 +18,11 @@ object QueriesText {
   private def registerNoOracle(name: String)(fn: Q): Unit =
     registry(name) = (fn, None)
 
+  /** Mean recall@5 the IVF path must reach vs the brute-force truth on
+    * the near-orthogonal synthetic embeddings (calibrated empirically;
+    * see q_ann_ivf_recall). */
+  private val IvfRecallBound = 0.8
+
   def init(): Unit = if (!registry.contains("q_dedup_exact")) {
 
     // Exact dedup on normalized content (hash groupBy — one shuffle).
@@ -369,6 +374,30 @@ object QueriesText {
         .orderBy("q_id", "rnk")
     }
 
+    // Recall gate for the IVF path. Ground truth is the brute-force
+    // top-5 — itself value-exact against DuckDB in q_ann_brute — so the
+    // chain is sound: DuckDB verifies brute force; this query verifies
+    // IVF against brute force and DuckDB asserts the bound held (plus
+    // checks the probe count exactly).
+    register("q_ann_ivf_recall",
+      """SELECT count(*) AS n_probes, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(emb, probes, 5).select("q_id", "n_id")
+      // nProbe=8 of 16 cells: the synthetic embeddings are near-
+      // orthogonal noise (no cluster structure, IVF's hardest case), so
+      // half the cells are needed for ≥0.8 recall; measured 0.82-0.90
+      // across sf0.001-0.1 with the fixed KMeans seed.
+      val ivf = Similarity.ivfTopK(emb, probes, 5, nProbe = 8).select("q_id", "n_id")
+      val perProbe = truth.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      perProbe.agg(
+        count(lit(1)).as("n_probes"),
+        ((sum(col("n_hit")) / sum(col("n_true"))) >= IvfRecallBound).as("recall_ok"))
+    }
+
     // Embedding-cosine near-dup pairs (banded LSH candidates). The
     // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
     // so the corpus itself contains no near-dups; the query plants
@@ -405,6 +434,34 @@ object QueriesText {
     // checks MAE/RMSE bounds instead).
     registerNoOracle("q_ml_predict") { (s, dir) =>
       graft.ml.PricePredictor.predictNextDay(s, dir).orderBy("user_id", "d")
+    }
+
+    // Metric gate for the ML pipeline: the OLS primary model evaluated
+    // on its training frame must beat the lag-1 persistence baseline
+    // (predict tomorrow = today) on RMSE. Persistence is a linear
+    // function of the features (the `close` column), so least squares
+    // guarantees this up to solver tolerance — a real regression would
+    // mean the pipeline broke. DuckDB verifies the training-row count
+    // exactly (same windowed na.drop condition) and asserts the bound.
+    register("q_ml_metrics",
+      s"""WITH daily AS (${graft.operators.DailySeries.sql}),
+         |f AS (SELECT user_id, close,
+         |             lag(close) OVER w AS prev_close,
+         |             lead(close) OVER w AS label
+         |      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+         |SELECT count(*) AS n_train, TRUE AS model_ok
+         |FROM f
+         |WHERE prev_close IS NOT NULL AND prev_close <> 0 AND label IS NOT NULL""") { (s, dir) =>
+      import s.implicits._
+      val feats = graft.ml.PricePredictor.features(s, dir).cache()
+      try {
+        val nTrain = feats.count()
+        val naiveRmse = feats
+          .agg(sqrt(avg(pow(col("label") - col("close"), 2)))).head().getDouble(0)
+        val model = graft.ml.PricePredictor.fitPrimary(feats)
+        val m = graft.ml.PricePredictor.evaluate(model, feats)
+        Seq((nTrain, m.rmse <= naiveRmse * 1.0001)).toDF("n_train", "model_ok")
+      } finally feats.unpersist()
     }
 
     // Corpus curation: key-hash-deterministic stratified downsampling
