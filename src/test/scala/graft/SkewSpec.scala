@@ -52,4 +52,40 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(buckets >= 8, s"hot key landed in only $buckets/16 buckets")
   }
+
+  test("AQE splits the skewed partition of a shuffle join (runtime re-plan)") {
+    // Salting (above) is the manual fix; AQE's OptimizeSkewedJoin is
+    // the runtime one — the hot partition is split into advisory-sized
+    // slices and the other side's partition replicated, no code change.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be row-dependent (a constant would fold to after
+      // the join) and incompressible, so the hot shuffle partition has
+      // real bytes behind it
+      val big = spark.range(20000)
+        .select(when($"id" < 19000, "hot").otherwise(concat(lit("k"), $"id" % 50)).as("k"),
+          md5(concat(lit("payload"), $"id")).as("payload"))
+      val dim = (Seq("hot") ++ (0 until 50).map("k" + _)).toDF("k")
+        .withColumn("tag", lit(1))
+      val joined = big.join(dim, "k")
+      // execute THIS DataFrame's QueryExecution (count() would build a
+      // fresh one and leave this AQE plan unfinalized)
+      assert(joined.collect().length === 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected a skew-split shuffle read in the final AQE plan:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked window agg finalizes on watermark advance and drops late rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val agg = input.toDF().toDF("sec", "user", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"user", $"value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"), $"user")
+      .agg(sum($"value").as("sum_value"))
+      .select($"window.start".cast("long").as("w"), $"user", $"sum_value")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      input.addData((5L, "u1", 1.0), (25L, "u1", 2.0)) // window [0,60)
+      q.processAllAvailable()
+      // watermark (max event − 10s = 15s) hasn't passed the window end:
+      // append mode emits nothing yet
+      assert(spark.table("wm_out").count() === 0)
+
+      input.addData((80L, "u1", 4.0)) // advances watermark to 70s
+      q.processAllAvailable()
+      // [0,60) is final and emitted exactly once
+      assert(spark.table("wm_out").as[(Long, String, Double)].collect().toSet
+        === Set((0L, "u1", 3.0)))
+
+      // a row 40s behind the 70s watermark is dropped, not re-opened
+      input.addData((30L, "u1", 100.0))
+      q.processAllAvailable()
+      input.addData((200L, "u1", 5.0)) // close [60,120)
+      q.processAllAvailable()
+      assert(spark.table("wm_out").as[(Long, String, Double)].collect().toSet
+        === Set((0L, "u1", 3.0), (60L, "u1", 4.0)))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation shape compiles against a rate-like frame") {
     // semantics of window+watermark verified on a batch frame (same expr)
     val df = Seq(
