@@ -49,6 +49,43 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes fact rows behind a selective dim join") {
+    // The row-level sibling of DPP: when the fact is NOT partitioned on
+    // the join key, InjectRuntimeFilter builds a bloom filter from the
+    // filtered dim and applies might_contain at the fact scan — at
+    // 100 TB this cuts the shuffle ahead of the join instead of the
+    // partitions behind it.
+    val root = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (1 to 200000).map(i => (i % 1000, i.toLong)).toDF("k", "v")
+      .write.parquet(s"$root/facts")
+    (0 until 1000).map(k => (k, if (k < 3) "on" else "off")).toDF("k", "status")
+      .write.parquet(s"$root/dim")
+
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the fact side must look big enough to be worth filtering
+      // (defaults to 10GB; this fixture is ~2MB)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      // force the non-broadcast join path (broadcast joins filter
+      // inline; the bloom filter targets shuffle joins)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.read.parquet(s"$root/facts")
+        .join(spark.read.parquet(s"$root/dim").filter($"status" === "on"), "k")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n${plan.take(1500)}")
+      assert(joined.count() === 600) // 3 live keys × 200 rows each
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("static partition pruning: date-range predicate touches only matching folders") {
     val root = java.nio.file.Files.createTempDirectory("graft-spp").toString
     val facts = (for { d <- 1 to 10; i <- 1 to 50 }

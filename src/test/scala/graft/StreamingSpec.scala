@@ -138,6 +138,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only within the event-time bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    // watermarks on BOTH sides bound the join state — without them a
+    // stream-stream join buffers forever
+    val impDf = imps.toDF().toDF("isec", "ad")
+      .select(timestamp_seconds($"isec").as("its"), $"ad")
+      .withWatermark("its", "20 seconds")
+    val clkDf = clicks.toDF().toDF("csec", "cad")
+      .select(timestamp_seconds($"csec").as("cts"), $"cad")
+      .withWatermark("cts", "20 seconds")
+    val joined = impDf.join(clkDf,
+      expr("ad = cad AND cts BETWEEN its AND its + interval 10 seconds"))
+      .select($"ad", $"its".cast("long").as("i"), $"cts".cast("long").as("c"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      imps.addData((10L, "a"), (40L, "b"))
+      clicks.addData((15L, "a"), (60L, "b")) // a: +5s in-bound; b: +20s out
+      q.processAllAvailable()
+      assert(spark.table("ss_join").as[(String, Long, Long)].collect().toSet
+        === Set(("a", 10L, 15L)))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation shape compiles against a rate-like frame") {
     // semantics of window+watermark verified on a batch frame (same expr)
     val df = Seq(
