@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.operators.Merge
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File sinks (SURVEY.md §2.1).
@@ -110,14 +110,39 @@ object Sinks {
       }
     // rewrite via a temp path: the source scan and the overwrite target
     // must not be the same files
+    promoteStaged(fs, merged, targetPath, targetExists)
+  }
+
+  /** Crash-safe replace: write `df` to `target__staged`, rename the
+    * live target aside to `target__old`, promote, drop the old copy.
+    * Recovery for every intermediate state is [[recoverMergeTarget]]. */
+  private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem, df: DataFrame,
+                            targetPath: String, targetExists: Boolean): Unit = {
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
     val tmp = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
     val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (targetExists && !fs.rename(targetP, old))
-      throw new java.io.IOException(s"mergeInto: could not rename $targetP aside to $old")
+      throw new java.io.IOException(s"promote: could not rename $targetP aside to $old")
     if (!fs.rename(tmp, targetP))
-      throw new java.io.IOException(s"mergeInto: could not promote $tmp to $targetP")
+      throw new java.io.IOException(s"promote: could not promote $tmp to $targetP")
     fs.delete(old, true)
+  }
+
+  /** Small-files compaction: rewrite the parquet table at `path` into
+    * ceil(bytes / targetFileBytes) files (crash-safe promote, same
+    * recovery protocol as [[mergeInto]]). The lake's standing
+    * maintenance job — streaming ingest and per-day merges accrete
+    * small files; scan cost at 100 TB is dominated by file count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMergeTarget(fs, path)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val compacted = spark.read.parquet(path).repartition(nFiles)
+    promoteStaged(fs, compacted, path, targetExists = true)
   }
 
   /** Recovery for an interrupted [[mergeInto]] promote. Idempotent.
