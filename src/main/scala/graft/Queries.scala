@@ -1008,6 +1008,70 @@ object Queries {
       .orderBy("user_id", "d")
   }
 
+  // Calendar densify + forward fill: expand each user's daily series
+  // to its full date span (sequence/explode — distributed, no driver
+  // calendar) and carry the last observation over gap days. The
+  // time-series "resample" every training pipeline needs; close values
+  // are copied exactly so the oracle compare stays value-exact.
+  register("q_gap_fill",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+       |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+       |        FROM span),
+       |j AS (SELECT c.user_id, c.d, dd.close FROM cal c
+       |      LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d)
+       |SELECT user_id, d,
+       |       last_value(close IGNORE NULLS)
+       |         OVER (PARTITION BY user_id ORDER BY d
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+       |       close IS NULL AS is_gap
+       |FROM j ORDER BY user_id, d""") { (s, dir) =>
+    val daily = DailySeries(s, dir)
+    val cal = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily.select("user_id", "d", "close"), Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ff"),
+        col("close").isNull.as("is_gap"))
+      .orderBy("user_id", "d")
+  }
+
+  // Sessionization: split each user's event stream on >30 min
+  // inactivity — lag to flag session starts, running sum to number
+  // them; one shuffle on user_id, no self-join. The canonical
+  // clickstream operator at lake scale.
+  register("q_sessionize",
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |                  epoch_ns(ts) // 1000000000 AS ts_sec
+      |           FROM events),
+      |f AS (SELECT user_id, event_id, tns, ts_sec,
+      |             CASE WHEN tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      |s AS (SELECT user_id, ts_sec,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =
