@@ -821,6 +821,87 @@ object Queries {
       .orderBy("flag", "status")
   }
 
+  // CUBE: all 2^d grouping combinations in one pass (Expand-based, one
+  // shuffle — not 2^d scans). Region×market-segment customer counts
+  // with fixed-point-exact balance sums.
+  register("q_cube",
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |       coalesce(c_mktsegment, 'ALL') AS segment,
+      |       count(*) AS n_cust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY region, segment""") { (s, dir) =>
+    // expressed via spark.sql: the DataFrame .cube() + post-agg
+    // coalesce on grouping columns trips the ambiguous-self-join
+    // detector in Spark 4 (grouping output vs join input lineage)
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.region(s, dir).createOrReplaceTempView("region_v")
+    s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
+                    coalesce(c_mktsegment, 'ALL') AS segment,
+                    count(*) AS n_cust,
+                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+             FROM customer_v c
+             JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+             JOIN region_v r ON n.n_regionkey = r.r_regionkey
+             GROUP BY CUBE(r_name, c_mktsegment)
+             ORDER BY region, segment""")
+  }
+
+  // Time-RANGE window: 7 calendar-day moving average — a RANGE frame
+  // over epoch-days, NOT a 7-ROW frame (the two differ exactly where
+  // the series has gap days; see q_gap_fill). Fixed-point sum so the
+  // division is bit-identical across engines.
+  register("q_w_range_7d",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d,
+       |       CAST(sum(CAST(round(close * 100) AS BIGINT)) OVER w AS DOUBLE)
+       |         / (100.0 * count(*) OVER w) AS avg_7d,
+       |       count(*) OVER w AS n_7d
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY (d - DATE '1970-01-01')
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, d""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(expr("unix_date(d)"))
+      .rangeBetween(-6, Window.currentRow)
+    DailySeries(s, dir)
+      .select(col("user_id"), col("d"),
+        (sum(round(col("close") * 100).cast(LongType)).over(w).cast(DoubleType) /
+          (lit(100.0) * count(lit(1)).over(w))).as("avg_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("user_id", "d")
+  }
+
+  // Correlated scalar subquery (TPC-H Q17 shape): orders whose price
+  // is more than 20x their own lines' average price. Exercises
+  // Catalyst decorrelation (RewriteCorrelatedScalarSubquery plans it
+  // as an aggregate + join, never a per-row loop) through the
+  // spark.sql surface.
+  register("q_corr_subquery",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      |        * (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |      > 20 * (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    // price*count > 20*sum compared in integer cents — "price exceeds
+    // 20x the order's average line price" without a float-boundary
+    // predicate (double avgs differ in ulps across engines/partitions)
+    s.sql("""SELECT o_orderkey, o_totalprice
+             FROM orders_v o
+             WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                     * (SELECT count(*) FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey)
+                   > 20 * (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey)
+             ORDER BY o_orderkey""")
+  }
+
   // Pivot (wide rollup): line status quantities as columns per flag —
   // Spark's .pivot against the portable CASE-aggregation formulation.
   register("q_pivot",
