@@ -390,7 +390,10 @@ object QueriesText {
       // half the cells are needed for ≥0.8 recall; measured 0.82-0.90
       // across sf0.001-0.1 with the fixed KMeans seed.
       val ivf = Similarity.ivfTopK(emb, probes, 5, nProbe = 8).select("q_id", "n_id")
-      val perProbe = truth.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      // both sides are k x nProbes rows; broadcast (stats on derived
+      // frames are unknown, so Spark would otherwise sort-merge)
+      val perProbe = truth.join(broadcast(ivf.withColumn("hit", lit(1L))),
+        Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       perProbe.agg(
