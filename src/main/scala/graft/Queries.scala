@@ -331,7 +331,8 @@ object Queries {
     s"""WITH daily AS (${DailySeries.sql}),
        |chg AS (
        |  SELECT user_id, d, close,
-       |         round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0) * 100, 4) AS pct_change,
+       |         round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0) * 100, 4)
+       |           + CAST(0.0 AS DOUBLE) AS pct_change,
        |         row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
        |SELECT user_id, d, round(close, 2) AS close, pct_change
@@ -413,7 +414,8 @@ object Queries {
     s"""WITH daily AS (${DailySeries.sql})
        |SELECT user_id, d,
        |       round((close - lag(close) OVER ($winSql))
-       |             / nullif(lag(close) OVER ($winSql), 0) * 100, 4) AS pct_change
+       |             / nullif(lag(close) OVER ($winSql), 0) * 100, 4)
+       |         + CAST(0.0 AS DOUBLE) AS pct_change
        |FROM daily ORDER BY user_id, d""") { (s, dir) =>
     val w = Indicators.series("user_id", "d")
     DailySeries(s, dir)
@@ -627,7 +629,7 @@ object Queries {
     val w = Indicators.series("user_id", "d")
     DailySeries(s, dir)
       .select(col("user_id"), col("d"),
-        round(Indicators.ema(col("close"), w, 14), 4).as("ema_14"))
+        round(Indicators.ema(s, col("close"), w, 14), 4).as("ema_14"))
       .orderBy("user_id", "d")
   }
 
@@ -796,7 +798,7 @@ object Queries {
         when(count(lit(1)).over(f5) >= 5,
           sum(col("c6")).over(f5).cast("double") /
             (lit(1000000.0) * count(lit(1)).over(f5))).as("sma_5"),
-        round(Indicators.ema(col("close"), w, 14), 4).as("ema_14"))
+        round(Indicators.ema(s, col("close"), w, 14), 4).as("ema_14"))
       .orderBy("d")
   }
 
@@ -1043,18 +1045,20 @@ object Queries {
     s"""WITH daily AS (${DailySeries.sql}),
        |m AS (SELECT user_id, d,
        |             round(list_reduce(list(close) OVER win, (acc, x) -> x * (2.0 / 13.0) + acc * (1.0 - 2.0 / 13.0))
-       |                   - list_reduce(list(close) OVER win, (acc, x) -> x * (2.0 / 27.0) + acc * (1.0 - 2.0 / 27.0)), 6) AS macd
+       |                   - list_reduce(list(close) OVER win, (acc, x) -> x * (2.0 / 27.0) + acc * (1.0 - 2.0 / 27.0)), 6)
+       |               + CAST(0.0 AS DOUBLE) AS macd
        |      FROM daily
        |      WINDOW win AS ($winSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |sig AS (SELECT user_id, d, macd,
-       |               round(list_reduce(list(macd) OVER win, (acc, x) -> x * (2.0 / 10.0) + acc * (1.0 - 2.0 / 10.0)), 4) AS signal
+       |               round(list_reduce(list(macd) OVER win, (acc, x) -> x * (2.0 / 10.0) + acc * (1.0 - 2.0 / 10.0)), 4)
+       |                 + CAST(0.0 AS DOUBLE) AS signal
        |        FROM m
        |        WINDOW win AS ($winSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT user_id, d, macd, signal FROM sig ORDER BY user_id, d""") { (s, dir) =>
     val w = Indicators.series("user_id", "d")
     DailySeries(s, dir)
       .withColumn("macd", round(Indicators.macd(col("close"), w, 12, 26), 6))
-      .withColumn("signal", round(Indicators.ema(col("macd"), w, 9), 4))
+      .withColumn("signal", round(Indicators.ema(s, col("macd"), w, 9), 4))
       .select("user_id", "d", "macd", "signal")
       .orderBy("user_id", "d")
   }
@@ -1133,8 +1137,9 @@ object Queries {
       |             CASE WHEN tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
       |s AS (SELECT user_id, ts_sec,
-      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
-      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                  AS BIGINT) AS session_id
       |      FROM f)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts_sec) AS start_sec, max(ts_sec) AS end_sec

@@ -142,7 +142,8 @@ object QueriesText {
            |         list_sum(list_transform(toks, (x, i) -> $contrib)) AS total
            |  FROM s2)
            |SELECT doc_id,
-           |       round(adj / sqrt(adj * adj + CAST(15.0 AS DOUBLE)), 4) AS sentiment
+           |       round(adj / sqrt(adj * adj + CAST(15.0 AS DOUBLE)), 4)
+           |         + CAST(0.0 AS DOUBLE) AS sentiment
            |FROM (
            |  SELECT doc_id,
            |         CASE WHEN total > 0 THEN total + n_excl * CAST(0.292 AS DOUBLE)
@@ -165,7 +166,7 @@ object QueriesText {
         .map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ")
       register("q_sentiment_lexicon",
         s"""SELECT doc_id,
-           |       round(s / sqrt(s * s + 15.0), 4) AS lex_score
+           |       round(s / sqrt(s * s + 15.0), 4) + CAST(0.0 AS DOUBLE) AS lex_score
            |FROM (
            |  SELECT doc_id,
            |         list_sum(list_transform(
@@ -311,7 +312,8 @@ object QueriesText {
         |scored AS (
         |  SELECT p.vec_id AS q_id, n.vec_id AS n_id,
         |         round(list_dot_product(p.emb, n.emb)
-        |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6)
+        |           + CAST(0.0 AS DOUBLE) AS cos
         |  FROM probes p JOIN c n ON p.vec_id <> n.vec_id)
         |SELECT q_id, n_id, cos,
         |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
@@ -352,7 +354,8 @@ object QueriesText {
            |  SELECT q_id, n_id,
            |         round(list_dot_product(qe.emb, ne.emb)
            |               / (sqrt(list_dot_product(qe.emb, qe.emb))
-           |                  * sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+           |                  * sqrt(list_dot_product(ne.emb, ne.emb))), 6)
+           |           + CAST(0.0 AS DOUBLE) AS cos
            |  FROM cand
            |  JOIN c qe ON qe.vec_id = cand.q_id
            |  JOIN c ne ON ne.vec_id = cand.n_id)

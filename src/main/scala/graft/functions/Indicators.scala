@@ -58,15 +58,20 @@ object Indicators {
     * recursion, no UDAF, stays in Catalyst. O(rows·frame) per key;
     * at scale prefer `emaByKey` below (single pass per key).
     */
-  def ema(c: Column, w: WindowSpec, span: Int): Column = {
+  def ema(c: Column, w: WindowSpec, span: Int): Column =
+    ema(org.apache.spark.sql.SparkSession.active, c, w, span)
+
+  /** [[ema]] with the EXECUTING session made explicit — prefer this
+    * overload whenever a session/DataFrame is in scope, so native-
+    * expression detection resolves against the session the plan will
+    * run in (not whichever session happens to be thread-active). */
+  def ema(spark: org.apache.spark.sql.SparkSession, c: Column, w: WindowSpec,
+          span: Int): Column = {
     // Prefer the native TypedImperativeAggregate (plans/EmaAggregate):
     // the growing-frame window evaluates it incrementally — O(n) per
     // key vs the HOF closed form's O(n²). Bit-identical recursion
     // (PlansSpec), so oracle results don't change with the path taken.
-    val native = try {
-      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_ema")
-    } catch { case _: Throwable => false }
-    if (native)
+    if (NativeFns.has(spark, "graft_ema"))
       call_function("graft_ema", c, lit(span))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
     else emaHof(c, w, span)

@@ -40,14 +40,18 @@ object Sentiment {
 
   /** Score a RAW token sequence (original casing/punctuation kept so
     * the emphasis heuristics can see it) -> compound in [-1, 1]. */
+  private def hasAsciiLetter(t: String): Boolean =
+    t.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+
   def score(rawToks: Seq[String]): Double = {
     val stripped = rawToks.map(_.replaceAll("[!?.,;:]+$", ""))
-    val toks = stripped.map(_.toLowerCase)
+    val toks = stripped.map(_.toLowerCase(java.util.Locale.ROOT))
     // ALL-CAPS boost only applies in mixed-case text (all-caps shouting
-    // everywhere carries no differential emphasis)
+    // everywhere carries no differential emphasis). ASCII letter class +
+    // Locale.ROOT to match the builtin rlike("[A-Za-z]")/upper() path.
     val mixedCase = {
-      val lettered = stripped.filter(_.exists(_.isLetter))
-      val caps = lettered.count(t => t.toUpperCase == t)
+      val lettered = stripped.filter(hasAsciiLetter)
+      val caps = lettered.count(t => t.toUpperCase(java.util.Locale.ROOT) == t)
       caps > 0 && caps < lettered.length
     }
     // trailing-exclamation emphasis applies to the whole utterance
@@ -57,8 +61,8 @@ object Sentiment {
     while (i < toks.length) {
       lexicon.get(toks(i)).foreach { valence =>
         var v = valence
-        if (mixedCase && stripped(i).exists(_.isLetter) &&
-          stripped(i).toUpperCase == stripped(i))
+        if (mixedCase && hasAsciiLetter(stripped(i)) &&
+          stripped(i).toUpperCase(java.util.Locale.ROOT) == stripped(i))
           v += math.signum(valence) * capsBoost
         // booster / negation lookback over up to 3 preceding tokens
         var j = math.max(0, i - 3)
@@ -75,7 +79,10 @@ object Sentiment {
     if (total > 0) total += nExcl * exclAmp
     else if (total < 0) total -= nExcl * exclAmp
     val compound = total / math.sqrt(total * total + normAlpha)
-    math.rint(compound * 10000) / 10000
+    // exact-decimal HALF_UP, matching Spark round(x, 4) and the native
+    // expr (math.rint is half-even and can emit -0.0 — neither can this)
+    java.math.BigDecimal.valueOf(compound)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   private val scoreUdf = udf((toks: Seq[String]) => score(toks))
@@ -111,10 +118,7 @@ object Sentiment {
     // fused native expression when the extensions are installed — same
     // arithmetic, one JIT'd pass (plans/TextSignatures.scala); the
     // column pipeline is the plain-session fallback
-    val native = try {
-      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_sentiment")
-    } catch { case _: Throwable => false }
-    if (native)
+    if (NativeFns.has(df.sparkSession, "graft_sentiment"))
       df.withColumn(outCol,
         call_function("graft_sentiment", split(trim(col(textCol)), "\\s+")))
     else withCompoundColumns(df, textCol, outCol)

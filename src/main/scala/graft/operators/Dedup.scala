@@ -77,9 +77,8 @@ object Dedup {
     * TextSignatures.scala) are registered via GraftExtensions. The HOF
     * column forms below compute identical VALUES (TextSignaturesSpec)
     * but evaluate interpreted per element; native is one JIT'd pass. */
-  private def nativeSigs: Boolean = try {
-    SparkSession.active.catalog.functionExists("graft_minhash_sigs")
-  } catch { case _: Throwable => false }
+  private def nativeSigs(spark: SparkSession): Boolean =
+    graft.functions.NativeFns.has(spark, "graft_minhash_sigs")
 
   private def withToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
@@ -101,7 +100,7 @@ object Dedup {
       t => concat_ws(":", t,
         concat_ws(",", slice(col("sigs"), t * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
     val sigsStage =
-      if (nativeSigs && bands * rowsPerBand == 64)
+      if (nativeSigs(spark) && bands * rowsPerBand == 64)
         withToks(docs).select(col("doc_id"),
           call_function("graft_minhash_sigs", col("toks"), lit(shingleK)).as("sigs"))
       else withGrams(docs, shingleK)
@@ -163,7 +162,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs =
-      if (nativeSigs)
+      if (nativeSigs(spark))
         withToks(docs).select(col("doc_id"),
           call_function("graft_simhash_sig", col("toks")).as("sig"))
       else docs.select(col("doc_id"), tokenHashes(col("text")).as("th"))
@@ -192,7 +191,7 @@ object Dedup {
   /** doc_id + sorted distinct 60-bit md5 gram-hash set (staged so the
     * tokenizer never lands inside a lambda). */
   private def withShingleHashSet(docs: DataFrame, n: Int): DataFrame =
-    if (nativeSigs)
+    if (nativeSigs(docs.sparkSession))
       withToks(docs).select(col("doc_id"),
         call_function("graft_gram_hashes", col("toks"), lit(n)).as("sh"))
     else withGrams(docs, n).select(col("doc_id"),

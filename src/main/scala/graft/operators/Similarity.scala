@@ -29,11 +29,9 @@ object Similarity {
     * engine extensions are installed (one fused loop, no allocation);
     * falls back to the equivalent higher-order-function form on a plain
     * session. Both accumulate left-to-right in double → identical bits. */
-  private def cosine(a: Column, b: Column): Column = {
-    val native = try {
-      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_cosine")
-    } catch { case _: Throwable => false }
-    if (native) call_function("graft_cosine", a, b)
+  private def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    if (graft.functions.NativeFns.has(spark, "graft_cosine"))
+      call_function("graft_cosine", a, b)
     else {
       val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       val na  = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
@@ -47,11 +45,12 @@ object Similarity {
 
   /** Exact top-k neighbors of each query vector (queries ≪ corpus). */
   def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
     val corpus = widened(embeddings).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
     val probes = widened(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val scored = corpus
       .join(broadcast(probes), col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -75,11 +74,10 @@ object Similarity {
     * expression when the extensions are installed (one pass; the 64
     * interpreted zip_with+aggregate walks below are the plain-session
     * fallback — bit-identical, TextSignaturesSpec). */
-  private[graft] def lshBuckets(emb: Column, nTables: Int, bitsPerTable: Int): Column = {
-    val native = try {
-      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_lsh_buckets")
-    } catch { case _: Throwable => false }
-    if (native && nTables == 8 && bitsPerTable == 8)
+  private[graft] def lshBuckets(spark: SparkSession, emb: Column,
+                                nTables: Int, bitsPerTable: Int): Column = {
+    if (graft.functions.NativeFns.has(spark, "graft_lsh_buckets") &&
+        nTables == 8 && bitsPerTable == 8)
       return call_function("graft_lsh_buckets", emb)
     val planes = hyperplanes(nTables * bitsPerTable, 64)
     val tables = (0 until nTables).map { t =>
@@ -103,10 +101,10 @@ object Similarity {
     import spark.implicits._
     val corpus = widened(embeddings)
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
-        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
+        explode(lshBuckets(spark, col("emb"), nTables, bitsPerTable)).as("bucket"))
     val probes = widened(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
+        explode(lshBuckets(spark, col("emb"), nTables, bitsPerTable)).as("bucket"))
     val candidates = corpus
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -114,7 +112,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     candidates
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
@@ -155,7 +153,7 @@ object Similarity {
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
@@ -216,7 +214,7 @@ object Similarity {
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
@@ -231,13 +229,13 @@ object Similarity {
     import spark.implicits._
     val banded = widened(embeddings)
       .select(col("vec_id"), col("emb"),
-        explode(lshBuckets(col("emb"), nTables, bitsPerTable)).as("bucket"))
+        explode(lshBuckets(spark, col("emb"), nTables, bitsPerTable)).as("bucket"))
     banded.as("a")
       .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.emb".as("emb_a"), $"b.emb".as("emb_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(cosine(spark, col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -35,7 +35,7 @@ object Views {
     DailySeries(spark, dir)
       .filter(col("user_id") === userId && col("d").between(start, end))
       .withColumn("sma_14", Indicators.sma(col("close"), w, 14))
-      .withColumn("ema_14", Indicators.ema(col("close"), w, 14))
+      .withColumn("ema_14", Indicators.ema(spark, col("close"), w, 14))
       .withColumn("rsi_14", Indicators.rsi(col("close"), w, 14))
       .withColumn("bb_mid", Indicators.bollinger(col("close"), w, 20)._1)
       .orderBy("d")

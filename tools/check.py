@@ -1,11 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL
 in DuckDB over the sf tables, load the matching Spark parquet output,
-sort columns by name + rows, and diff values exactly.
+sort columns by name + rows, and diff values BYTE-STRICTLY.
+
+Strictness matches the driver's typed hash, which round 3 proved is
+stronger than plain Python == :
+  - result dtypes must agree exactly (DuckDB HUGEINT vs Spark BIGINT is
+    a FAIL even though Python int == int) and HUGEINT/DECIMAL anywhere
+    in an oracle output is rejected outright — Spark never emits them;
+  - doubles compare by IEEE bit pattern (struct.pack), so -0.0 != 0.0
+    and NaN payloads must match.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, os
+import sys, json, glob, os, struct
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -18,12 +26,25 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+
+def cell_key(x):
+    """Byte-strict canonical form: floats by IEEE-754 bits (catches
+    -0.0 vs +0.0), containers recursively, everything else typed."""
+    if isinstance(x, float):
+        return ("f8", struct.pack(">d", x))
+    if isinstance(x, (list, tuple)):
+        return ("seq", tuple(cell_key(v) for v in x))
+    if isinstance(x, dict):
+        return ("map", tuple(sorted((k, cell_key(v)) for k, v in x.items())))
+    return (type(x).__name__, x)
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(cols), sorted(
+        out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
 
 fails = 0
 for name, sql in sorted(oracle.items()):
@@ -35,23 +56,35 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     try:
-        o = con.execute(sql)
-        ocols = [d[0] for d in o.description]
-        orows = o.fetchall()
+        orel = con.sql(sql)
+        ocols, otypes = list(orel.columns), [str(t) for t in orel.types]
+        orows = orel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fails += 1
         continue
-    s = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-    scols = [d[0] for d in s.description]
-    srows = s.fetchall()
-    # schema check: column type classes must agree (driver schema_match)
-    otypes = {d[0]: d[1] for d in o.description}
-    stypes = {d[0]: d[1] for d in s.description}
-    tmismatch = {c: (stypes.get(c), otypes.get(c)) for c in otypes
-                 if c in stypes and stypes[c] != otypes[c]}
+    srel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    scols, stypes = list(srel.columns), [str(t) for t in srel.types]
+    srows = srel.fetchall()
+
+    # dtype gate: HUGEINT/DECIMAL can never match a Spark output type
+    banned = [(c, t) for c, t in zip(ocols, otypes)
+              if "HUGEINT" in t or "DECIMAL" in t]
+    if banned:
+        print(f"FAIL {name}: oracle emits banned dtype(s) {banned} "
+              f"(cast to BIGINT/DOUBLE in the oracle SQL)")
+        fails += 1
+        continue
+    # dtype gate: per-column types must agree exactly (driver schema hash)
+    omap = dict(zip(ocols, otypes))
+    smap = dict(zip(scols, stypes))
+    tmismatch = {c: (smap.get(c), omap.get(c)) for c in omap
+                 if c in smap and smap[c] != omap[c]}
     if tmismatch:
-        print(f"WARN {name}: column type mismatch {tmismatch}")
+        print(f"FAIL {name}: column dtype mismatch (spark, oracle): {tmismatch}")
+        fails += 1
+        continue
+
     oc, orw = canon(orows, ocols)
     sc, srw = canon(srows, scols)
     if oc != sc:
@@ -62,9 +95,10 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows spark={len(srw)} oracle={len(orw)}")
         fails += 1
         continue
-    bad = [(a, b) for a, b in zip(srw, orw) if a != b]
+    bad = [(a, b) for a, b in zip(srw, orw)
+           if tuple(map(cell_key, a)) != tuple(map(cell_key, b))]
     if bad:
-        print(f"FAIL {name}: {len(bad)}/{len(srw)} mismatched rows; first 3:")
+        print(f"FAIL {name}: {len(bad)}/{len(srw)} byte-mismatched rows; first 3:")
         for a, b in bad[:3]:
             print(f"   spark={a}\n  oracle={b}")
         fails += 1
