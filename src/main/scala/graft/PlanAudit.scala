@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -25,6 +25,11 @@ object PlanAudit {
     def walk(p: SparkPlan): Unit = {
       p match {
         case ad: AdaptiveSparkPlanExec => walk(ad.executedPlan)
+        // after execution, materialized stages appear as leaf
+        // QueryStageExec wrappers — the real per-stage plans (including
+        // the exchange node itself) hang off `.plan`, not `children`
+        case qs: QueryStageExec => walk(qs.plan)
+        case re: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(re.child)
         case _ =>
           p match {
             case _: ShuffleExchangeLike => a = a.copy(shuffles = a.shuffles + 1)
@@ -64,8 +69,13 @@ object PlanAudit {
     var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan
-        val a = audit(plan)
+        val qe = fn(spark, dir).queryExecution
+        // Drive the plan to completion first: under AQE the codegen
+        // collapse (and any runtime re-plan) only exists on the FINAL
+        // stages, so auditing the pre-execution plan reports codegen=0
+        // everywhere and can miss runtime join swaps.
+        qe.toRdd.count()
+        val a = audit(qe.executedPlan)
         println(f"$name%-24s shuffles=${a.shuffles}%2d bcast=${a.broadcasts}%2d " +
           f"bhj=${a.bhj} smj=${a.smj} shj=${a.shj} bnlj=${a.bnlj} cart=${a.cartesian} " +
           f"scans=${a.scans} pushed=${a.pushedScans} codegen=${a.codegenSpans}%2d")

@@ -162,27 +162,37 @@ object QueriesText {
     // IS DuckDB-expressible, so the lexicon path gets a value-exact
     // oracle; the negation/booster lookback stays UDF-side (q_sentiment).
     {
+      // Lexicon valences are exact tenths, so the per-token sum is an
+      // INTEGER sum scaled by 10 — order-independent, which frees the
+      // Spark plan to explode → broadcast-join the lexicon dim →
+      // hash-agg (whole-stage codegen; cost scales with the corpus,
+      // not the lexicon). The per-token ~320-way CASE fold this
+      // replaced ran INTERPRETED inside the transform() lambda and
+      // went quadratic-ish with lexicon growth (76 s at sf0.1 vs
+      // 0.6 s for this shape). Both sides divide the same integer by
+      // 10.0, so the compare stays byte-exact.
       val caseSql = Sentiment.lexicon.toSeq.sortBy(_._1)
-        .map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ")
+        .map { case (w, v) => s"WHEN '$w' THEN ${math.round(v * 10)}" }.mkString(" ")
       register("q_sentiment_lexicon",
         s"""SELECT doc_id,
            |       round(s / sqrt(s * s + 15.0), 4) + CAST(0.0 AS DOUBLE) AS lex_score
            |FROM (
            |  SELECT doc_id,
-           |         list_sum(list_transform(
+           |         CAST(list_sum(list_transform(
            |           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
-           |           x -> CASE x $caseSql ELSE 0.0 END)) AS s
+           |           x -> CASE x $caseSql ELSE 0 END)) AS DOUBLE)
+           |           / CAST(10.0 AS DOUBLE) AS s
            |  FROM documents) t
            |ORDER BY doc_id""") { (s, dir) =>
-        def valence(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          Sentiment.lexicon.toSeq.sortBy(_._1)
-            .foldLeft(when(lit(false), lit(0.0))) { case (acc, (w, v)) =>
-              acc.when(t === w, lit(v))
-            }.otherwise(lit(0.0))
+        import s.implicits._
+        val lex = Sentiment.lexicon.toSeq.sortBy(_._1)
+          .map { case (w, v) => (w, math.round(v * 10)) }.toDF("tok", "v10")
         Tables.documents(s, dir)
-          .withColumn("s", aggregate(
-            transform(TextStats.tokens(col("text")), valence _),
-            lit(0.0), (acc, x) => acc + x))
+          .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+          .join(broadcast(lex), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg((sum(coalesce(col("v10"), lit(0L))).cast("double")
+            / lit(10.0)).as("s"))
           .select(col("doc_id"),
             round(col("s") / sqrt(col("s") * col("s") + lit(15.0)), 4).as("lex_score"))
           .orderBy("doc_id")

@@ -19,14 +19,41 @@ import org.apache.spark.sql.functions._
   * serialization overhead of the array handoff.
   */
 object Sentiment {
-  /** Minimal built-in lexicon covering the testdata vocabulary plus
+  /** Minimal built-in core covering the testdata vocabulary plus
     * common sentiment carriers. Valences in [-4, 4] like VADER's. */
-  val lexicon: Map[String, Double] = Map(
+  private val coreLexicon: Map[String, Double] = Map(
     "fast" -> 1.9, "good" -> 1.9, "great" -> 3.1, "best" -> 3.2,
     "win" -> 2.8, "gain" -> 1.6, "up" -> 0.9, "bull" -> 1.5,
     "slow" -> -1.6, "bad" -> -2.5, "error" -> -2.2, "fail" -> -2.5,
     "loss" -> -1.9, "down" -> -0.9, "bear" -> -1.2, "crash" -> -3.0,
     "big" -> 0.6, "small" -> -0.3)
+
+  /** Bundled lexicon resource (`word<TAB>valence` per line, `#`
+    * comments), mirroring the reference's use of NLTK VADER's full
+    * lexicon file (fetch_transform_news.py:21) rather than a hardcoded
+    * handful. Every consumer — the UDF spec, the column pipeline, the
+    * native expression, and the GENERATED DuckDB oracle CASE chains —
+    * reads this one Map, so lexicon growth needs no code changes. */
+  private def loadResourceLexicon(): Map[String, Double] =
+    Option(getClass.getResourceAsStream("/graft/sentiment_lexicon.tsv")) match {
+      case None => Map.empty
+      case Some(in) =>
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines()
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split('\t') match {
+              case Array(w, v) => Some(w.toLowerCase(java.util.Locale.ROOT) -> v.toDouble)
+              case _ => None
+            }
+          }.toMap
+        finally src.close()
+    }
+
+  /** Full scoring lexicon: resource file ++ built-in core (core wins on
+    * conflict so fixture-pinned valences stay stable). */
+  val lexicon: Map[String, Double] = loadResourceLexicon() ++ coreLexicon
 
   val boosters: Map[String, Double] = Map(
     "very" -> 0.293, "extremely" -> 0.293, "really" -> 0.293,
@@ -125,7 +152,14 @@ object Sentiment {
   }
 
   /** The composable-builtins fallback (TextSignaturesSpec asserts the
-    * native expression matches it bit for bit). */
+    * native expression matches it bit for bit).
+    *
+    * SCALE NOTE: the per-token valence CASE chain below grows with the
+    * lexicon and runs interpreted inside transform() — fine for plain-
+    * session/spec use, but the production path is the native
+    * `graft_sentiment` expression (hash-map lookup per token,
+    * lexicon-size-independent), which every GraftExtensions session
+    * takes automatically. */
   private[graft] def withCompoundColumns(df: org.apache.spark.sql.DataFrame, textCol: String,
                                          outCol: String): org.apache.spark.sql.DataFrame = {
     def valence(t: Column): Column =

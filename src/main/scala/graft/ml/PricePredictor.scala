@@ -81,6 +81,22 @@ object PricePredictor {
     Metrics(mae, rmse)
   }
 
+  /** Score a feature frame with ALREADY-FITTED models — the
+    * train-once/score-many serving shape. Purely distributed
+    * (`transform` only, no refit, no driver collect). */
+  def scoreNextDay(feats: DataFrame, primary: PipelineModel,
+                   residual: PipelineModel): DataFrame = {
+    val scored = residual.transform(
+      primary.transform(feats).drop("features"))
+    scored
+      .withColumn("predicted_close", col("prediction") + col("residual_pred"))
+      .select(
+        col("user_id"),
+        date_add(col("d"), 1).as("d"),
+        col("close").as("previous_close"),
+        round(col("predicted_close"), 4).as("predicted_close"))
+  }
+
   /** F5 — corrected next-day predictions: primary + residual correction,
     * stamped onto trade_date + 1 (analyze...py:212-217). */
   def predictNextDay(spark: SparkSession, dir: String): DataFrame = {
@@ -88,15 +104,23 @@ object PricePredictor {
     try {
       val primary = fitPrimary(feats)
       val residual = fitResidual(primary, feats)
-      val scored = residual.transform(
-        primary.transform(feats).drop("features"))
-      scored
-        .withColumn("predicted_close", col("prediction") + col("residual_pred"))
-        .select(
-          col("user_id"),
-          date_add(col("d"), 1).as("d"),
-          col("close").as("previous_close"),
-          round(col("predicted_close"), 4).as("predicted_close"))
+      scoreNextDay(feats, primary, residual)
     } finally feats.unpersist()
   }
+
+  /** Persist both fitted stages under one root, mirroring the
+    * reference's joblib dump of (model, scaler)
+    * (analyze_news_stock_patterns.py:140-145). Spark-native ML
+    * persistence (parquet metadata + coefficients) so a 1000-executor
+    * scoring job loads the model without retraining. */
+  def saveModels(primary: PipelineModel, residual: PipelineModel,
+                 path: String): Unit = {
+    primary.write.overwrite().save(s"$path/primary")
+    residual.write.overwrite().save(s"$path/residual")
+  }
+
+  /** Load the (primary, residual) pair saved by [[saveModels]]
+    * (analyze_news_stock_patterns.py:150-156 joblib load). */
+  def loadModels(path: String): (PipelineModel, PipelineModel) =
+    (PipelineModel.load(s"$path/primary"), PipelineModel.load(s"$path/residual"))
 }

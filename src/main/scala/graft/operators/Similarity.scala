@@ -43,13 +43,24 @@ object Similarity {
   private def widened(df: DataFrame): DataFrame =
     df.withColumn("emb", transform(col("embedding"), x => x.cast("double")))
 
+  /** Probe sides are broadcast by contract (queries ≪ corpus), but the
+    * hint was unconditional — a caller handing in a huge query batch
+    * would OOM every executor at once. Guard: count up to `maxRows + 1`
+    * (LIMIT stops the scan early, so the check is O(maxRows) however
+    * large the batch) and drop the hint beyond it, letting the planner
+    * shuffle both sides instead. */
+  private[operators] val defaultMaxBroadcastProbes = 10000
+  private def probeSide(probes: DataFrame, maxRows: Int): DataFrame =
+    if (probes.limit(maxRows + 1).count() <= maxRows) broadcast(probes) else probes
+
   /** Exact top-k neighbors of each query vector (queries ≪ corpus). */
-  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     val spark = embeddings.sparkSession
     val corpus = widened(embeddings).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
     val probes = widened(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val scored = corpus
-      .join(broadcast(probes), col("q_id") =!= col("n_id"))
+      .join(probeSide(probes, maxBroadcastProbes), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
@@ -96,7 +107,8 @@ object Similarity {
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane
     * signatures; candidates share a full signature in any table. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+              nTables: Int = 8, bitsPerTable: Int = 8,
+              maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = widened(embeddings)
@@ -106,7 +118,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(lshBuckets(spark, col("emb"), nTables, bitsPerTable)).as("bucket"))
     val candidates = corpus
-      .join(broadcast(probes), Seq("bucket"))
+      .join(probeSide(probes, maxBroadcastProbes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "q_emb", "n_id", "n_emb")
       .dropDuplicates("q_id", "n_id")
@@ -124,7 +136,8 @@ object Similarity {
     * probe reads corpus_rows × nProbe / nCells — the classic IVF
     * read-reduction. Deterministic (fixed seed). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -150,7 +163,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCellsUdf(col("emb"))).as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
+    corpus.join(probeSide(probes, maxBroadcastProbes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
@@ -191,7 +204,8 @@ object Similarity {
     * probed lists. Results are identical to [[ivfTopK]] built with the
     * same seed (SimilaritySpec). */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String, queries: DataFrame,
-                     k: Int, nProbe: Int = 4): DataFrame = {
+                     k: Int, nProbe: Int = 4,
+                     maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     import spark.implicits._
     val centers = spark.read.parquet(s"$indexPath/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
@@ -211,7 +225,7 @@ object Similarity {
       .filter(col("cell").isInCollection(probedCells.toSeq)) // partition-pruned
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
+    corpus.join(probeSide(probes, maxBroadcastProbes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))

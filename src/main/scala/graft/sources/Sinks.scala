@@ -49,36 +49,69 @@ object Sinks {
     require(keys.contains(partitionCol),
       s"partition column $partitionCol must be part of the merge key")
     val spark = updates.sparkSession
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(targetPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val merged =
-        if (!exists) Merge.overwrite(updates, keys)
-        else {
-          val touched = updates.select(partitionCol).distinct().collect()
-            .map(_.get(0)).toSeq
-          val slice = spark.read.parquet(targetPath)
-            .filter(col(partitionCol).isInCollection(touched))
-          val m = if (doUpdate) Merge.upsert(slice, updates, keys)
-                  else Merge.insertIgnore(slice, updates, keys)
-          m
-        }
-      // truncate lineage before writing: the merged plan scans the very
-      // files dynamic overwrite will replace, and Spark (rightly)
-      // refuses to overwrite a path it is reading from
-      val materialized = merged.localCheckpoint(true)
-      materialized.write.mode(SaveMode.Overwrite)
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = targetP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionedMergeTarget(fs, targetPath)
+    if (!fs.exists(targetP)) {
+      Merge.overwrite(updates, keys).write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(targetPath)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      return
     }
+    val touched = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val slice = spark.read.parquet(targetPath)
+      .filter(col(partitionCol).isInCollection(touched))
+    val merged = if (doUpdate) Merge.upsert(slice, updates, keys)
+                 else Merge.insertIgnore(slice, updates, keys)
+    // Same staged-promote protocol as [[mergeInto]], at PARTITION
+    // granularity: the merged slice is written to `__staged` (so the
+    // plan never overwrites files it is scanning — no lineage
+    // truncation, no executor-memory materialization), then each
+    // touched partition dir is renamed aside and the staged dir
+    // promoted in its place. Renames are per-partition atomic: after a
+    // crash every partition is either fully old or fully new, and
+    // [[recoverPartitionedMergeTarget]] (run on entry) rolls the
+    // interrupted ones back. The merge itself is idempotent, so a
+    // retry converges.
+    val staged = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged.toString)
+    fs.mkdirs(old)
+    for (sp <- fs.listStatus(staged) if sp.isDirectory) {
+      val name = sp.getPath.getName // hive-style "col=value"
+      val live = new org.apache.hadoop.fs.Path(targetP, name)
+      if (fs.exists(live) && !fs.rename(live, new org.apache.hadoop.fs.Path(old, name)))
+        throw new java.io.IOException(s"promote: could not rename $live aside")
+      if (!fs.rename(sp.getPath, live))
+        throw new java.io.IOException(s"promote: could not promote ${sp.getPath} to $live")
+    }
+    fs.delete(old, true)
+    fs.delete(staged, true)
+  }
+
+  /** Recovery for an interrupted [[mergeIntoPartitioned]] promote.
+    * Idempotent, per partition: a dir under `__old` whose live twin is
+    * missing marks a crash between rename-aside and promote → restore
+    * it; one whose live twin exists means the promote completed →
+    * drop it. A `__staged` dir is always safe to drop (promotes are
+    * renames, never partial). */
+  def recoverPartitionedMergeTarget(fs: org.apache.hadoop.fs.FileSystem,
+                                    targetPath: String): Unit = {
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val staged = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
+    if (fs.exists(old)) {
+      for (op <- fs.listStatus(old) if op.isDirectory) {
+        val live = new org.apache.hadoop.fs.Path(targetP, op.getPath.getName)
+        if (!fs.exists(live)) {
+          if (!fs.rename(op.getPath, live))
+            throw new java.io.IOException(
+              s"partitioned-merge recovery: could not restore ${op.getPath} to $live")
+        }
+      }
+      fs.delete(old, true)
+    }
+    if (fs.exists(staged)) fs.delete(staged, true)
   }
 
   /** S8/U* — keyed merge into an unpartitioned parquet target: read
@@ -143,6 +176,71 @@ object Sinks {
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = spark.read.parquet(path).repartition(nFiles)
     promoteStaged(fs, compacted, path, targetExists = true)
+  }
+
+  /** S8 over JDBC — the reference's serving-store upsert
+    * (full_stock_pipeline.py:358-376: psycopg2 execute_batch with
+    * `ON CONFLICT ... DO UPDATE` / `DO NOTHING`), distributed: each
+    * PARTITION opens one connection and writes PreparedStatement
+    * batches of `batchSize`, so a 1000-executor job upserts in
+    * parallel with O(batchSize) memory per task and no driver
+    * collect. Portable two-phase upsert (no vendor ON CONFLICT):
+    * batched UPDATE by key, then batched INSERT of the rows whose
+    * update count was 0; `doUpdate = false` batches plain INSERTs and
+    * resolves the duplicate-key failures (SQLState 23505) row-wise —
+    * DO-NOTHING semantics without a read-modify-write race.
+    *
+    * Idempotent by construction (re-running a batch converges), which
+    * is the crash story: JDBC targets get at-least-once + idempotence
+    * rather than the staged-rename protocol of the file sinks. */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+                 doUpdate: Boolean, batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be columns")
+    val nonKeys = cols.filterNot(keys.contains)
+    require(!doUpdate || nonKeys.nonEmpty, "DO-UPDATE needs at least one non-key column")
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updateSql =
+      s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val insert = conn.prepareStatement(insertSql)
+          val update = if (doUpdate) conn.prepareStatement(updateSql) else null
+          def bind(st: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+                   order: Seq[String]): Unit =
+            order.zipWithIndex.foreach { case (c, i) =>
+              st.setObject(i + 1, row.getAs[Any](c))
+            }
+          rows.grouped(batchSize).foreach { batch =>
+            if (doUpdate) {
+              batch.foreach { r => bind(update, r, nonKeys ++ keys); update.addBatch() }
+              val counts = update.executeBatch()
+              val misses = batch.iterator.zip(counts.iterator).collect {
+                case (r, 0) => r
+              }.toSeq
+              misses.foreach { r => bind(insert, r, cols); insert.addBatch() }
+              if (misses.nonEmpty) insert.executeBatch()
+            } else {
+              // DO NOTHING: insert row-wise, swallowing duplicate-key
+              // (batch insert can't tell WHICH row collided portably)
+              batch.foreach { r =>
+                bind(insert, r, cols)
+                try { val _ = insert.executeUpdate() }
+                catch {
+                  case e: java.sql.SQLException if e.getSQLState == "23505" => ()
+                }
+              }
+            }
+            conn.commit()
+          }
+        } finally conn.close()
+      }
+    }
   }
 
   /** Recovery for an interrupted [[mergeInto]] promote. Idempotent.

@@ -96,6 +96,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sentiment resource lexicon: loaded, rank-consistent, column ≡ UDF") {
+    // the bundled TSV must actually widen the vocabulary well past the
+    // built-in core, and core words keep their pinned valences
+    assert(Sentiment.lexicon.size > 250, s"lexicon size ${Sentiment.lexicon.size}")
+    assert(Sentiment.lexicon("fast") === 1.9 && Sentiment.lexicon("crash") === -3.0)
+    // rank parity on resource-only words: stronger valence → stronger
+    // compound, direction preserved, negation flips
+    val love = Sentiment.score(Seq("love"))
+    val nice = Sentiment.score(Seq("nice"))
+    val terrible = Sentiment.score(Seq("terrible"))
+    val notLove = Sentiment.score(Seq("not", "love"))
+    assert(love > nice && nice > 0, "positive ranks by valence")
+    assert(terrible < 0 && love > terrible)
+    assert(notLove < 0, "negation flips resource words")
+    // the generated CASE chains and the UDF walk the same grown Map
+    val texts = Seq("love this wonderful rally", "terrible scandal and fraud",
+      "not wonderful, really terrible!!", "VERY happy win")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Sentiment.withCompound(df, "text", "col_form")
+      .select($"doc_id", $"col_form", Sentiment.compoundUdf($"text").as("udf_form"))
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, c, u) =>
+      assert(math.abs(c - u) < 1e-12, s"doc $id: builtin=$c udf=$u")
+    }
+  }
+
   test("sentiment column form scores the documents fixture deterministically") {
     val df = Seq(
       (1L, "spark is fast and the query is good"),

@@ -120,6 +120,75 @@ class IoSpec extends SparkSpec {
     assert(day1FilesAfter === day1FilesBefore, "untouched partition was rewritten")
   }
 
+  test("mergeIntoPartitioned recovery: interrupted promote restores the partition") {
+    val dir = tmp() + "/ptarget"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Sinks.mergeIntoPartitioned(
+      Seq((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), "d", doUpdate = true)
+
+    // simulate a crash between rename-aside and promote for day 2: its
+    // live dir is gone, the pre-merge copy sits under __old, and a
+    // stale __staged dir is lying around
+    fs.mkdirs(p(dir + "__old"))
+    fs.rename(p(s"$dir/d=2024-01-02"), p(dir + "__old/d=2024-01-02"))
+    fs.mkdirs(p(dir + "__staged/d=2024-01-02"))
+
+    // retry with a batch touching ONLY day 1 — pre-recovery this would
+    // silently drop day 2 from the table
+    Sinks.mergeIntoPartitioned(Seq((3, "2024-01-01", 3.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), "d", doUpdate = true)
+    val rows = spark.read.parquet(dir).select("k", "d", "v")
+      .as[(Int, String, Double)].collect().toSet
+    assert(rows === Set((1, "2024-01-01", 1.0), (3, "2024-01-01", 3.0),
+      (2, "2024-01-02", 2.0)))
+    assert(!fs.exists(p(dir + "__old")) && !fs.exists(p(dir + "__staged")))
+
+    // crash AFTER a partition promoted but before cleanup: the __old
+    // copy is stale (live twin exists) and must be dropped, not restored
+    fs.mkdirs(p(dir + "__old"))
+    fs.rename(p(s"$dir/d=2024-01-02"), p(dir + "__old/d=2024-01-02"))
+    fs.mkdirs(p(s"$dir/d=2024-01-02"))
+    Sinks.mergeIntoPartitioned(
+      Seq((2, "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), "d", doUpdate = true)
+    assert(spark.read.parquet(dir).filter($"d" === "2024-01-02").count() === 1)
+    assert(!fs.exists(p(dir + "__old")))
+  }
+
+  test("S8 JDBC serving sink: batched upsert on embedded Derby, idempotent") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE serving (k INT NOT NULL, d VARCHAR(10) NOT NULL, " +
+        "v DOUBLE, PRIMARY KEY (k, d))")
+    setup.close()
+    def readBack(): Set[(Int, String, Double)] =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "serving").load()
+        .select($"K".cast("int"), $"D", $"V")
+        .as[(Int, String, Double)].collect().toSet
+
+    // DO-UPDATE: second batch updates k=2 and inserts k=3
+    Sinks.jdbcUpsert(Seq((1, "a", 1.0), (2, "a", 2.0)).toDF("k", "d", "v"),
+      url, "serving", Seq("k", "d"), doUpdate = true, batchSize = 1)
+    Sinks.jdbcUpsert(Seq((2, "a", 20.0), (3, "a", 3.0)).toDF("k", "d", "v"),
+      url, "serving", Seq("k", "d"), doUpdate = true, batchSize = 1)
+    assert(readBack() === Set((1, "a", 1.0), (2, "a", 20.0), (3, "a", 3.0)))
+    // idempotent: re-running the same batch changes nothing
+    Sinks.jdbcUpsert(Seq((2, "a", 20.0), (3, "a", 3.0)).toDF("k", "d", "v"),
+      url, "serving", Seq("k", "d"), doUpdate = true)
+    assert(readBack() === Set((1, "a", 1.0), (2, "a", 20.0), (3, "a", 3.0)))
+
+    // DO-NOTHING: duplicate key keeps the existing row, new key inserts
+    Sinks.jdbcUpsert(Seq((3, "a", 999.0), (4, "a", 4.0)).toDF("k", "d", "v"),
+      url, "serving", Seq("k", "d"), doUpdate = false)
+    assert(readBack() === Set((1, "a", 1.0), (2, "a", 20.0),
+      (3, "a", 3.0), (4, "a", 4.0)))
+  }
+
   test("S5 processed parquet zone is date-partitioned (prunable)") {
     val dir = tmp() + "/processed"
     val df = Seq(("2024-01-05", 1.0), ("2024-01-06", 2.0)).toDF("d", "v")

@@ -30,4 +30,22 @@ class MlSpec extends SparkSpec {
     assert(preds.select("user_id", "d").distinct().count() === n, "key-unique")
     assert(preds.filter(org.apache.spark.sql.functions.col("predicted_close").isNull).count() === 0)
   }
+
+  test("saved models reload and score identically to the in-memory fit") {
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      val primary = PricePredictor.fitPrimary(feats)
+      val residual = PricePredictor.fitResidual(primary, feats)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ml").toString
+      PricePredictor.saveModels(primary, residual, tmp)
+      val (p2, r2) = PricePredictor.loadModels(tmp)
+      val inMem = PricePredictor.scoreNextDay(feats, primary, residual)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val loaded = PricePredictor.scoreNextDay(feats, p2, r2)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(inMem.length > 0)
+      assert(inMem.sameElements(loaded),
+        "loaded-model predictions must be bit-identical to in-memory")
+    } finally feats.unpersist()
+  }
 }

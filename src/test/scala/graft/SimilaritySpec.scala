@@ -42,6 +42,36 @@ class SimilaritySpec extends SparkSpec {
     emb(rows: _*)
   }
 
+  test("probe broadcast guard: oversized probe set falls back to a shuffle join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def hasBroadcastJoin(df: DataFrame): Boolean = {
+      df.count() // finalize AQE so the audited plan is the executed one
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case ad: AdaptiveSparkPlanExec => walk(ad.executedPlan)
+        case _: BroadcastHashJoinExec => true
+        case other => other.children.exists(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val probes = corpus.filter($"vec_id" < 5)
+    // disable size-based auto-broadcast so the planner's choice reflects
+    // only the guarded hint (the fixture is tiny; at scale the size
+    // estimator makes the same call the guard does)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // within the cap: probe side is broadcast (the by-design baseline)
+      assert(hasBroadcastJoin(Similarity.lshTopK(corpus, probes, 3)),
+        "small probe set should broadcast")
+      // over the cap: the hint is dropped so a huge batch can't OOM
+      // executors — planner shuffles instead
+      assert(!hasBroadcastJoin(
+        Similarity.lshTopK(corpus, probes, 3, maxBroadcastProbes = 3)),
+        "oversized probe set must not broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lshTopK recall ≥ 0.8 vs brute force on clustered corpus") {
     val probes = corpus.filter($"vec_id" % 25 === 0L) // one probe per cluster
     val truth = Similarity.bruteTopK(corpus, probes, 5)
