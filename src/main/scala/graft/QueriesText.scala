@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{Sentiment, TextStats}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.{Sentiment, TextClean, TextStats}
+import graft.operators.{Chunker, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries: dedup, text analysis, similarity search,
@@ -313,6 +313,115 @@ object QueriesText {
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+    }
+
+    // Benchmark decontamination: docs 0-24 act as the held-out
+    // benchmark; the training side is the rest of the corpus plus
+    // planted contaminated copies (benchmark text behind a prefix), so
+    // the flagged set is non-empty and hand-checkable at every sf.
+    // Same engine-portable md5 gram hashes as q_dedup_ngram → the
+    // explode-join-count pipeline replays value-exactly in DuckDB.
+    register("q_decontaminate",
+      """WITH bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |tsrc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         concat('contaminated sample ', text) AS text
+        |  FROM documents WHERE doc_id < 25 AND doc_id % 5 = 0),
+        |tt AS (SELECT doc_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM tsrc),
+        |bt AS (SELECT doc_id AS bench_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM bsrc),
+        |tsh AS (SELECT doc_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM tt),
+        |bsh AS (SELECT bench_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM bt),
+        |th AS (SELECT doc_id, unnest(h) AS h FROM tsh),
+        |bh AS (SELECT bench_id, unnest(h) AS h FROM bsh)
+        |SELECT th.doc_id, bh.bench_id, count(*) AS shared
+        |FROM th JOIN bh ON th.h = bh.h
+        |GROUP BY th.doc_id, bh.bench_id
+        |HAVING count(*) >= 5
+        |ORDER BY doc_id, bench_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 25)
+      val train = docs.filter(col("doc_id") >= 25).unionByName(
+        bench.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("contaminated sample "), col("text")).as("text")))
+      Dedup.decontaminate(train, bench, n = 3, minShared = 5)
+        .orderBy("doc_id", "bench_id")
+    }
+
+    // Token chunking: fixed 16-token windows, 4-token overlap — the
+    // doc → encoder-input prep of an embedding pipeline. Pure built-ins
+    // (sequence → explode → slice), chunk-count arithmetic is an
+    // exact-integer double ceil on both engines.
+    register("q_chunk_tokens",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |             greatest(CAST(1 AS BIGINT),
+        |                      CAST(ceil(CAST(len(toks) - 4 AS DOUBLE)
+        |                                / CAST(12.0 AS DOUBLE)) AS BIGINT)) AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(toks[(chunk_id * 12 + 1):(chunk_id * 12 + 16)]) AS BIGINT) AS n_tokens,
+        |       array_to_string(toks[(chunk_id * 12 + 1):(chunk_id * 12 + 16)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""") { (s, dir) =>
+      Chunker.chunkTokens(Tables.documents(s, dir), size = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")
+    }
+
+    // PII masking: emails/URLs/phone runs → typed placeholders, with
+    // per-category counts. Docs 0-9 get planted PII so the masking is
+    // exercised at every sf; the regex subset is shared by Java regex
+    // and RE2, so DuckDB replays the masked text byte-for-byte.
+    register("q_pii_mask",
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id < 10
+        |              THEN concat(text, ' contact bob@example.com via https://example.com/page?x=1 or +1 (555) 123-4567')
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS masked,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM src ORDER BY doc_id""") { (s, dir) =>
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") < 10,
+          concat(col("text"),
+            lit(" contact bob@example.com via https://example.com/page?x=1 or +1 (555) 123-4567")))
+          .otherwise(col("text")).as("text"))
+      planted.select(
+        col("doc_id"),
+        TextClean.maskPii(col("text")).as("masked"),
+        TextClean.nUrls(col("text")).as("n_urls"),
+        TextClean.nEmails(col("text")).as("n_emails"),
+        TextClean.nPhones(col("text")).as("n_phones"))
+        .orderBy("doc_id")
     }
 
     // Brute-force cosine top-5 for 10 probe vectors (exact baseline).

@@ -198,6 +198,31 @@ object Dedup {
       array_sort(array_distinct(transform(col("grams"),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
 
+  /** Benchmark decontamination — the training-data hygiene step that
+    * drops training docs overlapping an evaluation/benchmark set: flag
+    * every `train` doc sharing at least `minShared` distinct word
+    * n-grams with any `bench` doc.
+    *
+    * Scale shape: both sides reduce to their distinct 60-bit gram-hash
+    * sets (per-row, no shuffle), then EXPLODE and equi-join on the
+    * hash — work scales with the number of matching grams, never
+    * |train| × |bench|. The bench side of a real run is millions of
+    * grams at most (benchmarks are small); the join shuffles by gram
+    * hash, so a 100 TB train side distributes freely.
+    *
+    * Output: (doc_id, bench_id, shared) for flagged pairs. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 3,
+                    minShared: Int = 5): DataFrame = {
+    val th = withShingleHashSet(train, n)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val bh = withShingleHashSet(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+    th.join(bh, Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then
     * verified exactly. No UDFs: shingling, hashing, bucketing and the

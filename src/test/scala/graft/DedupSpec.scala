@@ -78,4 +78,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccard(Set("a"), Set("a")) === 1.0)
     assert(Dedup.jaccard(Set("a"), Set("b")) === 0.0)
   }
+
+  test("decontaminate flags train docs overlapping the benchmark, and only those") {
+    val bench = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten")
+    val train = docs(
+      // verbatim copy of bench doc 1 behind a prefix → contaminated
+      100L -> "prefix words then alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      // shares a run of bench doc 2 → contaminated (6 shared 3-grams)
+      101L -> "two three four five six seven eight unrelated tail here",
+      // shares only scattered words, no 3-gram runs → clean
+      102L -> "alpha unrelated beta unrelated gamma unrelated delta unrelated",
+      103L -> "totally fresh training content with no benchmark overlap at all")
+    val got = Dedup.decontaminate(train, bench, n = 3, minShared = 5)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(got === Set((100L, 1L), (101L, 2L)), s"flagged $got")
+  }
 }

@@ -55,6 +55,42 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("chunkTokens: full coverage, overlap stitching, short-doc degenerate") {
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens
+      (2L, "just three tokens")).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunker.chunkTokens(docs, size = 16, overlap = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+    val d1 = chunks.filter(_._1 == 1L)
+    // ceil((50-4)/12) = 4 chunks; every token appears; consecutive
+    // chunks overlap by exactly `overlap` tokens
+    assert(d1.length === 4)
+    assert(d1.flatMap(_._4.split(" ")).toSet === (1 to 50).map(i => s"t$i").toSet)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val tail = a._4.split(" ").takeRight(4).toSeq
+      val head = b._4.split(" ").take(4).toSeq
+      assert(tail === head, s"chunks ${a._2}/${b._2} must overlap by 4")
+    }
+    assert(d1.take(3).forall(_._3 == 16L) && d1.last._3 === (50L - 3 * 12))
+    // short doc: one chunk, whole text
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._4 === "just three tokens" && d2.head._3 === 3L)
+  }
+
+  test("maskPii masks URLs, emails, phone runs and counts each category") {
+    import graft.functions.TextClean
+    val df = Seq(
+      (1L, "write to bob@example.com or visit https://ex.com/a?b=1 or call +1 (555) 123-4567"),
+      (2L, "no pii in this plain sentence at all")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextClean.maskPii($"text").as("m"),
+        TextClean.nUrls($"text"), TextClean.nEmails($"text"), TextClean.nPhones($"text"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0)._2 === "write to <EMAIL> or visit <URL> or call <PHONE>")
+    assert((got(0)._3, got(0)._4, got(0)._5) === ((1L, 1L, 1L)))
+    assert(got(1)._2 === "no pii in this plain sentence at all")
+    assert((got(1)._3, got(1)._4, got(1)._5) === ((0L, 0L, 0L)))
+  }
+
   test("sentiment: ALL-CAPS boost and exclamation emphasis amplify") {
     val plain = Sentiment.score(Seq("spark", "is", "fast"))
     val caps = Sentiment.score(Seq("spark", "is", "FAST"))
