@@ -389,6 +389,63 @@ object QueriesText {
         .orderBy("doc_id", "chunk_id")
     }
 
+    // Gopher-style repetition signals: duplicate-2/3-gram fractions
+    // (1 − distinct/total) and the most-frequent-token share — the
+    // boilerplate/looping-text signals web-scale corpus filters
+    // threshold on. Gram fracs are per-row list arithmetic; the top-
+    // token share is explode → two-level hash-agg (scales with corpus,
+    // shuffles only the (doc_id, token) counts).
+    register("q_repetition",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |                  ELSE list_transform(range(len(toks) - 1),
+        |                                      i -> array_to_string(toks[(i+1):(i+2)], ' ')) END AS g2,
+        |             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                  ELSE list_transform(range(len(toks) - 2),
+        |                                      i -> array_to_string(toks[(i+1):(i+3)], ' ')) END AS g3
+        |      FROM t),
+        |d AS (SELECT doc_id,
+        |             round(CAST(1.0 AS DOUBLE)
+        |                   - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup2_frac,
+        |             round(CAST(1.0 AS DOUBLE)
+        |                   - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) AS dup3_frac
+        |      FROM g),
+        |c AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+        |m AS (SELECT doc_id, n, tok, count(*) AS c FROM c GROUP BY 1, 2, 3),
+        |mm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4) AS top_token_frac
+        |       FROM m GROUP BY doc_id, n)
+        |SELECT d.doc_id, dup2_frac, dup3_frac, top_token_frac,
+        |       (dup3_frac > 0.2 OR top_token_frac > 0.2) AS repetitive
+        |FROM d JOIN mm ON d.doc_id = mm.doc_id
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      // grams staged as real projection columns (lambda-capture rule)
+      val fracs = toksDf
+        .select(col("doc_id"),
+          Dedup.gramsOf(col("toks"), 2).as("g2"),
+          Dedup.gramsOf(col("toks"), 3).as("g3"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")), 4).as("dup2_frac"),
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3")), 4).as("dup3_frac"))
+      val top = toksDf
+        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("maxc"))
+        .select(col("doc_id"),
+          round(col("maxc").cast("double") / col("n"), 4).as("top_token_frac"))
+      fracs.join(top, Seq("doc_id"))
+        .withColumn("repetitive",
+          col("dup3_frac") > 0.2 || col("top_token_frac") > 0.2)
+        .orderBy("doc_id")
+    }
+
     // PII masking: emails/URLs/phone runs → typed placeholders, with
     // per-category counts. Docs 0-9 get planted PII so the masking is
     // exercised at every sf; the regex subset is shared by Java regex

@@ -62,7 +62,7 @@ object Dedup {
     * regex-split would re-tokenize the whole document for every gram
     * (O(n²) regex work; this exact shape cost 6 s of a 10 s query at
     * sf0.1). [[withGrams]] stages the pipeline correctly. */
-  private def gramsOf(toks: org.apache.spark.sql.Column, n: Int) =
+  private[graft] def gramsOf(toks: org.apache.spark.sql.Column, n: Int) =
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))

@@ -77,6 +77,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap, across batches") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Click, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Click]
+    val q = Sessionizer.sessions(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 two close events, user 2 one — all still open
+      input.addData(Click(1L, 0L), Click(1L, 100L), Click(2L, 50L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0, "open sessions must not emit")
+
+      // batch 2: user 1 jumps past the gap → session 0 closes (2 events,
+      // 0..100) and session 1 opens; user 2 stays within gap → nothing
+      input.addData(Click(1L, 5000L), Click(2L, 1000L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      assert(closed.toSeq === Seq(SessionOut(1L, 0L, 2L, 0L, 100L)))
+
+      // batch 3: another gap jump for user 1 → session 1 (single event
+      // at 5000) closes with session_id 1
+      input.addData(Click(1L, 10000L))
+      q.processAllAvailable()
+      val after = spark.table("sess_out").as[SessionOut].collect()
+        .sortBy(s => (s.user_id, s.session_id))
+      assert(after.toSeq === Seq(
+        SessionOut(1L, 0L, 2L, 0L, 100L), SessionOut(1L, 1L, 1L, 5000L, 5000L)))
+      // user 2's session is still open: state bounded at one row per key
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first-wins fingerprint state spans micro-batches") {
     import graft.streaming.StreamingDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
