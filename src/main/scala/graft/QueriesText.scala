@@ -208,8 +208,10 @@ object QueriesText {
       val sigEntries = coeffs.map { case (a, b) =>
         s"list_min(list_transform(h32, x -> (x * $a + $b) % ${Dedup.minhashP}))"
       }.mkString("[", ",\n           ", "]")
-      register("q_dedup_minhash",
-        s"""WITH t AS (
+      // shared CTE chain ending in `pairs` (the verified near-dup pairs) —
+      // the q_dedup_minhash result and the q_dedup_groups input
+      val pairsCte =
+        s"""t AS (
            |  SELECT doc_id,
            |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
            |  FROM documents),
@@ -243,10 +245,43 @@ object QueriesText {
            |               / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))), 4) AS jaccard
            |  FROM cand
            |  JOIN h sa ON sa.doc_id = cand.doc_a
-           |  JOIN h sb ON sb.doc_id = cand.doc_b)
-           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+           |  JOIN h sb ON sb.doc_id = cand.doc_b),
+           |pairs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5)"""
+      register("q_dedup_minhash",
+        s"""WITH $pairsCte
+           |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""") { (s, dir) =>
         Dedup.minhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+      }
+
+      // Duplicate-GROUP resolution: connected components over the
+      // near-dup pair graph, each doc labeled with its component's
+      // minimum doc_id (the canonical keeper). Spark side is the
+      // alternating large-star/small-star contraction (O(log² n)
+      // rounds, two bounded shuffles each — diameter-independent);
+      // the oracle replays the same components by recursive
+      // min-reachability over the identical DuckDB pair set.
+      register("q_dedup_groups",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u)
+           |SELECT doc_id, group_id,
+           |       count(*) OVER (PARTITION BY group_id) AS n_members
+           |FROM grp
+           |ORDER BY doc_id""") { (s, dir) =>
+        val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
+          .select("doc_a", "doc_b")
+        Dedup.connectedComponents(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
+          .orderBy("doc_id")
       }
     }
 

@@ -223,6 +223,66 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  // ── duplicate-group resolution ─────────────────────────────────────
+
+  /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    * over the pair graph, labeling every doc with the minimum doc_id of
+    * its component (the canonical "keeper" — pipelines keep that one
+    * row and drop the rest).
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — converges in O(log² n) rounds regardless of component
+    * DIAMETER, unlike naive min-label propagation which needs one
+    * shuffle round per hop and dies on chain-shaped components
+    * (A~B~C~…~Z is exactly what transitive near-dup graphs produce).
+    * Each round is two bounded shuffles (groupBy-min + equi-join); no
+    * neighbor lists are ever collected, so a hub node with millions of
+    * edges streams through the join instead of materializing.
+    *
+    * `localCheckpoint` per round truncates the plan lineage — the one
+    * iterative-algorithm place it belongs (analysis time otherwise
+    * grows with round count); each round's edge set is tiny relative
+    * to the corpus (only docs that have a near-dup at all).
+    *
+    * Input: two doc-id columns (pair endpoints). Output: one row per
+    * doc appearing in any pair — (doc_id, group_id). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    var edges = pairs
+      .select(greatest(col(ca), col(cb)).as("u"), least(col(ca), col(cb)).as("v"))
+      .where($"u" =!= $"v").distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star: every strictly-larger neighbor of u links to the
+      // star's minimum (edges stay canonical hi→lo: v > u ≥ m)
+      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = sym.join(lmins, Seq("u")).where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).where($"u" =!= $"v").distinct()
+      // small-star: every smaller neighbor of u (and u itself) links to
+      // u's minimum neighbor
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smins, Seq("u")).where($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(smins.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v").distinct()
+        .localCheckpoint(true)
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      round += 1
+    }
+    // fixed point: edges form stars node→(component min); add the roots
+    edges.select($"u".as("doc_id"), $"v".as("group_id"))
+      .union(edges.select($"v", $"v").distinct())
+      .distinct()
+  }
+
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then
     * verified exactly. No UDFs: shingling, hashing, bucketing and the

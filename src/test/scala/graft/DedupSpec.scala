@@ -79,6 +79,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccard(Set("a"), Set("b")) === 0.0)
   }
 
+  test("connectedComponents resolves chain, star and singleton-pair graphs") {
+    // chain 1-2-3-...-10 (diameter 9: kills naive one-hop label
+    // propagation), star 20-{21,22,23}, isolated pair 30-31
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val star = Seq((20L, 21L), (20L, 22L), (23L, 20L))
+    val pair = Seq((31L, 30L))
+    val pairs = (chain ++ star ++ pair).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want =
+      (1L to 10L).map(_ -> 1L).toMap ++
+        Seq(20L, 21L, 22L, 23L).map(_ -> 20L).toMap ++
+        Map(30L -> 30L, 31L -> 30L)
+    assert(got === want)
+  }
+
+  test("connectedComponents labels every corpus near-dup with its group min") {
+    val pairs = Dedup.minhashPairs(corpus).select("doc_a", "doc_b")
+    val truth = bruteforcePairs(0.5, 3)
+    // union-find over the brute-force truth graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    truth.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = truth.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // minhash pairs ⊆ truth pairs recall-wise; components over the SAME
+    // pair set must match union-find over that pair set
+    val parent2 = scala.collection.mutable.Map[Long, Long]()
+    def find2(x: Long): Long = { val p = parent2.getOrElse(x, x); if (p == x) x else { val r = find2(p); parent2(x) = r; r } }
+    val sparkPairs = pairs.as[(Long, Long)].collect()
+    sparkPairs.foreach { case (a, b) => val (ra, rb) = (find2(a), find2(b)); if (ra != rb) parent2(math.max(ra, rb)) = math.min(ra, rb) }
+    val wantSame = sparkPairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find2(x)).toMap
+    assert(got === wantSame)
+    assert(want.nonEmpty) // corpus really has duplicate groups
+  }
+
   test("decontaminate flags train docs overlapping the benchmark, and only those") {
     val bench = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
