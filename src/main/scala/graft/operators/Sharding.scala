@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic shard planning for training-data export: the step
+  * between a curated corpus and the data loader. Two policies:
+  *
+  *  - [[assign]]: fixed shard COUNT, docs spread by a key hash — the
+  *    classic "globally shuffled shards" layout (every shard is an
+  *    IID-ish sample of the corpus).
+  *  - [[sizeBudgeted]]: fixed shard SIZE (a token/byte budget per
+  *    shard), docs packed in hash order by cumulative size — what a
+  *    loader with a fixed sequence-budget per file wants.
+  *
+  * Determinism: both derive order and placement from md5 of the row
+  * key, never from partition layout or an RNG — the same doc lands in
+  * the same shard at the same position on any cluster size, any retry
+  * (same rationale as [[Sampling]]; and md5 keeps the plan replayable
+  * by any SQL engine for audit).
+  *
+  * Scale note: [[sizeBudgeted]] needs a GLOBAL cumulative sum, which
+  * naively is a single-partition window — a scale-killer. It instead
+  * uses the two-phase form: bucket rows by the hash prefix, cumulate
+  * the tiny per-bucket totals for bucket offsets, then cumulate
+  * within buckets only (a partitioned window), and add the offset.
+  * Equivalent to the global window, but every shuffle is keyed by the
+  * 256-way bucket — no partition ever sees more than ~1/256 of the
+  * data. (Same decomposition TPC-style engines use for scalable
+  * running totals.)
+  */
+object Sharding {
+
+  /** 60-bit md5 order key — engine-portable (see Sampling.unit). */
+  private def orderKey(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Hash-spread assignment: adds `shard` (0..nShards-1) and the
+    * within-shard order key `pos_key`. */
+  def assign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val h = orderKey(col(keyCol))
+    df.withColumn("pos_key", h)
+      .withColumn("shard", (h % nShards).cast("int"))
+  }
+
+  /** Size-budgeted packing: docs ordered by md5(key), each shard takes
+    * consecutive docs until `target` units of `sizeCol` are consumed.
+    * A shard can overshoot by at most one doc (the one that crosses
+    * the boundary belongs to the shard it STARTS in). Adds `shard`.
+    *
+    * `buckets` is the parallelism of the two-phase cumulative sum;
+    * 256 hash-prefix buckets keep the offset table broadcastable while
+    * bounding any single window partition to ~0.4% of the corpus.
+    */
+  def sizeBudgeted(df: DataFrame, keyCol: String, sizeCol: String,
+                   target: Long, buckets: Int = 256): DataFrame = {
+    require(target > 0, "target must be positive")
+    require(buckets >= 1 && buckets <= 256, "buckets must be in 1..256 (one hex-byte prefix)")
+    val h = md5(col(keyCol).cast("string"))
+    val withKeys = df
+      .withColumn("__h", h)
+      // RANGE bucket (prefix-division, not modulo): bucket order must
+      // equal global __h order for the two-phase cumsum to reassemble
+      // the global one (fixed-width lowercase hex sorts numerically)
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256)
+    // phase 1: per-bucket totals (tiny: `buckets` rows), running offset
+    val offsets = withKeys.groupBy("__bucket")
+      .agg(sum(col(sizeCol)).as("__btotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__btotal")).over(
+          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btotal")
+    // phase 2: within-bucket running sum + bucket offset = global
+    // cumulative size BEFORE this row; shard = which budget bin the
+    // row starts in
+    val wb = Window.partitionBy("__bucket").orderBy("__h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKeys
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__before", col("__offset") + coalesce(sum(col(sizeCol)).over(wb), lit(0L)))
+      .withColumn("shard", (col("__before") / target).cast("int"))
+      .drop("__h", "__bucket", "__offset", "__before")
+  }
+}
