@@ -187,12 +187,17 @@ object QueriesText {
         import s.implicits._
         val lex = Sentiment.lexicon.toSeq.sortBy(_._1)
           .map { case (w, v) => (w, math.round(v * 10)) }.toDF("tok", "v10")
+        // explode_outer + the has-tokens flag: a NULL-text doc keeps its
+        // row with a NULL score (as the oracle's list_sum(NULL) does) —
+        // a plain explode would silently drop it
         Tables.documents(s, dir)
-          .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), explode_outer(TextStats.tokens(col("text"))).as("tok"))
           .join(broadcast(lex), Seq("tok"), "left")
           .groupBy("doc_id")
           .agg((sum(coalesce(col("v10"), lit(0L))).cast("double")
-            / lit(10.0)).as("s"))
+            / lit(10.0)).as("s0"),
+            max(col("tok").isNotNull).as("has"))
+          .withColumn("s", when(col("has"), col("s0")))
           .select(col("doc_id"),
             round(col("s") / sqrt(col("s") * col("s") + lit(15.0)), 4).as("lex_score"))
           .orderBy("doc_id")
@@ -720,6 +725,27 @@ object QueriesText {
         Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2))
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+
+    // Size-budgeted shard packing (training-data export): docs in
+    // deterministic md5 order, each shard takes consecutive docs until
+    // the char budget fills. The engine's two-phase cumulative sum
+    // (bucket offsets + within-bucket window) must reproduce DuckDB's
+    // single global window exactly. sum(BIGINT) cast back from HUGEINT;
+    // floor() both sides (Spark's int cast truncates, DuckDB's rounds).
+    register("q_shard_pack",
+      """WITH c AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh, n_chars AS sz
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(floor(coalesce(CAST(sum(sz) OVER (ORDER BY hh, sz
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |              / CAST(20000 AS DOUBLE)) AS INT) AS shard
+        |FROM c
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.Sharding.sizeBudgeted(
+        Tables.documents(s, dir), "doc_id", "n_chars", target = 20000L)
+        .select("doc_id", "shard")
         .orderBy("doc_id")
     }
 

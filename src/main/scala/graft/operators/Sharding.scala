@@ -62,8 +62,12 @@ object Sharding {
       .withColumn("__h", h)
       // RANGE bucket (prefix-division, not modulo): bucket order must
       // equal global __h order for the two-phase cumsum to reassemble
-      // the global one (fixed-width lowercase hex sorts numerically)
-      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256)
+      // the global one (fixed-width lowercase hex sorts numerically).
+      // floor() before the int cast: Spark's `/` is always a DOUBLE
+      // divide, and a fractional bucket id would silently ignore
+      // `buckets` (every prefix its own group)
+      .withColumn("__bucket",
+        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256).cast("int"))
     // phase 1: per-bucket totals (tiny: `buckets` rows), running offset
     val offsets = withKeys.groupBy("__bucket")
       .agg(sum(col(sizeCol)).as("__btotal"))
@@ -74,7 +78,10 @@ object Sharding {
     // phase 2: within-bucket running sum + bucket offset = global
     // cumulative size BEFORE this row; shard = which budget bin the
     // row starts in
-    val wb = Window.partitionBy("__bucket").orderBy("__h")
+    // tiebreak duplicate keys (same md5) on the size column so the
+    // running sum — hence the shard boundary — is run-deterministic;
+    // rows duplicated on (key, size) are interchangeable by construction
+    val wb = Window.partitionBy("__bucket").orderBy(col("__h"), col(sizeCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     withKeys
       .join(broadcast(offsets), Seq("__bucket"))

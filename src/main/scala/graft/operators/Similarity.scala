@@ -46,12 +46,15 @@ object Similarity {
   /** Probe sides are broadcast by contract (queries ≪ corpus), but the
     * hint was unconditional — a caller handing in a huge query batch
     * would OOM every executor at once. Guard: count up to `maxRows + 1`
-    * (LIMIT stops the scan early, so the check is O(maxRows) however
-    * large the batch) and drop the hint beyond it, letting the planner
-    * shuffle both sides instead. */
+    * QUERIES on the raw pre-explode input (LIMIT stops the scan early,
+    * so the check is O(maxRows) however large the batch, and it never
+    * re-evaluates the exploded signature plan) and drop the hint
+    * beyond it, letting the planner shuffle both sides instead. The
+    * cap is therefore in actual query vectors for every method — LSH /
+    * IVF explosion factors (×nTables, ×nProbe) don't shrink it. */
   private[operators] val defaultMaxBroadcastProbes = 10000
-  private def probeSide(probes: DataFrame, maxRows: Int): DataFrame =
-    if (probes.limit(maxRows + 1).count() <= maxRows) broadcast(probes) else probes
+  private def probeSide(probes: DataFrame, rawQueries: DataFrame, maxRows: Int): DataFrame =
+    if (rawQueries.limit(maxRows + 1).count() <= maxRows) broadcast(probes) else probes
 
   /** Exact top-k neighbors of each query vector (queries ≪ corpus). */
   def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
@@ -60,7 +63,7 @@ object Similarity {
     val corpus = widened(embeddings).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
     val probes = widened(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val scored = corpus
-      .join(probeSide(probes, maxBroadcastProbes), col("q_id") =!= col("n_id"))
+      .join(probeSide(probes, queries, maxBroadcastProbes), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
@@ -118,7 +121,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(lshBuckets(spark, col("emb"), nTables, bitsPerTable)).as("bucket"))
     val candidates = corpus
-      .join(probeSide(probes, maxBroadcastProbes), Seq("bucket"))
+      .join(probeSide(probes, queries, maxBroadcastProbes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "q_emb", "n_id", "n_emb")
       .dropDuplicates("q_id", "n_id")
@@ -163,7 +166,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCellsUdf(col("emb"))).as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    corpus.join(probeSide(probes, maxBroadcastProbes), Seq("cell"))
+    corpus.join(probeSide(probes, queries, maxBroadcastProbes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
@@ -225,7 +228,7 @@ object Similarity {
       .filter(col("cell").isInCollection(probedCells.toSeq)) // partition-pruned
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    corpus.join(probeSide(probes, maxBroadcastProbes), Seq("cell"))
+    corpus.join(probeSide(probes, queries, maxBroadcastProbes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))

@@ -190,15 +190,25 @@ object Sinks {
     * resolves the duplicate-key failures (SQLState 23505) row-wise —
     * DO-NOTHING semantics without a read-modify-write race.
     *
+    * Drivers that can't report per-row batch counts return
+    * `Statement.SUCCESS_NO_INFO` (-2) from executeBatch() (Oracle
+    * always does); those rows are re-run row-wise (UPDATE, then INSERT
+    * if the update touched nothing) so "unknown" never silently drops
+    * an insert. The input is deduplicated on the key columns first
+    * (same contract as the file-sink Merge paths) — two same-key rows
+    * in one batch would otherwise both miss the UPDATE and collide on
+    * the INSERT.
+    *
     * Idempotent by construction (re-running a batch converges), which
     * is the crash story: JDBC targets get at-least-once + idempotence
     * rather than the staged-rename protocol of the file sinks. */
-  def jdbcUpsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+  def jdbcUpsert(df0: DataFrame, url: String, table: String, keys: Seq[String],
                  doUpdate: Boolean, batchSize: Int = 1000): Unit = {
-    val cols = df.columns.toSeq
+    val cols = df0.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be columns")
     val nonKeys = cols.filterNot(keys.contains)
     require(!doUpdate || nonKeys.nonEmpty, "DO-UPDATE needs at least one non-key column")
+    val df = df0.dropDuplicates(keys)
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val updateSql =
@@ -220,9 +230,16 @@ object Sinks {
             if (doUpdate) {
               batch.foreach { r => bind(update, r, nonKeys ++ keys); update.addBatch() }
               val counts = update.executeBatch()
-              val misses = batch.iterator.zip(counts.iterator).collect {
-                case (r, 0) => r
-              }.toSeq
+              // count==0 → key absent, INSERT. SUCCESS_NO_INFO (-2) →
+              // the driver won't report per-row counts; re-run that
+              // row's UPDATE alone (a single executeUpdate's count is
+              // always real) and INSERT on 0.
+              val misses = batch.zipAll(counts.map(Int.box), null, null).collect {
+                case (r, c) if c == null || c.intValue() == 0 => r
+                case (r, c) if c.intValue() == java.sql.Statement.SUCCESS_NO_INFO =>
+                  bind(update, r, nonKeys ++ keys)
+                  if (update.executeUpdate() == 0) r else null
+              }.filter(_ != null)
               misses.foreach { r => bind(insert, r, cols); insert.addBatch() }
               if (misses.nonEmpty) insert.executeBatch()
             } else {

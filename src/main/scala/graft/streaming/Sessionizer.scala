@@ -12,7 +12,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the closed session is emitted exactly once, when the first
   * later-than-gap event arrives (or on processing-time timeout for
   * keys that went quiet). State per key is one open session
-  * (start, last, count) — bounded regardless of stream length, the
+  * (start, last, count) — after a timeout close it shrinks to a
+  * tombstone carrying only the next session id, so the counter
+  * survives quiet periods and (user, session_id) stays unique.
+  * Either way it's one tiny row per key — bounded regardless of stream length, the
   * property that keeps an unbounded clickstream safe: 100M active
   * users is 100M tiny state rows, partitioned by key across the
   * cluster's state stores.
@@ -28,9 +31,13 @@ object Sessionizer {
       key: Long, clicks: Iterator[Click],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (clicks.isEmpty && state.hasTimedOut) {
-      // key went quiet past the gap: close and clear
+      // key went quiet past the gap: close, but KEEP the session-id
+      // counter in a tombstone (n = 0, no timeout re-armed) — removing
+      // state here would restart the user's next session at id 0 and
+      // emit a duplicate (user, session_id) key downstream
       val s = state.get
-      state.remove()
+      if (s.n == 0L) return Iterator.empty // stray timeout on a tombstone
+      state.update(OpenSession(s.sessionId + 1, 0L, 0L, 0L))
       return Iterator.single(SessionOut(key, s.sessionId, s.n, s.startSec, s.lastSec))
     }
     val ordered = clicks.toSeq.sortBy(_.ts_sec)
@@ -38,6 +45,8 @@ object Sessionizer {
     val closed = Seq.newBuilder[SessionOut]
     ordered.foreach { c =>
       open match {
+        case Some(s) if s.n == 0L => // tombstone: resume the counter
+          open = Some(OpenSession(s.sessionId, c.ts_sec, c.ts_sec, 1))
         case Some(s) if c.ts_sec - s.lastSec <= gapSec =>
           open = Some(s.copy(lastSec = math.max(s.lastSec, c.ts_sec), n = s.n + 1))
         case Some(s) =>
@@ -49,7 +58,7 @@ object Sessionizer {
     }
     open.foreach { s =>
       state.update(s)
-      if (closeQuiet) state.setTimeoutDuration(gapSec * 1000)
+      if (closeQuiet && s.n > 0L) state.setTimeoutDuration(gapSec * 1000)
     }
     closed.result().iterator
   }

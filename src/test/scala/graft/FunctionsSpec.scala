@@ -168,4 +168,17 @@ class FunctionsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Double)].collect()
     assert(got(0)._2 > 0 && got(1)._2 < 0 && got(2)._2 === 0.0)
   }
+
+  test("q_sentiment_lexicon keeps NULL-text docs with a NULL score") {
+    QueriesText.init()
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulldoc").toString
+    Seq((1L, Option("love this rally"), "en", "web", 15L),
+        (2L, Option.empty[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.registry("q_sentiment_lexicon")._1(spark, dir)
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).exists(_ > 0), "scored doc keeps its score")
+    assert(got(2L).isEmpty, "NULL-text doc must survive with NULL, not drop")
+  }
 }

@@ -187,6 +187,13 @@ class IoSpec extends SparkSpec {
       url, "serving", Seq("k", "d"), doUpdate = false)
     assert(readBack() === Set((1, "a", 1.0), (2, "a", 20.0),
       (3, "a", 3.0), (4, "a", 4.0)))
+
+    // same-key rows inside ONE input batch: deduped before writing, so
+    // neither the UPDATE-miss→INSERT path nor DO-NOTHING hits a PK
+    // violation, and exactly one version of the key lands
+    Sinks.jdbcUpsert(Seq((5, "a", 5.0), (5, "a", 5.0)).toDF("k", "d", "v"),
+      url, "serving", Seq("k", "d"), doUpdate = true, batchSize = 1)
+    assert(readBack().count(r => r._1 == 5) === 1)
   }
 
   test("S5 processed parquet zone is date-partitioned (prunable)") {

@@ -114,6 +114,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closeQuiet timeout close keeps the session-id counter (no duplicate keys)") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Click, OpenSession}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+
+    def st(s: Option[OpenSession], timedOut: Boolean) = TestGroupState.create[OpenSession](
+      Optional.fromNullable(s.orNull),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000000L,
+      Optional.empty[Long](), timedOut)
+    val fn = Sessionizer.updateSessions(gapSec = 1800, closeQuiet = true) _
+
+    // session 3 is open, the key goes quiet → timeout closes it and
+    // leaves a tombstone carrying nextSessionId = 4
+    val s3 = st(Some(OpenSession(3L, 100L, 200L, 2L)), timedOut = true)
+    val closed = fn(1L, Iterator.empty, s3).toSeq
+    assert(closed.map(_.session_id) === Seq(3L))
+    assert(s3.get === OpenSession(4L, 0L, 0L, 0L) && !s3.isRemoved)
+
+    // the user's next click resumes from the tombstone: the new open
+    // session takes id 4, NOT 0 — downstream (user, session_id) stays unique
+    val s4 = st(Some(OpenSession(4L, 0L, 0L, 0L)), timedOut = false)
+    val out = fn(1L, Iterator(Click(1L, 9000L)), s4).toSeq
+    assert(out.isEmpty && s4.get === OpenSession(4L, 9000L, 9000L, 1L))
+    assert(s4.getTimeoutTimestampMs.isPresent, "timeout re-armed for the live session")
+
+    // a stray timeout on a tombstone emits nothing and keeps the counter
+    val s5 = st(Some(OpenSession(7L, 0L, 0L, 0L)), timedOut = true)
+    assert(fn(1L, Iterator.empty, s5).isEmpty && !s5.isRemoved)
+  }
+
   test("streaming exact dedup: first-wins fingerprint state spans micro-batches") {
     import graft.streaming.StreamingDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
