@@ -749,6 +749,57 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // BM25 keyword retrieval: postings filtered to the query's terms
+    // before any shuffle, corpus stats broadcast, per-doc score folded
+    // in sorted term order so the double sum replays byte-exactly.
+    register("q_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('vector', 'hash', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT tf.doc_id, term,
+        |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
+        |              / (dfr + CAST(0.5 AS DOUBLE)))
+        |           * tf
+        |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
+        |  FROM tf JOIN dfq USING (term), g)
+        |SELECT doc_id,
+        |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
+        |                                          ORDER BY term), x -> x.contrib)), 6) AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
+      graft.operators.KeywordSearch.bm25TopK(
+        Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 10)
+    }
+
+    // Corpus bigram frequency profile (data-quality staple: the "most
+    // common n-grams" table). Integer counts — exact at any layout.
+    register("q_top_ngrams",
+      """SELECT gram, count(*) AS n
+        |FROM (
+        |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |                ELSE list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END) AS gram
+        |  FROM (SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents))
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextStats.tokens(col("text")).as("toks"))
+        .select(explode(Dedup.gramsOf(col("toks"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }
+
     // Multimodal plumbing: binary payload + metadata + stubbed
     // frame-extraction features (typed mapPartitions pass).
     register("q_multimodal",
