@@ -47,6 +47,13 @@ object KeywordSearch {
       .agg(count(lit(1)).as("tf"))
     // document frequency per term (tf is unique per (doc, term))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfr"))
+    score(tf, dfreq, stats, k, k1, b)
+  }
+
+  /** Shared scoring tail: contributions joined to broadcast df/stats,
+    * folded per doc in sorted term order, top-k. */
+  private def score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                    k: Int, k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
@@ -60,5 +67,60 @@ object KeywordSearch {
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Persist an inverted index to `indexPath`: the postings list
+    * (doc_id, dl, term, tf) PARTITIONED BY a term-hash bucket, the
+    * per-term document frequencies (same bucketing), and a one-row
+    * stats table (n_docs, avgdl, bucket count). Build once (one
+    * tokenize + one shuffle); then each [[bm25TopKIndexed]] query
+    * reads only its terms' bucket partitions — the inverted-index
+    * read-reduction made physical as partition pruning, the same
+    * layout trick as [[Similarity.buildIvfIndex]]. At 100 TB a
+    * 3-term query touches ≤ 3/termBuckets of the postings files,
+    * with the residual `term IN (...)` filter pushed to parquet
+    * row groups. */
+  def buildInvertedIndex(docs: DataFrame, indexPath: String,
+                         termBuckets: Int = 64): Unit = {
+    val toks = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+    tf.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings")
+    tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq")
+    toks.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        max(lit(termBuckets)).as("term_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** BM25 top-k against a persisted inverted index. Identical results
+    * to [[bm25TopK]] over the same corpus (KeywordSearchSpec) — the
+    * arithmetic and fold order are shared — but the scan is
+    * partition-pruned to the query terms' buckets. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
+    // bucket ids via the exact expression the writer used (local
+    // relation, #terms rows — constant-folded, no job against data)
+    import spark.implicits._
+    val tbs = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+      .as[Int].collect().toSeq.distinct
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tb").isInCollection(tbs) && col("term").isin(terms: _*))
+      .select("doc_id", "dl", "term", "tf")
+    val dfreq = spark.read.parquet(s"$indexPath/dfreq")
+      .filter(col("tb").isInCollection(tbs) && col("term").isin(terms: _*))
+      .select("term", "dfr")
+    score(postings, dfreq, stats.select("n_docs", "avgdl"), k, k1, b)
   }
 }

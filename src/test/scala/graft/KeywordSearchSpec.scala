@@ -39,6 +39,31 @@ class KeywordSearchSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("persisted inverted index: identical results, term-bucket-pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    KeywordSearch.buildInvertedIndex(docs, dir, termBuckets = 16)
+    assert(new java.io.File(s"$dir/postings").listFiles().exists(_.getName.startsWith("tb=")))
+
+    val direct = KeywordSearch.bm25TopK(docs, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed === direct, "index path must reproduce the direct scores exactly")
+
+    // the probe's scan is partition-pruned to the query terms' buckets:
+    // the same tb filter the index path applies touches a strict
+    // subset of the posting files
+    val tb = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.lit("spark")),
+      org.apache.spark.sql.functions.lit(16L))
+    val sparkTb = docs.sparkSession.range(1).select(tb.cast("int")).as[Int].head()
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .filter($"tb" === sparkTb).inputFiles.length
+    val all = spark.read.parquet(s"$dir/postings").inputFiles.length
+    assert(pruned < all, "single-term probe must touch a strict subset of posting partitions")
+  }
+
   test("scores are independent of partition layout") {
     val a = KeywordSearch.bm25TopK(docs.repartition(1), Seq("spark", "engine"), 10)
       .as[(Long, Double)].collect().toSeq
