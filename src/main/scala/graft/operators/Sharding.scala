@@ -78,15 +78,20 @@ object Sharding {
     // phase 2: within-bucket running sum + bucket offset = global
     // cumulative size BEFORE this row; shard = which budget bin the
     // row starts in
-    // tiebreak duplicate keys (same md5) on the size column so the
-    // running sum — hence the shard boundary — is run-deterministic;
-    // rows duplicated on (key, size) are interchangeable by construction
-    val wb = Window.partitionBy("__bucket").orderBy(col("__h"), col(sizeCol))
+    // tiebreak duplicate keys (same md5) on size, then on a FULL-ROW
+    // fingerprint (xxhash64 over every input column), so the running
+    // sum — hence any boundary-straddling shard assignment — is
+    // deterministic across runs even when same-key rows differ in
+    // non-key columns; rows still tied after that are identical in
+    // every column and genuinely interchangeable
+    val fp = xxhash64(df.columns.map(col): _*)
+    val wb = Window.partitionBy("__bucket").orderBy(col("__h"), col(sizeCol), col("__fp"))
       .rowsBetween(Window.unboundedPreceding, -1)
     withKeys
+      .withColumn("__fp", fp)
       .join(broadcast(offsets), Seq("__bucket"))
       .withColumn("__before", col("__offset") + coalesce(sum(col(sizeCol)).over(wb), lit(0L)))
       .withColumn("shard", (col("__before") / target).cast("int"))
-      .drop("__h", "__bucket", "__offset", "__before")
+      .drop("__h", "__bucket", "__offset", "__before", "__fp")
   }
 }

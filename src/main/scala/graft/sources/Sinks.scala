@@ -190,14 +190,19 @@ object Sinks {
     * resolves the duplicate-key failures (SQLState 23505) row-wise —
     * DO-NOTHING semantics without a read-modify-write race.
     *
-    * Drivers that can't report per-row batch counts return
-    * `Statement.SUCCESS_NO_INFO` (-2) from executeBatch() (Oracle
-    * always does); those rows are re-run row-wise (UPDATE, then INSERT
-    * if the update touched nothing) so "unknown" never silently drops
-    * an insert. The input is deduplicated on the key columns first
-    * (same contract as the file-sink Merge paths) — two same-key rows
-    * in one batch would otherwise both miss the UPDATE and collide on
-    * the INSERT.
+    * Any count from executeBatch() that isn't a real row count —
+    * `Statement.SUCCESS_NO_INFO` (-2, Oracle always), `EXECUTE_FAILED`
+    * (-3, drivers that continue past per-row failures instead of
+    * throwing), or any other negative — re-runs that row's UPDATE
+    * alone (a single executeUpdate's count is always real, and a
+    * genuine failure then throws its real error), then INSERTs on 0:
+    * "unknown" is never treated as a successful update. The input is
+    * deduplicated on the key columns first (same contract as the
+    * file-sink Merge paths) — two same-key rows in one batch would
+    * otherwise both miss the UPDATE and collide on the INSERT — with
+    * a DETERMINISTIC survivor (max full-row fingerprint per key), so
+    * retries of conflicting-value inputs converge to the same row
+    * instead of whichever dropDuplicates happened to keep.
     *
     * Idempotent by construction (re-running a batch converges), which
     * is the crash story: JDBC targets get at-least-once + idempotence
@@ -208,7 +213,15 @@ object Sinks {
     require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be columns")
     val nonKeys = cols.filterNot(keys.contains)
     require(!doUpdate || nonKeys.nonEmpty, "DO-UPDATE needs at least one non-key column")
-    val df = df0.dropDuplicates(keys)
+    // deterministic survivor per key: order same-key rows by a full-row
+    // fingerprint (xxhash64 spans all columns, any layout) and keep the
+    // max — identical re-runs write identical rows
+    val winner = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(xxhash64(cols.map(col): _*).desc)
+    val df = df0
+      .withColumn("__rn", row_number().over(winner))
+      .filter(col("__rn") === 1).drop("__rn")
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val updateSql =
@@ -230,13 +243,15 @@ object Sinks {
             if (doUpdate) {
               batch.foreach { r => bind(update, r, nonKeys ++ keys); update.addBatch() }
               val counts = update.executeBatch()
-              // count==0 → key absent, INSERT. SUCCESS_NO_INFO (-2) →
-              // the driver won't report per-row counts; re-run that
-              // row's UPDATE alone (a single executeUpdate's count is
-              // always real) and INSERT on 0.
+              // count==0 → key absent, INSERT. Anything negative —
+              // SUCCESS_NO_INFO (-2), EXECUTE_FAILED (-3), or other
+              // driver-specific markers — is NOT a real count; re-run
+              // that row's UPDATE alone (a single executeUpdate's count
+              // is always real, and a genuine failure throws its real
+              // error here) and INSERT on 0. Unknown is never success.
               val misses = batch.zipAll(counts.map(Int.box), null, null).collect {
                 case (r, c) if c == null || c.intValue() == 0 => r
-                case (r, c) if c.intValue() == java.sql.Statement.SUCCESS_NO_INFO =>
+                case (r, c) if c.intValue() < 0 =>
                   bind(update, r, nonKeys ++ keys)
                   if (update.executeUpdate() == 0) r else null
               }.filter(_ != null)

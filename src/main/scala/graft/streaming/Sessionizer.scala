@@ -11,54 +11,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * A session closes when `gapSec` passes with no event for the key;
   * the closed session is emitted exactly once, when the first
   * later-than-gap event arrives (or on processing-time timeout for
-  * keys that went quiet). State per key is one open session
-  * (start, last, count) — after a timeout close it shrinks to a
-  * tombstone carrying only the next session id, so the counter
-  * survives quiet periods and (user, session_id) stays unique.
-  * Either way it's one tiny row per key — bounded regardless of stream length, the
-  * property that keeps an unbounded clickstream safe: 100M active
-  * users is 100M tiny state rows, partitioned by key across the
-  * cluster's state stores.
+  * keys that went quiet). `session_id` is the session's start second:
+  * a key's sessions are disjoint intervals separated by more than the
+  * gap, so their start times strictly increase and (user, session_id)
+  * is unique WITHOUT any per-key counter memory. That lets a timeout
+  * close remove the key's state entirely — no tombstone — so state
+  * size is one small row per key with a currently-open session,
+  * bounded by concurrent activity rather than by every key ever seen
+  * (the property that keeps an unbounded churning key space — e.g.
+  * anonymous visitor ids — safe on a long-running stream).
   */
 object Sessionizer {
 
   case class Click(user_id: Long, ts_sec: Long)
-  case class OpenSession(sessionId: Long, startSec: Long, lastSec: Long, n: Long)
+  case class OpenSession(startSec: Long, lastSec: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_sec: Long, end_sec: Long)
+
+  private def emit(key: Long, s: OpenSession): SessionOut =
+    SessionOut(key, s.startSec, s.n, s.startSec, s.lastSec)
 
   def updateSessions(gapSec: Long, closeQuiet: Boolean)(
       key: Long, clicks: Iterator[Click],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (clicks.isEmpty && state.hasTimedOut) {
-      // key went quiet past the gap: close, but KEEP the session-id
-      // counter in a tombstone (n = 0, no timeout re-armed) — removing
-      // state here would restart the user's next session at id 0 and
-      // emit a duplicate (user, session_id) key downstream
+      // key went quiet past the gap: emit the session and DROP the
+      // state row — session_id = startSec keeps (user, session_id)
+      // unique with zero memory of past sessions
       val s = state.get
-      if (s.n == 0L) return Iterator.empty // stray timeout on a tombstone
-      state.update(OpenSession(s.sessionId + 1, 0L, 0L, 0L))
-      return Iterator.single(SessionOut(key, s.sessionId, s.n, s.startSec, s.lastSec))
+      state.remove()
+      return Iterator.single(emit(key, s))
     }
     val ordered = clicks.toSeq.sortBy(_.ts_sec)
     var open = state.getOption
     val closed = Seq.newBuilder[SessionOut]
     ordered.foreach { c =>
       open match {
-        case Some(s) if s.n == 0L => // tombstone: resume the counter
-          open = Some(OpenSession(s.sessionId, c.ts_sec, c.ts_sec, 1))
         case Some(s) if c.ts_sec - s.lastSec <= gapSec =>
           open = Some(s.copy(lastSec = math.max(s.lastSec, c.ts_sec), n = s.n + 1))
         case Some(s) =>
-          closed += SessionOut(key, s.sessionId, s.n, s.startSec, s.lastSec)
-          open = Some(OpenSession(s.sessionId + 1, c.ts_sec, c.ts_sec, 1))
+          closed += emit(key, s)
+          open = Some(OpenSession(c.ts_sec, c.ts_sec, 1))
         case None =>
-          open = Some(OpenSession(0L, c.ts_sec, c.ts_sec, 1))
+          open = Some(OpenSession(c.ts_sec, c.ts_sec, 1))
       }
     }
     open.foreach { s =>
       state.update(s)
-      if (closeQuiet && s.n > 0L) state.setTimeoutDuration(gapSec * 1000)
+      if (closeQuiet) state.setTimeoutDuration(gapSec * 1000)
     }
     closed.result().iterator
   }

@@ -65,6 +65,20 @@ class ShardingSpec extends SparkSpec {
     assert(withB.select("__b").distinct().count() === 4)
   }
 
+  test("same-key same-size rows order by full-row fingerprint, layout-independent") {
+    // two rows per key share (doc_id, sz) — identical md5 order key and
+    // size — but differ in payload; without the fingerprint tiebreak
+    // their relative order (hence a boundary-straddling shard split)
+    // could swap between runs
+    val dup = (1L to 500L).flatMap(i => Seq((i, 100L, s"a$i"), (i, 100L, s"b$i")))
+      .toDF("doc_id", "sz", "payload")
+    val a = Sharding.sizeBudgeted(dup.repartition(3), "doc_id", "sz", 5000L)
+      .select("payload", "shard").as[(String, Int)].collect().toMap
+    val b = Sharding.sizeBudgeted(dup.repartition(17), "doc_id", "sz", 5000L)
+      .select("payload", "shard").as[(String, Int)].collect().toMap
+    assert(a === b)
+  }
+
   test("shard assignment is independent of partition layout") {
     val a = Sharding.sizeBudgeted(docs.repartition(3), "doc_id", "sz", 50000L)
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap

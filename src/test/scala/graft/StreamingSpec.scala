@@ -95,26 +95,28 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("sess_out").count() === 0, "open sessions must not emit")
 
-      // batch 2: user 1 jumps past the gap → session 0 closes (2 events,
-      // 0..100) and session 1 opens; user 2 stays within gap → nothing
+      // batch 2: user 1 jumps past the gap → the 0..100 session closes
+      // (2 events, session_id = its start sec 0) and a new one opens;
+      // user 2 stays within gap → nothing
       input.addData(Click(1L, 5000L), Click(2L, 1000L))
       q.processAllAvailable()
       val closed = spark.table("sess_out").as[SessionOut].collect()
       assert(closed.toSeq === Seq(SessionOut(1L, 0L, 2L, 0L, 100L)))
 
-      // batch 3: another gap jump for user 1 → session 1 (single event
-      // at 5000) closes with session_id 1
+      // batch 3: another gap jump for user 1 → the session that started
+      // at 5000 closes, session_id = 5000 (start-sec ids stay unique
+      // per user with no counter state)
       input.addData(Click(1L, 10000L))
       q.processAllAvailable()
       val after = spark.table("sess_out").as[SessionOut].collect()
         .sortBy(s => (s.user_id, s.session_id))
       assert(after.toSeq === Seq(
-        SessionOut(1L, 0L, 2L, 0L, 100L), SessionOut(1L, 1L, 1L, 5000L, 5000L)))
+        SessionOut(1L, 0L, 2L, 0L, 100L), SessionOut(1L, 5000L, 1L, 5000L, 5000L)))
       // user 2's session is still open: state bounded at one row per key
     } finally q.stop()
   }
 
-  test("closeQuiet timeout close keeps the session-id counter (no duplicate keys)") {
+  test("closeQuiet timeout close removes state; start-sec ids stay unique") {
     import graft.streaming.Sessionizer
     import graft.streaming.Sessionizer.{Click, OpenSession}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
@@ -126,23 +128,20 @@ class StreamingSpec extends SparkSpec {
       Optional.empty[Long](), timedOut)
     val fn = Sessionizer.updateSessions(gapSec = 1800, closeQuiet = true) _
 
-    // session 3 is open, the key goes quiet → timeout closes it and
-    // leaves a tombstone carrying nextSessionId = 4
-    val s3 = st(Some(OpenSession(3L, 100L, 200L, 2L)), timedOut = true)
+    // a session starting at 100 is open, the key goes quiet → timeout
+    // emits it with session_id = its start sec and DROPS the state row
+    // (no tombstone: state is bounded by concurrently-active keys)
+    val s3 = st(Some(OpenSession(100L, 200L, 2L)), timedOut = true)
     val closed = fn(1L, Iterator.empty, s3).toSeq
-    assert(closed.map(_.session_id) === Seq(3L))
-    assert(s3.get === OpenSession(4L, 0L, 0L, 0L) && !s3.isRemoved)
+    assert(closed === Seq(Sessionizer.SessionOut(1L, 100L, 2L, 100L, 200L)))
+    assert(s3.isRemoved, "timeout close must drop the state row")
 
-    // the user's next click resumes from the tombstone: the new open
-    // session takes id 4, NOT 0 — downstream (user, session_id) stays unique
-    val s4 = st(Some(OpenSession(4L, 0L, 0L, 0L)), timedOut = false)
+    // the user's next click starts a fresh session from empty state;
+    // its id 9000 ≠ 100 — (user, session_id) unique without a counter
+    val s4 = st(None, timedOut = false)
     val out = fn(1L, Iterator(Click(1L, 9000L)), s4).toSeq
-    assert(out.isEmpty && s4.get === OpenSession(4L, 9000L, 9000L, 1L))
+    assert(out.isEmpty && s4.get === OpenSession(9000L, 9000L, 1L))
     assert(s4.getTimeoutTimestampMs.isPresent, "timeout re-armed for the live session")
-
-    // a stray timeout on a tombstone emits nothing and keeps the counter
-    val s5 = st(Some(OpenSession(7L, 0L, 0L, 0L)), timedOut = true)
-    assert(fn(1L, Iterator.empty, s5).isEmpty && !s5.isRemoved)
   }
 
   test("streaming exact dedup: first-wins fingerprint state spans micro-batches") {
