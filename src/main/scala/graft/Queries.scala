@@ -1200,4 +1200,63 @@ object Queries {
     val (target, updates) = mergeFrames(s, dir)
     Merge.insertIgnore(target, updates, Seq("user_id", "d")).orderBy("user_id", "d")
   }
+
+  // SCD type-2 versioned dimension — the history-keeping form of the
+  // U6 dim upsert: day-2 snapshot closes changed versions, opens new
+  // ones, passes unchanged/absent rows through. Change detection is
+  // null-safe attr equality; doubles compare on identical input bytes
+  // (acctbal + 100.0 is the same IEEE op in both engines).
+  register("q_scd2",
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |         '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      |         TRUE AS is_current
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 11 = 0 THEN 'REMAPPED' ELSE c_mktsegment END AS c_mktsegment,
+      |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + CAST(100.0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW', CAST(0.0 AS DOUBLE)
+      |  FROM customer WHERE c_custkey < 5),
+      |chg AS (
+      |  SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+      |  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+      |     OR d.c_acctbal IS DISTINCT FROM u.c_acctbal)
+      |SELECT * FROM (
+      |  SELECT d.* FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+      |         '2024-02-01' AS valid_to, FALSE AS is_current
+      |  FROM dim d JOIN chg USING (c_custkey)
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+      |         '2024-02-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      |         TRUE AS is_current
+      |  FROM upd u JOIN chg USING (c_custkey)
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+      |         '2024-02-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      |         TRUE AS is_current
+      |  FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim))
+      |ORDER BY c_custkey, valid_from""") { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val dim0 = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val upd = cust.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("REMAPPED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") < 5).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        lit("NEW").as("c_mktsegment"),
+        lit(0.0).as("c_acctbal")))
+    Merge.scd2(dim0, upd, Seq("c_custkey"), "2024-02-01")
+      .orderBy("c_custkey", "valid_from")
+  }
 }

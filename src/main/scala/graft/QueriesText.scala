@@ -651,6 +651,94 @@ object QueriesText {
         .orderBy("vec_a", "vec_b")
     }
 
+    // SemDeDup-style cluster-then-dedup: deterministic md5-sampled
+    // centroids, nearest-centroid assignment (round-6 cosine, centroid
+    // id tiebreak), near-dup pairs searched within cells only. The
+    // oracle replays the SAME clustering, so results are value-exact
+    // even where cluster-blocking differs from brute force.
+    register("q_dedup_semantic",
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.0001 AS FLOAT) AS DOUBLE))
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (
+        |  SELECT vec_id AS cid, emb AS cemb FROM c
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, emb, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid) AS rn
+        |  FROM (SELECT v.vec_id, v.emb, ct.cid,
+        |               round(list_dot_product(v.emb, ct.cemb)
+        |                     / (sqrt(list_dot_product(v.emb, v.emb))
+        |                        * sqrt(list_dot_product(ct.cemb, ct.cemb))), 6) AS cosc
+        |        FROM c v, cent ct)),
+        |cells AS (SELECT vec_id, emb, cid AS cell FROM asg WHERE rn = 1)
+        |SELECT vec_a, vec_b, cell, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+        |         round(list_dot_product(a.emb, b.emb)
+        |               / (sqrt(list_dot_product(a.emb, a.emb))
+        |                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.95 ORDER BY vec_a, vec_b""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0001f)))
+      Similarity.clusterDedupPairs(emb.unionByName(planted), k = 16, threshold = 0.95)
+        .orderBy("vec_a", "vec_b")
+    }
+
+    // Scalar int8 quantization digests — integer outputs, exact at any
+    // layout (floor, never round: half-way rules differ by engine).
+    register("q_quantize",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT vec_id, unnest(list_transform(emb, (x, i) -> {'dim': i, 'x': x})) AS u FROM c),
+        |f AS (SELECT vec_id, u.dim AS dim, u.x AS x FROM e),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM f GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE least(255, CAST(floor((x - mn) / (mx - mn) * CAST(256.0 AS DOUBLE)) AS BIGINT))
+        |         END AS code
+        |  FROM f JOIN st USING (dim))
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |       CAST(min(code) AS BIGINT) AS code_min,
+        |       CAST(max(code) AS BIGINT) AS code_max
+        |FROM q GROUP BY vec_id ORDER BY vec_id""") { (s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select("vec_id", "code_sum", "code_min", "code_max")
+        .orderBy("vec_id")
+    }
+
+    // Corpus-LM unigram surprisal — the cheap perplexity-bucket
+    // quality signal (CCNet-style), the corpus as its own LM. Per-doc
+    // fold in sorted term order: byte-stable at any partitioning.
+    register("q_surprisal",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  GROUP BY doc_id, dl, term),
+        |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM vocab),
+        |c AS (
+        |  SELECT doc_id, dl, term, -tf * ln(CAST(cnt AS DOUBLE) / n_tokens) AS contrib
+        |  FROM tf JOIN vocab USING (term), tot)
+        |SELECT doc_id, dl AS n_tokens,
+        |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
+        |                                          ORDER BY term), x -> x.contrib)) / dl, 6) AS surprisal
+        |FROM c GROUP BY doc_id, dl
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.KeywordSearch.unigramSurprisal(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }
+
     // F4/F5 — StandardScaler + LinearRegression + residual-correction
     // next-day prediction (spark.ml; not DuckDB-expressible — MlSpec
     // checks MAE/RMSE bounds instead).

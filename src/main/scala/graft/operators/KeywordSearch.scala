@@ -123,4 +123,39 @@ object KeywordSearch {
       .select("term", "dfr")
     score(postings, dfreq, stats.select("n_docs", "avgdl"), k, k1, b)
   }
+
+  /** Per-document unigram surprisal — the cheap corpus-LM quality
+    * filter (the CCNet/Gopher "perplexity bucket" signal, with the
+    * corpus itself as the language model): score(d) = −Σ_t tf·ln p(t)
+    * / dl, where p(t) is the token's corpus frequency. Word-salad or
+    * rare-token documents score high; repetitive boilerplate scores
+    * low — both tails are what a pretraining pipeline drops.
+    *
+    * Same scale shape as [[bm25TopK]]: per-(doc,term) counts from one
+    * explode, the unigram table joined back (shuffle ∝ distinct
+    * (doc,term) pairs; the vocab aggregate is heavy-tailed but tiny
+    * relative to the corpus), and the per-doc double fold runs in
+    * SORTED TERM ORDER so scores are byte-stable at any partitioning
+    * and replay exactly in any SQL engine. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_tokens"))
+    tf.join(vocab, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("contrib",
+        -col("tf") * log(col("cnt").cast("double") / col("n_tokens")))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .withColumn("surprisal",
+        round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib"))
+          / col("dl"), 6))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"), col("surprisal"))
+  }
 }

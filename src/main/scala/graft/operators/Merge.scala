@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,4 +60,75 @@ object Merge {
   /** U6 — overwrite-upsert: rebuild the dim from the incoming batch. */
   def overwrite(updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.dropDuplicates(keys)
+
+  /** Slowly-changing-dimension type 2 — the versioned form of the
+    * dimension upserts above (U6's tech_companies dim, kept with full
+    * history instead of overwrite). `dim` carries `keys ++ attrs ++
+    * (valid_from, valid_to, is_current)`; `updates` is a snapshot of
+    * `keys ++ attrs` observed at `asOf`.
+    *
+    *  - key in both, any attr differs (null-safe) → close the current
+    *    version (`valid_to = asOf`, `is_current = false`) and open a
+    *    new one (`valid_from = asOf`, open-ended).
+    *  - key only in updates → open a first version.
+    *  - unchanged or absent from the snapshot → row passes through.
+    *
+    * Scale shape: NOT a full-outer join — the current slice and the
+    * snapshot are tag-unioned and grouped by key (same skeleton as
+    * [[merge]]), so the whole operation is ONE key shuffle with
+    * map-side combine, no sort, and no skew exposure (a key groups at
+    * most two rows). Closed history rows bypass the shuffle entirely —
+    * cost tracks the LIVE key count, not accumulated history. Each key
+    * group then emits its 1-2 output rows in a single generate pass.
+    * Re-applying the same snapshot at the same `asOf` is a no-op
+    * (idempotent, MergeSpec). */
+  def scd2(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+           asOf: String): DataFrame = {
+    val metaCols = Seq("valid_from", "valid_to", "is_current")
+    val cols = dim.columns.toSeq
+    require(metaCols.forall(cols.contains), s"dim needs $metaCols columns")
+    require(keys.forall(cols.contains), s"scd2 keys $keys must exist in dim")
+    val attrs = cols.filterNot(keys.contains).filterNot(metaCols.contains)
+    val fromType = dim.schema("valid_from").dataType
+    val toType   = dim.schema("valid_to").dataType
+    val asOfFrom = lit(asOf).cast(fromType)
+    val closeTo  = lit(asOf).cast(toType)
+    val openTo   = lit(null).cast(toType)
+
+    val history = dim.filter(!col("is_current"))
+    val tSide = dim.filter(col("is_current")).select(
+      keys.map(col) ++ Seq(struct(attrs.map(col): _*).as("payload"),
+        col("valid_from"), lit(0).as("prov")): _*)
+    val uSide = updates.dropDuplicates(keys).select(
+      keys.map(col) ++ Seq(struct(attrs.map(col): _*).as("payload"),
+        asOfFrom.as("valid_from"), lit(1).as("prov")): _*)
+    // one shuffle: fold the (≤1 current, ≤1 update) rows of each key;
+    // the struct wrap keeps attr nulls distinguishable from "side
+    // absent", and a single null-safe struct compare detects change
+    val grouped = tSide.unionByName(uSide)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("prov") === 0,
+          struct(col("payload").as("p"), col("valid_from").as("vf")))).as("t"),
+        max(when(col("prov") === 1, struct(col("payload").as("p")))).as("u"))
+    val changed = !(col("t.p") <=> col("u.p"))
+    def out(payload: Column, vf: Column, vt: Column, cur: Column): Column =
+      struct(attrs.map(a => payload.getField(a).as(a)) ++
+        Seq(vf.as("valid_from"), vt.as("valid_to"), cur.as("is_current")): _*)
+    val emitted = grouped.select(
+      keys.map(col) :+ explode(array_compact(array(
+        // passthrough: absent from the snapshot, or unchanged
+        when(col("t").isNotNull && (col("u").isNull || !changed),
+          out(col("t.p"), col("t.vf"), openTo, lit(true))),
+        // close the changed current version
+        when(col("t").isNotNull && col("u").isNotNull && changed,
+          out(col("t.p"), col("t.vf"), closeTo, lit(false))),
+        // open the new version, or the first version of a new key
+        when(col("u").isNotNull && (col("t").isNull || changed),
+          out(col("u.p"), asOfFrom, openTo, lit(true)))))).as("r"): _*)
+      .select(keys.map(col) ++ attrs.map(a => col(s"r.$a"))
+        ++ metaCols.map(m => col(s"r.$m")): _*)
+      .select(cols.map(col): _*)
+    history.unionByName(emitted)
+  }
 }

@@ -237,6 +237,74 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** SemDeDup-style cluster-then-dedup (Abbas et al. 2023): assign
+    * every vector to its nearest of `k` centroids, then search for
+    * near-duplicate pairs only WITHIN each cluster. Work drops from
+    * N² to N·k (assignment, against broadcast centroids — a map-only
+    * scan) plus Σ n_c² (within-cluster pairs, shuffled by cell) — the
+    * shape that makes embedding dedup feasible on a billion-vector
+    * corpus, where clusters bound the quadratic term.
+    *
+    * Centroids are picked deterministically (the `k` vectors with the
+    * smallest md5 of their id — a uniform pseudo-random sample any SQL
+    * engine replays; see [[Sampling]]) rather than by iterative KMeans:
+    * the assignment and pair results are then value-exact and
+    * oracle-checkable, and on near-uniform data a random net loses
+    * little recall vs trained centroids. Assignment folds per vector
+    * via a map-side-combining `max_by` (cos desc, centroid id asc —
+    * round-6 cosine so ranking matches any engine's last bit), never a
+    * window over the N·k cross product.
+    */
+  def clusterDedupPairs(embeddings: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = widened(embeddings).select(col("vec_id"), col("emb"))
+    val centroids = base
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", round(cosine(spark, col("emb"), col("cemb")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("cos_c"), (-col("cid")).as("nc"))).as("cell"),
+        first(col("emb")).as("emb"))
+    assigned.as("a")
+      .join(assigned.as("b"), $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", round(cosine(spark, $"a.emb", $"b.emb"), 6))
+      .filter(col("cos") >= threshold)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.cell".as("cell"), col("cos"))
+  }
+
+  /** Scalar int8 quantization of an embedding column — the storage
+    * path that cuts a float corpus 4× before ANN serving. Per-DIMENSION
+    * global min/max (posexplode → 64-row aggregate, broadcast back),
+    * then code = min(255, floor((x-mn)/(mx-mn)·256)): floor, not
+    * round, so the integer codes are bit-deterministic in any engine
+    * (round's half-way rule differs between engines; floor of the same
+    * IEEE double never does). Returns one row per vector with integer
+    * code digests (sum/min/max) — the oracle-comparable summary — plus
+    * the quantized code array for downstream storage. Degenerate
+    * constant dimensions (mx = mn) code to 0. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val dims = widened(embeddings)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+    val stats = dims.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(255L), floor((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(256.0)))))
+      .groupBy("vec_id")
+      .agg(
+        sum(col("code")).as("code_sum"),
+        min(col("code")).cast("long").as("code_min"),
+        max(col("code")).cast("long").as("code_max"),
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("code")))),
+          s => s.getField("code").cast("int")).as("codes"))
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup flavor of ANN): LSH
     * buckets generate candidates, exact cosine ≥ threshold keeps them.
     * Banded — never an all-pairs crossJoin. */

@@ -58,9 +58,15 @@ class KeywordSearchSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit("spark")),
       org.apache.spark.sql.functions.lit(16L))
     val sparkTb = docs.sparkSession.range(1).select(tb.cast("int")).as[Int].head()
-    val pruned = spark.read.parquet(s"$dir/postings")
-      .filter($"tb" === sparkTb).inputFiles.length
-    val all = spark.read.parquet(s"$dir/postings").inputFiles.length
+    // count the files the SCAN actually selects (Dataset.inputFiles
+    // reports the unpruned index even when PartitionFilters prune)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles.toInt
+      }.get
+    val pruned = scannedFiles(spark.read.parquet(s"$dir/postings").filter($"tb" === sparkTb))
+    val all = scannedFiles(spark.read.parquet(s"$dir/postings"))
     assert(pruned < all, "single-term probe must touch a strict subset of posting partitions")
   }
 
@@ -70,5 +76,22 @@ class KeywordSearchSpec extends SparkSpec {
     val b = KeywordSearch.bm25TopK(docs.repartition(7), Seq("spark", "engine"), 10)
       .as[(Long, Double)].collect().toSeq
     assert(a === b, "folded score must be byte-stable under any partitioning")
+  }
+
+  test("unigramSurprisal: rare tokens surprise more; layout-independent") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "rareword"),
+      (3L, "common common common common"),
+      (4L, "common zebra")).toDF("doc_id", "text")
+    val out = KeywordSearch.unigramSurprisal(corpus)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // doc 2 is a single corpus-hapax token → highest per-token surprisal;
+    // doc 4 mixes one hapax with a common token → above the all-common docs
+    assert(out(2L) > out(4L) && out(4L) > out(1L))
+    assert(out(1L) === out(3L), "identical docs score identically")
+    val relaid = KeywordSearch.unigramSurprisal(corpus.repartition(7))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(relaid === out, "sorted fold must be byte-stable under any partitioning")
   }
 }

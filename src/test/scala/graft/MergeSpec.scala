@@ -57,4 +57,32 @@ class MergeSpec extends SparkSpec {
     val updates = df(Seq((1, "a", 1.0), (1, "a", 9.0), (2, "b", 2.0)))
     assert(Merge.overwrite(updates, Seq("k", "d")).count() === 2)
   }
+
+  test("scd2: closes changed, opens new, passes unchanged/absent; idempotent") {
+    import org.apache.spark.sql.functions._
+    val dim0 = Seq((1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0))
+      .toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit("d1"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    // snapshot at d2: k=1 unchanged, k=2 attr change, k=3 absent, k=4 new
+    val snap = Seq((1, "A", 10.0), (2, "B2", 20.0), (4, "D", 40.0)).toDF("k", "seg", "bal")
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.as[(Int, String, Double, String, Option[String], Boolean)].collect().toSet
+    val v1 = Merge.scd2(dim0, snap, Seq("k"), "d2")
+    assert(canon(v1) === Set(
+      (1, "A", 10.0, "d1", None, true),        // unchanged current
+      (2, "B", 20.0, "d1", Some("d2"), false), // closed version
+      (2, "B2", 20.0, "d2", None, true),       // reopened version
+      (3, "C", 30.0, "d1", None, true),        // absent from snapshot → kept
+      (4, "D", 40.0, "d2", None, true)))       // first version of a new key
+    // re-applying the same snapshot at the same asOf is a no-op
+    assert(canon(Merge.scd2(v1, snap, Seq("k"), "d2")) === canon(v1))
+    // a later snapshot extends the chain: k=2 changes again
+    val v2 = Merge.scd2(v1, Seq((2, "B3", 20.0)).toDF("k", "seg", "bal")
+      .unionByName(snap.filter($"k" =!= 2)), Seq("k"), "d3")
+    assert(canon(v2).contains((2, "B2", 20.0, "d2", Some("d3"), false)) &&
+      canon(v2).contains((2, "B3", 20.0, "d3", None, true)))
+    assert(canon(v2).count(_._1 == 2) === 3, "three versions of k=2")
+  }
 }

@@ -109,6 +109,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("clusterDedupPairs recovers planted scaled duplicates within cells") {
+    val rng = new scala.util.Random(31)
+    val base = Array.fill(40)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      base.take(5).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, v.map(x => x * 1.0001f).toSeq) // same direction
+      }
+    val d = emb(rows: _*)
+    val out = Similarity.clusterDedupPairs(d, k = 8, threshold = 0.999)
+      .as[(Long, Long, Long, Double)].collect()
+    val found = out.map(p => (p._1, p._2)).toSet
+    // a scaled copy keeps every cosine, so each planted pair shares its
+    // nearest centroid and is found despite the cluster blocking
+    assert((0 until 5).map(i => (i.toLong, (100 + i).toLong)).forall(found.contains),
+      s"missed planted dups: $found")
+    assert(out.forall(_._4 >= 0.999))
+    // and the assignment is a partition: pair members share the cell
+    assert(out.map(_._3).forall(c => rows.map(_._1).contains(c)))
+  }
+
+  test("quantizeInt8: codes in 0..255, reconstruction within half a step") {
+    val rng = new scala.util.Random(7)
+    val dims = 16
+    val rows = (0 until 50).map(i => (i.toLong, Seq.fill(dims)(rng.nextGaussian().toFloat)))
+    val out = Similarity.quantizeInt8(emb(rows: _*))
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect()
+    assert(out.length === 50 && out.forall(_._2.length === dims))
+    assert(out.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    // dequantize with the per-dim stats and bound the error by the step
+    val raw = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val mn = (0 until dims).map(j => rows.map(_._2(j).toDouble).min)
+    val mx = (0 until dims).map(j => rows.map(_._2(j).toDouble).max)
+    out.foreach { case (id, cs) =>
+      cs.zipWithIndex.foreach { case (c, j) =>
+        val step = (mx(j) - mn(j)) / 256.0
+        val xhat = mn(j) + (c + 0.5) * step
+        assert(math.abs(raw(id)(j) - xhat) <= step * 0.5 + 1e-12,
+          s"vec $id dim $j: ${raw(id)(j)} vs $xhat (step $step)")
+      }
+    }
+  }
+
   test("cosinePairs finds planted near-duplicate embeddings, no false positives") {
     // plant near-dups: cluster-mate pairs have cos ≈ 1 only for copies
     val rng = new scala.util.Random(23)
