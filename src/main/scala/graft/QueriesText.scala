@@ -406,6 +406,84 @@ object QueriesText {
         .orderBy("doc_id", "bench_id")
     }
 
+    // Bloom-filter decontamination — the 100 TB shape of
+    // q_decontaminate: the benchmark's gram hashes become a broadcast
+    // Bloom filter that prunes training grams BEFORE any shuffle; the
+    // exact confirm join removes the Bloom's false positives, so the
+    // result (and hence the oracle) is identical to the exact path.
+    register("q_bloom_decontaminate",
+      """WITH bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |tsrc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         concat('contaminated sample ', text) AS text
+        |  FROM documents WHERE doc_id < 25 AND doc_id % 5 = 0),
+        |tt AS (SELECT doc_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM tsrc),
+        |bt AS (SELECT doc_id AS bench_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM bsrc),
+        |tsh AS (SELECT doc_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM tt),
+        |bsh AS (SELECT bench_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM bt),
+        |th AS (SELECT doc_id, unnest(h) AS h FROM tsh),
+        |bh AS (SELECT bench_id, unnest(h) AS h FROM bsh)
+        |SELECT th.doc_id, bh.bench_id, count(*) AS shared
+        |FROM th JOIN bh ON th.h = bh.h
+        |GROUP BY th.doc_id, bh.bench_id
+        |HAVING count(*) >= 5
+        |ORDER BY doc_id, bench_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 25)
+      val train = docs.filter(col("doc_id") >= 25).unionByName(
+        bench.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("contaminated sample "), col("text")).as("text")))
+      Dedup.decontaminateBloom(train, bench, n = 3, minShared = 5)
+        .orderBy("doc_id", "bench_id")
+    }
+
+    // Passage-level exact dedup (RefinedWeb-style): 8-token passages,
+    // passages seen in >1 distinct doc removed, docs reconstructed in
+    // passage order. Census keys are 60-bit md5 hashes on both sides.
+    register("q_dedup_passage",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i,
+        |         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS passage
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+        |        FROM toks)),
+        |h AS (SELECT doc_id, i, passage,
+        |             CAST(concat('0x', substring(md5(passage), 1, 15)) AS BIGINT) AS h
+        |      FROM p),
+        |d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h)
+        |SELECT doc_id,
+        |       count(*) AS n_passages,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       coalesce(string_agg(CASE WHEN nd = 1 THEN passage END, ' ' ORDER BY i), '') AS clean_text
+        |FROM h JOIN d USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir), window = 8)
+        .orderBy("doc_id")
+    }
+
     // Token chunking: fixed 16-token windows, 4-token overlap — the
     // doc → encoder-input prep of an embedding pipeline. Pure built-ins
     // (sequence → explode → slice), chunk-count arithmetic is an
@@ -710,6 +788,49 @@ object QueriesText {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))
         .select("vec_id", "code_sum", "code_min", "code_max")
         .orderBy("vec_id")
+    }
+
+    // Matryoshka truncation: first-8-dims prefix re-L2-normalized,
+    // outputs as 1e6 fixed-point FLOOR codes (engine-exact; same rule
+    // as q_quantize). Map-only — the 100 TB path has no shuffle at all.
+    register("q_embed_truncate",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |t AS (SELECT vec_id, emb, emb[1:8] AS pre FROM c),
+        |n AS (SELECT vec_id, pre,
+        |             sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm_full,
+        |             sqrt(list_sum(list_transform(pre, x -> x * x))) AS norm_pre
+        |      FROM t)
+        |SELECT vec_id,
+        |       CAST(floor(norm_full * 1e6) AS BIGINT) AS norm_full_code,
+        |       CAST(floor(norm_pre * 1e6) AS BIGINT) AS norm_pre_code,
+        |       CAST(list_sum(list_transform(pre,
+        |              x -> CAST(floor((CASE WHEN norm_pre = 0 THEN CAST(0.0 AS DOUBLE)
+        |                                    ELSE x / norm_pre END) * 1e6) AS BIGINT)))
+        |            AS BIGINT) AS code_digest
+        |FROM n ORDER BY vec_id""") { (s, dir) =>
+      Similarity.truncateNormalize(Tables.embeddings(s, dir), dims = 8)
+        .select("vec_id", "norm_full_code", "norm_pre_code", "code_digest")
+        .orderBy("vec_id")
+    }
+
+    // Embedding quality/topic classifier (FineWeb-Edu shape): spark.ml
+    // multinomial LR over the embedding column. The model is not
+    // SQL-expressible, so the oracle verifies the md5-deterministic
+    // split counts exactly and asserts the accuracy gate held —
+    // beats_baseline=false hash-fails the driver gate (same design as
+    // q_ml_metrics / q_ann_ivf_recall).
+    register("q_embed_classifier",
+      """WITH s AS (
+        |  SELECT vec_id, label,
+        |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           / CAST(1152921504606846976.0 AS DOUBLE) < 0.8 AS is_train
+        |  FROM embeddings)
+        |SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |       CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+        |       TRUE AS beats_baseline
+        |FROM s""") { (s, dir) =>
+      graft.ml.EmbeddingClassifier.metrics(Tables.embeddings(s, dir))
     }
 
     // Corpus-LM unigram surprisal — the cheap perplexity-bucket

@@ -223,6 +223,92 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Scale path of [[decontaminate]] — identical OUTPUT, different cost
+    * shape. [[decontaminate]] shuffles every distinct training gram into
+    * the equi-join even though, on a clean corpus, almost none match a
+    * benchmark gram. Here a Bloom filter over the benchmark side's gram
+    * hashes (benchmarks are small by nature — the filter is a few MB at
+    * ~10 bits/gram) is broadcast and applied to each training gram
+    * BEFORE any shuffle, so the join's big side carries only grams that
+    * might match (true matches + an `fpp` share of false positives).
+    * At 100 TB that is the difference between shuffling the corpus's
+    * entire gram-hash stream and shuffling roughly nothing. The exact
+    * equi-join then removes the Bloom's false positives; Bloom filters
+    * have no false negatives, so the result is exactly
+    * [[decontaminate]]'s (DecontaminateBloomSpec asserts equality, and
+    * q_bloom_decontaminate carries the same value-exact DuckDB oracle).
+    *
+    * The membership probe is a UDF over a broadcast
+    * `util.sketch.BloomFilter` — Spark exposes no public `might_contain`
+    * column function; a per-long probe against a broadcast bitset is
+    * the standard shape (it is what Spark's own runtime row-level
+    * filtering injects internally). The two driver-side jobs that build
+    * the filter (size estimate + `stat.bloomFilter`) scan only the
+    * SMALL benchmark side. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, n: Int = 3,
+                         minShared: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val bh = withShingleHashSet(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+    val nGrams = math.max(1L,
+      bh.agg(approx_count_distinct(col("h"))).head.getLong(0))
+    val bloom = bh.stat.bloomFilter("h", nGrams, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val th = withShingleHashSet(train, n)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .filter(mightContain(col("h")))
+    th.join(bh, Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // ── passage-level exact dedup ──────────────────────────────────────
+
+  /** Passage-level exact dedup (the RefinedWeb/Falcon recipe, and the
+    * practical form of Lee et al. 2021's substring dedup): split each
+    * document into consecutive `window`-token passages, drop every
+    * passage whose text occurs in more than one distinct document, and
+    * reconstruct the cleaned document in original passage order —
+    * boilerplate repeated across pages disappears while unique prose
+    * survives, at sub-document granularity exact dedup alone can't see.
+    *
+    * Scale shape: passage generation is per-row (a generate, no
+    * shuffle); the duplicate census groups by the 60-bit md5 passage
+    * hash (compact long keys, map-side combined — never the passage
+    * strings); verdicts join back on the same hash; reconstruction
+    * groups by doc_id, so its state is bounded by single-document
+    * length. No step ever pairs documents.
+    *
+    * Output: (doc_id, n_passages, n_dup, clean_text). */
+  def passageDedup(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val nWin = ceil(size(col("toks")).cast("double") / window).cast("int")
+    val passages = withToks(docs)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          i => array_join(slice(col("toks"), i * window + 1, lit(window)), " ")))
+          .as(Seq("i", "passage")))
+      .withColumn("h", conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("long"))
+    val census = passages.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    passages.join(census, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("i"),
+                when(col("nd") > 1, lit(null).cast("string"))
+                  .otherwise(col("passage")).as("p")))),
+              s => s.getField("p").isNotNull),
+            s => s.getField("p")),
+          " ").as("clean_text"))
+  }
+
   // ── duplicate-group resolution ─────────────────────────────────────
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: connected components

@@ -305,6 +305,40 @@ object Similarity {
           s => s.getField("code").cast("int")).as("codes"))
   }
 
+  /** Matryoshka truncation (Kusupati et al. 2022, the MRL serving
+    * trick): keep only the first `dims` coordinates of each embedding
+    * and re-L2-normalize — the cheap tier of a coarse-to-fine ANN
+    * stack, cutting vector bytes (and dot-product cost) by dims/D
+    * before the full-precision rerank. Per-row arithmetic only — no
+    * shuffle, no state; at 100 TB this is a map-only pass.
+    *
+    * Outputs integer FLOOR codes (1e6 fixed point) rather than rounded
+    * doubles so every value is bit-deterministic in any engine (floor
+    * of the same IEEE double never disagrees; round's half-way rule
+    * does — same rule as [[quantizeInt8]]): per-vector norm codes for
+    * the full and truncated prefix, the digest (sum) of the
+    * renormalized coordinate codes, plus the renormalized prefix array
+    * for downstream serving. Zero-norm prefixes code to 0. */
+  def truncateNormalize(embeddings: DataFrame, dims: Int = 8): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    val sq = (x: Column) => x * x
+    val l2 = (v: Column) => sqrt(aggregate(v, lit(0.0), (acc, x) => acc + sq(x)))
+    val code = (x: Column) => floor(x * lit(1e6)).cast("long")
+    widened(embeddings)
+      .select(col("vec_id"), col("emb"), slice(col("emb"), 1, dims).as("pre"))
+      .withColumn("norm_full", l2(col("emb")))
+      .withColumn("norm_pre", l2(col("pre")))
+      .withColumn("renorm",
+        when(col("norm_pre") === 0.0, transform(col("pre"), _ => lit(0.0)))
+          .otherwise(transform(col("pre"), x => x / col("norm_pre"))))
+      .select(
+        col("vec_id"),
+        code(col("norm_full")).as("norm_full_code"),
+        code(col("norm_pre")).as("norm_pre_code"),
+        aggregate(col("renorm"), lit(0L), (acc, x) => acc + code(x)).as("code_digest"),
+        col("renorm"))
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup flavor of ANN): LSH
     * buckets generate candidates, exact cosine ≥ threshold keeps them.
     * Banded — never an all-pairs crossJoin. */

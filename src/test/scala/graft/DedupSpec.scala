@@ -131,4 +131,47 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
     assert(got === Set((100L, 1L), (101L, 2L)), s"flagged $got")
   }
+
+  test("decontaminateBloom is exactly decontaminate (bloom prunes, join confirms)") {
+    // the planted-contamination shape q_decontaminate uses, plus the
+    // near-dup corpus as a noisy training side
+    val bench = corpus.filter("doc_id < 10")
+    val train = corpus.filter("doc_id >= 10")
+    def rows(df: DataFrame) = df.as[(Long, Long, Long)].collect().toSet
+    val exact = rows(Dedup.decontaminate(train, bench, n = 3, minShared = 2))
+    val bloom = rows(Dedup.decontaminateBloom(train, bench, n = 3, minShared = 2))
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(bloom === exact)
+    // a tight filter (low fpp) must not lose matches either
+    assert(rows(Dedup.decontaminateBloom(train, bench, n = 3, minShared = 2,
+      fpp = 0.0001)) === exact)
+  }
+
+  test("passageDedup removes cross-doc repeated passages, keeps unique prose in order") {
+    // passages are 4-token windows here; docs 1 and 2 share their first
+    // 4 tokens exactly (a repeated boilerplate passage); doc 3 is unique
+    val d = docs(
+      1L -> "subscribe to our newsletter alpha beta gamma delta",
+      2L -> "subscribe to our newsletter one two three four",
+      3L -> "completely unique prose with eight distinct tokens here")
+    val got = Dedup.passageDedup(d, window = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((2L, 1L, "alpha beta gamma delta")))
+    assert(got(2L) === ((2L, 1L, "one two three four")))
+    assert(got(3L) === ((2L, 0L, "completely unique prose with eight distinct tokens here")))
+  }
+
+  test("passageDedup: duplicate WITHIN one doc survives; remainder window handled") {
+    val d = docs(
+      // 9 tokens → windows [a b c d] [a b c d] [x]: the repeat is
+      // within ONE doc (distinct-doc count 1) so nothing is removed
+      1L -> "a b c d a b c d x",
+      2L -> "totally different content words")
+    val got = Dedup.passageDedup(d, window = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((3L, 0L, "a b c d a b c d x")))
+    assert(got(2L) === ((1L, 0L, "totally different content words")))
+  }
 }

@@ -31,6 +31,30 @@ class MlSpec extends SparkSpec {
     assert(preds.filter(org.apache.spark.sql.functions.col("predicted_close").isNull).count() === 0)
   }
 
+  test("embedding classifier separates synthetic clusters and beats the majority baseline") {
+    import graft.ml.EmbeddingClassifier
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 well-separated Gaussian clusters in 8-d: any linear model must
+    // recover them (deterministic seed; margin >> noise)
+    val rng = new scala.util.Random(5)
+    val centers = Array.tabulate(4, 8)((c, j) => if (j % 4 == c) 10.0 else 0.0)
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => (x + rng.nextGaussian() * 0.5).toFloat).toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val m = EmbeddingClassifier.metrics(df, trainFrac = 0.8)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(m._1 + m._2 === 200L, "split covers every row")
+    assert(m._3 === 4L)
+    assert(m._4, "classifier must beat the majority baseline on held-out rows")
+    // the md5 split is deterministic: same counts on re-run
+    val m2 = EmbeddingClassifier.metrics(df, trainFrac = 0.8)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(m === m2)
+  }
+
   test("saved models reload and score identically to the in-memory fit") {
     val feats = PricePredictor.features(spark, dir).cache()
     try {

@@ -151,6 +151,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncateNormalize: unit-norm prefix, exact floor codes, zero-vector safe") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 40).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat))) :+
+      (99L, Seq.fill(16)(0.0f)) // degenerate: zero norm
+    val out = Similarity.truncateNormalize(emb(rows: _*), dims = 4)
+      .select($"vec_id", $"norm_full_code", $"norm_pre_code", $"code_digest", $"renorm")
+      .as[(Long, Long, Long, Long, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val raw = rows.toMap
+    out.foreach { case (id, (_, fullCode, preCode, digest, renorm)) =>
+      val v = raw(id).map(_.toDouble)
+      val pre = v.take(4)
+      val nFull = math.sqrt(v.map(x => x * x).sum)
+      val nPre = math.sqrt(pre.map(x => x * x).sum)
+      assert(fullCode === math.floor(nFull * 1e6).toLong)
+      assert(preCode === math.floor(nPre * 1e6).toLong)
+      if (id == 99L) {
+        assert(renorm.forall(_ === 0.0) && digest === 0L)
+      } else {
+        // renormalized prefix is unit length and the digest is the
+        // exact sum of the element floor codes
+        val n2 = math.sqrt(renorm.map(x => x * x).sum)
+        assert(math.abs(n2 - 1.0) < 1e-9, s"vec $id norm $n2")
+        assert(digest === renorm.map(x => math.floor(x * 1e6).toLong).sum)
+      }
+    }
+  }
+
   test("cosinePairs finds planted near-duplicate embeddings, no false positives") {
     // plant near-dups: cluster-mate pairs have cos ≈ 1 only for copies
     val rng = new scala.util.Random(23)
