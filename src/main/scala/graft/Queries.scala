@@ -853,6 +853,63 @@ object Queries {
              ORDER BY region, segment""")
   }
 
+  // GROUPING SETS: arbitrary (non-hierarchical) grouping combinations
+  // in ONE Expand pass — per-flag, per-status, and grand total, but NOT
+  // the (flag, status) cross ROLLUP/CUBE would force. Native Spark 4
+  // Dataset.groupingSets API (same Expand+hash-agg physical shape as
+  // rollup/cube: one shuffle, map-side combined).
+  register("q_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY flag, status""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+  }
+
+  // NTILE quality buckets: equal-frequency quartiles of the per-doc
+  // quality score WITHIN each language — the "keep the top quality
+  // band per language" curation cut. Window is partitioned by lang
+  // (never a global single-partition sort); ties broken by doc_id so
+  // bucket edges are deterministic in any engine.
+  register("q_ntile_quality",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |         round(least(1.0, len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) / 100.0)
+      |               * (1.0 - CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |                         x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+      |                 / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))), 4) AS quality
+      |  FROM documents),
+      |b AS (SELECT lang, quality,
+      |             ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bucket
+      |      FROM q)
+      |SELECT lang, bucket, count(*) AS n,
+      |       min(quality) AS min_q, max(quality) AS max_q
+      |FROM b GROUP BY lang, bucket
+      |ORDER BY lang, bucket""") { (s, dir) =>
+    import graft.functions.TextStats
+    val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    Tables.documents(s, dir)
+      .withColumn("toks", TextStats.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+      // cast: Spark ntile is INT, DuckDB's is BIGINT — schema-strict gate
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("lang", "bucket")
+  }
+
   // Time-RANGE window: 7 calendar-day moving average — a RANGE frame
   // over epoch-days, NOT a 7-ROW frame (the two differ exactly where
   // the series has gap days; see q_gap_fill). Fixed-point sum so the

@@ -913,6 +913,26 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Temperature-flattened mixing (mT5-style, α=0.5): source shares
+    // flattened toward uniform via sqrt weights — sqrt (unlike pow) is
+    // IEEE-correctly-rounded, so the rate arithmetic replays byte-
+    // exactly in DuckDB. Op order mirrors Sampling.temperatureMix.
+    register("q_sample_temperature",
+      """WITH counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |                FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, sqrt(n) AS wt FROM counts),
+        |t AS (SELECT min(n / wt) AS total FROM w),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), total * wt / n) AS rate FROM w, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x', substring(md5(concat(doc_id, ':42')), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+
     // Weighted source mixing: per-source keep rates derived from the
     // observed counts so the output approximates the target weights
     // (scaled to the largest feasible total, never upsampling). The

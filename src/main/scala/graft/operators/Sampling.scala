@@ -36,6 +36,34 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-flattened source mixing — the mT5/XLM-R recipe for
+    * multilingual/multi-source corpora: target source shares ∝ n_s^α,
+    * α < 1 flattening the distribution (upweights small sources
+    * relative to their natural share) without ever upsampling. Rates
+    * derive from observed counts exactly like [[weightedMix]] (the
+    * O(#sources) count collect is the only driver work; membership is
+    * per-row hash arithmetic).
+    *
+    * α = 0.5 (the common setting) computes weights via `sqrt`, not
+    * `pow`: IEEE 754 requires sqrt to be correctly rounded but not
+    * pow, so only the sqrt form is guaranteed byte-identical across
+    * engines — which is what lets q_sample_temperature carry a
+    * value-exact DuckDB oracle. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     alpha: Double = 0.5, salt: Int = 42): DataFrame = {
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(counts.nonEmpty, "empty input")
+    val w = counts.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha))
+    }
+    // same largest-feasible-total scaling as weightedMix, with the op
+    // order mirrored exactly by the oracle SQL (FP-sensitive)
+    val total = w.map { case (s, ws) => counts(s) / ws }.min
+    val rates = w.map { case (s, ws) => s -> math.min(1.0, total * ws / counts(s)) }
+    stratified(df, sourceCol, keyCol, rates, salt)
+  }
+
   /** Mix sources to target proportions: compute per-source keep rates
     * from the observed counts so the OUTPUT approximates `weights`
     * (scaled to the largest feasible total without upsampling). */

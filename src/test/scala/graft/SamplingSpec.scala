@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
     // no stratum exceeds its available rows
     assert(byLang("en") <= docs.filter($"lang" === "en").count())
   }
+
+  test("temperatureMix flattens source shares toward uniform, never upsamples") {
+    val inCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val out = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+    val outCounts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    // α=0.5 targets shares ∝ sqrt(n): the smallest source is kept in
+    // full (rate 1) and the largest is downsampled toward sqrt parity
+    val smallest = inCounts.minBy(_._2)._1
+    val largest = inCounts.maxBy(_._2)._1
+    assert(outCounts(smallest) === inCounts(smallest), "smallest source keeps every row")
+    assert(outCounts(largest) < inCounts(largest), "largest source is downsampled")
+    // output share ratio approximates the sqrt-count ratio
+    val wantRatio = math.sqrt(inCounts(largest)) / math.sqrt(inCounts(smallest))
+    val gotRatio = outCounts(largest) / outCounts(smallest)
+    assert(math.abs(gotRatio - wantRatio) / wantRatio < 0.25,
+      s"share ratio $gotRatio should approximate sqrt ratio $wantRatio")
+    // deterministic: same survivors on re-run under different layout
+    val again = Sampling.temperatureMix(docs.repartition(13), "lang", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === again)
+  }
 }
