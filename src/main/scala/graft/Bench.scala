@@ -60,10 +60,38 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+
+    // The harness captures only the LAST ~2000 chars of output, so the
+    // final line MUST be a complete JSON object well under that budget
+    // or the run records no numbers at all. Values are rounded to 3
+    // decimals; if the full per-query map still doesn't fit, keep the
+    // slowest queries that do and report how much was omitted. The full
+    // map is printed on its own line first for human inspection.
+    def line(qs: Map[String, Double], omitted: Int, omittedSec: Double): String = {
+      val body = qs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted,"omitted_sec":${jnum(omittedSec)}""" else ""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$body$omit,"errors":$es,"sf":${jstr(sfDir)}}"""
+    }
+    val fullLine = line(times.toMap, 0, 0.0)
+    val budget = 1700
+    val compact =
+      if (fullLine.length <= budget) fullLine
+      else {
+        val bySlow = times.toSeq.sortBy(-_._2)
+        // largest prefix of slowest queries whose line fits the budget
+        val keep = (bySlow.length to 1 by -1).view
+          .map(n => bySlow.take(n))
+          .find(kept => line(kept.toMap, times.size - kept.size,
+            total - kept.map(_._2).sum).length <= budget)
+          .getOrElse(bySlow.take(1))
+        line(keep.toMap, times.size - keep.size, total - keep.map(_._2).sum)
+      }
+    if (compact ne fullLine) println(fullLine)
+    println(compact)
     spark.stop()
   }
 }
