@@ -1215,6 +1215,58 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  // ───────────────────── numeric profiling / QA ─────────────────────
+
+  // Equi-width histogram of event values per type — the distribution
+  // profile a pipeline QA pass materializes per column. Bucket index
+  // is per-row integer arithmetic; counts and cent-sums are exact and
+  // order-independent, so the histogram is mergeable across any
+  // partitioning (the property sketches have, kept while staying
+  // exact). One hash aggregation, map-side combined.
+  register("q_histogram",
+    """SELECT event_type,
+      |       least(24, greatest(0, CAST(floor((value - 0.0) / 20.0) AS BIGINT))) AS bucket,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""") { (s, dir) =>
+    graft.operators.Profile.histogram(
+      Tables.events(s, dir), "event_type", "value", lo = 0.0, hi = 500.0, nb = 25)
+      .orderBy("event_type", "bucket")
+  }
+
+  // Rank-exact winsorization: clip event values at the p05/p95 RANK
+  // values per type (bounds are values from the data — no interpolation
+  // arithmetic to drift between engines), then the clipped fixed-point
+  // sum. The audit-pass twin of GK-sketch clipping (q_quality_quantiles
+  // is the mergeable form); see Profile.winsorize for the skew story.
+  register("q_winsorize",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |         min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS p_lo,
+      |         min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p_hi
+      |  FROM r GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n,
+      |       round(min(b.p_lo), 4) AS p05, round(min(b.p_hi), 4) AS p95,
+      |       CAST(sum(CAST(round(least(greatest(e.value, b.p_lo), b.p_hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""") { (s, dir) =>
+    graft.operators.Profile.winsorize(
+      Tables.events(s, dir), "event_type", "value", tieCol = "event_id")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("p_lo"), 4).as("p05"),
+        round(min("p_hi"), 4).as("p95"),
+        sum(round(col("clipped") * 100).cast("long")).as("clipped_cents"))
+      .orderBy("event_type")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =

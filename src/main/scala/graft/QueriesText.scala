@@ -933,6 +933,43 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Exact-k per stratum: precisely min(k, n) docs per language, the
+    // k smallest md5 digests — deterministic at any layout, auditable
+    // outside Spark (the oracle replays the identical rank).
+    register("q_sample_exact_k",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(concat(doc_id, ':42')), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""") { (s, dir) =>
+      graft.operators.Sampling.exactKPerStratum(
+        Tables.documents(s, dir), "lang", "doc_id", k = 50)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }
+
+    // Leakage-safe train/val/test split: the split hashes the SOURCE,
+    // so all docs from one source share a split (near-dups and
+    // same-site pages never straddle the train/eval boundary). The
+    // n_sources column is the leakage audit: summed over splits it
+    // equals the distinct source count, i.e. no source appears twice.
+    register("q_split_assign",
+      """WITH s AS (
+        |  SELECT lang, source,
+        |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang, source,
+        |               CAST(concat('0x', substring(md5(concat(source, ':42')), 1, 15)) AS BIGINT)
+        |                 / 1152921504606846976.0 AS u
+        |        FROM documents))
+        |SELECT split, lang, count(*) AS n, count(DISTINCT source) AS n_sources
+        |FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
+      graft.operators.Sampling.assignSplit(Tables.documents(s, dir), "source")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), countDistinct("source").as("n_sources"))
+        .orderBy("split", "lang")
+    }
+
     // Weighted source mixing: per-source keep rates derived from the
     // observed counts so the output approximates the target weights
     // (scaled to the largest feasible total, never upsampling). The

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Numeric data profiling for pipeline QA: equi-width histograms and
+  * rank-exact winsorization (outlier clipping).
+  *
+  * Both are the AUDIT-pass forms — exact answers with fully
+  * deterministic, engine-portable arithmetic (integer bucket indices,
+  * fixed-point cent sums, rank-selected bounds — no interpolated
+  * percentiles whose fp evaluation order could differ between
+  * engines). The 100 TB hot path for the same signals is the
+  * mergeable-sketch profile (`q_sketch_profile`: HLL++ distinct, GK
+  * quantiles); these run on a sampled slice or a single partition the
+  * way `q_sketch_check` audits the sketches.
+  */
+object Profile {
+
+  /** Exact cents column (shared fixed-point idiom; DailySeries.cents). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Equi-width histogram of `valueCol` per `groupCol` over the fixed
+    * range [lo, hi): bucket i covers [lo + i·step, lo + (i+1)·step),
+    * out-of-range values clamp into the edge buckets. One hash
+    * aggregation — bucket index is per-row integer arithmetic, counts
+    * and cent-sums are order-independent, so the histogram is exact at
+    * any partitioning (and buckets are mergeable across splits, unlike
+    * anything rank-based). Empty buckets are absent (sparse output) —
+    * at 100 TB most profiling targets are heavy-tailed and a dense
+    * nb-row-per-group densify is a cheap local join if a UI needs it. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, nb: Int): DataFrame = {
+    require(nb > 0 && hi > lo, s"bad histogram range [$lo, $hi) / $nb")
+    val step = (hi - lo) / nb
+    val bucket = least(lit(nb - 1L), greatest(lit(0L),
+      floor((col(valueCol) - lit(lo)) / lit(step))))
+    df.withColumn("bucket", bucket)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(cents(col(valueCol))).as("sum_cents"))
+  }
+
+  /** Winsorize `valueCol` per `groupCol`: clip to the values at ranks
+    * ceil(pLo·n) and ceil(pHi·n) in (value, tieCol) order — the
+    * rank-based percentile definition, chosen over interpolation
+    * because the selected bounds are VALUES FROM THE DATA (no
+    * arithmetic to drift between engines). Returns the input rows
+    * plus `p_lo`/`p_hi`/`clipped`.
+    *
+    * Scale: the rank pass is a per-group window sort, so a group's
+    * rows must sort together — with few, huge groups this is the
+    * skew-prone shape, which is WHY the production form of this
+    * signal is GK-sketch quantiles (mergeable, one pass,
+    * `q_quality_quantiles`); this exact-rank form is the audit pass.
+    * The bounds table is one row per group and broadcast back. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                tieCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi <= 1, s"bad percentile bounds ($pLo, $pHi)")
+    val part = Window.partitionBy(groupCol)
+    val byValue = part.orderBy(col(valueCol), col(tieCol))
+    val bounds = df
+      .withColumn("__rn", row_number().over(byValue).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(groupCol)
+      .agg(
+        min(when(col("__rn") === ceil(lit(pLo) * col("__n")), col(valueCol))).as("p_lo"),
+        min(when(col("__rn") === ceil(lit(pHi) * col("__n")), col(valueCol))).as("p_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+  }
+}

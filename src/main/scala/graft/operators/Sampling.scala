@@ -64,6 +64,47 @@ object Sampling {
     stratified(df, sourceCol, keyCol, rates, salt)
   }
 
+  /** Take EXACTLY min(k, n_s) rows per stratum, chosen by hash rank —
+    * the "n docs per language / per source" curation cut where a
+    * probabilistic rate (± binomial noise) isn't acceptable. Survivors
+    * are the k smallest md5(key:salt) digests per stratum: layout- and
+    * retry-independent, and auditable in any SQL engine (same
+    * row_number the oracle runs). One shuffle on the stratum column;
+    * the per-stratum sort spills fine, but for a stratum that is a
+    * large fraction of 100 TB prefer [[stratified]] with rate k/n (the
+    * sortless form) or pre-filter with an approximate digest-threshold
+    * pass so only ~k rows per stratum reach this exact rank. */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int, salt: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Leakage-safe train/val/test assignment: the split is a hash of
+    * the GROUP key (domain, source, near-dup cluster id...), so every
+    * row of a group lands in the SAME split — the property that keeps
+    * near-duplicates and same-source documents from straddling the
+    * train/eval boundary. Pure per-row arithmetic (no shuffle, no
+    * state); fractions are group-weighted, so they hold over groups,
+    * not rows — exact row fractions require per-group sizing, which
+    * is what [[weightedMix]] does when that matters more. */
+  def assignSplit(df: DataFrame, groupCol: String,
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                  salt: Int = 42): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"bad split fractions ($trainFrac, $valFrac)")
+    val u = unit(col(groupCol), salt)
+    df.withColumn("split",
+      when(u < trainFrac, lit("train"))
+        .when(u < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Mix sources to target proportions: compute per-source keep rates
     * from the observed counts so the OUTPUT approximates `weights`
     * (scaled to the largest feasible total without upsampling). */

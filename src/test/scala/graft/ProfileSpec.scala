@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+/** Numeric profiling: histogram bucket math (clamping, exact cent
+  * sums, layout independence) and rank-exact winsorization bounds.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vals = (1 to 1000)
+    .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i / 10.0))
+    .toDF("id", "grp", "v")
+
+  test("histogram: bucket edges, clamping, and exact counts") {
+    // v spans 0.1..100.0; 10 buckets of width 10 over [0, 100)
+    val h = Profile.histogram(vals, "grp", "v", lo = 0.0, hi = 100.0, nb = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bucket 0 of grp b holds v in [0, 10): ids 1,3,...,99 → 50 odd ids
+    assert(h(("b", 0L)) === 50L)
+    // v == 100.0 (id 1000, grp a) clamps into the top bucket
+    val top = Profile.histogram(vals.filter($"id" === 1000), "grp", "v", 0.0, 100.0, 10)
+      .collect()
+    assert(top.head.getLong(1) === 9L)
+    // counts sum to the input size
+    assert(h.values.sum === 1000L)
+  }
+
+  test("histogram is identical at any partition layout") {
+    def run(parts: Int) = Profile.histogram(vals.repartition(parts), "grp", "v", 0.0, 100.0, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(2) === run(13))
+  }
+
+  test("winsorize: bounds are the exact rank values and clipping holds") {
+    val out = Profile.winsorize(vals, "grp", "v", tieCol = "id")
+    // each grp has 500 rows: p05 rank = ceil(25) = 25, p95 rank = 475
+    val bounds = out.select("grp", "p_lo", "p_hi").distinct().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // grp a values sorted: 0.2, 0.4, ... (even ids /10); 25th = 5.0, 475th = 95.0
+    assert(bounds("a") === ((5.0, 95.0)))
+    // grp b: odd ids /10 → 25th = 4.9, 475th = 94.9
+    assert(bounds("b") === ((4.9, 94.9)))
+    // clipped stays within bounds, untouched in the interior
+    val bad = out.filter($"clipped" < $"p_lo" || $"clipped" > $"p_hi").count()
+    assert(bad === 0L)
+    val interior = out.filter($"v" >= $"p_lo" && $"v" <= $"p_hi")
+      .filter($"clipped" =!= $"v").count()
+    assert(interior === 0L)
+  }
+}

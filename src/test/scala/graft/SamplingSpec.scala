@@ -67,4 +67,34 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
+
+  test("exactKPerStratum takes exactly min(k, n) per stratum, layout-independent") {
+    val out = Sampling.exactKPerStratum(docs, "lang", "doc_id", k = 100)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 100L), s"every stratum has >100 rows: $byLang")
+    // a stratum smaller than k survives whole
+    val tiny = docs.filter($"doc_id" <= 30)
+    val outTiny = Sampling.exactKPerStratum(tiny, "lang", "doc_id", k = 100)
+    assert(outTiny.count() === tiny.count())
+    // identical survivors under a different partitioning
+    val again = Sampling.exactKPerStratum(docs.repartition(17), "lang", "doc_id", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === again)
+  }
+
+  test("assignSplit is group-atomic: one split per group, fractions ~hold over groups") {
+    val grouped = docs.withColumn("source", concat(lit("src"), ($"doc_id" % 200).cast("string")))
+    val out = Sampling.assignSplit(grouped, "source")
+    // leakage audit: no source straddles two splits
+    val straddlers = out.groupBy("source")
+      .agg(countDistinct("split").as("k")).filter($"k" > 1).count()
+    assert(straddlers === 0L)
+    // split fractions hold over the 200 groups within binomial noise
+    val bySplit = out.select("source", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(math.abs(bySplit("train") / 200.0 - 0.8) < 0.08, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0.0) + bySplit.getOrElse("test", 0.0) > 0)
+  }
 }
