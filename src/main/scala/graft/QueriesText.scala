@@ -1048,6 +1048,94 @@ object QueriesText {
         Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 10)
     }
 
+    // TF-IDF "more like this": corpus ranked by cosine to doc 7's
+    // ltc-weighted vector. The oracle folds norm over ALL of a doc's
+    // terms and dot over the SHARED terms, both in sorted term order;
+    // the Spark side left-joins the query vector so non-shared terms
+    // add +0.0 to the dot — an exact identity, so the two folds agree
+    // byte-for-byte (all weights ≥ 0: no −0.0 anywhere).
+    register("q_tfidf_mlt",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, term,
+        |             (CAST(1.0 AS DOUBLE) + ln(CAST(tf AS DOUBLE)))
+        |               * ln(CAST(n_docs AS DOUBLE) / dfr) AS w
+        |      FROM tf JOIN df USING (term), n),
+        |norms AS (SELECT doc_id,
+        |                 sqrt(list_sum(list_transform(
+        |                   list(struct_pack(term := term, w := w) ORDER BY term),
+        |                   x -> x.w * x.w))) AS nrm
+        |          FROM w GROUP BY doc_id),
+        |q AS (SELECT term, w AS wq FROM w WHERE doc_id = 7),
+        |qn AS (SELECT nrm AS nq FROM norms WHERE doc_id = 7),
+        |dots AS (SELECT w.doc_id,
+        |                list_sum(list_transform(
+        |                  list(struct_pack(term := term, p := w.w * q.wq) ORDER BY term),
+        |                  x -> x.p)) AS dot
+        |         FROM w JOIN q USING (term) WHERE w.doc_id <> 7 GROUP BY w.doc_id)
+        |SELECT d.doc_id, round(d.dot / (qn.nq * n2.nrm), 6) AS cosine
+        |FROM dots d JOIN norms n2 USING (doc_id), qn
+        |ORDER BY cosine DESC, doc_id LIMIT 10""") { (s, dir) =>
+      graft.operators.KeywordSearch.tfidfMoreLikeThis(
+        Tables.documents(s, dir), queryDocId = 7L, k = 10)
+    }
+
+    // Frequent-items sketch profile — the 100 TB shape of q_top_ngrams:
+    // a Misra-Gries heavy-hitters aggregate keeps ≤2048 counters per
+    // partial state and merges associatively, so the corpus profile is
+    // one pass shipping O(capacity) per partition instead of shuffling
+    // every distinct gram. Estimates are arrival-order-dependent once
+    // decrements fire → rows-only, gated by q_freq_items_check below
+    // (the same sketch/audit split as q_sketch_profile/q_sketch_check).
+    registerNoOracle("q_freq_items") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextStats.tokens(col("text")).as("toks")) // stage once: gramsOf re-evals its input per element
+        .select(explode(Dedup.gramsOf(col("toks"), 2)).as("gram"))
+        .agg(call_function("graft_freq_items", col("gram"), lit(2048)).as("items"))
+        .select(explode(col("items")).as("x"))
+        .select(col("x.item").as("gram"), col("x.est").as("est"))
+        .orderBy(col("est").desc, col("gram"))
+        .limit(20)
+    }
+
+    // Audit gate for the sketch: on this corpus the bigram vocabulary
+    // (~930) is under the 2048-counter capacity, so Misra-Gries fires
+    // no decrement and every estimate is EXACT — the oracle asserts
+    // presence and exactness for the true top-20. A serialization or
+    // merge bug would corrupt a count and flip a boolean. The MG
+    // decrement/bound behavior under pressure (capacity << vocab) is
+    // property-tested in FreqItemsSpec.
+    register("q_freq_items_check",
+      """SELECT gram, count(*) AS n, TRUE AS in_sketch, TRUE AS est_exact
+        |FROM (
+        |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |                ELSE list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END) AS gram
+        |  FROM (SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |        FROM documents))
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""") { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(TextStats.tokens(col("text")).as("toks")) // stage once: gramsOf re-evals its input per element
+        .select(explode(Dedup.gramsOf(col("toks"), 2)).as("gram"))
+      val sketch = grams
+        .agg(call_function("graft_freq_items", col("gram"), lit(2048)).as("items"))
+        .select(explode(col("items")).as("x"))
+        .select(col("x.item").as("gram"), col("x.est").as("est"))
+      val exactTop = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)
+      exactTop.join(sketch, Seq("gram"), "left")
+        .select(
+          col("gram"), col("n"),
+          col("est").isNotNull.as("in_sketch"),
+          coalesce(col("est") === col("n"), lit(false)).as("est_exact"))
+        .orderBy(col("n").desc, col("gram"))
+    }
+
     // Corpus bigram frequency profile (data-quality staple: the "most
     // common n-grams" table). Integer counts — exact at any layout.
     register("q_top_ngrams",

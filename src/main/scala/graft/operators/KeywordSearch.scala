@@ -124,6 +124,65 @@ object KeywordSearch {
     score(postings, dfreq, stats.select("n_docs", "avgdl"), k, k1, b)
   }
 
+  /** TF-IDF "more like this": rank the corpus by cosine similarity to
+    * one document's ltc-weighted term vector — the lexical
+    * find-similar that complements [[bm25TopK]] (bag-of-words query)
+    * and `Similarity` (dense embeddings). Weight is the classic
+    * (1 + ln tf) · ln(N/df); both factors are ≥ 0, so every dot
+    * contribution is ≥ 0 (no −0.0 can arise in the folds).
+    *
+    * Scale shape: the postings/vocabulary build is the same two
+    * aggregations as [[unigramSurprisal]] (explode → (doc,term) tf →
+    * term df; the df join broadcasts under AQE at dim-like vocab
+    * sizes and degrades to a hash shuffle join on term beyond that —
+    * persist [[buildInvertedIndex]] when queries repeat). The query
+    * vector is ONE document's terms — broadcast by construction — and
+    * norm + dot come out of a single per-doc aggregation (the query
+    * terms are left-joined in, so non-shared terms contribute w² to
+    * the norm and +0.0 to the dot; adding +0.0 is exact, so the dot
+    * equals the shared-terms-only fold byte-for-byte).
+    *
+    * Determinism: same sorted-term fold contract as [[bm25TopK]] —
+    * per-doc folds run in term order, so scores replay in any engine. */
+  def tfidfMoreLikeThis(docs: DataFrame, queryDocId: Long, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfr"))
+    val w = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        (lit(1.0) + log(col("tf").cast("double")))
+          * log(col("n_docs").cast("double") / col("dfr")))
+      .select("doc_id", "term", "w")
+    val qvec = w.filter(col("doc_id") === queryDocId)
+      .select(col("term"), col("w").as("wq"))
+    val scored = w
+      .join(broadcast(qvec), Seq("term"), "left")
+      .withColumn("p", col("w") * coalesce(col("wq"), lit(0.0)))
+      .withColumn("shared", when(col("wq").isNotNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("w"), col("p")))).as("cs"),
+        sum(col("shared")).as("n_shared"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("w") * x.getField("w"))))
+      .withColumn("dot",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("p")))
+    val qn = scored.filter(col("doc_id") === queryDocId)
+      .select(col("nrm").as("nq"))
+    scored
+      .filter(col("doc_id") =!= queryDocId && col("n_shared") > 0)
+      .crossJoin(broadcast(qn))
+      .withColumn("cosine", round(col("dot") / (col("nq") * col("nrm")), 6))
+      .select(col("doc_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document unigram surprisal — the cheap corpus-LM quality
     * filter (the CCNet/Gopher "perplexity bucket" signal, with the
     * corpus itself as the language model): score(d) = −Σ_t tf·ln p(t)

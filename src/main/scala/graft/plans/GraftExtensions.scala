@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBuckets(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItemsAggregate].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_freq_items(item, capacity) takes 2 arguments")
+        FreqItemsAggregate(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sentiment"),
       new ExpressionInfo(classOf[SentimentCompound].getName, "graft_sentiment"),
       (children: Seq[Expression]) => {

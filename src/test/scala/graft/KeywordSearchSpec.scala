@@ -94,4 +94,25 @@ class KeywordSearchSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(relaid === out, "sorted fold must be byte-stable under any partitioning")
   }
+
+  test("tfidfMoreLikeThis: overlap ranks above partial, none excluded, layout-independent") {
+    val corpus = Seq(
+      (1L, "spark engine shuffle partition spark"),
+      (2L, "spark engine shuffle partition"),        // near-copy of 1 (query)
+      (3L, "spark engine other words entirely"),     // partial overlap
+      (4L, "shuffle partition alone"),               // partial overlap
+      (5L, "unrelated text with zero common tokens"),
+      (6L, "more unrelated filler body")
+    ).toDF("doc_id", "text")
+    val got = KeywordSearch.tfidfMoreLikeThis(corpus, queryDocId = 2L, k = 10)
+      .as[(Long, Double)].collect()
+    val rank = got.map(_._1).toSeq
+    assert(!rank.contains(2L), "query doc excluded")
+    assert(!rank.contains(5L) && !rank.contains(6L), "no shared terms → not returned")
+    assert(rank.head === 1L, "the near-copy ranks first")
+    assert(got.forall { case (_, c) => c >= 0.0 && c <= 1.0 + 1e-9 })
+    val relaid = KeywordSearch.tfidfMoreLikeThis(corpus.repartition(7), 2L, 10)
+      .as[(Long, Double)].collect()
+    assert(relaid.toSeq === got.toSeq, "cosine must be byte-stable under any partitioning")
+  }
 }
