@@ -131,35 +131,53 @@ object KeywordSearch {
     * (1 + ln tf) · ln(N/df); both factors are ≥ 0, so every dot
     * contribution is ≥ 0 (no −0.0 can arise in the folds).
     *
-    * Scale shape: the postings/vocabulary build is the same two
-    * aggregations as [[unigramSurprisal]] (explode → (doc,term) tf →
-    * term df; the df join broadcasts under AQE at dim-like vocab
-    * sizes and degrades to a hash shuffle join on term beyond that —
-    * persist [[buildInvertedIndex]] when queries repeat). The query
-    * vector is ONE document's terms — broadcast by construction — and
-    * norm + dot come out of a single per-doc aggregation (the query
-    * terms are left-joined in, so non-shared terms contribute w² to
-    * the norm and +0.0 to the dot; adding +0.0 is exact, so the dot
-    * equals the shared-terms-only fold byte-for-byte).
+    * Scale shape: TWO corpus passes. Pass 1 materializes the query
+    * doc's weighted vector — the only driver collect, bounded by one
+    * document's vocabulary (the same O(small) class as the IVF
+    * centroid collect) — and folds its norm locally. Pass 2 scores:
+    * postings → df join (AQE broadcasts dim-like vocabularies; the tf
+    * exchange feeding both join sides is reused, not recomputed) →
+    * one per-doc aggregation producing norm AND dot together (the
+    * broadcast query terms are left-joined in, so non-shared terms
+    * contribute w² to the norm and an exact +0.0 to the dot). Persist
+    * [[buildInvertedIndex]] when queries repeat.
     *
     * Determinism: same sorted-term fold contract as [[bm25TopK]] —
-    * per-doc folds run in term order, so scores replay in any engine. */
+    * per-doc folds run in binary UTF-8 term order (the local query
+    * fold uses UTF8String comparison for the same order), so scores
+    * replay in any engine. */
   def tfidfMoreLikeThis(docs: DataFrame, queryDocId: Long, k: Int): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfr"))
-    val w = tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w",
-        (lit(1.0) + log(col("tf").cast("double")))
-          * log(col("n_docs").cast("double") / col("dfr")))
-      .select("doc_id", "term", "w")
-    val qvec = w.filter(col("doc_id") === queryDocId)
-      .select(col("term"), col("w").as("wq"))
-    val scored = w
+    val spark = docs.sparkSession
+    def weighted(d: DataFrame): DataFrame = {
+      val tf = d
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfr"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w",
+          (lit(1.0) + log(col("tf").cast("double")))
+            * log(col("n_docs").cast("double") / col("dfr")))
+        .select("doc_id", "term", "w")
+    }
+    // pass 1: the query vector (≤ one doc's vocabulary) + local norm
+    // folded in binary UTF-8 term order — the exact order the oracle's
+    // ORDER BY term uses (String.compareTo would differ on non-BMP)
+    val qTerms = weighted(docs).filter(col("doc_id") === queryDocId)
+      .select("term", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1)) < 0)
+    require(qTerms.nonEmpty, s"query doc $queryDocId not found or has no tokens")
+    val nq = math.sqrt(qTerms.foldLeft(0.0) { case (a, (_, wq)) => a + wq * wq })
+    import spark.implicits._
+    val qvec = qTerms.toSeq.toDF("term", "wq")
+    // pass 2: score the corpus in one per-doc aggregation
+    weighted(docs)
+      .filter(col("doc_id") =!= queryDocId)
       .join(broadcast(qvec), Seq("term"), "left")
       .withColumn("p", col("w") * coalesce(col("wq"), lit(0.0)))
       .withColumn("shared", when(col("wq").isNotNull, 1L).otherwise(0L))
@@ -172,12 +190,8 @@ object KeywordSearch {
           (acc, x) => acc + x.getField("w") * x.getField("w"))))
       .withColumn("dot",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("p")))
-    val qn = scored.filter(col("doc_id") === queryDocId)
-      .select(col("nrm").as("nq"))
-    scored
-      .filter(col("doc_id") =!= queryDocId && col("n_shared") > 0)
-      .crossJoin(broadcast(qn))
-      .withColumn("cosine", round(col("dot") / (col("nq") * col("nrm")), 6))
+      .filter(col("n_shared") > 0)
+      .withColumn("cosine", round(col("dot") / (lit(nq) * col("nrm")), 6))
       .select(col("doc_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(k)
