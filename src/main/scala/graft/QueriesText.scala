@@ -1086,6 +1086,41 @@ object QueriesText {
         Tables.documents(s, dir), queryDocId = 7L, k = 10)
     }
 
+    // Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    // every doc pair with trigram-shingle Jaccard ≥ 0.6, found with NO
+    // cross join and verified exactly — the complete-answer
+    // counterpart of the MinHash/SimHash sketches. Trigrams, not
+    // bigrams: this corpus's bigram vocabulary is ~930 so every
+    // prefix bucket is huge (53 s at sf0.1); trigram max-df is 25 and
+    // the same 25 near-dup pairs come back in ~1 s. The oracle brute-
+    // forces all pairs (feasible at oracle scale only); the engine's
+    // prefix filter must reproduce it exactly — a lost candidate is a
+    // missing row, a hash-gate failure.
+    register("q_simjoin_exact",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                           ELSE list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS t
+        |      FROM tok)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |        / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6
+        |ORDER BY id1, id2""") { (s, dir) =>
+      // dfOrdered=false: max trigram df on this corpus is 25 (dim-like
+      // buckets), so the hash-value order loses nothing and the prefix
+      // is a map-only slice of the already-sorted hash arrays
+      graft.operators.SetSimilarityJoin.textSelfJoin(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, theta = 0.6,
+        dfOrdered = false)
+        .orderBy("id1", "id2")
+    }
+
     // Frequent-items sketch profile — the 100 TB shape of q_top_ngrams:
     // a Misra-Gries heavy-hitters aggregate keeps ≤2048 counters per
     // partial state and merges associatively, so the corpus profile is

@@ -190,7 +190,7 @@ object Dedup {
     * whole token string, matching [[shingles]]. */
   /** doc_id + sorted distinct 60-bit md5 gram-hash set (staged so the
     * tokenizer never lands inside a lambda). */
-  private def withShingleHashSet(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def withShingleHashSet(docs: DataFrame, n: Int): DataFrame =
     if (nativeSigs(docs.sparkSession))
       withToks(docs).select(col("doc_id"),
         call_function("graft_gram_hashes", col("toks"), lit(n)).as("sh"))
