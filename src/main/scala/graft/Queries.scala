@@ -1267,6 +1267,51 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Robust outliers: |x − median| > 3·MAD per event type, both
+  // statistics RANK-exact (value at a rank, or the exact midpoint of
+  // the two middles) — the mean/stddev-immune outlier gate. Oracle
+  // replays the identical two rank passes.
+  register("q_robust_outliers",
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |         (min(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN value END)
+      |          + min(CASE WHEN rn = CAST(floor(n / 2.0) AS BIGINT) + 1 THEN value END)) / 2.0 AS med
+      |  FROM r GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type, e.event_id, e.value, m.med,
+      |         abs(e.value - m.med) AS absdev
+      |  FROM events e JOIN m USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, absdev,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY absdev, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d),
+      |mad AS (
+      |  SELECT event_type,
+      |         (min(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT) THEN absdev END)
+      |          + min(CASE WHEN rn = CAST(floor(n / 2.0) AS BIGINT) + 1 THEN absdev END)) / 2.0 AS mad
+      |  FROM r2 GROUP BY event_type)
+      |SELECT d.event_type, count(*) AS n,
+      |       count(CASE WHEN abs(d.value - d.med) > 3.0 * mad.mad THEN 1 END) AS n_outliers,
+      |       round(min(d.med), 4) AS med, round(min(mad.mad), 4) AS mad
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""") { (s, dir) =>
+    graft.operators.Profile.robustOutliers(
+      Tables.events(s, dir), "event_type", "value", tieCol = "event_id", k = 3.0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        round(min("med"), 4).as("med"),
+        round(min("mad"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
   // ──────────────────────── merge / upsert ────────────────────────
 
   private val mergeTargetSql =

@@ -1086,6 +1086,37 @@ object QueriesText {
         Tables.documents(s, dir), queryDocId = 7L, k = 10)
     }
 
+    // Context-window sequence packing: next-fit bins of ≤ 1024 tokens
+    // per shard (8 shards by doc_id mod), docs processed in doc_id
+    // order. The fold is sequential per shard ONLY — a streaming
+    // iterator pass over spill-sorted partitions, no group ever
+    // materialized. The oracle replays the identical greedy fold as a
+    // recursive CTE, so bin assignment is value-exact.
+    register("q_pack_bins",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id AS id,
+        |         CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS size,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, id, size, rn, CAST(1 AS BIGINT) AS bin, size AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.id, n.size, n.rn,
+        |         CASE WHEN p.fill + n.size <= 1024 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.fill + n.size <= 1024 THEN p.fill + n.size ELSE n.size END
+        |  FROM pack p JOIN d n ON n.shard = p.shard AND n.rn = p.rn + 1)
+        |SELECT shard, id, bin, size AS n_tokens
+        |FROM pack ORDER BY shard, id""") { (s, dir) =>
+      import graft.functions.TextStats
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Packing.nextFitPack(sized, "doc_id", "n_toks",
+        shards = 8, capacity = 1024L)
+        .orderBy("shard", "id")
+    }
+
     // Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
     // every doc pair with trigram-shingle Jaccard ≥ 0.6, found with NO
     // cross join and verified exactly — the complete-answer

@@ -41,6 +41,46 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum(cents(col(valueCol))).as("sum_cents"))
   }
 
+  /** Robust outlier flagging per group: |x − median| > k · MAD, with
+    * median and MAD (median absolute deviation) both RANK-exact —
+    * low-rank-of-two-middles, so every statistic is a value from the
+    * data (or an exact midpoint of two), never an interpolated
+    * percentile whose fp path could differ between engines. The
+    * robust z-score is the profiling staple that, unlike mean/stddev,
+    * a few extreme rows cannot drag.
+    *
+    * Two rank passes (values, then absolute deviations) + a broadcast
+    * of the per-group statistics — same skew story as [[winsorize]]:
+    * exact ranks per group are the audit form; the mergeable-sketch
+    * form of the same signal is GK quantiles. Returns the input rows
+    * plus `med`, `mad`, `is_outlier`. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     tieCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def medianOf(in: DataFrame, vCol: String, outName: String): DataFrame = {
+      val part = Window.partitionBy(groupCol)
+      val w = part.orderBy(col(vCol), col(tieCol))
+      // lower and upper middle ranks: equal when n is odd; the exact
+      // median is their midpoint (x + y) / 2 — one add, one halving,
+      // identical in any IEEE engine
+      val ranked = in
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(part))
+      ranked.groupBy(groupCol).agg(
+        ((min(when(col("__rn") === ceil(col("__n") / lit(2.0)), col(vCol)))
+          + min(when(col("__rn") === floor(col("__n") / lit(2.0)) + lit(1), col(vCol))))
+          / lit(2.0)).as(outName))
+    }
+    val med = medianOf(df, valueCol, "med")
+    val withMed = df.join(broadcast(med), groupCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = medianOf(withMed, "__absdev", "mad")
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+      .drop("__absdev")
+  }
+
   /** Winsorize `valueCol` per `groupCol`: clip to the values at ranks
     * ceil(pLo·n) and ceil(pHi·n) in (value, tieCol) order — the
     * rank-based percentile definition, chosen over interpolation

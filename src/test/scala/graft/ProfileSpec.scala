@@ -33,6 +33,24 @@ class ProfileSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("robustOutliers: exact median/MAD, k·MAD gate, resistant to extremes") {
+    // grp "x": 1..9 and one wild 1000 → median 5.5... n=10: values 1..9,1000
+    // lower mid rank 5 → 5, upper rank 6 → 6, med = 5.5
+    val data = ((1 to 9).map(i => (i.toLong, "x", i.toDouble)) :+ (10L, "x", 1000.0))
+      .toDF("id", "grp", "v")
+    val out = Profile.robustOutliers(data, "grp", "v", tieCol = "id", k = 3.0)
+    val med = out.select("med").head().getDouble(0)
+    assert(med === 5.5)
+    // absdevs: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 → mad = (2.5+2.5)/2
+    val mad = out.select("mad").head().getDouble(0)
+    assert(mad === 2.5)
+    // only the wild point exceeds 3*2.5 = 7.5 from the median
+    val outliers = out.filter($"is_outlier").select("id").as[Long].collect().toSet
+    assert(outliers === Set(10L))
+    // mean/stddev would have been dragged: sanity that MAD ignored the 1000
+    assert(mad < 10.0)
+  }
+
   test("winsorize: bounds are the exact rank values and clipping holds") {
     val out = Profile.winsorize(vals, "grp", "v", tieCol = "id")
     // each grp has 500 rows: p05 rank = ceil(25) = 25, p95 rank = 475
