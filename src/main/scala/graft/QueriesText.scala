@@ -1086,6 +1086,33 @@ object QueriesText {
         Tables.documents(s, dir), queryDocId = 7L, k = 10)
     }
 
+    // Char-distribution entropy — the compression-proxy quality signal
+    // (low ⇒ repetitive boilerplate, high ⇒ noise; both tails are
+    // curation drops). Engine side is ONE native codegen'd pass per
+    // row (graft_char_entropy); the oracle rebuilds the histogram by
+    // exploding code points and folds −p·ln p in the same ascending
+    // code-point order. +0.0 normalizes the −0.0 a single-repeated-
+    // char doc would produce.
+    register("q_char_entropy",
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents),
+        |freq AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nn FROM freq GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |       round(list_sum(list_transform(
+        |         list(struct_pack(c := f.c,
+        |                          e := -((CAST(f.n AS DOUBLE) / t.nn) * ln(CAST(f.n AS DOUBLE) / t.nn)))
+        |              ORDER BY f.c),
+        |         x -> x.e)) + 0.0, 6) AS entropy
+        |FROM freq f JOIN tot t USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(call_function("graft_char_entropy", col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }
+
     // Context-window sequence packing: next-fit bins of ≤ 1024 tokens
     // per shard (8 shards by doc_id mod), docs processed in doc_id
     // order. The fold is sequential per shard ONLY — a streaming

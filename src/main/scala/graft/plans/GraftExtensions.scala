@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBuckets(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_char_entropy(text) takes 1 argument")
+        CharEntropy(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[FreqItemsAggregate].getName, "graft_freq_items"),
       (children: Seq[Expression]) => {

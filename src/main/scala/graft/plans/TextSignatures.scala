@@ -142,6 +142,29 @@ object TextSig {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Shannon entropy (nats) of the code-point distribution, terms
+    * −(p·ln p) folded in ascending code-point order (= UTF-8 binary
+    * order of single-char strings, the order the oracle's
+    * `ORDER BY c` replays). Empty string → 0.0; the final +0.0
+    * normalizes −0.0 from single-distinct-char inputs. */
+  def charEntropy(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n = 0L
+    val it = text.toString.codePoints().iterator()
+    while (it.hasNext) {
+      counts.merge(it.next(), 1L, (a, b) => a + b)
+      n += 1
+    }
+    if (n == 0L) return 0.0
+    var h = 0.0
+    val e = counts.values().iterator()
+    while (e.hasNext) {
+      val p = e.next().toDouble / n
+      h += -(p * math.log(p))
+    }
+    h + 0.0
+  }
 }
 
 private[plans] trait TokensExpression { self: Expression =>
@@ -353,4 +376,28 @@ case class GramHashes(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "graft_gram_hashes"
+}
+
+/** graft_char_entropy(text) → DOUBLE Shannon entropy (nats) of the
+  * string's code-point distribution — the cheap compression-proxy
+  * quality signal (low entropy ⇒ repetitive/boilerplate text, high ⇒
+  * random noise; both tails are curation drops). One JIT'd pass per
+  * row: code-point histogram, then −Σ p·ln p folded in ASCENDING CODE
+  * POINT order — the same order as a `list(... ORDER BY c)` fold over
+  * UTF-8 single-char strings, so the value replays byte-exactly in
+  * the DuckDB oracle (q_char_entropy). The +0.0 final add normalizes
+  * the −0.0 a single-repeated-char document would otherwise produce.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_char_entropy(text STRING)")
+  override def nullSafeEval(text: Any): Any =
+    TextSig.charEntropy(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.TextSig.charEntropy($t);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_char_entropy"
 }

@@ -177,4 +177,24 @@ class TextSignaturesSpec extends SparkSpec {
       assert(TextSig.hash60(r.getString(0)) === r.getLong(2))
     }
   }
+
+  test("graft_char_entropy: known values, +0.0 normalization, unicode code points") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Double = TextSig.charEntropy(UTF8String.fromString(s))
+    assert(h("") === 0.0)
+    // single distinct char: entropy 0, and POSITIVE zero (no −0.0)
+    val z = h("aaaa")
+    assert(z === 0.0 && java.lang.Double.doubleToRawLongBits(z) === 0L)
+    assert(math.abs(h("ab") - math.log(2)) < 1e-12)
+    assert(math.abs(h("aabb") - math.log(2)) < 1e-12)
+    // 4 equally likely code points → ln 4; CJK counted as single chars
+    assert(math.abs(h("一二三四") - math.log(4)) < 1e-12)
+    // uniform over more symbols → higher entropy than skewed
+    assert(h("abcdefgh") > h("aaaaabbb"))
+    // the SQL function path evaluates the same values
+    val got = Seq((1L, "aabb"), (2L, "aaaa")).toDF("id", "t")
+      .select(col("id"), call_function("graft_char_entropy", col("t")).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - math.log(2)) < 1e-12 && got(2L) === 0.0)
+  }
 }
