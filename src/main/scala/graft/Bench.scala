@@ -39,12 +39,13 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // two timed passes per query, min taken: the host shows 3-4× wall
-    // time swings from neighbor contention, and min-of-2 measures the
-    // engine rather than the noisiest scheduling window
+    // three timed passes per query, min taken: the host shows 3-4× wall
+    // time swings from neighbor contention (a round-6 bench recorded a
+    // 0.5 s query at 10.3 s), and the min measures the engine rather
+    // than the noisiest scheduling window
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val passes = (1 to 2).map { _ =>
+        val passes = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           (System.nanoTime() - t0) / 1e9
