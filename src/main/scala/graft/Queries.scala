@@ -1215,6 +1215,33 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  // Quantile-rank normalization: percent_rank of the quality score
+  // WITHIN each language — the rank transform that makes quality cuts
+  // comparable across languages with different score distributions
+  // ("keep the top 30% per language" = pr >= 0.7). (rank−1)/(n−1) is
+  // one integer-ratio division, identical in any engine; doc_id
+  // tiebreak makes ranks total.
+  register("q_quantile_norm",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |         round(least(1.0, len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) / 100.0)
+      |               * (1.0 - CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |                         x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+      |                 / len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))), 4) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality,
+      |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS pr
+      |FROM q ORDER BY doc_id""") { (s, dir) =>
+    import graft.functions.TextStats
+    val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    Tables.documents(s, dir)
+      .withColumn("toks", TextStats.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .orderBy("doc_id")
+  }
+
   // ───────────────────── numeric profiling / QA ─────────────────────
 
   // Equi-width histogram of event values per type — the distribution

@@ -232,6 +232,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: Misra-Gries state merges across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    // the mergeable MG aggregate runs as a streaming COMPLETE-mode
+    // aggregation: each micro-batch's partial merges into the state
+    // store, so the sketch covers the whole stream so far
+    val q = input.toDF().toDF("item")
+      .groupBy()
+      .agg(call_function("graft_freq_items", $"item", lit(8)).as("xs"))
+      .select(explode($"xs").as("x"))
+      .select($"x.item", $"x.est")
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq("b", "c"): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("freq_out").as[(String, Long)].collect().toMap
+      assert(r1("a") === 5L && r1("b") === 1L)
+      // second batch: counts accumulate across batches (vocab < cap → exact)
+      input.addData(Seq.fill(3)("a") ++ Seq.fill(4)("d"): _*)
+      q.processAllAvailable()
+      val r2 = spark.table("freq_out").as[(String, Long)].collect().toMap
+      assert(r2("a") === 8L, s"state must span batches: $r2")
+      assert(r2("d") === 4L)
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation shape compiles against a rate-like frame") {
     // semantics of window+watermark verified on a batch frame (same expr)
     val df = Seq(
