@@ -1086,6 +1086,24 @@ object QueriesText {
         Tables.documents(s, dir), queryDocId = 7L, k = 10)
     }
 
+    // Vocabulary coverage / OOV rate against the top-100 corpus
+    // vocabulary (count desc, term asc — a total order, so the cutoff
+    // replays exactly). The tokenizer-fit / drift signal.
+    register("q_oov_rate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t FROM toks GROUP BY t ORDER BY count(*) DESC, t LIMIT 100)
+        |SELECT toks.doc_id, count(*) AS n_tokens,
+        |       count(CASE WHEN v.t IS NULL THEN 1 END) AS n_oov,
+        |       round(CAST(count(CASE WHEN v.t IS NULL THEN 1 END) AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM toks LEFT JOIN vocab v USING (t)
+        |GROUP BY toks.doc_id ORDER BY toks.doc_id""") { (s, dir) =>
+      graft.operators.KeywordSearch.oovRate(Tables.documents(s, dir), vocabSize = 100)
+        .orderBy("doc_id")
+    }
+
     // Char-distribution entropy — the compression-proxy quality signal
     // (low ⇒ repetitive boilerplate, high ⇒ noise; both tails are
     // curation drops). Engine side is ONE native codegen'd pass per

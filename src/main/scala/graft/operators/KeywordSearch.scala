@@ -197,6 +197,34 @@ object KeywordSearch {
       .limit(k)
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate: the tokenizer-fit
+    * signal — how much of each document the top-`vocabSize` corpus
+    * vocabulary covers. High OOV flags encoding-mangled or
+    * out-of-domain text; a rising corpus-level OOV rate flags drift
+    * against a frozen tokenizer vocabulary.
+    *
+    * Scale shape: one explode → vocabulary aggregate (top-V by count
+    * desc, term asc — a total order, so the cutoff is deterministic),
+    * V rows broadcast back onto the token stream, one per-doc count
+    * aggregation. V is loader-vocabulary-sized (30-100k), always
+    * dim-like. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Per-document unigram surprisal — the cheap corpus-LM quality
     * filter (the CCNet/Gopher "perplexity bucket" signal, with the
     * corpus itself as the language model): score(d) = −Σ_t tf·ln p(t)

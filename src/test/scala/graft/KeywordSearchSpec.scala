@@ -95,6 +95,21 @@ class KeywordSearchSpec extends SparkSpec {
     assert(relaid === out, "sorted fold must be byte-stable under any partitioning")
   }
 
+  test("oovRate: coverage against the top-V vocabulary, deterministic cutoff") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),   // all in-vocab
+      (2L, "alpha rareword"),          // half OOV
+      (3L, "weird1 weird2 weird3 weird4")) // all OOV
+      .toDF("doc_id", "text")
+    // vocab size 2 → alpha(3), beta(2) are the top-2
+    val got = KeywordSearch.oovRate(corpus, vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 4L, 4L, 1.0)))
+  }
+
   test("tfidfMoreLikeThis: overlap ranks above partial, none excluded, layout-independent") {
     val corpus = Seq(
       (1L, "spark engine shuffle partition spark"),
