@@ -1242,6 +1242,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // PSI drift between the first and second half of the month — the
+  // corpus-version drift monitor: Σ (p−q)·ln(p/q) over a shared
+  // equi-width bucketing, Laplace-smoothed so empty buckets stay
+  // finite, folded in bucket order so the double replays exactly.
+  register("q_psi_drift",
+    """WITH b AS (
+      |  SELECT least(24, greatest(0, CAST(floor((value - 0.0) / 20.0) AS BIGINT))) AS bucket,
+      |         count(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 1 END) AS n_base,
+      |         count(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 1 END) AS n_cur
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc,
+      |             count(*) AS nb FROM b),
+      |terms AS (
+      |  SELECT bucket, n_base, n_cur,
+      |         ((n_base + 1.0) / (tb + nb) - (n_cur + 1.0) / (tc + nb))
+      |           * ln(((n_base + 1.0) / (tb + nb)) / ((n_cur + 1.0) / (tc + nb))) AS term
+      |  FROM b, t)
+      |SELECT round(list_sum(list_transform(list(struct_pack(bucket := bucket, term := term)
+      |                                          ORDER BY bucket), x -> x.term)) + 0.0, 6) AS psi,
+      |       count(*) AS n_buckets,
+      |       CAST(sum(n_base) AS BIGINT) AS n_base, CAST(sum(n_cur) AS BIGINT) AS n_cur
+      |FROM terms""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val base = ev.filter(col("event_date") < lit("2024-01-15"))
+    val cur = ev.filter(col("event_date") >= lit("2024-01-15"))
+    graft.operators.Profile.psi(base, cur, "value", lo = 0.0, hi = 500.0, nb = 25)
+      .agg(
+        sort_array(collect_list(struct(col("bucket"), col("term")))).as("cs"),
+        count(lit(1)).as("n_buckets"),
+        sum("n_base").as("n_base"),
+        sum("n_cur").as("n_cur"))
+      .select(
+        round(aggregate(col("cs"), lit(0.0), (a, x) => a + x.getField("term")) + lit(0.0), 6)
+          .as("psi"),
+        col("n_buckets"), col("n_base"), col("n_cur"))
+  }
+
   // ───────────────────── numeric profiling / QA ─────────────────────
 
   // Equi-width histogram of event values per type — the distribution

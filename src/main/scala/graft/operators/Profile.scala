@@ -41,6 +41,37 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum(cents(col(valueCol))).as("sum_cents"))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column — THE drift monitor between corpus versions / training
+    * runs: PSI = Σ_buckets (p_b − q_b)·ln(p_b / q_b) over a shared
+    * equi-width bucketing. <0.1 stable, 0.1–0.25 drifting, >0.25
+    * shifted (the conventional bands). Laplace-smoothed so empty
+    * buckets never produce ±∞: both sides add one synthetic count
+    * per bucket.
+    *
+    * Two histogram aggregations (mergeable, exact) + an nb-row join —
+    * nothing here scales with the data beyond the two scans. The
+    * per-bucket terms fold in BUCKET ORDER, so the double sum replays
+    * exactly in any engine. */
+  def psi(base: DataFrame, current: DataFrame, valueCol: String,
+          lo: Double, hi: Double, nb: Int): DataFrame = {
+    def hist(df: DataFrame, name: String): DataFrame =
+      histogram(df.withColumn("__g", lit(1)), "__g", valueCol, lo, hi, nb)
+        .select(col("bucket"), col("n").as(name))
+    val joined = hist(base, "n_base").join(hist(current, "n_cur"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"),
+      count(lit(1)).as("nbuckets"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_base") + lit(1.0)) / (col("tb") + col("nbuckets")))
+      .withColumn("q", (col("n_cur") + lit(1.0)) / (col("tc") + col("nbuckets")))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .select(col("bucket"), col("n_base"), col("n_cur"), col("term"))
+  }
+
   /** Robust outlier flagging per group: |x − median| > k · MAD, with
     * median and MAD (median absolute deviation) both RANK-exact —
     * low-rank-of-two-middles, so every statistic is a value from the

@@ -33,6 +33,23 @@ class ProfileSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("psi: zero on identical snapshots, grows with shift, smoothing keeps it finite") {
+    def psiOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Double =
+      Profile.psi(a, b, "v", 0.0, 100.0, 10)
+        .agg(sum("term")).head().getDouble(0)
+    val same = psiOf(vals, vals)
+    assert(math.abs(same) < 1e-12, s"identical snapshots must have PSI ~0, got $same")
+    // shift the distribution up by 30: mass moves buckets → PSI grows
+    val shifted = vals.withColumn("v", least($"v" + 30.0, lit(99.9)))
+    val drift = psiOf(vals, shifted)
+    assert(drift > 0.25, s"a 30-point shift must read as 'shifted', got $drift")
+    // disjoint supports: smoothing keeps every term finite
+    val lowHalf = vals.filter($"v" < 50.0)
+    val highHalf = vals.filter($"v" >= 50.0)
+    val extreme = psiOf(lowHalf, highHalf)
+    assert(!extreme.isNaN && !extreme.isInfinite && extreme > 1.0)
+  }
+
   test("robustOutliers: exact median/MAD, k·MAD gate, resistant to extremes") {
     // grp "x": 1..9 and one wild 1000 → median 5.5... n=10: values 1..9,1000
     // lower mid rank 5 → 5, upper rank 6 → 6, med = 5.5
