@@ -99,6 +99,56 @@ object KeywordSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Incrementally add documents to a persisted inverted index —
+    * corpus growth without the full rebuild. Postings APPEND (new
+    * files into the existing term-bucket partitions: one delta-sized
+    * write, the indexed corpus is never re-read or rewritten); the
+    * document-frequency table and the one-row stats merge the delta
+    * into their existing values and overwrite — both are vocab-sized
+    * or smaller, never corpus-sized. At 100 TB the cost of an update
+    * is the cost of tokenizing the NEW documents.
+    *
+    * Contract: `newDocs` doc_ids must not already be indexed (the
+    * same first-wins/backfill contract as the merge sinks — run the
+    * dedup/decontamination steps first). The dfreq/stats overwrite
+    * pair is not atomic under a crash between the two writes; the
+    * production shape wraps this in the staged-promote protocol of
+    * `Sinks.mergeInto` (write aside, rename in). */
+  def updateInvertedIndex(newDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newDocs.sparkSession
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
+    val toks = newDocs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+    tf.write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
+    // dfreq: old ∪ delta, summed per (term, tb) — vocab-sized
+    val deltaDf = tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
+    val merged = spark.read.parquet(s"$indexPath/dfreq")
+      .select("term", "tb", "dfr")
+      .unionByName(deltaDf)
+      .groupBy("term", "tb").agg(sum(col("dfr")).as("dfr"))
+      .localCheckpoint(true) // sever lineage from the files being overwritten
+    merged.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq")
+    // stats: fold the delta into the old totals (1 row each)
+    val old = stats.select(col("n_docs"), col("avgdl")).head()
+    val d = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = old.getLong(0) + d.getLong(0)
+    // reconstruct the integer token total exactly (dl sums are integers
+    // < 2^53, so rounding undoes the stored avgdl division) — the new
+    // avgdl is then bit-identical to what a full rebuild computes
+    val totalDl = Math.round(old.getLong(0) * old.getDouble(1)) + d.getLong(1)
+    import spark.implicits._
+    Seq((nDocs, totalDl.toDouble / nDocs, termBuckets))
+      .toDF("n_docs", "avgdl", "term_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
   /** BM25 top-k against a persisted inverted index. Identical results
     * to [[bm25TopK]] over the same corpus (KeywordSearchSpec) — the
     * arithmetic and fold order are shared — but the scan is

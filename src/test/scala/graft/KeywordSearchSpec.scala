@@ -95,6 +95,32 @@ class KeywordSearchSpec extends SparkSpec {
     assert(relaid === out, "sorted fold must be byte-stable under any partitioning")
   }
 
+  test("incremental index update: equivalent to a full rebuild over the grown corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25inc").toString
+    KeywordSearch.buildInvertedIndex(docs, dir, termBuckets = 16)
+    val newDocs = Seq(
+      (100L, "spark shuffle engine internals"),
+      (101L, "an entirely different subject matter"),
+      (102L, "engine engine engine")).toDF("doc_id", "text")
+    KeywordSearch.updateInvertedIndex(newDocs, dir)
+
+    val full = docs.unionByName(newDocs)
+    val direct = KeywordSearch.bm25TopK(full, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed === direct,
+      "incrementally updated index must reproduce the full-corpus scores exactly")
+    // a second increment compounds correctly
+    val more = Seq((200L, "spark spark spark")).toDF("doc_id", "text")
+    KeywordSearch.updateInvertedIndex(more, dir)
+    val direct2 = KeywordSearch.bm25TopK(full.unionByName(more), Seq("spark"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val indexed2 = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed2 === direct2)
+  }
+
   test("oovRate: coverage against the top-V vocabulary, deterministic cutoff") {
     val corpus = Seq(
       (1L, "alpha beta alpha beta"),   // all in-vocab
