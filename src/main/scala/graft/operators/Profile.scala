@@ -49,19 +49,25 @@ object Profile {
     * buckets never produce ±∞: both sides add one synthetic count
     * per bucket.
     *
-    * Two histogram aggregations (mergeable, exact) + an nb-row join —
-    * nothing here scales with the data beyond the two scans. The
-    * per-bucket terms fold in BUCKET ORDER, so the double sum replays
-    * exactly in any engine. */
+    * Both histograms come out of ONE tagged-union aggregation — no
+    * join anywhere (a full-outer of the two histograms can't
+    * broadcast-hash, so the join form plans a sort-merge join even
+    * at 25 rows); nothing here scales with the data beyond the two
+    * input scans feeding the union. The per-bucket terms fold in
+    * BUCKET ORDER, so the double sum replays exactly in any engine. */
   def psi(base: DataFrame, current: DataFrame, valueCol: String,
           lo: Double, hi: Double, nb: Int): DataFrame = {
-    def hist(df: DataFrame, name: String): DataFrame =
-      histogram(df.withColumn("__g", lit(1)), "__g", valueCol, lo, hi, nb)
-        .select(col("bucket"), col("n").as(name))
-    val joined = hist(base, "n_base").join(hist(current, "n_cur"), Seq("bucket"), "full")
-      .select(col("bucket"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    require(nb > 0 && hi > lo, s"bad psi range [$lo, $hi) / $nb")
+    val step = (hi - lo) / nb
+    val tagged = base.select(col(valueCol).as("__v"), lit(0).as("__side"))
+      .unionByName(current.select(col(valueCol).as("__v"), lit(1).as("__side")))
+    val joined = tagged
+      .withColumn("bucket", least(lit(nb - 1L), greatest(lit(0L),
+        floor((col("__v") - lit(lo)) / lit(step)))))
+      .groupBy("bucket")
+      .agg(
+        count(when(col("__side") === 0, 1)).as("n_base"),
+        count(when(col("__side") === 1, 1)).as("n_cur"))
     val tot = joined.agg(
       sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"),
       count(lit(1)).as("nbuckets"))
