@@ -83,6 +83,26 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
 
+  test("composition: near-dup cluster ids feed assignSplit so duplicates never straddle train/eval") {
+    import graft.operators.Dedup
+    // three near-dup families as explicit pair edges + singleton docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a", "b")
+    val groups = Dedup.connectedComponents(pairs) // (doc_id, group_id)
+    val singletons = Seq(100L, 101L, 102L).toDF("doc_id")
+      .withColumn("group_id", $"doc_id") // a doc with no dup is its own group
+    val all = groups.unionByName(singletons)
+    val split = Sampling.assignSplit(all, "group_id")
+    // every member of a family shares one split — THE leakage guarantee
+    val straddlers = split.groupBy("group_id")
+      .agg(countDistinct("split").as("k")).filter($"k" > 1).count()
+    assert(straddlers === 0L)
+    // family {20,21,22,23} specifically lands together
+    val fam = split.filter($"doc_id".isin(20L, 21L, 22L, 23L))
+      .select("split").distinct().count()
+    assert(fam === 1L)
+  }
+
   test("assignSplit is group-atomic: one split per group, fractions ~hold over groups") {
     val grouped = docs.withColumn("source", concat(lit("src"), ($"doc_id" % 200).cast("string")))
     val out = Sampling.assignSplit(grouped, "source")
