@@ -976,6 +976,34 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // UNPIVOT (the inverse of q_pivot): OHLC wide → (metric, cents) long
+  // via Spark's native unpivot API (plans one Expand, no join/union of
+  // scans). Values as integer cents so the melt is byte-exact.
+  register("q_unpivot",
+    s"""WITH daily AS (${DailySeries.sql})
+       |SELECT user_id, d, metric, cents FROM (
+       |  SELECT user_id, d,
+       |         CAST(round(close * 100) AS BIGINT) AS close,
+       |         CAST(round(high * 100) AS BIGINT) AS high,
+       |         CAST(round(low * 100) AS BIGINT) AS low
+       |  FROM daily)
+       |UNPIVOT (cents FOR metric IN (close, high, low))
+       |WHERE d >= DATE '2024-01-25'
+       |ORDER BY user_id, d, metric""") { (s, dir) =>
+    DailySeries(s, dir)
+      .filter(col("d") >= lit("2024-01-25"))
+      .select(col("user_id"), col("d"),
+        DailySeries.cents(col("close")).as("close"),
+        DailySeries.cents(col("high")).as("high"),
+        DailySeries.cents(col("low")).as("low"))
+      .unpivot(
+        ids = Array(col("user_id"), col("d")),
+        values = Array(col("close"), col("high"), col("low")),
+        variableColumnName = "metric",
+        valueColumnName = "cents")
+      .orderBy("user_id", "d", "metric")
+  }
+
   // Semi/anti joins (beyond the reference's surface, core engine ops):
   // customers WITH open orders vs customers with NO orders at all.
   register("q_semi_anti",
