@@ -11,11 +11,72 @@ import org.apache.spark.sql.SparkSession
   * all projection work (VERDICT r1). Failures are reported per query in
   * an explicit "errors" field and excluded from the total rather than
   * masquerading as fast runs.
+  *
+  * Harness contract (learned the hard way over r1–r6, see VERDICT r6):
+  * the round driver keeps only the LAST ~2000 chars of stdout and a
+  * hard wall-clock budget. So this main is built to ALWAYS leave a
+  * parseable record:
+  *  - ONE mandatory timed pass per query (no sf0.001 warmup sweep, no
+  *    unconditional min-of-3 — r6's 108 queries × 4 executions blew
+  *    the budget and recorded nothing);
+  *  - the compact JSON line is re-printed after EVERY query, so even a
+  *    mid-run kill leaves the last complete line with
+  *    done/of + queries_omitted accounting;
+  *  - log level ERROR, so no late WARN can evict the final line from
+  *    the tail capture;
+  *  - extra noise-reduction passes (min-of-N) run ONLY while the
+  *    SPARK_GRAFT_BUDGET_S wall-clock budget (default 300 s) has
+  *    headroom.
   */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def jnum(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The compact one-line JSON record. Pure and deterministic so the
+    * formatting — which silently lost every round's numbers for five
+    * rounds when it overflowed the 2000-char tail capture — is unit
+    * tested (BenchLineSpec). Values rounded to 3 decimals; if the full
+    * per-query map exceeds `budget` chars, only the SLOWEST queries
+    * that fit are kept, with the omitted count and their summed
+    * seconds reported. `of` is the total number of registered queries
+    * so a partial record (mid-run kill) is self-describing via
+    * done &lt; of. */
+  def compactLine(times: Seq[(String, Double)], errors: Seq[(String, String)],
+                  sf: String, of: Int, budget: Int = 1700): String = {
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(120))}" }
+      .mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    val done = times.size + errors.size
+    def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
+      val body = qs.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted,"omitted_sec":${jnum(omittedSec)}""" else ""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","done":$done,"of":$of,"queries":$body$omit,"errors":$es,"sf":${jstr(sf)}}"""
+    }
+    val full = line(times, 0, 0.0)
+    if (full.length <= budget) full
+    else {
+      val bySlow = times.sortBy(-_._2)
+      // largest prefix of slowest queries whose line fits the budget
+      (bySlow.length to 1 by -1).view
+        .map(n => bySlow.take(n))
+        .map(kept => line(kept, times.size - kept.size, total - kept.map(_._2).sum))
+        .find(_.length <= budget)
+        .getOrElse(line(Nil, times.size, total))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "300").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,74 +86,61 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a WARN flood near the kill point (e.g. r6's
+    // WindowExec warnings) can evict the final JSON line from the
+    // driver's 2000-char tail capture
+    spark.sparkContext.setLogLevel("ERROR")
 
-    // Untimed warmup at the smallest SF: JIT + codegen compilation for
-    // every query's operator graph, so the timed pass measures
-    // steady-state execution rather than first-call compilation.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
-        catch { case _: Throwable => () }
-      }
-
+    val t00 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t00) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // three timed passes per query, min taken: the host shows 3-4× wall
-    // time swings from neighbor contention (a round-6 bench recorded a
-    // 0.5 s query at 10.3 s), and the min measures the engine rather
-    // than the noisiest scheduling window
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val passes = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
-        }
-        times(name) = passes.min
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
-    }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = times.values.sum
+    def emit(): Unit =
+      println(compactLine(times.toSeq, errors.toSeq, sfDir, ordered.size))
 
-    // The harness captures only the LAST ~2000 chars of output, so the
-    // final line MUST be a complete JSON object well under that budget
-    // or the run records no numbers at all. Values are rounded to 3
-    // decimals; if the full per-query map still doesn't fit, keep the
-    // slowest queries that do and report how much was omitted. The full
-    // map is printed on its own line first for human inspection.
-    def line(qs: Map[String, Double], omitted: Int, omittedSec: Double): String = {
-      val body = qs.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
-      val omit = if (omitted > 0) s""","queries_omitted":$omitted,"omitted_sec":${jnum(omittedSec)}""" else ""
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$body$omit,"errors":$es,"sf":${jstr(sfDir)}}"""
-    }
-    val fullLine = line(times.toMap, 0, 0.0)
-    val budget = 1700
-    val compact =
-      if (fullLine.length <= budget) fullLine
-      else {
-        val bySlow = times.toSeq.sortBy(-_._2)
-        // largest prefix of slowest queries whose line fits the budget
-        val keep = (bySlow.length to 1 by -1).view
-          .map(n => bySlow.take(n))
-          .find(kept => line(kept.toMap, times.size - kept.size,
-            total - kept.map(_._2).sum).length <= budget)
-          .getOrElse(bySlow.take(1))
-        line(keep.toMap, times.size - keep.size, total - keep.map(_._2).sum)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = times.get(name).fold(sec)(math.min(_, sec))
+        errors.remove(name)
+      } catch {
+        case e: Throwable if !times.contains(name) =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        case _: Throwable => () // keep the pass-1 number over a flaky retry
       }
-    if (compact ne fullLine) println(fullLine)
-    println(compact)
+
+    // mandatory pass: one execution per query, record re-emitted after
+    // each so any kill point still leaves a complete JSON line behind
+    ordered.foreach { case (name, fn) => runOnce(name, fn); emit() }
+
+    // optional noise-reduction passes (the host shows 3-4× wall-time
+    // swings from neighbor contention): only while the wall-clock
+    // budget has clear headroom, and re-checked before every query so
+    // a slow pass can never push the run past the driver's kill
+    var pass = 1
+    while (pass < 3 && elapsed < budgetS * 0.5) {
+      pass += 1
+      val it = ordered.iterator
+      while (it.hasNext && elapsed < budgetS * 0.75) {
+        val (name, fn) = it.next()
+        runOnce(name, fn); emit()
+      }
+    }
+
+    // full-precision per-query record for humans — to a FILE, never to
+    // stdout, where a long line could pollute the tail capture
+    try {
+      val all = times.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p,
+        s"""{"passes":$pass,"elapsed_sec":${jnum(elapsed)},"queries":$all}\n""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    emit()
     spark.stop()
   }
 }

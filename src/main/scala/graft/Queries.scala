@@ -1273,13 +1273,18 @@ object Queries {
   // PSI drift between the first and second half of the month — the
   // corpus-version drift monitor: Σ (p−q)·ln(p/q) over a shared
   // equi-width bucketing, Laplace-smoothed so empty buckets stay
-  // finite, folded in bucket order so the double replays exactly.
+  // finite, densified to the FIXED 25-bucket grid so the smoothing
+  // scale never depends on which buckets happen to be populated,
+  // folded in bucket order so the double replays exactly.
   register("q_psi_drift",
-    """WITH b AS (
+    """WITH b0 AS (
       |  SELECT least(24, greatest(0, CAST(floor((value - 0.0) / 20.0) AS BIGINT))) AS bucket,
       |         count(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 1 END) AS n_base,
       |         count(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 1 END) AS n_cur
       |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT s.bucket, coalesce(b0.n_base, 0) AS n_base, coalesce(b0.n_cur, 0) AS n_cur
+      |  FROM (SELECT unnest(range(25)) AS bucket) s LEFT JOIN b0 USING (bucket)),
       |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc,
       |             count(*) AS nb FROM b),
       |terms AS (

@@ -284,10 +284,15 @@ object Dedup {
     * Output: (doc_id, n_passages, n_dup, clean_text). */
   def passageDedup(docs: DataFrame, window: Int = 8): DataFrame = {
     require(window >= 1, "window must be positive")
+    // greatest(…, 0): an empty token array would make nWin = 0 and
+    // sequence(0, -1) DESCEND ([0, -1] — Spark defaults step to -1 when
+    // start > stop), yielding two phantom empty passages. Unreachable
+    // through TextStats.tokens today (empty text → [""]), but one
+    // tokenizer change away (ADVICE r6).
     val nWin = ceil(size(col("toks")).cast("double") / window).cast("int")
     val passages = withToks(docs)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nWin - 1),
+        posexplode(transform(sequence(lit(0), greatest(nWin - 1, lit(0))),
           i => array_join(slice(col("toks"), i * window + 1, lit(window)), " ")))
           .as(Seq("i", "passage")))
       .withColumn("h", conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("long"))

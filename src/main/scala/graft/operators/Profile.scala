@@ -46,8 +46,13 @@ object Profile {
     * runs: PSI = Σ_buckets (p_b − q_b)·ln(p_b / q_b) over a shared
     * equi-width bucketing. <0.1 stable, 0.1–0.25 drifting, >0.25
     * shifted (the conventional bands). Laplace-smoothed so empty
-    * buckets never produce ±∞: both sides add one synthetic count
-    * per bucket.
+    * buckets never produce ±∞: both sides add one synthetic count per
+    * bucket, and the histogram is densified to ALL `nb` buckets first
+    * so the smoothing denominator is the FIXED bucket count — never
+    * "however many buckets happened to be populated", which would put
+    * two comparisons over the same [lo,hi)/nb on different smoothing
+    * scales (ADVICE r6). Every empty bucket's (small, nonzero)
+    * smoothing term is included in the sum for the same reason.
     *
     * Both histograms come out of ONE tagged-union aggregation — no
     * join anywhere (a full-outer of the two histograms can't
@@ -61,13 +66,21 @@ object Profile {
     val step = (hi - lo) / nb
     val tagged = base.select(col(valueCol).as("__v"), lit(0).as("__side"))
       .unionByName(current.select(col(valueCol).as("__v"), lit(1).as("__side")))
-    val joined = tagged
+    val observed = tagged
       .withColumn("bucket", least(lit(nb - 1L), greatest(lit(0L),
         floor((col("__v") - lit(lo)) / lit(step)))))
       .groupBy("bucket")
       .agg(
         count(when(col("__side") === 0, 1)).as("n_base"),
         count(when(col("__side") === 1, 1)).as("n_cur"))
+    // densify to the full configured bucketing: union an all-buckets
+    // zero spine (nb rows, driver-local range — no join, no shuffle
+    // beyond the ≤2·nb-row re-aggregate)
+    val spine = base.sparkSession.range(nb)
+      .select(col("id").as("bucket"), lit(0L).as("n_base"), lit(0L).as("n_cur"))
+    val joined = observed.unionByName(spine)
+      .groupBy("bucket")
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"))
     val tot = joined.agg(
       sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"),
       count(lit(1)).as("nbuckets"))

@@ -68,13 +68,21 @@ object Sharding {
       // `buckets` (every prefix its own group)
       .withColumn("__bucket",
         floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256).cast("int"))
-    // phase 1: per-bucket totals (tiny: `buckets` rows), running offset
-    val offsets = withKeys.groupBy("__bucket")
+    // phase 1: per-bucket totals (tiny: `buckets` rows), running offset.
+    // The offset is a ≤256-row prefix sum — computed as a broadcast
+    // triangle join (sum of all STRICTLY-smaller buckets' totals)
+    // rather than a global window: an empty-partition window would
+    // move "all" data to one partition and WARN on every execution
+    // (Spark 4 folds a literal partitionBy right back to empty), and
+    // at ≤256×256 pairs the join is free. Identical agg subtrees on
+    // both sides share one exchange under AQE.
+    val totals = withKeys.groupBy("__bucket")
       .agg(sum(col(sizeCol)).as("__btotal"))
-      .withColumn("__offset",
-        coalesce(sum(col("__btotal")).over(
-          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__btotal")
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")),
+        col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btotal")), lit(0L)).as("__offset"))
     // phase 2: within-bucket running sum + bucket offset = global
     // cumulative size BEFORE this row; shard = which budget bin the
     // row starts in

@@ -1,0 +1,73 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The bench record's formatting lost every round's numbers for five
+  * rounds (the one-line JSON overflowed the driver's 2000-char tail
+  * capture) because nothing tested it. These specs pin the contract:
+  * the line always fits the budget, always parses, and when queries
+  * must be omitted it keeps the SLOWEST ones and accounts for the rest.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  // deterministic synthetic workload: 120 queries, long-ish names,
+  // full-precision doubles — the shape that overflowed r1-r5
+  private val times: Seq[(String, Double)] =
+    (0 until 120).map(i => (f"q_synthetic_operator_name_$i%03d", 0.0311 * ((i * 37) % 91) + i / 997.0))
+
+  test("full map fits when small") {
+    val line = Bench.compactLine(times.take(10), Nil, "/root/testdata/sf0.1", of = 10)
+    assert(line.length <= 1700)
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() === 10)
+    assert(node.get("done").asInt() === 10)
+    assert(node.get("of").asInt() === 10)
+    assert(!node.has("queries_omitted"))
+  }
+
+  test("120-query line stays under the tail budget and parses") {
+    val line = Bench.compactLine(times, Seq("q_bad" -> "boom"), "/root/testdata/sf0.1", of = 121)
+    assert(line.length <= 1700, s"line was ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(node.get("done").asInt() === 121)
+    assert(node.get("errors").get("q_bad").asText() === "boom")
+    // total must be the sum over ALL queries, not just the kept ones
+    assert(math.abs(node.get("value").asDouble() - times.map(_._2).sum) < 0.01)
+  }
+
+  test("omission keeps the slowest queries and accounts for the rest") {
+    val line = Bench.compactLine(times, Nil, "/root/testdata/sf0.1", of = 120)
+    val node = mapper.readTree(line)
+    val q = node.get("queries")
+    val kept = q.fieldNames().asScala.map(k => k -> q.get(k).asDouble()).toMap
+    assert(kept.nonEmpty && kept.size < 120)
+    val omitted = node.get("queries_omitted").asInt()
+    assert(omitted === 120 - kept.size)
+    // every kept query is at least as slow as every omitted one
+    val keptMin = kept.values.min
+    val omittedTimes = times.filterNot { case (k, _) => kept.contains(k) }
+    assert(omittedTimes.forall(_._2 <= keptMin + 1e-9))
+    assert(math.abs(node.get("omitted_sec").asDouble() - omittedTimes.map(_._2).sum) < 0.01)
+  }
+
+  test("partial mid-run record is self-describing (done < of)") {
+    val line = Bench.compactLine(times.take(77), Nil, "/root/testdata/sf0.1", of = 120)
+    val node = mapper.readTree(line)
+    assert(node.get("done").asInt() === 77)
+    assert(node.get("of").asInt() === 120)
+    assert(line.length <= 1700)
+  }
+
+  test("pathological case: even one query over budget degrades to an empty map, still parses") {
+    val line = Bench.compactLine(Seq(("q" * 2000, 1.0)), Nil, "sf", of = 1, budget = 300)
+    assert(line.length > 0)
+    val node = mapper.readTree(line)
+    assert(node.get("queries_omitted").asInt() === 1)
+  }
+}

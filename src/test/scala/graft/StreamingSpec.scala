@@ -144,6 +144,38 @@ class StreamingSpec extends SparkSpec {
     assert(s4.getTimeoutTimestampMs.isPresent, "timeout re-armed for the live session")
   }
 
+  test("churning key space: N keys through timeout leave ZERO state rows behind") {
+    // regression gate for the tombstone bug class: if a timeout close
+    // ever stops calling state.remove(), a long-running stream over an
+    // unbounded key space (anonymous visitors) accretes one state row
+    // per key EVER seen instead of per key currently active
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Click, OpenSession}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+
+    def st(s: Option[OpenSession], timedOut: Boolean) = TestGroupState.create[OpenSession](
+      Optional.fromNullable(s.orNull),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000000L,
+      Optional.empty[Long](), timedOut)
+    val fn = Sessionizer.updateSessions(gapSec = 1800, closeQuiet = true) _
+
+    val n = 500
+    var leaked = 0
+    (1 to n).foreach { k =>
+      // key appears once: one click opens a session
+      val open = st(None, timedOut = false)
+      assert(fn(k.toLong, Iterator(Click(k.toLong, k * 10L)), open).isEmpty)
+      assert(open.exists, "open session must hold one state row")
+      // ... then never returns: the processing-time timeout fires
+      val quiet = st(open.getOption, timedOut = true)
+      val out = fn(k.toLong, Iterator.empty, quiet).toSeq
+      assert(out.map(_.n_events) === Seq(1L), "timeout must emit the open session")
+      if (!quiet.isRemoved) leaked += 1
+    }
+    assert(leaked === 0, s"$leaked of $n timed-out keys left a state row behind")
+  }
+
   test("streaming exact dedup: first-wins fingerprint state spans micro-batches") {
     import graft.streaming.StreamingDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
