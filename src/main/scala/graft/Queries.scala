@@ -1510,4 +1510,49 @@ object Queries {
     Merge.scd2(dim0, upd, Seq("c_custkey"), "2024-02-01")
       .orderBy("c_custkey", "valid_from")
   }
+
+  // E1 — the reference's whole daily DAG replayed as one run
+  // (dags/trading_dashboard.py:96-100): ingest → conform → merge into
+  // history → detect patterns → behavior analysis → train + predict,
+  // each stage a keyed merge into a parquet lake (jobs/Pipeline.scala).
+  // The query executes ALL five stages into a fresh temp lake and
+  // returns the trading_patterns table — the deepest SQL-expressible
+  // stage (the oracle replays conform → prev-close history → trend +
+  // fixed-point MA-cross patterns; DO-NOTHING merge into an empty lake
+  // is the identity). The analysis and prediction stages run too;
+  // their values are gated by q_join_two_key / q_ml_metrics.
+  register("q_e1_pipeline",
+    s"""WITH daily AS (${DailySeries.sql}),
+       |c6t AS (SELECT user_id, d, close,
+       |               CAST(round(close * 1000000) AS BIGINT) AS c6
+       |        FROM daily),
+       |m AS (SELECT user_id, d, close,
+       |             lag(close, 1) OVER w AS c1,
+       |             lag(close, 2) OVER w AS c2,
+       |             CAST(sum(c6) OVER w5 AS DOUBLE) / (1000000.0 * count(*) OVER w5) AS ma_fast,
+       |             CAST(sum(c6) OVER w20 AS DOUBLE) / (1000000.0 * count(*) OVER w20) AS ma_slow
+       |      FROM c6t
+       |      WINDOW w AS ($winSql),
+       |             w5 AS ($winSql ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |             w20 AS ($winSql ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |trend AS (
+       |  SELECT user_id, d, 'Trend Patterns' AS pattern_category,
+       |         CASE WHEN close > c1 AND c1 > c2 THEN 'Bullish Trend'
+       |              WHEN close < c1 AND c1 < c2 THEN 'Bearish Trend' END AS pattern
+       |  FROM m WHERE c1 IS NOT NULL AND c2 IS NOT NULL),
+       |crossed AS (
+       |  SELECT user_id, d, 'Moving Average Patterns' AS pattern_category,
+       |         CASE WHEN ma_fast > ma_slow THEN 'Golden Cross'
+       |              WHEN ma_fast < ma_slow THEN 'Death Cross' END AS pattern
+       |  FROM m)
+       |SELECT user_id, d, pattern_category, pattern
+       |FROM (SELECT * FROM trend WHERE pattern IS NOT NULL
+       |      UNION ALL SELECT * FROM crossed WHERE pattern IS NOT NULL) u
+       |ORDER BY user_id, d, pattern""") { (s, dir) =>
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-e1").toString
+    val lake = graft.jobs.Pipeline.run(s, dir, lakeRoot)
+    s.read.parquet(lake.patterns)
+      .select("user_id", "d", "pattern_category", "pattern")
+      .orderBy("user_id", "d", "pattern")
+  }
 }

@@ -54,9 +54,20 @@ object Pipeline {
           .when(col("close") < col("c1") && col("c1") < col("c2"), "Bearish Trend"))
       .filter(col("pattern").isNotNull)
       .withColumn("pattern_category", lit("Trend Patterns"))
+    // the MAs feed a comparison, and a comparison of double frame-sums
+    // is engine-divergent on boundary rows (Spark sums frames
+    // sequentially, other engines use segment trees) — so the frames
+    // sum exact fixed-point micros of the close, same rationale as
+    // q_w3_ma_cross, which is what lets q_e1_pipeline carry a
+    // value-exact oracle over this stage's output
+    val f5 = w.rowsBetween(-4, 0)
+    val f20 = w.rowsBetween(-19, 0)
+    def ma(frame: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("c6")).over(frame).cast("double") / (lit(1000000.0) * count(lit(1)).over(frame))
     val cross = hist
-      .withColumn("ma_fast", Indicators.movingAvgPartial(col("close"), w, 5))
-      .withColumn("ma_slow", Indicators.movingAvgPartial(col("close"), w, 20))
+      .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .withColumn("ma_fast", ma(f5))
+      .withColumn("ma_slow", ma(f20))
       .withColumn("pattern",
         when(col("ma_fast") > col("ma_slow"), "Golden Cross")
           .when(col("ma_fast") < col("ma_slow"), "Death Cross"))
