@@ -50,6 +50,31 @@ class ProfileSpec extends SparkSpec {
     assert(!extreme.isNaN && !extreme.isInfinite && extreme > 1.0)
   }
 
+  test("psi: densified to the fixed bucket grid — smoothing scale ignores which buckets are populated") {
+    // all mass in bucket 0 of a 25-bucket grid: 24 buckets empty on
+    // both sides. The statistic must still smooth over ALL 25 buckets
+    // (one synthetic count each), not the 1 observed — otherwise two
+    // runs over the same configured grid aren't comparable (ADVICE r6)
+    val tight = (1 to 100).map(i => (i.toLong, "a", 1.0)).toDF("id", "grp", "v")
+    val out = Profile.psi(tight, tight, "v", lo = 0.0, hi = 500.0, nb = 25)
+    assert(out.count() === 25L, "output must carry every configured bucket")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(0L)._1 === 100L && rows(0L)._2 === 100L)
+    assert((1L to 24L).forall(b => rows(b)._1 === 0L && rows(b)._2 === 0L))
+    // identical snapshots → every term exactly 0, empty buckets included
+    assert(rows.values.forall { case (_, _, t) => math.abs(t) < 1e-15 })
+    // hand-check one asymmetric case against the closed form:
+    // base 100 rows in bucket 0, cur 100 rows in bucket 1, nb = 2 over [0, 2)
+    val b0 = (1 to 100).map(i => (i.toLong, 0.5)).toDF("id", "v")
+    val c1 = (1 to 100).map(i => (i.toLong, 1.5)).toDF("id", "v")
+    val got = Profile.psi(b0, c1, "v", lo = 0.0, hi = 2.0, nb = 2)
+      .agg(sum("term")).head().getDouble(0)
+    val p0 = 101.0 / 102.0; val q0 = 1.0 / 102.0
+    val expected = (p0 - q0) * math.log(p0 / q0) + (q0 - p0) * math.log(q0 / p0)
+    assert(math.abs(got - expected) < 1e-12, s"got $got, expected $expected")
+  }
+
   test("robustOutliers: exact median/MAD, k·MAD gate, resistant to extremes") {
     // grp "x": 1..9 and one wild 1000 → median 5.5... n=10: values 1..9,1000
     // lower mid rank 5 → 5, upper rank 6 → 6, med = 5.5
