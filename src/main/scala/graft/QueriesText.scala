@@ -288,6 +288,50 @@ object QueriesText {
             org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
           .orderBy("doc_id")
       }
+
+      // Survivor selection — the POLICY step after group resolution:
+      // keep the highest-QUALITY member of each dup group (tie → min
+      // doc_id), not the arbitrary min-id keeper. One mergeable
+      // lexicographic-max aggregation per group; the oracle replays
+      // components + quality and picks the same keeper by window rank.
+      register("q_dedup_survivors",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u),
+           |q AS (
+           |  SELECT doc_id,
+           |         round(least(1.0, len(toks) / 100.0)
+           |               * (1.0 - CAST(len(list_filter(toks,
+           |                        x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+           |                 / len(toks)), 4) AS quality
+           |  FROM t),
+           |jq AS (SELECT g.doc_id, g.group_id, q.quality FROM grp g JOIN q USING (doc_id)),
+           |k AS (SELECT group_id, doc_id AS keeper
+           |      FROM (SELECT group_id, doc_id,
+           |                   row_number() OVER (PARTITION BY group_id
+           |                                      ORDER BY quality DESC, doc_id) AS rn
+           |            FROM jq) r WHERE rn = 1)
+           |SELECT jq.doc_id, jq.group_id, jq.quality, jq.doc_id = k.keeper AS keep
+           |FROM jq JOIN k USING (group_id)
+           |ORDER BY jq.doc_id""") { (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b")
+        val groups = Dedup.connectedComponents(pairs)
+        val quality = docs
+          .withColumn("toks", TextStats.tokens(col("text")))
+          .select(col("doc_id"),
+            round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+        Dedup.survivors(groups, quality)
+          .select("doc_id", "group_id", "quality", "keep")
+          .orderBy("doc_id")
+      }
     }
 
     // SimHash near-dup — 60-bit md5-based signature: per-bit majority

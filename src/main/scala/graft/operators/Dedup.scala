@@ -374,6 +374,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical-document selection over resolved duplicate groups: keep
+    * ONE survivor per group — the highest-scoring member (ties broken
+    * toward the smallest id) — instead of [[connectedComponents]]'s
+    * arbitrary min-id convention. This is the policy step of real
+    * dedup: the kept near-dup should be the best-quality copy, not
+    * whichever happened to have the lowest key.
+    *
+    * Scale shape: ONE hash aggregation — the per-group argmax is a
+    * lexicographic `max(struct(score, −id))`, which merges
+    * associatively map-side (no per-group window sort, so a
+    * pathological million-member dup cluster costs a running max, not
+    * a skewed sort partition) — then a broadcast-sized join back
+    * (one row per GROUP, bounded by the group count).
+    *
+    * Input: `groups` (idCol, group_id) from [[connectedComponents]];
+    * `scores` (idCol, scoreCol). Output: groups ⨝ scores + `keep`. */
+  def survivors(groups: DataFrame, scores: DataFrame,
+                idCol: String = "doc_id", scoreCol: String = "quality"): DataFrame = {
+    val joined = groups.join(scores, Seq(idCol))
+    val best = joined.groupBy("group_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("b"))
+      .select(col("group_id"), (-col("b.nid")).as("__keeper"))
+    joined.join(broadcast(best), Seq("group_id"))
+      .withColumn("keep", col(idCol) === col("__keeper"))
+      .drop("__keeper")
+  }
+
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then
     * verified exactly. No UDFs: shingling, hashing, bucketing and the

@@ -174,4 +174,20 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((3L, 0L, "a b c d a b c d x")))
     assert(got(2L) === ((1L, 0L, "totally different content words")))
   }
+
+  test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "group_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.survivors(groups, scores)
+      .select("group_id", "doc_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === 5, "every group member comes back, flagged")
+    val keepers = out.filter(_._3).map(r => r._1 -> r._2).toMap
+    // group 1: quality tie 0.9 between docs 2 and 3 → min id 2 wins
+    // group 10: quality tie 0.1 between 10 and 11 → min id 10 wins
+    assert(keepers === Map(1L -> 2L, 10L -> 10L))
+    assert(out.count(_._3) === 2, "one keeper per group, no more")
+  }
 }
