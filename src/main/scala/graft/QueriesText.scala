@@ -332,6 +332,35 @@ object QueriesText {
           .select("doc_id", "group_id", "quality", "keep")
           .orderBy("doc_id")
       }
+
+      // Incremental near-dup — the daily-ingest question: which NEW
+      // docs (doc_id % 10 ≥ 8 plays the arriving batch) duplicate a
+      // doc the CORPUS (% 10 < 8) already holds. Candidates come from
+      // probing the corpus's banded LSH keys with the batch's keys —
+      // batch-scaled work against a persisted index, never
+      // corpus × corpus. The oracle reuses the identical signature
+      // CTEs and filters the band join by the same split.
+      register("q_dedup_incremental",
+        s"""WITH $pairsCte,
+           |icand AS (
+           |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS corpus_id
+           |  FROM keyed b JOIN keyed a ON a.band = b.band
+           |  WHERE b.doc_id % 10 >= 8 AND a.doc_id % 10 < 8),
+           |iv AS (
+           |  SELECT ic.doc_id, ic.corpus_id,
+           |         round(CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
+           |               / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))), 4) AS jaccard
+           |  FROM icand ic
+           |  JOIN h hb ON hb.doc_id = ic.doc_id
+           |  JOIN h hc ON hc.doc_id = ic.corpus_id)
+           |SELECT doc_id, corpus_id, jaccard FROM iv WHERE jaccard >= 0.5
+           |ORDER BY doc_id, corpus_id""") { (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashIncremental(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8))
+          .orderBy("doc_id", "corpus_id")
+      }
     }
 
     // SimHash near-dup — 60-bit md5-based signature: per-bit majority
@@ -1204,6 +1233,45 @@ object QueriesText {
       graft.operators.Packing.nextFitPack(sized, "doc_id", "n_toks",
         shards = 8, capacity = 1024L)
         .orderBy("shard", "id")
+    }
+
+    // Packed-bin MATERIALIZATION — the loader artifact itself: per
+    // (shard, bin) the concatenated text plus document-boundary
+    // metadata (pack-ordered doc ids and the token offset where each
+    // doc starts) for attention/position resets. The oracle replays
+    // the same recursive-CTE pack, derives offsets as an exclusive
+    // windowed running sum, and string-aggregates in the same order.
+    register("q_pack_materialize",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id AS id, text,
+        |         CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS size,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, id, size, rn, CAST(1 AS BIGINT) AS bin, size AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.id, n.size, n.rn,
+        |         CASE WHEN p.fill + n.size <= 1024 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.fill + n.size <= 1024 THEN p.fill + n.size ELSE n.size END
+        |  FROM pack p JOIN d n ON n.shard = p.shard AND n.rn = p.rn + 1),
+        |o AS (
+        |  SELECT shard, id, bin, size,
+        |         coalesce(sum(size) OVER (PARTITION BY shard, bin ORDER BY id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM pack)
+        |SELECT o.shard, o.bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(o.size) AS BIGINT) AS n_tokens,
+        |       string_agg(CAST(o.id AS VARCHAR), ',' ORDER BY o.id) AS doc_ids,
+        |       string_agg(CAST(o.off AS VARCHAR), ',' ORDER BY o.id) AS offsets,
+        |       string_agg(d.text, ' ' ORDER BY o.id) AS text
+        |FROM o JOIN d ON d.id = o.id
+        |GROUP BY o.shard, o.bin
+        |ORDER BY o.shard, o.bin""") { (s, dir) =>
+      graft.operators.Packing.materialize(
+        Tables.documents(s, dir), "doc_id", "text", shards = 8, capacity = 1024L)
+        .orderBy("shard", "bin")
     }
 
     // Exact set-similarity self-join (AllPairs/PPJoin prefix filter):

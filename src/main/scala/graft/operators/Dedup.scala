@@ -92,6 +92,22 @@ object Dedup {
                    rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val banded = minhashBanded(docs, shingleK, bands, rowsPerBand)
+    // candidate pairs: only within a band bucket (no crossJoin)
+    val candidates = banded.as("a")
+      .join(banded.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    jaccardVerify(docs, candidates, shingleK, threshold)
+  }
+
+  /** (doc_id, band) LSH bucket keys — the banded-signature stage shared
+    * by the self-join ([[minhashPairs]]) and the batch-vs-index form
+    * ([[minhashIncremental]]); in production this is also exactly what
+    * a persisted LSH index stores per document. */
+  private def minhashBanded(docs: DataFrame, shingleK: Int, bands: Int,
+                            rowsPerBand: Int): DataFrame = {
+    val spark = docs.sparkSession
     val ab = minhashCoeffs(bands * rowsPerBand)
     val sigs = array(ab.map { case (a, b) =>
       array_min(transform(col("h32"), h => (h * lit(a) + lit(b)) % lit(minhashP)))
@@ -107,13 +123,42 @@ object Dedup {
         .select(col("doc_id"), array_distinct(transform(col("grams"),
           s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))).as("h32"))
         .select(col("doc_id"), sigs.as("sigs"))
-    val banded = sigsStage.select(col("doc_id"), explode(bandCol).as("band"))
-    // candidate pairs: only within a band bucket (no crossJoin)
-    val candidates = banded.as("a")
-      .join(banded.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    jaccardVerify(docs, candidates, shingleK, threshold)
+    sigsStage.select(col("doc_id"), explode(bandCol).as("band"))
+  }
+
+  /** Incremental near-dup: which NEW-batch docs duplicate a doc the
+    * corpus ALREADY holds — the daily-ingest question. The corpus side
+    * is its banded LSH keys (in production a PERSISTED index, appended
+    * per accepted batch, never recomputed — the same
+    * append-don't-rebuild contract as KeywordSearch's incremental
+    * inverted index); the batch side computes keys for the new docs
+    * only. Candidates come from a band equi-join of BATCH keys against
+    * index keys — work scales with the batch and its bucket matches,
+    * never corpus × corpus (and never batch × corpus: docs sharing no
+    * band bucket are never paired). Exact-Jaccard verify on the 60-bit
+    * shingle-hash sets, batch side against corpus side.
+    *
+    * Output: (doc_id, corpus_id, jaccard) — one row per flagged
+    * (new doc, existing near-dup) pair above `threshold`. */
+  def minhashIncremental(corpus: DataFrame, batch: DataFrame, shingleK: Int = 3,
+                         bands: Int = 16, rowsPerBand: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val index = minhashBanded(corpus, shingleK, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val probes = minhashBanded(batch, shingleK, bands, rowsPerBand)
+    val candidates = probes.join(index, Seq("band"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val bh = withShingleHashSet(batch, shingleK)
+    val ch = withShingleHashSet(corpus, shingleK)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+    val inter = size(array_intersect(col("sh"), col("sh_c")))
+    candidates
+      .join(bh, Seq("doc_id"))
+      .join(ch, Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "corpus_id", "jaccard")
   }
 
   /** Verify candidate pairs with exact Jaccard over the 60-bit md5

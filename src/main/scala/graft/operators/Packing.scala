@@ -56,4 +56,46 @@ object Packing {
       }
       .toDF("shard", "id", "bin", "n_tokens")
   }
+
+  /** Materialize packed bins into the LOADER artifact: one row per
+    * (shard, bin) carrying the concatenated text plus the boundary
+    * metadata a trainer needs to reset attention/position state at
+    * document edges — doc ids in pack order and the token OFFSET where
+    * each document starts (exclusive prefix sums of the token counts).
+    * Ids and offsets are CSV strings (exact longs), not arrays, so the
+    * row hashes/compares identically in any engine.
+    *
+    * Scale shape: [[nextFitPack]]'s iterator pass, a join back for the
+    * text, then ONE aggregation keyed by (shard, bin) whose per-group
+    * state is bounded by `capacity` tokens — collect_list here is safe
+    * BECAUSE the packing invariant caps what any group can hold (a
+    * bin never exceeds capacity unless a single over-long doc owns the
+    * bin alone). Offsets fold inside the row via array HOFs — exact
+    * integer arithmetic, no window pass. */
+  def materialize(docs: DataFrame, idCol: String, textCol: String,
+                  shards: Int, capacity: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val sized = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(textCol).as("text"),
+      size(graft.functions.TextStats.tokens(col(textCol))).cast("long").as("n_toks"))
+    val packed = nextFitPack(sized.select(col("id"), col("n_toks")), "id", "n_toks",
+      shards, capacity)
+    packed.select(col("shard"), col("id"), col("bin"))
+      .join(sized, Seq("id"))
+      .groupBy("shard", "bin")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_toks"), col("text")))).as("m"))
+      .select(
+        col("shard"), col("bin"),
+        size(col("m")).cast("long").as("n_docs"),
+        aggregate(col("m"), lit(0L), (a, x) => a + x.getField("n_toks")).as("n_tokens"),
+        array_join(transform(col("m"), x => x.getField("id").cast("string")), ",")
+          .as("doc_ids"),
+        array_join(transform(
+          slice(aggregate(col("m"), array(lit(0L)),
+            (acc, x) => array_append(acc, element_at(acc, -1) + x.getField("n_toks"))),
+            lit(1), size(col("m"))),
+          o => o.cast("string")), ",").as("offsets"),
+        concat_ws(" ", transform(col("m"), x => x.getField("text"))).as("text"))
+  }
 }

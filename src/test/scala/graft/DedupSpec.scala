@@ -175,6 +175,27 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, "totally different content words")))
   }
 
+  test("minhashIncremental flags exactly the cross-split slice of the full self-join") {
+    // split the fixture so the planted dups (base id i vs copy id
+    // i+100/i+200) land one per side, and ask the incremental form
+    // which "new" docs duplicate an "existing" one: the answer must be
+    // the full self-join's pairs restricted to one endpoint per side
+    // (same signatures, same banding, same verify — indexed differently)
+    val existing = corpus.filter($"doc_id" < 100)
+    val batch = corpus.filter($"doc_id" >= 100)
+    val full = Dedup.minhashPairs(corpus)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.flatMap { case (a, b, j) =>
+      if (a < 100 && b >= 100) Some((b, a, j))
+      else if (a >= 100 && b < 100) Some((a, b, j))
+      else None
+    }.toSet
+    val got = Dedup.minhashIncremental(existing, batch)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must exercise at least one cross-split near-dup")
+  }
+
   test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "group_id")

@@ -44,4 +44,18 @@ class PackingSpec extends SparkSpec {
       .select("id", "bin").as[(Long, Long)].collect().toMap
     only2.foreach { case (id, bin) => assert(a(id) === bin, s"doc $id") }
   }
+
+  test("materialize: bins carry pack-ordered ids, exclusive token offsets, concatenated text") {
+    // one shard, capacity 5: ids 1(3 toks) + 2(2 toks) fill bin 1
+    // exactly; id 3 opens bin 2
+    val docs = Seq((1L, "w x y"), (2L, "p q"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = Packing.materialize(docs, "doc_id", "text", shards = 1, capacity = 5L)
+      .orderBy("bin")
+      .select("bin", "n_docs", "n_tokens", "doc_ids", "offsets", "text")
+      .as[(Long, Long, Long, String, String, String)].collect()
+    assert(out === Array(
+      (1L, 2L, 5L, "1,2", "0,3", "w x y p q"),
+      (2L, 1L, 1L, "3", "0", "z")))
+  }
 }
