@@ -1067,6 +1067,75 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // TOKEN-budget mixture — domain weights the way training mixtures
+    // actually specify them (tokens, not documents): each source
+    // contributes docs in deterministic md5 order until its token
+    // budget fills; the straddling doc is kept; unlisted sources drop.
+    // The engine's per-source two-phase cumulative sum must reproduce
+    // DuckDB's single per-source window exactly.
+    register("q_token_budget_mix",
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', CAST(800 AS BIGINT)), ('src1', CAST(400 AS BIGINT)),
+        |                             ('src2', CAST(999999 AS BIGINT)), ('src3', CAST(600 AS BIGINT))),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |         coalesce(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY hh, n_toks
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bf
+        |  FROM s)
+        |SELECT c.doc_id, c.source, c.n_toks
+        |FROM c JOIN b USING (source)
+        |WHERE c.bf < b.budget
+        |ORDER BY doc_id""") { (s, dir) =>
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Sampling.tokenBudgetMix(sized, "source", "doc_id", "n_toks",
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 999999L, "src3" -> 600L))
+        .select("doc_id", "source", "n_toks")
+        .orderBy("doc_id")
+    }
+
+    // Epoch-upsampled token budgets — a source whose budget exceeds
+    // its data REPEATS (multi-epoch) until the budget fills, capped at
+    // 4 passes: how small high-weight domains actually enter a
+    // training mixture. Epoch membership is the closed form
+    // epoch·total + within-epoch-position < budget — exact integer
+    // arithmetic the oracle replays verbatim.
+    register("q_token_budget_epochs",
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', CAST(3000 AS BIGINT)), ('src4', CAST(2600 AS BIGINT)),
+        |                             ('src5', CAST(400 AS BIGINT))),
+        |tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS total FROM s GROUP BY source),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |         coalesce(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY hh, n_toks
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bf
+        |  FROM s),
+        |eps AS (
+        |  SELECT b.source, b.budget, t.total,
+        |         unnest(range(least(4, (b.budget - 1) // t.total + 1))) AS epoch
+        |  FROM b JOIN tot t USING (source))
+        |SELECT c.doc_id, c.source, c.n_toks, eps.epoch
+        |FROM c JOIN eps USING (source)
+        |WHERE eps.epoch * eps.total + c.bf < eps.budget
+        |ORDER BY doc_id, epoch""") { (s, dir) =>
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Sampling.tokenBudgetMixEpochs(sized, "source", "doc_id", "n_toks",
+        Map("src0" -> 3000L, "src4" -> 2600L, "src5" -> 400L), maxEpochs = 4)
+        .select("doc_id", "source", "n_toks", "epoch")
+        .orderBy("doc_id", "epoch")
+    }
+
     // Size-budgeted shard packing (training-data export): docs in
     // deterministic md5 order, each shard takes consecutive docs until
     // the char budget fills. The engine's two-phase cumulative sum

@@ -119,4 +119,95 @@ object Sampling {
     val rates = w.map { case (s, ws) => s -> math.min(1.0, total * ws / counts(s)) }
     stratified(df, sourceCol, keyCol, rates, salt)
   }
+
+  /** TOKEN-budget mixture composition — the DoReMi-style domain-weights
+    * contract: each source contributes AT MOST `budgets(source)` units
+    * of `sizeCol` (tokens), filled by documents in deterministic
+    * md5(key) order. Rate-based mixing ([[weightedMix]]) controls
+    * DOCUMENT proportions; training mixtures are specified in TOKENS,
+    * and doc-length skew between sources makes the two materially
+    * different. The doc that straddles its source's boundary is kept
+    * (it STARTS inside the budget — same convention as
+    * [[Sharding.sizeBudgeted]]); sources absent from `budgets` drop.
+    *
+    * Scale shape: the per-source running total reuses the two-phase
+    * cumulative sum — 256 hash-prefix buckets per source, per-
+    * (source, bucket) totals cumulated by a broadcast triangle join,
+    * within-bucket window only — so no partition ever holds more than
+    * ~1/256 of one source; budgets broadcast. Deterministic across
+    * layout/retries via the same full-row-fingerprint tiebreak. */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     sizeCol: String, budgets: Map[String, Long],
+                     buckets: Int = 256): DataFrame =
+    withRunningBefore(df, sourceCol, keyCol, sizeCol, budgets, buckets)
+      .filter(col("__before") < col("__budget"))
+      .drop("__before", "__budget")
+
+  /** [[tokenBudgetMix]] with EPOCH upsampling — the full domain-weights
+    * contract: a source whose budget EXCEEDS its data repeats (up to
+    * `maxEpochs` passes) until the token budget fills, the way small
+    * high-weight domains are actually trained. Adds an `epoch` column
+    * (0-based pass index). No second running sum is needed: a doc's
+    * global position is the closed form epoch × sourceTotal +
+    * within-epoch position, so repeats are a per-row sequence explode
+    * against a broadcast per-source total — cost scales with the
+    * EMITTED rows, and maxEpochs hard-bounds the blowup a tiny source
+    * with a huge budget could cause. Epoch count is exact integer
+    * arithmetic (⌊(budget−1)/total⌋+1, capped), identical in any
+    * engine. */
+  def tokenBudgetMixEpochs(df: DataFrame, sourceCol: String, keyCol: String,
+                           sizeCol: String, budgets: Map[String, Long],
+                           maxEpochs: Int = 4, buckets: Int = 256): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val base = withRunningBefore(df, sourceCol, keyCol, sizeCol, budgets, buckets)
+    val totals = base.groupBy(sourceCol).agg(sum(col(sizeCol)).as("__total"))
+    val nEp = least(lit(maxEpochs.toLong),
+      floor((col("__budget") - 1) / col("__total")).cast("long") + 1)
+    base
+      .join(broadcast(totals), Seq(sourceCol))
+      .withColumn("epoch", explode(sequence(lit(0L), nEp - 1)))
+      .filter(col("epoch") * col("__total") + col("__before") < col("__budget"))
+      .drop("__before", "__budget", "__total")
+  }
+
+  /** Shared stage of the token-budget mixers: annotates each row of a
+    * budgeted source with `__before` (the exact total of `sizeCol`
+    * over all earlier rows of its source in md5(key) order) and
+    * `__budget`. The per-source running total is the two-phase
+    * cumulative sum (per-(source, bucket) totals cumulated by a
+    * broadcast triangle join + a within-bucket window), so no
+    * partition ever holds more than ~1/256 of one source. */
+  private def withRunningBefore(df: DataFrame, sourceCol: String, keyCol: String,
+                                sizeCol: String, budgets: Map[String, Long],
+                                buckets: Int): DataFrame = {
+    require(budgets.nonEmpty, "empty budgets")
+    require(buckets >= 1 && buckets <= 256, "buckets must be in 1..256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(col(keyCol).cast("string"))
+    val withKeys = df
+      .withColumn("__h", h)
+      .withColumn("__bucket",
+        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256).cast("int"))
+    val totals = withKeys.groupBy(sourceCol, "__bucket")
+      .agg(sum(col(sizeCol)).as("__btotal"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")),
+        col(s"a.$sourceCol") === col(s"b.$sourceCol")
+          && col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col(s"a.$sourceCol").as(sourceCol), col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btotal")), lit(0L)).as("__offset"))
+    val fp = xxhash64(df.columns.map(col): _*)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol, "__bucket")
+      .orderBy(col("__h"), col(sizeCol), col("__fp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budgetDf = broadcast(budgets.toSeq.toDF(sourceCol, "__budget"))
+    withKeys
+      .withColumn("__fp", fp)
+      .join(broadcast(offsets), Seq(sourceCol, "__bucket"))
+      .withColumn("__before", col("__offset") + coalesce(sum(col(sizeCol)).over(wb), lit(0L)))
+      .join(budgetDf, Seq(sourceCol))
+      .drop("__h", "__bucket", "__offset", "__fp")
+  }
 }

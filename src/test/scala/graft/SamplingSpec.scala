@@ -117,4 +117,52 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(bySplit("train") / 200.0 - 0.8) < 0.08, bySplit.toString)
     assert(bySplit.getOrElse("val", 0.0) + bySplit.getOrElse("test", 0.0) > 0)
   }
+
+  test("tokenBudgetMix: budgets bound per source, straddler kept, layout independent") {
+    val df = (1L to 300L)
+      .map(id => (id, s"s${id % 3}", id % 17 + 1L))
+      .toDF("id", "source", "n")
+    val budgets = Map("s0" -> 150L, "s1" -> 250L, "s2" -> 1000000L)
+    def run(parts: Int) = Sampling
+      .tokenBudgetMix(df.repartition(parts), "source", "id", "n", budgets)
+      .select("id", "source", "n").as[(Long, String, Long)].collect().toSet
+    val a = run(3)
+    // deterministic across partition layout
+    assert(a === run(17))
+    val bySource = a.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    // each capped source fills its budget: total reaches it, and
+    // removing the (largest possible) straddler lands strictly under
+    Seq("s0" -> 150L, "s1" -> 250L).foreach { case (s, b) =>
+      val kept = bySource(s)
+      val maxDoc = a.filter(_._2 == s).map(_._3).max
+      assert(kept >= b, s"$s under-filled: $kept < $b")
+      assert(kept - maxDoc < b, s"$s kept more than budget + one straddler")
+    }
+    // an effectively-unbounded budget keeps the whole source
+    assert(a.count(_._2 == "s2") === 100)
+  }
+
+  test("tokenBudgetMixEpochs: small source repeats to fill its budget, capped by maxEpochs") {
+    // uniform doc sizes make expected counts hash-order-independent:
+    // "tiny" = 5 docs × 10 tokens (total 50), "big" = 100 × 10
+    val df = ((1L to 5L).map(id => (id, "tiny", 10L)) ++
+      (101L to 200L).map(id => (id, "big", 10L))).toDF("id", "source", "n")
+    val out = Sampling.tokenBudgetMixEpochs(df, "source", "id", "n",
+        Map("tiny" -> 120L, "big" -> 100L), maxEpochs = 4)
+      .select("id", "source", "epoch").as[(Long, String, Long)].collect()
+    // tiny: budget 120 over total 50 → epochs 0,1 full (5 docs each) and
+    // epoch 2 partial (before = 100 + bf < 120 ⇒ bf < 20 ⇒ 2 docs)
+    val tiny = out.filter(_._2 == "tiny")
+    assert(tiny.count(_._3 == 0L) === 5 && tiny.count(_._3 == 1L) === 5)
+    assert(tiny.count(_._3 == 2L) === 2 && tiny.forall(_._3 <= 2L))
+    // big: budget 100 of 1000 → single epoch, 10 docs
+    val big = out.filter(_._2 == "big")
+    assert(big.length === 10 && big.forall(_._3 === 0L))
+    // the cap binds: maxEpochs = 2 stops tiny at two full passes even
+    // though the budget would admit a third
+    val capped = Sampling.tokenBudgetMixEpochs(df, "source", "id", "n",
+        Map("tiny" -> 1000L), maxEpochs = 2)
+      .select("epoch").as[Long].collect()
+    assert(capped.length === 10 && capped.max === 1L)
+  }
 }
