@@ -637,6 +637,69 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Quality filter FUNNEL — the FineWeb-style cascade as one pass:
+    // every doc gets each signal plus a verdict naming the FIRST rule
+    // that kills it (too_short → repetitive → low_quality → keep), the
+    // attribution a curation team needs to see WHY the corpus shrank,
+    // not just that it did. One tokenize feeds all signals; the oracle
+    // recomposes the same fragments the individual signal queries
+    // already verify.
+    register("q_quality_funnel",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, len(toks) AS n_tokens,
+        |             round(least(1.0, len(toks) / 100.0)
+        |                   * (1.0 - CAST(len(list_filter(toks,
+        |                            x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+        |                     / len(toks)), 4) AS quality
+        |      FROM t),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                  ELSE list_transform(range(len(toks) - 2),
+        |                                      i -> array_to_string(toks[(i+1):(i+3)], ' ')) END AS g3
+        |      FROM t),
+        |d AS (SELECT doc_id,
+        |             round(CAST(1.0 AS DOUBLE)
+        |                   - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) AS dup3_frac
+        |      FROM g),
+        |c AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+        |m AS (SELECT doc_id, n, tok, count(*) AS c FROM c GROUP BY 1, 2, 3),
+        |mm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4) AS top_token_frac
+        |       FROM m GROUP BY doc_id, n)
+        |SELECT q.doc_id, q.n_tokens, q.quality, d.dup3_frac, mm.top_token_frac,
+        |       CASE WHEN q.n_tokens < 20 THEN 'too_short'
+        |            WHEN d.dup3_frac > 0.2 OR mm.top_token_frac > 0.2 THEN 'repetitive'
+        |            WHEN q.quality < 0.30 THEN 'low_quality'
+        |            ELSE 'keep' END AS verdict
+        |FROM q JOIN d USING (doc_id) JOIN mm USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      val q = toksDf.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+      val d = toksDf
+        .select(col("doc_id"), Dedup.gramsOf(col("toks"), 3).as("g3"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / size(col("g3")), 4).as("dup3_frac"))
+      val top = toksDf
+        .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("maxc"))
+        .select(col("doc_id"),
+          round(col("maxc").cast("double") / col("n"), 4).as("top_token_frac"))
+      q.join(d, Seq("doc_id")).join(top, Seq("doc_id"))
+        .withColumn("verdict",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("dup3_frac") > 0.2 || col("top_token_frac") > 0.2, "repetitive")
+            .when(col("quality") < 0.30, "low_quality")
+            .otherwise("keep"))
+        .orderBy("doc_id")
+    }
+
     // PII masking: emails/URLs/phone runs → typed placeholders, with
     // per-category counts. Docs 0-9 get planted PII so the masking is
     // exercised at every sf; the regex subset is shared by Java regex
