@@ -141,7 +141,7 @@ object Sampling {
                      buckets: Int = 256): DataFrame =
     withRunningBefore(df, sourceCol, keyCol, sizeCol, budgets, buckets)
       .filter(col("__before") < col("__budget"))
-      .drop("__before", "__budget")
+      .drop("__before", "__budget", "__total")
 
   /** [[tokenBudgetMix]] with EPOCH upsampling — the full domain-weights
     * contract: a source whose budget EXCEEDS its data repeats (up to
@@ -160,11 +160,9 @@ object Sampling {
                            maxEpochs: Int = 4, buckets: Int = 256): DataFrame = {
     require(maxEpochs >= 1, "maxEpochs must be at least 1")
     val base = withRunningBefore(df, sourceCol, keyCol, sizeCol, budgets, buckets)
-    val totals = base.groupBy(sourceCol).agg(sum(col(sizeCol)).as("__total"))
     val nEp = least(lit(maxEpochs.toLong),
       floor((col("__budget") - 1) / col("__total")).cast("long") + 1)
     base
-      .join(broadcast(totals), Seq(sourceCol))
       .withColumn("epoch", explode(sequence(lit(0L), nEp - 1)))
       .filter(col("epoch") * col("__total") + col("__before") < col("__budget"))
       .drop("__before", "__budget", "__total")
@@ -172,11 +170,13 @@ object Sampling {
 
   /** Shared stage of the token-budget mixers: annotates each row of a
     * budgeted source with `__before` (the exact total of `sizeCol`
-    * over all earlier rows of its source in md5(key) order) and
-    * `__budget`. The per-source running total is the two-phase
-    * cumulative sum (per-(source, bucket) totals cumulated by a
-    * broadcast triangle join + a within-bucket window), so no
-    * partition ever holds more than ~1/256 of one source. */
+    * over all earlier rows of its source in md5(key) order),
+    * `__budget`, and `__total` (the source's full size — derived from
+    * the same bucket totals, so it costs no extra corpus scan). The
+    * per-source running total is the two-phase cumulative sum
+    * (per-(source, bucket) totals cumulated by a broadcast triangle
+    * join + a within-bucket window), so no partition ever holds more
+    * than ~1/256 of one source. */
   private def withRunningBefore(df: DataFrame, sourceCol: String, keyCol: String,
                                 sizeCol: String, budgets: Map[String, Long],
                                 buckets: Int): DataFrame = {
@@ -203,11 +203,13 @@ object Sampling {
       .orderBy(col("__h"), col(sizeCol), col("__fp"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val budgetDf = broadcast(budgets.toSeq.toDF(sourceCol, "__budget"))
+    val srcTotals = totals.groupBy(sourceCol).agg(sum(col("__btotal")).as("__total"))
     withKeys
       .withColumn("__fp", fp)
       .join(broadcast(offsets), Seq(sourceCol, "__bucket"))
       .withColumn("__before", col("__offset") + coalesce(sum(col(sizeCol)).over(wb), lit(0L)))
       .join(budgetDf, Seq(sourceCol))
+      .join(broadcast(srcTotals), Seq(sourceCol))
       .drop("__h", "__bucket", "__offset", "__fp")
   }
 }
