@@ -126,6 +126,61 @@ object Dedup {
     sigsStage.select(col("doc_id"), explode(bandCol).as("band"))
   }
 
+  /** Persist the LSH dedup index for [[minhashIncrementalIndexed]]:
+    * two parquet tables under `path` — `bands` (corpus_id, band)
+    * bucket keys for candidate probing, and `sketches` (corpus_id,
+    * sh_c) 60-bit shingle-hash sets for exact verification. Exactly
+    * the two artifacts a production incremental-dedup service keeps
+    * warm; [[appendToLshIndex]] grows both per accepted batch without
+    * ever re-reading the corpus (same append-don't-rebuild contract as
+    * KeywordSearch.updateInvertedIndex). */
+  def buildLshIndex(corpus: DataFrame, path: String, shingleK: Int = 3,
+                    bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    minhashBanded(corpus, shingleK, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    withShingleHashSet(corpus, shingleK)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+      .write.mode("overwrite").parquet(s"$path/sketches")
+  }
+
+  /** Append newly-accepted docs to an existing LSH index. */
+  def appendToLshIndex(docs: DataFrame, path: String, shingleK: Int = 3,
+                       bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    minhashBanded(docs, shingleK, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+      .write.mode("append").parquet(s"$path/bands")
+    withShingleHashSet(docs, shingleK)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+      .write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** [[minhashIncremental]] against a PERSISTED index: identical
+    * output, but the corpus side comes off disk — the batch is the
+    * only text that gets tokenized, hashed, or banded. Candidate
+    * generation probes the `bands` table; only candidate corpus ids'
+    * sketches join into the verify. */
+  def minhashIncrementalIndexed(batch: DataFrame, indexPath: String,
+                                shingleK: Int = 3, bands: Int = 16,
+                                rowsPerBand: Int = 4,
+                                threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(s"$indexPath/bands")
+    val sketches = spark.read.parquet(s"$indexPath/sketches")
+    val probes = minhashBanded(batch, shingleK, bands, rowsPerBand)
+    val candidates = probes.join(idx, Seq("band"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val bh = withShingleHashSet(batch, shingleK)
+    val inter = size(array_intersect(col("sh"), col("sh_c")))
+    candidates
+      .join(bh, Seq("doc_id"))
+      .join(sketches, Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "corpus_id", "jaccard")
+  }
+
   /** Incremental near-dup: which NEW-batch docs duplicate a doc the
     * corpus ALREADY holds — the daily-ingest question. The corpus side
     * is its banded LSH keys (in production a PERSISTED index, appended

@@ -196,6 +196,24 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must exercise at least one cross-split near-dup")
   }
 
+  test("persisted LSH index: indexed probe ≡ in-memory incremental; append ≡ rebuild") {
+    val existing = corpus.filter($"doc_id" < 100)
+    val batch = corpus.filter($"doc_id" >= 100)
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    // build on the first half of the corpus, append the second half:
+    // probing the grown index must equal both the one-shot build and
+    // the in-memory incremental over the same corpus
+    val (h1, h2) = (existing.filter($"doc_id" < 20), existing.filter($"doc_id" >= 20))
+    Dedup.buildLshIndex(h1, path)
+    Dedup.appendToLshIndex(h2, path)
+    val viaIndex = Dedup.minhashIncrementalIndexed(batch, path)
+      .as[(Long, Long, Double)].collect().toSet
+    val inMemory = Dedup.minhashIncremental(existing, batch)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === inMemory)
+    assert(viaIndex.nonEmpty, "fixture must exercise at least one indexed hit")
+  }
+
   test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "group_id")
