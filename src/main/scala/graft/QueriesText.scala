@@ -361,6 +361,124 @@ object QueriesText {
           docs.filter(col("doc_id") % 10 >= 8))
           .orderBy("doc_id", "corpus_id")
       }
+
+      // CURATION CAPSTONE — the whole cleaning pipeline as ONE plan:
+      // every corpus doc (doc_id ≥ 25; < 25 plays the benchmark set)
+      // gets a single first-match reason — contaminated (≥5 shared
+      // trigrams with a benchmark doc) → near_dup (dup-group member
+      // that lost survivor selection to a higher-quality copy) →
+      // too_short → repetitive → low_quality → keep. reason = 'keep'
+      // IS the final training corpus; everything else is the audit
+      // trail of why the corpus shrank. The oracle recomposes the
+      // decontamination, components + survivor, and funnel fragments —
+      // each individually verified — over the same corpus split.
+      {
+        val corpusPairsCte = pairsCte.replace(
+          "  FROM documents),", "  FROM documents WHERE doc_id >= 25),")
+        register("q_curate_corpus",
+          s"""WITH RECURSIVE $corpusPairsCte,
+             |bt AS (SELECT doc_id AS bench_id,
+             |              string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+             |       FROM documents WHERE doc_id < 25),
+             |bsh AS (SELECT bench_id,
+             |               list_distinct(list_transform(
+             |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |                      ELSE list_transform(range(len(toks) - 2),
+             |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+             |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT))) AS hb
+             |        FROM bt),
+             |bhx AS (SELECT bench_id, unnest(hb) AS h FROM bsh),
+             |thx AS (SELECT doc_id, unnest(h60) AS h FROM h),
+             |cshare AS (SELECT thx.doc_id, bhx.bench_id, count(*) AS c
+             |           FROM thx JOIN bhx USING (h) GROUP BY 1, 2),
+             |contam AS (SELECT DISTINCT doc_id FROM cshare WHERE c >= 5),
+             |edges AS (
+             |  SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION
+             |  SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT DISTINCT u, u AS m FROM edges
+             |  UNION
+             |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+             |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u),
+             |q AS (SELECT doc_id, len(toks) AS n_tokens,
+             |             round(least(1.0, len(toks) / 100.0)
+             |                   * (1.0 - CAST(len(list_filter(toks,
+             |                            x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+             |                     / len(toks)), 4) AS quality
+             |      FROM t),
+             |jq AS (SELECT g.doc_id, g.group_id, q.quality FROM grp g JOIN q USING (doc_id)),
+             |k AS (SELECT group_id, doc_id AS keeper
+             |      FROM (SELECT group_id, doc_id,
+             |                   row_number() OVER (PARTITION BY group_id
+             |                                      ORDER BY quality DESC, doc_id) AS rn
+             |            FROM jq) r WHERE rn = 1),
+             |nonsurv AS (SELECT jq.doc_id FROM jq JOIN k USING (group_id)
+             |            WHERE jq.doc_id <> k.keeper),
+             |g3t AS (SELECT doc_id,
+             |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |                    ELSE list_transform(range(len(toks) - 2),
+             |                                        i -> array_to_string(toks[(i+1):(i+3)], ' ')) END AS g3
+             |        FROM t),
+             |d AS (SELECT doc_id,
+             |             round(CAST(1.0 AS DOUBLE)
+             |                   - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) AS dup3_frac
+             |      FROM g3t),
+             |cx AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+             |mx AS (SELECT doc_id, n, tok, count(*) AS c FROM cx GROUP BY 1, 2, 3),
+             |mm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4) AS top_token_frac
+             |       FROM mx GROUP BY doc_id, n)
+             |SELECT q.doc_id, q.n_tokens, q.quality,
+             |       CASE WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+             |            WHEN ns.doc_id IS NOT NULL THEN 'near_dup'
+             |            WHEN q.n_tokens < 20 THEN 'too_short'
+             |            WHEN d.dup3_frac > 0.2 OR mm.top_token_frac > 0.2 THEN 'repetitive'
+             |            WHEN q.quality < 0.30 THEN 'low_quality'
+             |            ELSE 'keep' END AS reason
+             |FROM q JOIN d USING (doc_id) JOIN mm USING (doc_id)
+             |LEFT JOIN contam co USING (doc_id)
+             |LEFT JOIN nonsurv ns USING (doc_id)
+             |ORDER BY doc_id""") { (s, dir) =>
+          val docs = Tables.documents(s, dir)
+          val bench = docs.filter(col("doc_id") < 25)
+          val corpus = docs.filter(col("doc_id") >= 25)
+          val contaminated = broadcast(
+            Dedup.decontaminate(corpus, bench).select("doc_id").distinct()
+              .withColumn("__contam", lit(true)))
+          val pairs = Dedup.minhashPairs(corpus).select("doc_a", "doc_b")
+          val groups = Dedup.connectedComponents(pairs)
+          val toksDf = corpus.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+          val quality = toksDf.select(col("doc_id"),
+            round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+          val nonSurvivors = broadcast(
+            Dedup.survivors(groups, quality).filter(!col("keep"))
+              .select(col("doc_id")).withColumn("__nd", lit(true)))
+          val signals = toksDf
+            .select(col("doc_id"), col("toks"), Dedup.gramsOf(col("toks"), 3).as("g3"))
+            .select(col("doc_id"),
+              size(col("toks")).cast("long").as("n_tokens"),
+              round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+                / size(col("g3")), 4).as("dup3_frac"))
+          val top = toksDf
+            .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+            .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id", "n").agg(max("c").as("maxc"))
+            .select(col("doc_id"),
+              round(col("maxc").cast("double") / col("n"), 4).as("top_token_frac"))
+          signals.join(quality, Seq("doc_id")).join(top, Seq("doc_id"))
+            .join(contaminated, Seq("doc_id"), "left")
+            .join(nonSurvivors, Seq("doc_id"), "left")
+            .withColumn("reason",
+              when(col("__contam"), "contaminated")
+                .when(col("__nd"), "near_dup")
+                .when(col("n_tokens") < 20, "too_short")
+                .when(col("dup3_frac") > 0.2 || col("top_token_frac") > 0.2, "repetitive")
+                .when(col("quality") < 0.30, "low_quality")
+                .otherwise("keep"))
+            .select("doc_id", "n_tokens", "quality", "reason")
+            .orderBy("doc_id")
+        }
+      }
     }
 
     // SimHash near-dup — 60-bit md5-based signature: per-bit majority
