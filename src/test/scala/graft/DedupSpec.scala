@@ -214,6 +214,34 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.nonEmpty, "fixture must exercise at least one indexed hit")
   }
 
+  test("ingest loop: later batches dedup against docs ACCEPTED in earlier batches") {
+    // the property that makes the index incremental rather than a
+    // cached self-join: batch 2's duplicate of a doc that only entered
+    // the corpus via batch 1 must be caught, because batch 1's
+    // accepted docs were appended to the index
+    def words(seed: Int) = (1 to 30).map(i => s"w${seed}x$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-loop").toString
+    Dedup.buildLshIndex(docs(1L -> words(1), 2L -> words(2)), path)
+
+    // batch 1: a near-dup of corpus doc 2 (one token changed) and a
+    // genuinely new doc 11
+    val nearDup2 = words(2).replace("w2x15", "zz")
+    val batch1 = docs(10L -> nearDup2, 11L -> words(11))
+    val flagged1 = Dedup.minhashIncrementalIndexed(batch1, path)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(flagged1 === Set((10L, 2L)))
+    val accepted1 = batch1.filter(!$"doc_id".isin(flagged1.map(_._1).toSeq: _*))
+    Dedup.appendToLshIndex(accepted1, path)
+
+    // batch 2: an exact copy of doc 11 — which exists ONLY because
+    // batch 1 was accepted into the index — plus another fresh doc
+    val batch2 = docs(20L -> words(11), 21L -> words(21))
+    val flagged2 = Dedup.minhashIncrementalIndexed(batch2, path)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(flagged2 === Set((20L, 11L)),
+      "batch-2 duplicate of a batch-1-accepted doc must be flagged")
+  }
+
   test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "group_id")
