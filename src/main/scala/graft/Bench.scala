@@ -50,26 +50,37 @@ object Bench {
     * done &lt; of. */
   def compactLine(times: Seq[(String, Double)], errors: Seq[(String, String)],
                   sf: String, of: Int, budget: Int = 1700): String = {
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(120))}" }
-      .mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val done = times.size + errors.size
-    def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
+    def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double,
+             errs: Seq[(String, String)], errsOmitted: Int): String = {
       val body = qs.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted,"omitted_sec":${jnum(omittedSec)}""" else ""
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","done":$done,"of":$of,"queries":$body$omit,"errors":$es,"sf":${jstr(sf)}}"""
+      val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(120))}" }
+        .mkString("{", ",", "}")
+      val eo = if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else ""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","done":$done,"of":$of,"queries":$body$omit,"errors":$es$eo,"sf":${jstr(sf)}}"""
     }
-    val full = line(times, 0, 0.0)
+    val full = line(times, 0, 0.0, errors, 0)
     if (full.length <= budget) full
     else {
+      // over budget: first cap the errors section at a third of the
+      // line budget (the systemic-failure shape — every query erroring
+      // on a bad sf dir — would otherwise overflow the line by itself;
+      // a few messages diagnose it as well as 116 copies), then keep
+      // the largest prefix of SLOWEST queries that fits beside them
+      def esLen(k: Int): Int = errors.take(k)
+        .map { case (n, v) => jstr(n).length + jstr(v.take(120)).length + 2 }.sum
+      val eKeep = (errors.length to 0 by -1).find(esLen(_) <= budget / 3).getOrElse(0)
+      val errsKept = errors.take(eKeep)
       val bySlow = times.sortBy(-_._2)
-      // largest prefix of slowest queries whose line fits the budget
-      (bySlow.length to 1 by -1).view
+      (bySlow.length to 0 by -1).view
         .map(n => bySlow.take(n))
-        .map(kept => line(kept, times.size - kept.size, total - kept.map(_._2).sum))
+        .map(kept => line(kept, times.size - kept.size,
+          total - kept.map(_._2).sum, errsKept, errors.size - eKeep))
         .find(_.length <= budget)
-        .getOrElse(line(Nil, times.size, total))
+        .getOrElse(line(Nil, times.size, total, Nil, errors.size))
     }
   }
 

@@ -70,4 +70,32 @@ class BenchLineSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(node.get("queries_omitted").asInt() === 1)
   }
+
+  test("systemic failure (all 116 queries erroring) still fits and parses") {
+    // the exact shape the always-leave-a-record contract targets: a
+    // bad SPARK_GRAFT_SF_DIR fails every query with a long message
+    val errs = (0 until 116).map(i =>
+      (f"q_synthetic_operator_name_$i%03d",
+        s"[PATH_NOT_FOUND] Path does not exist: file:/no/such/dir/table_$i.parquet ... " + "x" * 80))
+    val line = Bench.compactLine(Nil, errs, "/no/such/dir", of = 116)
+    assert(line.length <= 1700, s"line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("done").asInt() === 116)
+    val kept = node.get("errors").size()
+    assert(kept > 0, "at least one error message survives for diagnosis")
+    assert(node.get("errors_omitted").asInt() === 116 - kept)
+  }
+
+  test("mixed times + many errors stays within budget and accounts for both") {
+    val errs = (0 until 60).map(i => (f"q_err_$i%03d", "boom " + "y" * 100))
+    val line = Bench.compactLine(times.take(56), errs, "/root/testdata/sf0.1", of = 116)
+    assert(line.length <= 1700, s"line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("done").asInt() === 116)
+    val qKept = node.get("queries").size()
+    val eKept = node.get("errors").size()
+    assert(qKept > 0, "capping errors must leave room for some timings")
+    assert(qKept + (if (node.has("queries_omitted")) node.get("queries_omitted").asInt() else 0) === 56)
+    assert(eKept + (if (node.has("errors_omitted")) node.get("errors_omitted").asInt() else 0) === 60)
+  }
 }
