@@ -142,17 +142,66 @@ object Dedup {
     withShingleHashSet(corpus, shingleK)
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
       .write.mode("overwrite").parquet(s"$path/sketches")
+    writeLshMeta(corpus.sparkSession, path, shingleK, bands, rowsPerBand)
   }
 
-  /** Append newly-accepted docs to an existing LSH index. */
+  /** Append newly-accepted docs to an existing LSH index. Validates
+    * the index's stored LSH parameters (a mismatched probe/append
+    * would silently return wrong candidates) and anti-joins the batch
+    * against already-indexed ids — a crash-retried or re-run append
+    * must not duplicate index rows (duplicate verify output). The
+    * anti-join scans only the index's corpus_id column (parquet
+    * pruning); corpus TEXT is still never re-read. */
   def appendToLshIndex(docs: DataFrame, path: String, shingleK: Int = 3,
                        bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    minhashBanded(docs, shingleK, bands, rowsPerBand)
+    val spark = docs.sparkSession
+    checkLshMeta(spark, path, shingleK, bands, rowsPerBand)
+    val indexed = spark.read.parquet(s"$path/sketches")
+      .select(col("corpus_id").as("doc_id"))
+    val fresh = docs.join(indexed, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // pin: both writes below reuse it, and the
+                         // bands append must not re-plan over the
+                         // sketches table mid-append
+    minhashBanded(fresh, shingleK, bands, rowsPerBand)
       .withColumnRenamed("doc_id", "corpus_id")
       .write.mode("append").parquet(s"$path/bands")
-    withShingleHashSet(docs, shingleK)
+    withShingleHashSet(fresh, shingleK)
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
       .write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** LSH parameter fingerprint stored beside the index tables: probing
+    * or appending with different shingleK/bands/rowsPerBand than
+    * build time silently yields wrong (mostly empty) candidate sets,
+    * so the mismatch must fail loudly instead. */
+  private def writeLshMeta(spark: SparkSession, path: String,
+                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"shingleK":$shingleK,"bands":$bands,"rowsPerBand":$rowsPerBand}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def checkLshMeta(spark: SparkSession, path: String,
+                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no LSH index meta at $path — build the index with buildLshIndex first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(name: String): Long =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"malformed LSH index meta at $p: $txt"))
+    val stored = (field("shingleK"), field("bands"), field("rowsPerBand"))
+    require(stored == ((shingleK.toLong, bands.toLong, rowsPerBand.toLong)),
+      s"LSH parameter mismatch: index at $path was built with " +
+        s"(shingleK, bands, rowsPerBand) = $stored, " +
+        s"got ($shingleK, $bands, $rowsPerBand)")
   }
 
   /** [[minhashIncremental]] against a PERSISTED index: identical
@@ -165,6 +214,7 @@ object Dedup {
                                 rowsPerBand: Int = 4,
                                 threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
+    checkLshMeta(spark, indexPath, shingleK, bands, rowsPerBand)
     val idx = spark.read.parquet(s"$indexPath/bands")
     val sketches = spark.read.parquet(s"$indexPath/sketches")
     val probes = minhashBanded(batch, shingleK, bands, rowsPerBand)
@@ -485,8 +535,11 @@ object Dedup {
     * lexicographic `max(struct(score, −id))`, which merges
     * associatively map-side (no per-group window sort, so a
     * pathological million-member dup cluster costs a running max, not
-    * a skewed sort partition) — then a broadcast-sized join back
-    * (one row per GROUP, bounded by the group count).
+    * a skewed sort partition) — then a shuffled hash join back on
+    * group_id. `best` is one row per GROUP, but group count is
+    * corpus-proportional (web corpora run 30–50 % near-dup), so it is
+    * NOT broadcast: the join shuffles group-count rows once, with the
+    * smaller `best` side as the hash build.
     *
     * Input: `groups` (idCol, group_id) from [[connectedComponents]];
     * `scores` (idCol, scoreCol). Output: groups ⨝ scores + `keep`. */
@@ -496,7 +549,7 @@ object Dedup {
     val best = joined.groupBy("group_id")
       .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("b"))
       .select(col("group_id"), (-col("b.nid")).as("__keeper"))
-    joined.join(broadcast(best), Seq("group_id"))
+    joined.join(best.hint("shuffle_hash"), Seq("group_id"))
       .withColumn("keep", col(idCol) === col("__keeper"))
       .drop("__keeper")
   }

@@ -242,6 +242,29 @@ class DedupSpec extends SparkSpec {
       "batch-2 duplicate of a batch-1-accepted doc must be flagged")
   }
 
+  test("LSH index meta: parameter mismatch fails loudly, re-append does not duplicate") {
+    def words(seed: Int) = (1 to 30).map(i => s"m${seed}x$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    Dedup.buildLshIndex(docs(1L -> words(1), 2L -> words(2)), path, bands = 16)
+    // probing or appending with different LSH params than build time
+    // would silently return wrong (mostly empty) candidates — it must
+    // throw instead
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalIndexed(docs(9L -> words(1)), path, bands = 8, rowsPerBand = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(docs(9L -> words(9)), path, shingleK = 5)
+    }
+    // a retried append of the same batch must be a no-op, not a
+    // duplication: doc 3 appended twice still verifies each pair once
+    val b = docs(3L -> words(3))
+    Dedup.appendToLshIndex(b, path)
+    Dedup.appendToLshIndex(b, path)
+    val out = Dedup.minhashIncrementalIndexed(docs(30L -> words(3)), path)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((30L, 3L)), "re-append duplicated index rows")
+  }
+
   test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "group_id")
@@ -256,5 +279,26 @@ class DedupSpec extends SparkSpec {
     // group 10: quality tie 0.1 between 10 and 11 → min id 10 wins
     assert(keepers === Map(1L -> 2L, 10L -> 10L))
     assert(out.count(_._3) === 2, "one keeper per group, no more")
+  }
+
+  test("survivors: keeper join shuffles (no broadcast) and is layout-independent") {
+    // group count is corpus-proportional, so the keeper table must
+    // never be broadcast — and the argmax must not depend on how the
+    // input happens to be partitioned
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "group_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "quality")
+    val base = Dedup.survivors(groups, scores)
+    assert(!base.queryExecution.sparkPlan.toString.contains("BroadcastExchange"),
+      "survivors must not statically broadcast any side")
+    val expected = base.select("group_id", "doc_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    for ((gp, sp) <- Seq((1, 7), (7, 1), (5, 3))) {
+      val got = Dedup.survivors(groups.repartition(gp), scores.repartition(sp))
+        .select("group_id", "doc_id", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got === expected, s"layout ($gp, $sp) changed the survivor set")
+    }
   }
 }
