@@ -162,8 +162,13 @@ object Sampling {
     val base = withRunningBefore(df, sourceCol, keyCol, sizeCol, budgets, buckets)
     val nEp = least(lit(maxEpochs.toLong),
       floor((col("__budget") - 1) / col("__total")).cast("long") + 1)
+    // nEp is 0 for a zero budget (the "drop this source" config) —
+    // guard it, because sequence(0, −1) DESCENDS ([0, −1]) and the
+    // epoch −1 rows would then pass the budget filter unconditionally
     base
-      .withColumn("epoch", explode(sequence(lit(0L), nEp - 1)))
+      .withColumn("epoch",
+        explode(when(nEp > 0, sequence(lit(0L), nEp - 1))
+          .otherwise(array().cast("array<long>"))))
       .filter(col("epoch") * col("__total") + col("__before") < col("__budget"))
       .drop("__before", "__budget", "__total")
   }

@@ -165,4 +165,21 @@ class SamplingSpec extends SparkSpec {
       .select("epoch").as[Long].collect()
     assert(capped.length === 10 && capped.max === 1L)
   }
+
+  test("zero budget drops the source entirely from BOTH mixers") {
+    // a zero budget is the natural "drop this source" config; the
+    // epoch mixer's sequence(0, nEp−1) must not descend into a
+    // phantom epoch −1 that passes the budget filter
+    val df = ((1L to 5L).map(id => (id, "keep", 10L)) ++
+      (101L to 110L).map(id => (id, "drop", 10L))).toDF("id", "source", "n")
+    val budgets = Map("keep" -> 30L, "drop" -> 0L)
+    val flat = Sampling.tokenBudgetMix(df, "source", "id", "n", budgets)
+      .select("source").as[String].collect()
+    assert(!flat.contains("drop"), "flat mixer leaked a zero-budget source")
+    val ep = Sampling.tokenBudgetMixEpochs(df, "source", "id", "n", budgets)
+      .select("source", "epoch").as[(String, Long)].collect()
+    assert(!ep.exists(_._1 == "drop"), "epoch mixer leaked a zero-budget source")
+    assert(ep.forall(_._2 >= 0L), "no phantom negative epochs")
+    assert(ep.count(_._1 == "keep") === 3, "positive budgets unaffected")
+  }
 }
