@@ -32,6 +32,28 @@ object Queries {
   private def registerNoOracle(name: String)(fn: Q): Unit =
     registry(name) = (fn, None)
 
+  /** One E1 pipeline lake per (JVM, source dir): the Pipeline merges
+    * are idempotent, so bench re-passes reuse the lake instead of
+    * leaking a fresh temp dir per execution; all lakes are deleted on
+    * JVM exit by a single shutdown hook. */
+  private val e1Lakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val e1CleanupHook: Unit = sys.addShutdownHook {
+    e1Lakes.values.forEach { root =>
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+      }
+    }
+  }
+  private def e1LakeRoot(dir: String): String = {
+    e1CleanupHook
+    e1Lakes.computeIfAbsent(dir,
+      _ => java.nio.file.Files.createTempDirectory("graft-e1").toString)
+  }
+
   // ───────────────────────── aggregations ─────────────────────────
 
   // A1/A4/P12 — grouped rollup with sum/avg/count (TPC-H Q1 shape).
@@ -1549,8 +1571,7 @@ object Queries {
        |FROM (SELECT * FROM trend WHERE pattern IS NOT NULL
        |      UNION ALL SELECT * FROM crossed WHERE pattern IS NOT NULL) u
        |ORDER BY user_id, d, pattern""") { (s, dir) =>
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-e1").toString
-    val lake = graft.jobs.Pipeline.run(s, dir, lakeRoot)
+    val lake = graft.jobs.Pipeline.run(s, dir, e1LakeRoot(dir))
     s.read.parquet(lake.patterns)
       .select("user_id", "d", "pattern_category", "pattern")
       .orderBy("user_id", "d", "pattern")
