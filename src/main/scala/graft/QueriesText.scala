@@ -23,6 +23,34 @@ object QueriesText {
     * see q_ann_ivf_recall). */
   private val IvfRecallBound = 0.8
 
+  /** One persisted LSH index per (JVM, source dir) for
+    * q_dedup_incremental_indexed: built ONCE (build on the first
+    * corpus slice, appended with the second — the production
+    * build → append loop), probed by every execution; deleted on JVM
+    * exit. Keyed by dir so mixed-sf test JVMs never cross-probe. */
+  private val lshIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val lshCleanupHook: Unit = sys.addShutdownHook {
+    lshIndexes.values.forEach { root =>
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+      }
+    }
+  }
+  private def lshIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 < 8)
+      Dedup.buildLshIndex(corpus.filter(col("doc_id") % 10 < 4), path)
+      Dedup.appendToLshIndex(corpus.filter(col("doc_id") % 10 >= 4), path)
+      path
+    })
+  }
+
   def init(): Unit = if (!registry.contains("q_dedup_exact")) {
 
     // Exact dedup on normalized content (hash groupBy — one shuffle).
@@ -359,6 +387,36 @@ object QueriesText {
         Dedup.minhashIncremental(
           docs.filter(col("doc_id") % 10 < 8),
           docs.filter(col("doc_id") % 10 >= 8))
+          .orderBy("doc_id", "corpus_id")
+      }
+
+      // Same question answered off the PERSISTED on-disk LSH index —
+      // the production service shape: the index is built once per
+      // JVM+dir (build on doc_id % 10 < 4, appendToLshIndex for
+      // 4 ≤ % 10 < 8, exercising the full build → append → probe
+      // loop), and each execution only tokenizes/bands the arriving
+      // batch and probes the parquet index. The oracle is IDENTICAL
+      // to q_dedup_incremental: the index is an equivalent
+      // representation of the corpus, so the probe must return
+      // byte-identical pairs.
+      register("q_dedup_incremental_indexed",
+        s"""WITH $pairsCte,
+           |icand AS (
+           |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS corpus_id
+           |  FROM keyed b JOIN keyed a ON a.band = b.band
+           |  WHERE b.doc_id % 10 >= 8 AND a.doc_id % 10 < 8),
+           |iv AS (
+           |  SELECT ic.doc_id, ic.corpus_id,
+           |         round(CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
+           |               / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))), 4) AS jaccard
+           |  FROM icand ic
+           |  JOIN h hb ON hb.doc_id = ic.doc_id
+           |  JOIN h hc ON hc.doc_id = ic.corpus_id)
+           |SELECT doc_id, corpus_id, jaccard FROM iv WHERE jaccard >= 0.5
+           |ORDER BY doc_id, corpus_id""") { (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashIncrementalIndexed(
+          docs.filter(col("doc_id") % 10 >= 8), lshIndexRoot(s, dir))
           .orderBy("doc_id", "corpus_id")
       }
 
