@@ -500,17 +500,23 @@ object QueriesText {
           val docs = Tables.documents(s, dir)
           val bench = docs.filter(col("doc_id") < 25)
           val corpus = docs.filter(col("doc_id") >= 25)
-          val contaminated = broadcast(
+          // the contaminated / non-survivor flag sets are
+          // corpus-proportional (an adversarial corpus can be mostly
+          // contaminated; web corpora run 30-50 % near-dup), so they
+          // join by shuffle, never by forced broadcast — all three
+          // joins share one doc_id hash partitioning
+          val contaminated =
             Dedup.decontaminate(corpus, bench).select("doc_id").distinct()
-              .withColumn("__contam", lit(true)))
+              .withColumn("__contam", lit(true)).hint("shuffle_hash")
           val pairs = Dedup.minhashPairs(corpus).select("doc_a", "doc_b")
           val groups = Dedup.connectedComponents(pairs)
           val toksDf = corpus.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
           val quality = toksDf.select(col("doc_id"),
             round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
-          val nonSurvivors = broadcast(
+          val nonSurvivors =
             Dedup.survivors(groups, quality).filter(!col("keep"))
-              .select(col("doc_id")).withColumn("__nd", lit(true)))
+              .select(col("doc_id")).withColumn("__nd", lit(true))
+              .hint("shuffle_hash")
           val signals = toksDf
             .select(col("doc_id"), col("toks"), Dedup.gramsOf(col("toks"), 3).as("g3"))
             .select(col("doc_id"),
