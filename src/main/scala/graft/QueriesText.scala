@@ -739,6 +739,41 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Source-scoped boilerplate removal (CCNet/RefinedWeb line-freq
+    // filter over 8-token passages): a passage is boilerplate when it
+    // recurs in ≥ 2 docs AND ≥ 5 % of the docs of its OWN source —
+    // site-wide repetition, not cross-site quotation. Same census
+    // machinery as q_dedup_passage, scoped by source with a
+    // source-size-relative threshold.
+    register("q_boilerplate_strip",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, i,
+        |         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS passage
+        |  FROM (SELECT doc_id, source, t,
+        |               unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+        |        FROM toks)),
+        |h AS (SELECT doc_id, source, i, passage,
+        |             CAST(concat('0x', substring(md5(passage), 1, 15)) AS BIGINT) AS h
+        |      FROM p),
+        |d AS (SELECT source, h, count(DISTINCT doc_id) AS nd FROM h GROUP BY source, h),
+        |st AS (SELECT source, count(DISTINCT doc_id) AS nsd FROM documents GROUP BY source),
+        |v AS (SELECT source, h, (nd >= 2 AND CAST(nd AS DOUBLE) >= 0.05 * nsd) AS boiler
+        |      FROM d JOIN st USING (source))
+        |SELECT doc_id,
+        |       count(*) AS n_passages,
+        |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       coalesce(string_agg(CASE WHEN NOT boiler THEN passage END, ' ' ORDER BY i), '') AS clean_text
+        |FROM h JOIN v USING (source, h)
+        |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Dedup.boilerplateStrip(Tables.documents(s, dir),
+          sourceCol = "source", window = 8, minDocs = 2, minFrac = 0.05)
+        .orderBy("doc_id")
+    }
+
     // Token chunking: fixed 16-token windows, 4-token overlap — the
     // doc → encoder-input prep of an embedding pipeline. Pure built-ins
     // (sequence → explode → slice), chunk-count arithmetic is an

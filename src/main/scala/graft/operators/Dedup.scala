@@ -464,6 +464,65 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Source-scoped boilerplate removal — the CCNet/RefinedWeb
+    * line-frequency filter re-expressed over token-window passages: a
+    * passage is boilerplate when it recurs in at least `minDocs`
+    * distinct documents of the SAME source AND in at least `minFrac`
+    * of that source's documents. Nav menus, footers, and cookie
+    * banners repeat site-wide; real content does not. Differs from
+    * [[passageDedup]] (global > 1-doc census) in two ways: the census
+    * is scoped to the source (cross-site quotation is NOT boilerplate)
+    * and the threshold is relative to the source's size (one copied
+    * paragraph on a two-page site must not erase both pages).
+    *
+    * Scale shape: passage explode is map-only; the census is one hash
+    * aggregation keyed (source, h); per-source doc totals join the
+    * census on source by SHUFFLED hash (source cardinality is
+    * host-count-sized — corpus-proportional for a web crawl, never
+    * broadcast); verdicts join back on (source, h); reconstruction
+    * groups by doc_id with state bounded by one document's length. No
+    * step ever pairs documents.
+    *
+    * Output: (doc_id, n_passages, n_boiler, clean_text). */
+  def boilerplateStrip(docs: DataFrame, sourceCol: String = "source",
+                       window: Int = 8, minDocs: Int = 2,
+                       minFrac: Double = 0.05): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(minDocs >= 2, "minDocs < 2 would strip unique content")
+    val nWin = ceil(size(col("toks")).cast("double") / window).cast("int")
+    val passages = docs
+      .select(col("doc_id"), col(sourceCol).as("__src"),
+        TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("__src"),
+        posexplode(transform(sequence(lit(0), greatest(nWin - 1, lit(0))),
+          i => array_join(slice(col("toks"), i * window + 1, lit(window)), " ")))
+          .as(Seq("i", "passage")))
+      .withColumn("h", conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("long"))
+    val census = passages.groupBy("__src", "h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    val srcDocs = docs.groupBy(col(sourceCol).as("__src"))
+      .agg(count_distinct(col("doc_id")).as("nsd"))
+    val verdicts = census
+      .join(srcDocs.hint("shuffle_hash"), Seq("__src"))
+      .select(col("__src"), col("h"),
+        (col("nd") >= minDocs &&
+          col("nd").cast("double") >= lit(minFrac) * col("nsd")).as("boiler"))
+    passages.join(verdicts.hint("shuffle_hash"), Seq("__src", "h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("i"),
+                when(col("boiler"), lit(null).cast("string"))
+                  .otherwise(col("passage")).as("p")))),
+              s => s.getField("p").isNotNull),
+            s => s.getField("p")),
+          " ").as("clean_text"))
+  }
+
   // ── duplicate-group resolution ─────────────────────────────────────
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: connected components

@@ -265,6 +265,33 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((30L, 3L)), "re-append duplicated index rows")
   }
 
+  test("boilerplateStrip: site-wide footer stripped, small-site and cross-site recurrence kept") {
+    val footer = "visit our site for more info today ok" // 8 tokens = one window
+    def uniq(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
+    val rows =
+      // siteA: 5 docs of 16 unique tokens + the aligned footer window
+      (1L to 5L).map(i => (i, "siteA", uniq(i.toInt, 16) + " " + footer)) ++ Seq(
+        // siteB: one doc carries siteA's footer (cross-site — kept),
+        // one doc is clean; a 2-doc recurrence would also be under minDocs
+        (10L, "siteB", uniq(10, 8) + " " + footer),
+        (11L, "siteB", uniq(11, 16)))
+    val out = Dedup.boilerplateStrip(rows.toDF("doc_id", "source", "text"),
+        minDocs = 3, minFrac = 0.5)
+      .select("doc_id", "n_passages", "n_boiler", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // siteA: footer recurs in 5/5 docs ≥ minDocs and ≥ 50 % → stripped
+    out.filter(_._1 <= 5L).foreach { case (id, np, nb, clean) =>
+      assert(np === 3L && nb === 1L, s"doc $id")
+      assert(clean === uniq(id.toInt, 16), s"doc $id keeps only its own content")
+    }
+    // siteB: the same footer appears in ONE siteB doc — census is
+    // source-scoped, so it survives there
+    val (_, np10, nb10, clean10) = out.find(_._1 == 10L).get
+    assert(np10 === 2L && nb10 === 0L && clean10 === uniq(10, 8) + " " + footer)
+    val (_, _, nb11, clean11) = out.find(_._1 == 11L).get
+    assert(nb11 === 0L && clean11 === uniq(11, 16))
+  }
+
   test("survivors: exactly one keeper per group — argmax quality, tie toward min id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "group_id")
