@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.functions.TextStats
+import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming document dedup — the LLM-corpus dedup operators
   * (operators/Dedup.scala) applied to an UNBOUNDED document stream,
@@ -44,4 +46,72 @@ object StreamingDedup {
     withFingerprint(stream, textCol)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** One micro-batch of the NEAR-dup ingest service — the continuous
+    * form of the daily-ingest question ([[Dedup.minhashIncremental]]):
+    * each arriving batch is near-dup-checked against the PERSISTED LSH
+    * index AND within itself, accepted docs land in the corpus sink
+    * and are appended to the index, rejected docs land in an audit
+    * sink with their match.
+    *
+    * Replay safety (foreachBatch is at-least-once — a crashed batch
+    * re-runs): both sinks partition by `ingest_batch` and use DYNAMIC
+    * partition overwrite, so a replay overwrites its own partition
+    * instead of duplicating rows; the index append anti-joins
+    * already-indexed ids ([[Dedup.appendToLshIndex]]), so the replayed
+    * append is a no-op. Every step is idempotent per batch id.
+    *
+    * Within-batch policy: the smaller doc_id of a verified pair wins
+    * (greedy min-id, the ingest-time convention — full quality-based
+    * survivor selection is the batch job, [[Dedup.survivors]]); a doc
+    * whose within-batch keeper is itself rejected against the corpus
+    * is also rejected, the conservative choice for training data. */
+  def ingestNearDupBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                         acceptedPath: String, rejectedPath: String,
+                         shingleK: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4,
+                         threshold: Double = 0.5): Unit = {
+    // pin: the batch feeds the index probe, the self-join, and the
+    // accepted/rejected splits — one tokenize+hash pass, not four
+    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // doc_id =!= corpus_id: on a REPLAY the batch's accepted docs are
+    // already in the index (the append ran before the crash) and would
+    // match themselves — a self-match must not reject the doc, or the
+    // replay would erase it from the accepted sink
+    val vsIndex = Dedup
+      .minhashIncrementalIndexed(b, indexPath, shingleK, bands, rowsPerBand, threshold)
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id").as("matched_id"),
+        col("jaccard"), lit("index").as("via"))
+    val within = Dedup.minhashPairs(b, shingleK, bands, rowsPerBand, threshold)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"),
+        col("jaccard"), lit("batch").as("via"))
+    val rejected = vsIndex.unionByName(within).localCheckpoint()
+    val rejIds = rejected.select("doc_id").distinct()
+    val accepted = b.join(rejIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    accepted.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(acceptedPath)
+    rejected.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(rejectedPath)
+    Dedup.appendToLshIndex(accepted, indexPath, shingleK, bands, rowsPerBand)
+  }
+
+  /** The ingest service as a streaming query: drain the document
+    * stream with AvailableNow, run [[ingestNearDupBatch]] per
+    * micro-batch. The index at `indexPath` must exist
+    * ([[Dedup.buildLshIndex]], possibly over an empty seed corpus). */
+  def nearDupIngest(docs: DataFrame, indexPath: String, acceptedPath: String,
+                    rejectedPath: String, checkpoint: String,
+                    shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                    threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestNearDupBatch(batch, id, indexPath, acceptedPath, rejectedPath,
+          shingleK, bands, rowsPerBand, threshold)
+      }
+      .start()
 }

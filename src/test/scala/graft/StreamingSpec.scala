@@ -49,6 +49,65 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("MSFT", "2024-01-05")) === 402.0, "untouched row preserved")
   }
 
+  test("near-dup ingest service: probe index, reject dups, grow index; replay is idempotent") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft-ndingest").toString
+    val raw = s"$root/raw"; val idx = s"$root/idx"
+    val acc = s"$root/accepted"; val rej = s"$root/rejected"
+    new java.io.File(raw).mkdirs()
+    def words(seed: Int) = (1 to 30).map(i => s"s${seed}t$i").mkString(" ")
+    // seed corpus: docs 1, 2 already in the index
+    Dedup.buildLshIndex(
+      Seq((1L, words(1)), (2L, words(2))).toDF("doc_id", "text"), idx)
+
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // drain 1: 10 = near-dup of corpus doc 2, 11/12 = within-batch
+    // near-dups of each other (min id 11 wins), 13 = fresh
+    land("d1.json", Seq(
+      10L -> words(2).replace("s2t15", "zz"),
+      11L -> words(11), 12L -> words(11).replace("s11t7", "qq"),
+      13L -> words(13)))
+    def drain(): Unit = {
+      val docs = spark.readStream.schema(schema).json(raw)
+      val q = StreamingDedup.nearDupIngest(docs, idx, acc, rej, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    drain()
+    val acc1 = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+    val rej1 = spark.read.parquet(rej)
+      .select("doc_id", "matched_id", "via").as[(Long, Long, String)].collect().toSet
+    assert(acc1 === Set(11L, 13L))
+    assert(rej1 === Set((10L, 2L, "index"), (12L, 11L, "batch")))
+
+    // drain 2: 20 duplicates doc 11 — accepted only via the APPENDED
+    // index entry from drain 1 — and 21 is fresh
+    land("d2.json", Seq(20L -> words(11), 21L -> words(21)))
+    drain()
+    val acc2 = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+    val rej2 = spark.read.parquet(rej)
+      .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(acc2 === Set(11L, 13L, 21L))
+    assert(rej2.contains((20L, 11L)), "dup of a drain-1-accepted doc must be caught")
+
+    // replay: re-running a batch id must not duplicate sink rows or
+    // index entries (foreachBatch is at-least-once)
+    val replay = spark.read.schema(schema).json(s"$raw/d2.json")
+    StreamingDedup.ingestNearDupBatch(replay, batchId = 1L, idx, acc, rej)
+    val accR = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSeq
+    assert(accR.sorted === Seq(11L, 13L, 21L), "replayed batch duplicated accepted rows")
+    val probe = Dedup.minhashIncrementalIndexed(
+        Seq((30L, words(21))).toDF("doc_id", "text"), idx)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect()
+    assert(probe.toSeq === Seq((30L, 21L)), "replay duplicated index entries")
+  }
+
   test("mapGroupsWithState running EMA carries recursion across micro-batches") {
     import graft.streaming.StatefulIndicators
     import graft.streaming.StatefulIndicators.{EmaOut, Tick}
