@@ -739,6 +739,46 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Cross-doc duplicated-span telemetry via the full 8-token
+    // shingle census (stride 1 — any smaller overlap only matches
+    // copies aligned mod stride) — the exact-substring-dedup signal
+    // aligned passages can't give. Per doc: window counts, duplicated
+    // fraction, and the longest consecutive duplicated run (verbatim
+    // quotation vs scattered idiom; max_run R = a shared span of
+    // R + 7 tokens). max_run's oracle is the classic gaps-and-islands
+    // rewrite of the Spark-side sorted fold.
+    register("q_dup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |         array_to_string(t[(i+1):(i+8)], ' ') AS win
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(greatest(len(t) - 7, 1))) AS i
+        |        FROM toks)),
+        |h AS (SELECT doc_id, i,
+        |             CAST(concat('0x', substring(md5(win), 1, 15)) AS BIGINT) AS h
+        |      FROM w),
+        |d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h),
+        |f AS (SELECT doc_id, i, (nd > 1) AS fl FROM h JOIN d USING (h)),
+        |isl AS (SELECT doc_id, i, fl,
+        |               i - row_number() OVER (PARTITION BY doc_id, fl ORDER BY i) AS g
+        |        FROM f),
+        |runs AS (SELECT doc_id, count(*) AS run FROM isl WHERE fl GROUP BY doc_id, g),
+        |mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |       count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(avg(CASE WHEN fl THEN 1.0 ELSE 0.0 END), 4) AS dup_frac,
+        |       CAST(coalesce(any_value(mr.max_run), 0) AS BIGINT) AS max_run
+        |FROM f LEFT JOIN mr USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), window = 8)
+        .orderBy("doc_id")
+    }
+
     // Source-scoped boilerplate removal (CCNet/RefinedWeb line-freq
     // filter over 8-token passages): a passage is boilerplate when it
     // recurs in ≥ 2 docs AND ≥ 5 % of the docs of its OWN source —

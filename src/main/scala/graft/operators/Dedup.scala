@@ -464,6 +464,63 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Cross-document duplicated-SPAN detection via the full w-SHINGLE
+    * census (one window per token position) — the filter signal of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL '22), which
+    * [[passageDedup]]'s aligned windows cannot provide: a duplicate
+    * span shifted by ANY offset misses every aligned boundary, and
+    * stride > 1 only helps when both copies start at the same
+    * position mod stride — so detection takes stride 1, where a
+    * shared span of L ≥ window tokens yields exactly L − window + 1
+    * duplicated shingles in BOTH copies regardless of alignment (a
+    * max_run of R certifies a verbatim shared span of R + window − 1
+    * tokens). Emits per-doc duplication telemetry — window counts,
+    * duplicated fraction, longest consecutive duplicated run (long
+    * verbatim quotation vs scattered idiom) — the standard drop/trim
+    * signal (e.g. drop docs with dup_frac above θ).
+    *
+    * Scale shape: the shingle explode is map-only and linear in
+    * corpus TOKENS (the inherent cost of exact-substring detection —
+    * same cardinality class as [[decontaminate]]'s gram explode; the
+    * suffix-array formulation trades it for a global sort, worse on
+    * Spark); the census is one hash aggregation on the 60-bit shingle
+    * hash; verdicts join back on the hash (shuffled hash — census
+    * cardinality is corpus-sized); the per-doc fold (counts + longest
+    * run over the sorted flag array) runs inside one groupBy with
+    * state bounded by a single document's token count. No step pairs
+    * documents.
+    *
+    * Output: (doc_id, n_windows, n_dup, dup_frac, max_run). */
+  def dupSpans(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val len = size(col("toks"))
+    val nStarts = greatest(len - window + 1, lit(1))
+    val wins = withToks(docs)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nStarts - 1),
+          i => array_join(slice(col("toks"), i + 1, lit(window)), " ")))
+          .as(Seq("i", "win")))
+      .withColumn("h", conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long"))
+    val census = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+    wins.join(census.hint("shuffle_hash"), Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(avg(when(col("nd") > 1, 1.0).otherwise(0.0)), 4).as("dup_frac"),
+        aggregate(
+          array_sort(collect_list(struct(col("i"), (col("nd") > 1).as("f")))),
+          struct(lit(0).as("cur"), lit(0).as("best")),
+          (acc, x) => {
+            val cur = when(x.getField("f"), acc.getField("cur") + 1)
+              .otherwise(lit(0))
+            struct(cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"))
+          },
+          acc => acc.getField("best")).cast("long").as("max_run"))
+  }
+
   /** Source-scoped boilerplate removal — the CCNet/RefinedWeb
     * line-frequency filter re-expressed over token-window passages: a
     * passage is boilerplate when it recurs in at least `minDocs`

@@ -265,6 +265,29 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((30L, 3L)), "re-append duplicated index rows")
   }
 
+  test("dupSpans: unaligned shared span detected with exact run length; aligned passages miss it") {
+    val a = (1 to 24).map(i => s"alpha$i")
+    val fixture = Seq(
+      (1L, a.mkString(" ")),                                // 24 tokens
+      (2L, ("j1 j2 " + a.take(12).mkString(" "))),          // span shifted by 2
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")))       // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(fixture, window = 8)
+      .select("doc_id", "n_windows", "n_dup", "dup_frac", "max_run")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // shared 12-token span → 12 − 8 + 1 = 5 duplicated shingles in
+    // BOTH copies, consecutively, regardless of the 2-token shift
+    assert(out(1L) === ((1L, 17L, 5L, 0.2941, 5L)))
+    assert(out(2L) === ((2L, 7L, 5L, 0.7143, 5L)))
+    assert(out(3L) === ((3L, 3L, 0L, 0.0, 0L)))
+    // the aligned-window census misses the same span entirely — the
+    // gap dupSpans exists to close
+    val aligned = Dedup.passageDedup(fixture, window = 8)
+      .select("doc_id", "n_dup").as[(Long, Long)].collect()
+    assert(aligned.forall(_._2 === 0L), "aligned passages must miss the shifted span")
+  }
+
   test("boilerplateStrip: site-wide footer stripped, small-site and cross-site recurrence kept") {
     val footer = "visit our site for more info today ok" // 8 tokens = one window
     def uniq(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
