@@ -170,6 +170,25 @@ object Dedup {
       .write.mode("append").parquet(s"$path/sketches")
   }
 
+  /** Compact the persisted LSH index's append-accumulated small files:
+    * every [[appendToLshIndex]] batch adds part files, and probe cost
+    * at scale grows with FILE count (task scheduling, footer reads) on
+    * top of data size — the standard operational debt of any
+    * append-only index. Crash-safe staged rewrite of both tables
+    * (Sinks.compact promotes a staging dir, so a killed compaction
+    * leaves the old index intact) to ~targetFileBytes files; contents
+    * are row-identical and `meta.json` is untouched, so probes before
+    * and after agree exactly. */
+  def compactLshIndex(spark: SparkSession, path: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no LSH index meta at $path — only compact directories built by buildLshIndex")
+    graft.sources.Sinks.compact(spark, s"$path/bands", targetFileBytes)
+    graft.sources.Sinks.compact(spark, s"$path/sketches", targetFileBytes)
+  }
+
   /** LSH parameter fingerprint stored beside the index tables: probing
     * or appending with different shingleK/bands/rowsPerBand than
     * build time silently yields wrong (mostly empty) candidate sets,

@@ -263,6 +263,21 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.minhashIncrementalIndexed(docs(30L -> words(3)), path)
       .select("doc_id", "corpus_id").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((30L, 3L)), "re-append duplicated index rows")
+
+    // compaction: append-accumulated part files collapse, probe
+    // results are unchanged, meta survives
+    def parts(sub: String) = new java.io.File(s"$path/$sub").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    (4L to 7L).foreach(i => Dedup.appendToLshIndex(docs(i -> words(i.toInt)), path))
+    val before = Dedup.minhashIncrementalIndexed(docs(40L -> words(5)), path)
+      .select("doc_id", "corpus_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(parts("bands") > 1, "fixture must accumulate multiple part files")
+    Dedup.compactLshIndex(spark, path)
+    assert(parts("bands") === 1 && parts("sketches") === 1, "compaction collapsed files")
+    val after = Dedup.minhashIncrementalIndexed(docs(40L -> words(5)), path)
+      .select("doc_id", "corpus_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(after === before && after === Set((40L, 5L, 1.0)),
+      "compaction changed probe results")
   }
 
   test("dupSpans: unaligned shared span detected with exact run length; aligned passages miss it") {
