@@ -779,6 +779,81 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Per-source corpus health — the operational rollup a corpus
+    // owner watches per ingest: volume (docs/tokens), short-doc and
+    // within-source exact-dup fractions, mean quality (fixed-point
+    // integer sum — double summation order differs between engines),
+    // and the dominant language with its share (count desc, lang desc
+    // tie-break on both sides). One fingerprint census + one rollup;
+    // lang mode is a dim-sized aggregate.
+    register("q_source_health",
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, lang, fp,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         round(least(1.0, len(toks) / 100.0)
+        |               * (1.0 - CAST(len(list_filter(toks,
+        |                        x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+        |                 / len(toks)), 4) AS q
+        |  FROM t),
+        |c AS (SELECT source, fp, count(*) AS nfp FROM b GROUP BY source, fp),
+        |f AS (SELECT b.*, c.nfp FROM b JOIN c USING (source, fp)),
+        |ps AS (SELECT source,
+        |              count(*) AS n_docs,
+        |              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |              round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens,
+        |              round(sum(CASE WHEN n_tokens < 20 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS short_frac,
+        |              round(sum(CASE WHEN nfp > 1 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS exact_dup_frac,
+        |              round(CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS DOUBLE)
+        |                    / (10000.0 * count(*)), 4) AS avg_quality
+        |       FROM f GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+        |tl AS (SELECT source, lang AS top_lang, c
+        |       FROM (SELECT source, lang, c,
+        |                    row_number() OVER (PARTITION BY source
+        |                                       ORDER BY c DESC, lang DESC) AS rn
+        |             FROM lc) r WHERE rn = 1)
+        |SELECT ps.source, n_docs, total_tokens, avg_tokens, short_frac,
+        |       exact_dup_frac, avg_quality, top_lang,
+        |       round(CAST(c AS DOUBLE) / n_docs, 4) AS top_lang_frac
+        |FROM ps JOIN tl USING (source) ORDER BY ps.source""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("source"), col("doc_id"), col("lang"),
+          TextStats.tokens(col("text")).as("toks"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .select(col("source"), col("doc_id"), col("lang"), col("fp"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(TextStats.qualityScoreOf(col("toks")), 4).as("q"))
+      val census = base.groupBy("source", "fp").agg(count(lit(1)).as("nfp"))
+      val flagged = base.join(census.hint("shuffle_hash"), Seq("source", "fp"))
+      val perSource = flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(sum("n_tokens").cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        round(sum(when(col("n_tokens") < 20, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("short_frac"),
+        round(sum(when(col("nfp") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("exact_dup_frac"),
+        round(sum(round(col("q") * 10000).cast("long")).cast("double")
+          / (lit(10000.0) * count(lit(1))), 4).as("avg_quality"))
+      val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("lang").desc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("c"))
+      perSource.join(topLang, Seq("source"))
+        .withColumn("top_lang_frac",
+          round(col("c").cast("double") / col("n_docs"), 4))
+        .select("source", "n_docs", "total_tokens", "avg_tokens", "short_frac",
+          "exact_dup_frac", "avg_quality", "top_lang", "top_lang_frac")
+        .orderBy("source")
+    }
+
     // Source-scoped boilerplate removal (CCNet/RefinedWeb line-freq
     // filter over 8-token passages): a passage is boilerplate when it
     // recurs in ≥ 2 docs AND ≥ 5 % of the docs of its OWN source —
