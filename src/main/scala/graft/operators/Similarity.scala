@@ -269,8 +269,12 @@ object Similarity {
       .agg(
         max_by(col("cid"), struct(col("cos_c"), (-col("cid")).as("nc"))).as("cell"),
         first(col("emb")).as("emb"))
+    // shuffle_hash: the cell-keyed self-join needs no sort order, and
+    // letting size estimates pick sort-merge costs two sorts of the
+    // whole assigned table
     assigned.as("a")
-      .join(assigned.as("b"), $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", round(cosine(spark, $"a.emb", $"b.emb"), 6))
       .filter(col("cos") >= threshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
