@@ -201,6 +201,45 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/inverted")
   }
 
+  /** Nearest-`nProbe` cells by squared Euclidean against the (tiny,
+    * driver-held) centroid array — with nProbe = 1 this is exactly
+    * KMeans cell assignment, shared by the probe and the append path
+    * so an appended vector lands in the cell a probe will search. */
+  private def nearestCellsUdf(centers: Array[Array[Double]], nProbe: Int) =
+    udf((emb: Seq[Double]) => {
+      val v = emb.toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+
+  private def readCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+  }
+
+  /** Append new vectors to a persisted IVF index: assign each to its
+    * nearest EXISTING centroid (centroids are not retrained — the
+    * standard IVF append; cell-balance drift is what periodic
+    * [[buildIvfIndex]] rebuilds repair) and append into that cell's
+    * partition. Already-indexed vec_ids are anti-joined out first
+    * (the id column only — parquet pruning), so a crash-retried
+    * append never duplicates a vector: same replay contract as the
+    * LSH index. */
+  def appendToIvfIndex(embeddings: DataFrame, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val centers = readCentroids(spark, indexPath)
+    val indexed = spark.read.parquet(s"$indexPath/inverted").select(col("vec_id"))
+    widened(embeddings)
+      .join(indexed.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+      .withColumn("cell", nearestCellsUdf(centers, 1)(col("emb")).getItem(0))
+      .select(col("vec_id"), col("emb"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/inverted")
+  }
+
   /** ANN top-k against a persisted IVF index: centroids are a tiny
     * driver-side read; the inverted file is scanned with
     * `cell IN (probed cells)` — a partition-pruned read of only the
@@ -210,16 +249,8 @@ object Similarity {
                      k: Int, nProbe: Int = 4,
                      maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     import spark.implicits._
-    val centers = spark.read.parquet(s"$indexPath/centroids")
-      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val probeCellsUdf = udf((emb: Seq[Double]) => {
-      val v = emb.toArray
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    })
+    val centers = readCentroids(spark, indexPath)
+    val probeCellsUdf = nearestCellsUdf(centers, nProbe)
     val probes = widened(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCellsUdf(col("emb"))).as("cell"))

@@ -99,6 +99,26 @@ class SimilaritySpec extends SparkSpec {
     assert(scanned.contains("cell"), scanned.take(500))
   }
 
+  test("IVF index append: new vectors probe-visible, replayed append is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString + "/idx"
+    Similarity.buildIvfIndex(corpus, dir, nCells = 8)
+    // a batch of near-copies of existing vectors: each lands in its
+    // twin's cell, so a probe at the twin must now return it first
+    val batch = corpus.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfIndex(batch, dir)
+    val probes = corpus.filter($"vec_id" < 3)
+    val got = Similarity.ivfTopKIndexed(spark, dir, probes, k = 1, nProbe = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i =>
+      assert(got(i) === i + 10000L, s"appended twin of $i must be its nearest neighbor"))
+    // replay: the anti-join makes a retried append a no-op
+    Similarity.appendToIvfIndex(batch, dir)
+    val n = spark.read.parquet(s"$dir/inverted")
+      .filter($"vec_id" >= 10000L).count()
+    assert(n === 3L, "replayed append duplicated index rows")
+  }
+
   test("ivfTopK recall ≥ 0.8 vs brute force on clustered corpus") {
     val probes = corpus.filter($"vec_id" % 25 === 0L)
     val truth = Similarity.bruteTopK(corpus, probes, 5)
