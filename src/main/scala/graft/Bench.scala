@@ -101,6 +101,16 @@ object Bench {
     // WindowExec warnings) can evict the final JSON line from the
     // driver's 2000-char tail capture
     spark.sparkContext.setLogLevel("ERROR")
+    // MLlib fits (intentional zero regParam — the reference trains
+    // plain OLS) WARN through their own log4j loggers, which
+    // setLogLevel does not cover; pin them here rather than as a
+    // library-wide side effect in PricePredictor
+    try {
+      Seq("org.apache.spark.ml.util.Instrumentation",
+        "org.apache.spark.ml.regression.LinearRegression").foreach(
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          _, org.apache.logging.log4j.Level.ERROR))
+    } catch { case _: Throwable => () }
 
     val t00 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t00) / 1e9

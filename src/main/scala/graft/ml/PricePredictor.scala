@@ -26,19 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object PricePredictor {
 
-  // zero regParam is intentional (the reference trains plain OLS), but
-  // MLlib's Instrumentation WARNs about it on every fit — pin those
-  // loggers to ERROR so no WARN can land near Bench's tail capture
-  // (defense-in-depth beside Bench's global setLogLevel("ERROR"))
-  try {
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.ml.util.Instrumentation",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.ml.regression.LinearRegression",
-      org.apache.logging.log4j.Level.ERROR)
-  } catch { case _: Throwable => () }
-
   case class Metrics(mae: Double, rmse: Double)
 
   /** Window-feature frame: label = next-day close (W6). */

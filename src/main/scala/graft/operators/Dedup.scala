@@ -151,23 +151,37 @@ object Dedup {
     * against already-indexed ids — a crash-retried or re-run append
     * must not duplicate index rows (duplicate verify output). The
     * anti-join scans only the index's corpus_id column (parquet
-    * pruning); corpus TEXT is still never re-read. */
+    * pruning); corpus TEXT is still never re-read.
+    *
+    * Crash-window design for the two non-atomic appends: each table
+    * anti-joins its OWN already-indexed ids (so a retry heals exactly
+    * the rows whose write never committed — no duplicates in either
+    * table), and sketches land FIRST. Candidate generation is gated
+    * by `bands`, so the only observable half-appended state (sketches
+    * committed, bands not) surfaces NO candidates for the batch until
+    * the retry heals it — the bands-first order would instead surface
+    * candidates with no sketch rows, which silently verify as
+    * non-duplicates. */
   def appendToLshIndex(docs: DataFrame, path: String, shingleK: Int = 3,
                        bands: Int = 16, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
     checkLshMeta(spark, path, shingleK, bands, rowsPerBand)
-    val indexed = spark.read.parquet(s"$path/sketches")
+    def indexedIds(table: String) = spark.read.parquet(s"$path/$table")
       .select(col("corpus_id").as("doc_id"))
-    val fresh = docs.join(indexed, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // pin: both writes below reuse it, and the
-                         // bands append must not re-plan over the
-                         // sketches table mid-append
-    minhashBanded(fresh, shingleK, bands, rowsPerBand)
-      .withColumnRenamed("doc_id", "corpus_id")
-      .write.mode("append").parquet(s"$path/bands")
-    withShingleHashSet(fresh, shingleK)
+    // pin both fresh sets: the writes below must not re-plan over the
+    // very tables they are appending to mid-append (sketches ⊇ bands
+    // ids always holds, so on the no-crash path the two sets are equal
+    // and the doc's text is tokenized once per written table)
+    val bandsFresh = docs.join(indexedIds("bands"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val sketchFresh = bandsFresh.join(indexedIds("sketches"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    withShingleHashSet(sketchFresh, shingleK)
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
       .write.mode("append").parquet(s"$path/sketches")
+    minhashBanded(bandsFresh, shingleK, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   /** Compact the persisted LSH index's append-accumulated small files:
@@ -192,36 +206,19 @@ object Dedup {
   /** LSH parameter fingerprint stored beside the index tables: probing
     * or appending with different shingleK/bands/rowsPerBand than
     * build time silently yields wrong (mostly empty) candidate sets,
-    * so the mismatch must fail loudly instead. */
+    * so the mismatch must fail loudly instead (shared
+    * [[graft.sources.IndexMeta]] format with the IVF index). */
   private def writeLshMeta(spark: SparkSession, path: String,
-                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"shingleK":$shingleK,"bands":$bands,"rowsPerBand":$rowsPerBand}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit =
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("shingleK" -> shingleK.toLong, "bands" -> bands.toLong,
+        "rowsPerBand" -> rowsPerBand.toLong))
 
   private def checkLshMeta(spark: SparkSession, path: String,
-                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no LSH index meta at $path — build the index with buildLshIndex first")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def field(name: String): Long =
-      s""""$name":(\\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong)
-        .getOrElse(sys.error(s"malformed LSH index meta at $p: $txt"))
-    val stored = (field("shingleK"), field("bands"), field("rowsPerBand"))
-    require(stored == ((shingleK.toLong, bands.toLong, rowsPerBand.toLong)),
-      s"LSH parameter mismatch: index at $path was built with " +
-        s"(shingleK, bands, rowsPerBand) = $stored, " +
-        s"got ($shingleK, $bands, $rowsPerBand)")
-  }
+                           shingleK: Int, bands: Int, rowsPerBand: Int): Unit =
+    graft.sources.IndexMeta.check(spark, s"$path/meta.json", "LSH index",
+      Seq("shingleK" -> shingleK.toLong, "bands" -> bands.toLong,
+        "rowsPerBand" -> rowsPerBand.toLong))
 
   /** [[minhashIncremental]] against a PERSISTED index: identical
     * output, but the corpus side comes off disk — the batch is the

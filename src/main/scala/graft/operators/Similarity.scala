@@ -153,15 +153,7 @@ object Similarity {
     val corpus = km.transform(widenedCorpus)
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
     // nProbe nearest centroids per query (centroid list is tiny: driver math)
-    val centers = km.clusterCenters.map(_.toArray)
-    val probeCellsUdf = udf((emb: Seq[Double]) => {
-      val v = emb.toArray
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    })
+    val probeCellsUdf = nearestCellsUdf(km.clusterCenters.map(_.toArray), nProbe)
     val probes = widened(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCellsUdf(col("emb"))).as("cell"))
@@ -189,7 +181,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val widenedCorpus = widened(embeddings).withColumn("fv", array_to_vector(col("emb")))
-    val km = new KMeans().setK(nCells).setSeed(42)
+    val km = new KMeans().setK(nCells).setSeed(ivfSeed)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(widenedCorpus)
     km.clusterCenters.zipWithIndex
@@ -199,21 +191,44 @@ object Similarity {
     km.transform(widenedCorpus)
       .select(col("vec_id"), col("emb"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/inverted")
+    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      Seq("nCells" -> nCells.toLong, "seed" -> ivfSeed,
+        "dim" -> km.clusterCenters.head.size.toLong))
   }
+
+  private val ivfSeed = 42L
+
+  /** IVF parameter fingerprint beside the index tables (same
+    * [[graft.sources.IndexMeta]] format as the LSH dedup index).
+    * `dim` is the load-bearing field: appending or probing with a
+    * different embedding dimension would otherwise silently compute
+    * truncated distances and degrade recall with no error. Returns the
+    * stored build-time dim. */
+  private def checkIvfMeta(spark: SparkSession, indexPath: String): Int =
+    graft.sources.IndexMeta.read(spark, s"$indexPath/meta.json", "IVF index")
+      .getOrElse("dim", sys.error(s"IVF index meta at $indexPath lacks dim"))
+      .toInt
 
   /** Nearest-`nProbe` cells by squared Euclidean against the (tiny,
     * driver-held) centroid array — with nProbe = 1 this is exactly
     * KMeans cell assignment, shared by the probe and the append path
-    * so an appended vector lands in the cell a probe will search. */
-  private def nearestCellsUdf(centers: Array[Array[Double]], nProbe: Int) =
+    * so an appended vector lands in the cell a probe will search.
+    * Rejects dim-mismatched input vectors loudly: a truncated
+    * distance loop would instead assign wrong cells / probe wrong
+    * lists and quietly destroy recall. */
+  private def nearestCellsUdf(centers: Array[Array[Double]], nProbe: Int) = {
+    val dim = centers.head.length
     udf((emb: Seq[Double]) => {
       val v = emb.toArray
+      require(v.length == dim,
+        s"embedding dim ${v.length} does not match the index's centroid dim $dim")
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
-        while (j < math.min(c.length, v.length)) { val t = c(j) - v(j); d += t * t; j += 1 }
+        while (j < dim) { val t = c(j) - v(j); d += t * t; j += 1 }
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     })
+  }
 
   private def readCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
     import spark.implicits._
@@ -228,16 +243,27 @@ object Similarity {
     * partition. Already-indexed vec_ids are anti-joined out first
     * (the id column only — parquet pruning), so a crash-retried
     * append never duplicates a vector: same replay contract as the
-    * LSH index. */
+    * LSH index. Validates the index's meta fingerprint first — an
+    * append with a different embedding dim fails loudly instead of
+    * silently truncating the cell-assignment distances. Within-batch
+    * duplicate vec_ids collapse to one row (the anti-join only
+    * guards against ids already ON DISK), and the batch is pinned
+    * with localCheckpoint so the append write cannot re-plan over the
+    * same `inverted` table its anti-join reads. */
   def appendToIvfIndex(embeddings: DataFrame, indexPath: String): Unit = {
     val spark = embeddings.sparkSession
+    val metaDim = checkIvfMeta(spark, indexPath)
     val centers = readCentroids(spark, indexPath)
+    require(centers.head.length == metaDim,
+      s"corrupt IVF index at $indexPath: centroid dim ${centers.head.length} != meta dim $metaDim")
     val indexed = spark.read.parquet(s"$indexPath/inverted").select(col("vec_id"))
-    widened(embeddings)
+    val fresh = widened(embeddings)
+      .dropDuplicates("vec_id")
       .join(indexed.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
       .withColumn("cell", nearestCellsUdf(centers, 1)(col("emb")).getItem(0))
       .select(col("vec_id"), col("emb"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/inverted")
+      .localCheckpoint()
+    fresh.write.mode("append").partitionBy("cell").parquet(s"$indexPath/inverted")
   }
 
   /** ANN top-k against a persisted IVF index: centroids are a tiny
@@ -249,6 +275,7 @@ object Similarity {
                      k: Int, nProbe: Int = 4,
                      maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     import spark.implicits._
+    checkIvfMeta(spark, indexPath) // loud failure on unbuilt/dim-mismatched index
     val centers = readCentroids(spark, indexPath)
     val probeCellsUdf = nearestCellsUdf(centers, nProbe)
     val probes = widened(queries)
@@ -266,6 +293,41 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Cell-balance telemetry for a persisted IVF index — the
+    * observable behind the "periodic rebuilds repair cell-balance
+    * drift" contract in [[appendToIvfIndex]]: appends assign to
+    * FROZEN centroids, so a drifting ingest distribution piles
+    * vectors into a few cells and probe cost (≈ rows × nProbe /
+    * nCells on a balanced index) degrades toward a full scan of the
+    * hot lists. This is the IVF counterpart of
+    * [[Dedup.compactLshIndex]]'s operational-debt story: the stat
+    * that tells an operator WHEN to rebuild.
+    *
+    * One grouped pass over the inverted file's partition column only
+    * (vec_id + the `cell` partition value — embeddings are pruned);
+    * the built cell count comes from the meta fingerprint so empty
+    * cells are visible in the imbalance.
+    *
+    * Output: one row — total_vecs, n_cells (built), cells_used,
+    * max_cell, min_cell (of used cells), avg_cell (over ALL built
+    * cells), imbalance = max_cell / avg_cell (1.0 = perfectly
+    * balanced; empty cells push it up). */
+  def ivfCellStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val nCells = graft.sources.IndexMeta
+      .read(spark, s"$indexPath/meta.json", "IVF index")
+      .getOrElse("nCells", sys.error(s"IVF index meta at $indexPath lacks nCells"))
+    spark.read.parquet(s"$indexPath/inverted")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("total_vecs"),
+        lit(nCells).as("n_cells"),
+        count(lit(1)).as("cells_used"),
+        max(col("n")).as("max_cell"),
+        min(col("n")).as("min_cell"),
+        round(sum(col("n")) / lit(nCells), 2).as("avg_cell"),
+        round(max(col("n")) / (sum(col("n")) / lit(nCells)), 4).as("imbalance"))
   }
 
   /** SemDeDup-style cluster-then-dedup (Abbas et al. 2023): assign

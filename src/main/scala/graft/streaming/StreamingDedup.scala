@@ -59,7 +59,21 @@ object StreamingDedup {
     * partition overwrite, so a replay overwrites its own partition
     * instead of duplicating rows; the index append anti-joins
     * already-indexed ids ([[Dedup.appendToLshIndex]]), so the replayed
-    * append is a no-op. Every step is idempotent per batch id.
+    * append is a no-op. Every step is idempotent per batch id —
+    * BYTE-idempotent for the sinks: index matches whose corpus_id is
+    * a doc_id of the CURRENT batch are excluded wholesale (on a
+    * replay the batch's accepted docs are already in the index and
+    * would match both themselves and their batch-mates; within-batch
+    * relations are `within`'s job), so a replayed partition is
+    * row-identical to the original write, not merely equivalent.
+    *
+    * doc_id contract: ids must be globally unique across the stream's
+    * lifetime — the index keys on them. A batch doc that REUSES an
+    * already-indexed id with different content is detected (stored
+    * sketch ≠ batch sketch) and routed to the rejected sink as
+    * via="id_collision" (jaccard null) rather than silently accepted
+    * without ever being indexed, which would hide all its future
+    * near-dups.
     *
     * Within-batch policy: the smaller doc_id of a verified pair wins
     * (greedy min-id, the ingest-time convention — full quality-based
@@ -71,22 +85,30 @@ object StreamingDedup {
                          shingleK: Int = 3, bands: Int = 16,
                          rowsPerBand: Int = 4,
                          threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
     // pin: the batch feeds the index probe, the self-join, and the
     // accepted/rejected splits — one tokenize+hash pass, not four
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
-    // doc_id =!= corpus_id: on a REPLAY the batch's accepted docs are
-    // already in the index (the append ran before the crash) and would
-    // match themselves — a self-match must not reject the doc, or the
-    // replay would erase it from the accepted sink
+    val batchIds = b.select(col("doc_id").as("corpus_id"))
     val vsIndex = Dedup
       .minhashIncrementalIndexed(b, indexPath, shingleK, bands, rowsPerBand, threshold)
-      .filter(col("doc_id") =!= col("corpus_id"))
+      .join(batchIds, Seq("corpus_id"), "left_anti")
       .select(col("doc_id"), col("corpus_id").as("matched_id"),
         col("jaccard"), lit("index").as("via"))
     val within = Dedup.minhashPairs(b, shingleK, bands, rowsPerBand, threshold)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"),
         col("jaccard"), lit("batch").as("via"))
-    val rejected = vsIndex.unionByName(within).localCheckpoint()
+    // id-collision audit: already-indexed id, different stored sketch.
+    // Join keyed on the id (selective — reads only colliding ids'
+    // sketch rows); a replayed doc's sketch matches its own stored row,
+    // so replays produce zero collision rows, preserving idempotence.
+    val collisions = Dedup.withShingleHashSet(b, shingleK)
+      .join(spark.read.parquet(s"$indexPath/sketches"),
+        col("doc_id") === col("corpus_id"))
+      .filter(col("sh") =!= col("sh_c"))
+      .select(col("doc_id"), col("doc_id").as("matched_id"),
+        lit(null).cast("double").as("jaccard"), lit("id_collision").as("via"))
+    val rejected = vsIndex.unionByName(within).unionByName(collisions).localCheckpoint()
     val rejIds = rejected.select("doc_id").distinct()
     val accepted = b.join(rejIds, Seq("doc_id"), "left_anti").localCheckpoint()
     accepted.withColumn("ingest_batch", lit(batchId))

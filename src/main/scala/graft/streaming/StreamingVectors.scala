@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming vector ingest — the IVF counterpart of
+  * [[StreamingDedup]]'s near-dup ingest service, completing the parity
+  * between the two persisted index families: an unbounded embedding
+  * stream (vec_id, embedding) is drained micro-batch by micro-batch
+  * into a persisted IVF ANN index ([[Similarity.buildIvfIndex]]), so
+  * probes ([[Similarity.ivfTopKIndexed]]) always see the corpus as of
+  * the last committed batch without any rebuild.
+  *
+  * Replay safety (foreachBatch is at-least-once — a crashed batch
+  * re-runs): the vector sink partitions by `ingest_batch` with DYNAMIC
+  * partition overwrite, so a replay overwrites its own partition; the
+  * index append anti-joins already-indexed vec_ids
+  * ([[Similarity.appendToIvfIndex]]), so the replayed append is a
+  * no-op. Within-batch duplicate vec_ids collapse to one row before
+  * either write. vec_ids must be globally unique across the stream's
+  * lifetime — the index keys on them.
+  *
+  * Operational contract at scale: appends assign to FROZEN centroids,
+  * so a drifting ingest distribution unbalances the cells —
+  * [[Similarity.ivfCellStats]] is the rebuild trigger an operator
+  * watches, and [[Similarity.buildIvfIndex]] over the accepted sink is
+  * the rebuild.
+  */
+object StreamingVectors {
+
+  /** One micro-batch: land the (deduplicated) vectors in the
+    * batch-partitioned sink, then append them to the IVF index. Sink
+    * first — a crash between the two writes then leaves the vector
+    * durable and the retry heals the index, never the reverse (an
+    * indexed vector missing from the sink would survive no rebuild). */
+  def ingestVectorBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                        vectorsPath: String): Unit = {
+    val b = batch.dropDuplicates("vec_id").localCheckpoint()
+    b.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(vectorsPath)
+    Similarity.appendToIvfIndex(b, indexPath)
+  }
+
+  /** The ingest service as a streaming query: drain the embedding
+    * stream with AvailableNow, run [[ingestVectorBatch]] per
+    * micro-batch. The index at `indexPath` must exist
+    * ([[Similarity.buildIvfIndex]] over a seed corpus — centroids
+    * need at least nCells vectors to train). */
+  def vectorIngest(vecs: DataFrame, indexPath: String, vectorsPath: String,
+                   checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestVectorBatch(batch, id, indexPath, vectorsPath)
+      }
+      .start()
+}

@@ -119,6 +119,72 @@ class SimilaritySpec extends SparkSpec {
     assert(n === 3L, "replayed append duplicated index rows")
   }
 
+  test("IVF index meta: unbuilt/dim-mismatched use fails loudly; dup-id batch appends once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmeta").toString + "/idx"
+    // no index yet: probe and append must fail loudly, not read nothing
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, dir, corpus.filter($"vec_id" < 2), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(corpus.filter($"vec_id" < 2), dir)
+    }
+    Similarity.buildIvfIndex(corpus, dir, nCells = 8) // 64-dim corpus
+    // meta fingerprint records the build parameters
+    val meta = graft.sources.IndexMeta.read(spark, s"$dir/meta.json", "IVF index")
+    assert(meta("nCells") === 8L && meta("dim") === 64L)
+    // appending or probing vectors of a DIFFERENT dim used to silently
+    // truncate every distance loop (min-length) and destroy recall —
+    // it must throw instead
+    def deepMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage) ++ Iterator("")).mkString(" | ")
+    val wrongDim = emb(5000L -> Seq(1f, 2f, 3f))
+    val eA = intercept[Throwable] { Similarity.appendToIvfIndex(wrongDim, dir) }
+    assert(deepMsg(eA).contains("dim"), deepMsg(eA))
+    val eP = intercept[Throwable] {
+      Similarity.ivfTopKIndexed(spark, dir, wrongDim, 3).collect()
+    }
+    assert(deepMsg(eP).contains("dim"), deepMsg(eP))
+    // a batch with a duplicated vec_id collapses to one index row (the
+    // anti-join only guards against ids already on disk)
+    val v = Seq.fill(64)(0.5f)
+    Similarity.appendToIvfIndex(emb(7000L -> v, 7000L -> v), dir)
+    assert(spark.read.parquet(s"$dir/inverted").filter($"vec_id" === 7000L).count() === 1L)
+  }
+
+  test("persisted IVF index recall ≥ 0.8 vs brute force POST-APPEND") {
+    // the production lifecycle: centroids trained on 80% of the
+    // corpus, the rest appended against them — recall is measured on
+    // the resulting drifted index directly, not transferred from the
+    // in-memory path via snapshot equality
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrec").toString + "/idx"
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" % 10 >= 8), dir)
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    val truth = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"post-append indexed IVF recall $recall")
+  }
+
+  test("ivfCellStats: exact totals, stats consistent with the inverted file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstats").toString + "/idx"
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" % 10 >= 8), dir)
+    val r = Similarity.ivfCellStats(spark, dir).collect().head
+    val perCell = spark.read.parquet(s"$dir/inverted")
+      .groupBy("cell").count().as[(Int, Long)].collect().map(_._2)
+    assert(r.getAs[Long]("total_vecs") === 200L, "build + append must cover the corpus once")
+    assert(r.getAs[Long]("n_cells") === 8L)
+    assert(r.getAs[Long]("cells_used") === perCell.length.toLong)
+    assert(r.getAs[Long]("max_cell") === perCell.max)
+    assert(r.getAs[Long]("min_cell") === perCell.min)
+    val expImb = BigDecimal(perCell.max / (200.0 / 8))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("imbalance") === expImb)
+  }
+
   test("ivfTopK recall ≥ 0.8 vs brute force on clustered corpus") {
     val probes = corpus.filter($"vec_id" % 25 === 0L)
     val truth = Similarity.bruteTopK(corpus, probes, 5)

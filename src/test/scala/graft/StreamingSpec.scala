@@ -106,6 +106,104 @@ class StreamingSpec extends SparkSpec {
         Seq((30L, words(21))).toDF("doc_id", "text"), idx)
       .select("doc_id", "corpus_id").as[(Long, Long)].collect()
     assert(probe.toSeq === Seq((30L, 21L)), "replay duplicated index entries")
+
+    // replay of the batch that held the WITHIN-batch dup pair (11/12):
+    // keeper 11 is in the index now, so without the batch-id exclusion
+    // the replay would gain a (12, 11, "index") row beside the original
+    // (12, 11, "batch") — the sinks must be BYTE-idempotent per batch,
+    // not merely idempotent on ids
+    val rejBefore = spark.read.parquet(rej).collect().toSet
+    val replay1 = spark.read.schema(schema).json(s"$raw/d1.json")
+    StreamingDedup.ingestNearDupBatch(replay1, batchId = 0L, idx, acc, rej)
+    val rejAfter = spark.read.parquet(rej).collect().toSet
+    assert(rejAfter === rejBefore, "replayed rejected partition must be row-identical")
+  }
+
+  test("id collision: reused indexed doc_id with different text is audited, not accepted") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft-ndcoll").toString
+    val idx = s"$root/idx"; val acc = s"$root/acc"; val rej = s"$root/rej"
+    def words(seed: Int) = (1 to 30).map(i => s"c${seed}w$i").mkString(" ")
+    Dedup.buildLshIndex(Seq((1L, words(1))).toDF("doc_id", "text"), idx)
+    // doc_id 1 arrives again with DIFFERENT content: accepting it would
+    // leave a doc in the corpus sink that the index can never match
+    // (the append anti-joins its id out) — it must be audited instead
+    val batch = Seq((1L, words(99)), (2L, words(2))).toDF("doc_id", "text")
+    StreamingDedup.ingestNearDupBatch(batch, batchId = 0L, idx, acc, rej)
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet === Set(2L))
+    val rejRows = spark.read.parquet(rej)
+      .select("doc_id", "via").as[(Long, String)].collect().toSet
+    assert(rejRows === Set((1L, "id_collision")))
+    // the index still answers for the ORIGINAL content of id 1, and
+    // was not polluted with the colliding batch doc
+    val p = Dedup.minhashIncrementalIndexed(
+        Seq((50L, words(1)), (51L, words(99))).toDF("doc_id", "text"), idx)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(p === Set((50L, 1L)))
+    // a REPLAYED batch doc (same id, same content) is NOT a collision
+    StreamingDedup.ingestNearDupBatch(
+      Seq((2L, words(2))).toDF("doc_id", "text"), batchId = 1L, idx, acc, rej)
+    assert(spark.read.parquet(rej).filter($"via" === "id_collision").count() === 1L,
+      "an identical replayed doc must not be flagged as a collision")
+  }
+
+  test("streaming vector ingest: micro-batches append to the IVF index; replay is a no-op") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingVectors
+    val root = Files.createTempDirectory("graft-vecingest").toString
+    val raw = s"$root/raw"; val idx = s"$root/idx"; val sink = s"$root/vectors"
+    new java.io.File(raw).mkdirs()
+    val rng = new scala.util.Random(5)
+    def vec() = Seq.fill(8)(rng.nextGaussian().toFloat)
+    // seed corpus trains the centroids; the stream appends against them
+    val seed = (0L until 16L).map(i => (i, vec()))
+    Similarity.buildIvfIndex(seed.toDF("vec_id", "embedding"), idx, nCells = 4)
+
+    def land(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def drain(): Unit = {
+      val q = StreamingVectors.vectorIngest(
+        spark.readStream.schema(schema).json(raw), idx, sink, s"$root/ckpt")
+      q.awaitTermination()
+    }
+
+    // drain 1: 5 vectors, one duplicated vec_id within the batch
+    val dupVec = vec()
+    land("v1.json", Seq(100L -> vec(), 101L -> vec(), 102L -> vec(),
+      103L -> dupVec, 103L -> dupVec))
+    drain()
+    val inv = () => spark.read.parquet(s"$idx/inverted")
+    assert(inv().count() === 20L, "16 seed + 4 distinct ingested")
+    assert(inv().filter($"vec_id" === 103L).count() === 1L,
+      "within-batch duplicate vec_id must collapse to one index row")
+
+    // drain 2 is incremental (checkpointed offsets): only the new file
+    val probeVec = vec()
+    land("v2.json", Seq(200L -> probeVec, 201L -> vec()))
+    drain()
+    assert(inv().count() === 22L)
+    // an ingested vector is immediately probe-visible: a near-copy of
+    // 200's embedding must find 200 first
+    val got = Similarity.ivfTopKIndexed(spark, idx,
+        Seq((999L, probeVec.map(x => x * 1.0001f))).toDF("vec_id", "embedding"),
+        k = 1, nProbe = 4)
+      .select("n_id").as[Long].collect()
+    assert(got.toSeq === Seq(200L))
+
+    // replay of batch 1 (foreachBatch is at-least-once): sink partition
+    // overwritten in place, index append a no-op
+    val replay = spark.read.schema(schema).json(s"$raw/v2.json")
+    StreamingVectors.ingestVectorBatch(replay, batchId = 1L, idx, sink)
+    assert(inv().count() === 22L, "replayed append duplicated index rows")
+    assert(spark.read.parquet(sink).count() === 6L,
+      "replayed sink partition duplicated vector rows")
   }
 
   test("mapGroupsWithState running EMA carries recursion across micro-batches") {
