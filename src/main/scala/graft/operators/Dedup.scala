@@ -443,12 +443,15 @@ object Dedup {
     * Scale shape: passage generation is per-row (a generate, no
     * shuffle); the duplicate census groups by the 60-bit md5 passage
     * hash (compact long keys, map-side combined — never the passage
-    * strings); verdicts join back on the same hash; reconstruction
-    * groups by doc_id, so its state is bounded by single-document
-    * length. No step ever pairs documents.
+    * strings); verdicts join back on the same hash via the
+    * heavy-hitter-immune [[Skew.censusJoinBack]] (passages in ≥
+    * `hotThreshold` docs resolve map-side off a broadcast);
+    * reconstruction groups by doc_id, so its state is bounded by
+    * single-document length. No step ever pairs documents.
     *
     * Output: (doc_id, n_passages, n_dup, clean_text). */
-  def passageDedup(docs: DataFrame, window: Int = 8): DataFrame = {
+  def passageDedup(docs: DataFrame, window: Int = 8,
+                   hotThreshold: Int = 5000): DataFrame = {
     require(window >= 1, "window must be positive")
     // greatest(…, 0): an empty token array would make nWin = 0 and
     // sequence(0, -1) DESCEND ([0, -1] — Spark defaults step to -1 when
@@ -464,7 +467,7 @@ object Dedup {
       .withColumn("h", conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("long"))
     val census = passages.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
-    passages.join(census, Seq("h"))
+    Skew.censusJoinBack(passages, census, Seq("h"), "h", col("nd") >= hotThreshold)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_passages"),
@@ -501,14 +504,19 @@ object Dedup {
     * same cardinality class as [[decontaminate]]'s gram explode; the
     * suffix-array formulation trades it for a global sort, worse on
     * Spark); the census is one hash aggregation on the 60-bit shingle
-    * hash; verdicts join back on the hash (shuffled hash — census
-    * cardinality is corpus-sized); the per-doc fold (counts + longest
+    * hash; verdicts join back on the hash via the heavy-hitter-immune
+    * [[Skew.censusJoinBack]] (census cardinality is corpus-sized, so
+    * it shuffles — but keys in ≥ `hotThreshold` docs resolve map-side
+    * off a broadcast, so a viral boilerplate shingle cannot straggler
+    * the shuffle, which AQE provably cannot repair here — SkewSpec);
+    * the per-doc fold (counts + longest
     * run over the sorted flag array) runs inside one groupBy with
     * state bounded by a single document's token count. No step pairs
     * documents.
     *
     * Output: (doc_id, n_windows, n_dup, dup_frac, max_run). */
-  def dupSpans(docs: DataFrame, window: Int = 8): DataFrame = {
+  def dupSpans(docs: DataFrame, window: Int = 8,
+               hotThreshold: Int = 5000): DataFrame = {
     require(window >= 1, "window must be positive")
     val len = size(col("toks"))
     val nStarts = greatest(len - window + 1, lit(1))
@@ -519,7 +527,7 @@ object Dedup {
           .as(Seq("i", "win")))
       .withColumn("h", conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long"))
     val census = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
-    wins.join(census.hint("shuffle_hash"), Seq("h"))
+    Skew.censusJoinBack(wins, census, Seq("h"), "h", col("nd") >= hotThreshold)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_windows"),
@@ -552,14 +560,19 @@ object Dedup {
     * aggregation keyed (source, h); per-source doc totals join the
     * census on source by SHUFFLED hash (source cardinality is
     * host-count-sized — corpus-proportional for a web crawl, never
-    * broadcast); verdicts join back on (source, h); reconstruction
+    * broadcast); verdicts join back on (source, h) via the
+    * heavy-hitter-immune [[Skew.censusJoinBack]] (a passage recurring
+    * in ≥ `hotThreshold` docs of one source — exactly what viral
+    * boilerplate is — resolves map-side off a broadcast instead of
+    * piling into one shuffle partition); reconstruction
     * groups by doc_id with state bounded by one document's length. No
     * step ever pairs documents.
     *
     * Output: (doc_id, n_passages, n_boiler, clean_text). */
   def boilerplateStrip(docs: DataFrame, sourceCol: String = "source",
                        window: Int = 8, minDocs: Int = 2,
-                       minFrac: Double = 0.05): DataFrame = {
+                       minFrac: Double = 0.05,
+                       hotThreshold: Int = 5000): DataFrame = {
     require(window >= 1, "window must be positive")
     require(minDocs >= 2, "minDocs < 2 would strip unique content")
     val nWin = ceil(size(col("toks")).cast("double") / window).cast("int")
@@ -577,10 +590,11 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nsd"))
     val verdicts = census
       .join(srcDocs.hint("shuffle_hash"), Seq("__src"))
-      .select(col("__src"), col("h"),
+      .select(col("__src"), col("h"), col("nd"),
         (col("nd") >= minDocs &&
           col("nd").cast("double") >= lit(minFrac) * col("nsd")).as("boiler"))
-    passages.join(verdicts.hint("shuffle_hash"), Seq("__src", "h"))
+    Skew.censusJoinBack(passages, verdicts, Seq("__src", "h"), "h",
+        col("nd") >= hotThreshold)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_passages"),

@@ -64,4 +64,54 @@ object Skew {
   def saltedBroadcastableJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                               joinType: String = "inner"): DataFrame =
     big.join(broadcast(small), keys, joinType)
+
+  /** Heavy-hitter-immune CENSUS JOIN-BACK — the skewed-join shape the
+    * dedup family hits (dupSpans / passageDedup / boilerplateStrip):
+    * `rows` (one row per shingle occurrence) equi-joins its own census
+    * (one row per distinct key, carrying per-key counts) to attach
+    * each key's verdict back onto every occurrence. A viral key (a
+    * boilerplate 8-gram in millions of docs) makes one shuffle
+    * partition hold millions of rows, and AQE's OptimizeSkewedJoin
+    * CANNOT repair it: the census side of the join is an aggregate
+    * ABOVE its shuffle stage, not a bare stage the rule can replicate
+    * (verified empirically in SkewSpec — the rule pattern requires
+    * shuffle-stage children).
+    *
+    * The census itself names the heavy hitters — its count column IS
+    * the join-back weight of the key. So: census keys matching
+    * `hotPred` are broadcast and resolved MAP-SIDE (no shuffle can
+    * skew); resolved rows then have their `scatterKey` replaced by a
+    * deterministic NEGATIVE hash of the whole row before the one
+    * shuffle join against the cold census, spreading them uniformly
+    * across partitions where they match nothing (census keys are
+    * non-negative by contract). Each row therefore joins its census
+    * values exactly once, and no shuffle partition is hot. The census
+    * shuffle is planned once — hot and cold branches share it via
+    * exchange reuse.
+    *
+    * Contract: `census` is keyed uniquely by `keys`, TOTAL over
+    * `rows`' keys (it was built from `rows`), has non-null value
+    * columns, and non-negative `scatterKey` values (true for the
+    * 60-bit md5-derived shingle hashes). The hot set's size is bounded
+    * by total_rows / threshold when `hotPred` is `count ≥ threshold` —
+    * dim-sized for any real threshold, hence broadcastable. */
+  def censusJoinBack(rows: DataFrame, census: DataFrame, keys: Seq[String],
+                     scatterKey: String, hotPred: Column): DataFrame = {
+    require(keys.contains(scatterKey), s"scatterKey $scatterKey must be a join key")
+    val valueCols = census.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "census has no value columns to join back")
+    val hot = census.filter(hotPred)
+      .select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__hot_$c")): _*)
+    val cold = census.filter(!hotPred).withColumnRenamed(scatterKey, "__scatter")
+    val marked = rows.join(broadcast(hot), keys, "left")
+    val scattered = marked.withColumn("__scatter",
+      when(col(s"__hot_${valueCols.head}").isNotNull,
+        -pmod(hash(rows.columns.map(col): _*), lit(1000000007L)) - 1)
+        .otherwise(col(scatterKey)))
+    val joined = scattered.join(cold.hint("shuffle_hash"),
+      keys.filterNot(_ == scatterKey) :+ "__scatter", "left")
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(s"__hot_$c"), col(c)))
+    }.drop("__scatter").drop(valueCols.map(c => s"__hot_$c"): _*)
+  }
 }

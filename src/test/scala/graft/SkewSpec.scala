@@ -53,6 +53,90 @@ class SkewSpec extends SparkSpec {
     assert(buckets >= 8, s"hot key landed in only $buckets/16 buckets")
   }
 
+  /** Aggressive AQE skew configs used by the census-join-back cases. */
+  private def withSkewConfigs[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Viral-boilerplate corpus: every doc opens with the same 8 tokens
+    * (ONE hot shingle hash across the whole corpus) then unique text. */
+  private def hotShingleDocs(n: Int) =
+    spark.range(n).select($"id".as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta "),
+        md5(concat(lit("u"), $"id")), lit(" "),
+        md5(concat(lit("v"), $"id")), lit(" "),
+        md5(concat(lit("w"), $"id"))).as("text"))
+
+  test("census join-back: AQE skew-split provably does NOT engage (the motivation)") {
+    // The dedup censuses join back onto their own exploded source. The
+    // census side of that join is an AGGREGATE above its shuffle stage,
+    // and OptimizeSkewedJoin only matches joins whose children are bare
+    // shuffle stages — so unlike the plain join above, AQE never splits
+    // the viral shingle's partition here. This test pins that fact; it
+    // is why Skew.censusJoinBack exists rather than trusting AQE.
+    import graft.operators.Dedup
+    withSkewConfigs {
+      val wins = hotShingleDocs(3000)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .withColumn("h", conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long"))
+      val census = wins.groupBy("h").agg(count_distinct($"doc_id").as("nd"))
+      val plain = wins.join(census.hint("shuffle_hash"), Seq("h"))
+        .groupBy("doc_id").agg(sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup"))
+      assert(plain.collect().length === 3000)
+      val plan = plain.queryExecution.executedPlan.toString
+      assert(!plan.contains("skew=true"),
+        "AQE now splits agg-fed joins — censusJoinBack's motivation needs re-checking:\n" +
+          plan.take(1500))
+    }
+  }
+
+  test("censusJoinBack: hot keys resolve map-side; result identical to the plain join") {
+    import graft.operators.{Dedup, Skew}
+    withSkewConfigs {
+      val docs = hotShingleDocs(500)
+      // hotThreshold 100: the shared 8-gram (nd=500) goes hot; organic
+      // windows (nd=1) stay cold. A huge threshold is the all-cold
+      // plain path — outputs must be bit-identical.
+      val hot = Dedup.dupSpans(docs, window = 8, hotThreshold = 100)
+      val cold = Dedup.dupSpans(docs, window = 8, hotThreshold = Int.MaxValue)
+      val h = hot.as[(Long, Long, Long, Double, Long)].collect().toSet
+      val c = cold.as[(Long, Long, Long, Double, Long)].collect().toSet
+      assert(h === c, "heavy-hitter path changed the dupSpans result")
+      // every doc shares the viral 8-gram: its window is flagged dup
+      assert(h.forall(_._3 >= 1L), "viral shingle must be flagged in every doc")
+      // the hot branch is a real broadcast resolution in the final plan
+      hot.collect()
+      val plan = hot.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected a map-side hot-key resolution:\n${plan.take(1200)}")
+    }
+  }
+
+  test("censusJoinBack: boilerplateStrip equivalence under a hot threshold") {
+    import graft.operators.Dedup
+    val docs = hotShingleDocs(200).withColumn("source", lit("siteA"))
+    val hot = Dedup.boilerplateStrip(docs, hotThreshold = 50)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val cold = Dedup.boilerplateStrip(docs, hotThreshold = Int.MaxValue)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(hot === cold, "heavy-hitter path changed the boilerplateStrip result")
+    // the shared opener recurs in all 200 docs of the source → stripped
+    assert(hot.forall(_._3 >= 1L))
+  }
+
   test("AQE splits the skewed partition of a shuffle join (runtime re-plan)") {
     // Salting (above) is the manual fix; AQE's OptimizeSkewedJoin is
     // the runtime one — the hot partition is split into advisory-sized
