@@ -115,6 +115,15 @@ object Bench {
     val t00 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t00) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Host-load canary: one fixed cheap query timed FIRST, recorded in
+    // the bench_full.json header. This host's neighbor contention swings
+    // wall time 3-4×; cross-round comparisons divide by the canary to
+    // tell a plan regression from a noisy host.
+    val canary = try {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_rollup")(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def emit(): Unit =
@@ -158,7 +167,7 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p,
-        s"""{"passes":$pass,"elapsed_sec":${jnum(elapsed)},"queries":$all}\n""".getBytes("UTF-8"))
+        s"""{"passes":$pass,"elapsed_sec":${jnum(elapsed)},"canary_q_rollup":${jnum(canary)},"queries":$all}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
     emit()
