@@ -58,7 +58,10 @@ object Schemas {
   }
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
-    Tables.load(spark, dir, "events").as[Event]
+    // Route through Tables.events so the ts → ns-Long normalization (both
+    // parquet vintages) happens before the typed cast; drop the derived
+    // helper columns the Event case class doesn't carry.
+    Tables.events(spark, dir).drop("ts_sec", "event_date").as[Event]
   }
   def documents(spark: SparkSession, dir: String): Dataset[Document] = {
     import spark.implicits._; Tables.documents(spark, dir).as[Document]

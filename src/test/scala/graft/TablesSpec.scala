@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import java.nio.file.Files
+
+/** The `events.ts` physical type changed vintage across driver releases:
+  * TIMESTAMP(NANOS) (read as raw ns Long under nanosAsLong) vs
+  * TIMESTAMP(MICROS) (native TimestampType). [[Tables.events]] must
+  * normalize BOTH to the engine's ns-Long contract — round 10 lost 38
+  * queries to `(ts div 1000000000)` DATATYPE_MISMATCH when the micros
+  * vintage arrived unhandled.
+  */
+class TablesSpec extends SparkSpec {
+
+  private def writeVintage(vintage: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tables-spec").toString
+    val base = Seq(
+      (1L, 1700000000123456L, 7L, "click", 1.5, "{}"),
+      (2L, 1700000300987654L, 8L, "view", 2.5, "{}")
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val df = vintage match {
+      case "micros" => base.withColumn("ts", timestamp_micros(col("us")))
+      case "ntz"    => base.withColumn("ts",
+        timestamp_micros(col("us")).cast("timestamp_ntz"))
+      case "long"   => base.withColumn("ts", col("us") * lit(1000L)) // nanosAsLong shape
+    }
+    df.drop("us").select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def writeVintage(asTimestamp: Boolean): String =
+    writeVintage(if (asTimestamp) "micros" else "long")
+
+  test("events normalizes the TIMESTAMP_NTZ vintage to ns Longs") {
+    val df = Tables.events(spark, writeVintage("ntz"))
+    assert(df.schema("ts").dataType === LongType)
+    assert(df.orderBy("event_id").select("ts").head().getLong(0) ===
+      1700000000123456000L)
+  }
+
+  test("events normalizes the TIMESTAMP(MICROS) vintage to ns Longs") {
+    val df = Tables.events(spark, writeVintage(asTimestamp = true))
+    assert(df.schema("ts").dataType === LongType)
+    val rows = df.orderBy("event_id")
+      .select("ts", "ts_sec", "event_date").collect()
+    assert(rows(0).getLong(0) === 1700000000123456000L)
+    assert(rows(0).getLong(1) === 1700000000L)
+    assert(rows(0).getDate(2).toString === "2023-11-14")
+    assert(rows(1).getLong(0) === 1700000300987654000L)
+  }
+
+  test("events passes the raw ns-Long vintage through unchanged") {
+    val df = Tables.events(spark, writeVintage(asTimestamp = false))
+    assert(df.schema("ts").dataType === LongType)
+    val rows = df.orderBy("event_id").select("ts", "ts_sec").collect()
+    assert(rows(0).getLong(0) === 1700000000123456000L)
+    assert(rows(0).getLong(1) === 1700000000L)
+  }
+
+  test("both vintages produce identical downstream frames") {
+    val a = Tables.events(spark, writeVintage(asTimestamp = true))
+    val b = Tables.events(spark, writeVintage(asTimestamp = false))
+    assert(a.schema === b.schema)
+    assert(a.orderBy("event_id").collect().toSeq ===
+      b.orderBy("event_id").collect().toSeq)
+  }
+
+  private def pushedFilters(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }.mkString(";")
+
+  test("eventsBetween pushes the range predicate into the parquet scan") {
+    for (vintage <- Seq("micros", "ntz", "long")) {
+      val dir = writeVintage(vintage)
+      // [1700000000, 1700000300) keeps only event 1 of the two rows
+      val df = Tables.eventsBetween(spark, dir, 1700000000L, 1700000300L)
+      val rows = df.select("event_id", "ts").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L), s"vintage=$vintage")
+      assert(rows.head.getLong(1) === 1700000000123456000L, s"vintage=$vintage")
+      val pushed = pushedFilters(df)
+      assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+        s"vintage=$vintage: range must reach the scan, got: $pushed")
+    }
+  }
+
+  test("typed Schemas.events decodes both vintages") {
+    assert(Schemas.events(spark, writeVintage(asTimestamp = true)).head().ts ===
+      1700000000123456000L)
+    assert(Schemas.events(spark, writeVintage(asTimestamp = false)).head().ts ===
+      1700000000123456000L)
+  }
+}
