@@ -15,8 +15,103 @@ import org.apache.spark.sql.functions._
   *    broadcast-joined (see `broadcast(...)` at call sites).
   */
 object Tables {
+  import org.apache.spark.sql.types._
+
+  /** Canonical engine-facing column types per table — what every query,
+    * oracle, and case-class Encoder assumes. The driver regenerates
+    * testdata between rounds and has already changed physical types once
+    * (`events.ts` TIMESTAMP(NANOS) → TIMESTAMP(MICROS), which cost all 38
+    * events queries for a round); this map turns the next such drift into
+    * either a silent per-column cast or ONE loud, named error instead of
+    * 38 scattered DATATYPE_MISMATCH failures. `events.ts` is absent here:
+    * its two-vintage normalization is [[normalizeEvents]]. */
+  private val canon: Map[String, Seq[(String, DataType)]] = Map(
+    "region"   -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation"   -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+                      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+                      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+                      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+                      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part"     -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+                      "p_brand" -> StringType, "p_type" -> StringType,
+                      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+                      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+                      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+                      "l_shipdate" -> TimestampType),
+    "events"   -> Seq("event_id" -> LongType, "user_id" -> LongType,
+                      "event_type" -> StringType, "value" -> DoubleType,
+                      "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+                       "lang" -> StringType, "source" -> StringType,
+                       "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+                        "embedding" -> ArrayType(FloatType, containsNull = true),
+                        "label" -> IntegerType)
+  )
+
+  /** Types the engine treats as interchangeable without a cast: every
+    * query proven green on either flavor. TIMESTAMP vs TIMESTAMP_NTZ is
+    * purely the parquet isAdjustedToUTC bit under our engine-wide UTC
+    * sessions (the current testdata vintage reads NTZ), and casting
+    * between them would cost the scan pushdown on o_orderdate/l_shipdate
+    * filters for zero semantic gain. Array element nullability likewise. */
+  private def equivalent(have: DataType, want: DataType): Boolean = (have, want) match {
+    case (a, b) if a == b => true
+    case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => true
+    case (ArrayType(f, _), ArrayType(t, _)) => equivalent(f, t)
+    case _ => false
+  }
+
+  /** Value-preserving conversions we accept silently when a vintage
+    * drifts. Everything else (string→numeric, array element changes, a
+    * dropped column) is a modeling change, not a representation change —
+    * fail fast and loudly. */
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def castable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if isIntegral(f) && isIntegral(t)            => true
+    case (f, DoubleType) if isIntegral(f)                    => true
+    case (FloatType | _: DecimalType, DoubleType)            => true
+    case (DateType, TimestampType | TimestampNTZType)        => true
+    case (ArrayType(f, _), ArrayType(t, _))                  => castable(f, t)
+    case _                                                   => false
+  }
+
+  /** Conform a known table to [[canon]]: columns already at the canonical
+    * type pass through RAW (their scan pushdown is untouched); drifted
+    * ones get a single codegen'd cast; unconformable drift throws one
+    * error naming table, column, and both types. Unknown table names and
+    * extra columns pass through untouched. */
+  private def conform(df: DataFrame, table: String): DataFrame =
+    canon.get(table).fold(df) { cols =>
+      val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cols.collect { case (n, _) if !actual.contains(n) => n }
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"testdata drift: table '$table' lost column(s) ${missing.mkString(", ")} " +
+          s"(have: ${df.schema.fieldNames.mkString(", ")})")
+      cols.foldLeft(df) { case (d, (n, want)) =>
+        val have = actual(n)
+        if (equivalent(have, want)) d
+        else if (castable(have, want)) d.withColumn(n, col(n).cast(want))
+        else throw new IllegalArgumentException(
+          s"testdata drift: $table.$n is $have, engine needs $want and has no " +
+          "value-preserving cast — extend Tables.canon/castable deliberately")
+      }
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    conform(spark.read.parquet(s"$dir/$name.parquet"), name)
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")

@@ -87,6 +87,56 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  // --- generic schema-drift conformance (all tables) ---------------------
+
+  private def writeLineitem(mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tables-conform").toString
+    val df = Seq((1L, 2L, 3L, 1, 17.0, 1000.5, 0.04, 0.02, "N", "O", "1998-09-02"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    mutate(df).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("conform casts drifted integral/float/date vintages back to canon") {
+    val dir = writeLineitem(df => df
+      .withColumn("l_linenumber", col("l_linenumber").cast("bigint"))
+      .withColumn("l_quantity", col("l_quantity").cast("float"))
+      .withColumn("l_shipdate", col("l_shipdate").cast("date")))
+    val li = Tables.lineitem(spark, dir)
+    assert(li.schema("l_linenumber").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(li.schema("l_quantity").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(li.schema("l_shipdate").dataType.typeName.startsWith("timestamp"))
+    val r = li.head()
+    assert(r.getAs[Int]("l_linenumber") === 1)
+    assert(r.getAs[Double]("l_quantity") === 17.0)
+  }
+
+  test("conform leaves an already-canonical table untouched (pushdown intact)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+    assert(li.count() > 0)
+    assert(pushedFilters(li).contains("l_shipdate"),
+      "canonical columns must keep raw scan pushdown")
+  }
+
+  test("unconformable drift fails with one error naming table, column, types") {
+    val dir = writeLineitem(_.withColumn("l_returnflag", lit(7)))
+    val e = intercept[IllegalArgumentException](Tables.lineitem(spark, dir))
+    assert(e.getMessage.contains("lineitem.l_returnflag"))
+    assert(e.getMessage.contains("IntegerType"))
+  }
+
+  test("a dropped column fails with one error naming it") {
+    val dir = writeLineitem(_.drop("l_discount"))
+    val e = intercept[IllegalArgumentException](Tables.lineitem(spark, dir))
+    assert(e.getMessage.contains("l_discount"))
+  }
+
   test("typed Schemas.events decodes both vintages") {
     assert(Schemas.events(spark, writeVintage(asTimestamp = true)).head().ts ===
       1700000000123456000L)
