@@ -213,6 +213,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // Time-sliced rollup through Tables.eventsBetween: the [from, until)
+  // bound is applied to the RAW parquet ts column (whatever its vintage)
+  // so it reaches the scan as a pushed row-group/page filter — the 100 TB
+  // "read one day, not the decade" path. TablesSpec pins the pushdown;
+  // this query pins the values. Aggregates are count/min/max only —
+  // partition-order independent, so byte-exact at any parallelism.
+  register("q_time_slice",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_sec,
+      |       CAST(max(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_sec
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    Tables.eventsBetween(s, dir, 1704844800L, 1705017600L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("ts_sec").as("first_sec"),
+        max("ts_sec").as("last_sec"))
+      .orderBy("event_type")
+  }
+
   // ───────────────────────────── joins ─────────────────────────────
 
   // J1 — facts × broadcast dim chain (supplier→nation→region), LEFT.
