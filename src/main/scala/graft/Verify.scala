@@ -16,8 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as
-      // a raw ns Long (Tables.events converts downstream).
+      // events.ts vintage varies (TIMESTAMP(NANOS) or MICROS/NTZ);
+      // nanosAsLong lets the nanos vintage load, and Tables.events
+      // normalizes either to the engine's ns-Long contract.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
