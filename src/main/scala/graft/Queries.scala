@@ -202,8 +202,9 @@ object Queries {
       |FROM events
       |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
       |ORDER BY event_id""") { (s, dir) =>
-    Tables.events(s, dir)
-      .filter(col("event_date") >= lit("2024-01-05"))
+    // event_date >= 2024-01-05 ⟺ ts >= its midnight epoch, but pushed
+    // to the raw parquet column instead of filtering the derived column
+    Tables.eventsFrom(s, dir, 1704412800L)
       .select(
         col("event_id"),
         col("ts_sec"),
@@ -1342,9 +1343,10 @@ object Queries {
       |       count(*) AS n_buckets,
       |       CAST(sum(n_base) AS BIGINT) AS n_base, CAST(sum(n_cur) AS BIGINT) AS n_cur
       |FROM terms""") { (s, dir) =>
-    val ev = Tables.events(s, dir)
-    val base = ev.filter(col("event_date") < lit("2024-01-15"))
-    val cur = ev.filter(col("event_date") >= lit("2024-01-15"))
+    // the 2024-01-15 split lands on the raw ts column (pushed row-group
+    // bounds for BOTH scans) instead of the derived event_date
+    val base = Tables.eventsUntil(s, dir, 1705276800L)
+    val cur = Tables.eventsFrom(s, dir, 1705276800L)
     graft.operators.Profile.psi(base, cur, "value", lo = 0.0, hi = 500.0, nb = 25)
       .agg(
         sort_array(collect_list(struct(col("bucket"), col("term")))).as("cs"),

@@ -146,20 +146,33 @@ object Tables {
     * On a 100 TB events lake that is the difference between reading one
     * day and reading the decade. [fromSec, untilSec) are UTC epoch secs. */
   def eventsBetween(spark: SparkSession, dir: String,
-                    fromSec: Long, untilSec: Long): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+                    fromSec: Long, untilSec: Long): DataFrame =
+    boundedEvents(spark, dir, Some(fromSec), Some(untilSec))
+
+  /** Open-ended variants of [[eventsBetween]] — same raw-column pushdown,
+    * one bound. An `event_date >= D` / `event_date < D` engine filter is
+    * exactly `eventsFrom(epochSec(D))` / `eventsUntil(epochSec(D))`
+    * (event_date is the UTC floor-to-day of ts), but unlike filtering
+    * the derived column these bounds reach the parquet reader. */
+  def eventsFrom(spark: SparkSession, dir: String, fromSec: Long): DataFrame =
+    boundedEvents(spark, dir, Some(fromSec), None)
+  def eventsUntil(spark: SparkSession, dir: String, untilSec: Long): DataFrame =
+    boundedEvents(spark, dir, None, Some(untilSec))
+
+  private def boundedEvents(spark: SparkSession, dir: String,
+                            fromSec: Option[Long], untilSec: Option[Long]): DataFrame = {
     val raw = load(spark, dir, "events")
-    val filtered = raw.schema("ts").dataType match {
+    // foldable literals in the raw column's own type: constant-folded
+    // before pushdown, so the scan sees plain `ts >= TIMESTAMP '...'`
+    // (or `ts >= <nsLong>`) bounds
+    def bound(sec: Long) = raw.schema("ts").dataType match {
       case dt @ (TimestampType | TimestampNTZType) =>
-        // foldable literals: constant-folded before pushdown, so the scan
-        // sees plain `ts >= TIMESTAMP '...'` bounds in the column's type
-        raw.filter(col("ts") >= timestamp_seconds(lit(fromSec)).cast(dt) &&
-                   col("ts") <  timestamp_seconds(lit(untilSec)).cast(dt))
-      case _ =>
-        raw.filter(col("ts") >= lit(fromSec * 1000000000L) &&
-                   col("ts") <  lit(untilSec * 1000000000L))
+        timestamp_seconds(lit(sec)).cast(dt)
+      case _ => lit(sec * 1000000000L)
     }
-    normalizeEvents(filtered)
+    val preds = fromSec.map(s => col("ts") >= bound(s)) ++
+                untilSec.map(s => col("ts") < bound(s))
+    normalizeEvents(preds.reduceOption(_ && _).fold(raw)(raw.filter))
   }
 
   private def normalizeEvents(raw: DataFrame): DataFrame = {

@@ -87,6 +87,20 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("eventsFrom / eventsUntil push their single bound for every vintage") {
+    for (vintage <- Seq("micros", "ntz", "long")) {
+      val dir = writeVintage(vintage)
+      val from = Tables.eventsFrom(spark, dir, 1700000300L)
+      assert(from.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(2L),
+        s"vintage=$vintage")
+      assert(pushedFilters(from).contains("GreaterThanOrEqual(ts"), s"vintage=$vintage")
+      val until = Tables.eventsUntil(spark, dir, 1700000300L)
+      assert(until.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(1L),
+        s"vintage=$vintage")
+      assert(pushedFilters(until).contains("LessThan(ts"), s"vintage=$vintage")
+    }
+  }
+
   // --- generic schema-drift conformance (all tables) ---------------------
 
   private def writeLineitem(mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
