@@ -125,12 +125,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.HashMap[String, Int]().withDefaultValue(0)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def emit(): Unit =
       println(compactLine(times.toSeq, errors.toSeq, sfDir, ordered.size))
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
+        samples(name) += 1
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
@@ -148,21 +150,23 @@ object Bench {
 
     // optional noise-reduction passes (the host shows 3-20× wall-time
     // swings from neighbor contention): spend whatever budget remains
-    // re-running SLOWEST-FIRST, because min-of-N only repairs the total
-    // where noise actually dominates it. The old full-pass gate
-    // (elapsed < 0.5×budget) meant a loaded host — exactly when noise
-    // is worst — never got a second sample at all: pass 1 alone blew
-    // the gate and the round recorded un-warmed single samples.
-    // Budget is re-checked before every query so a slow re-run can
-    // never push past the driver's kill; errored queries sort first so
-    // a transient failure gets its retry before polish.
+    // on FEWEST-SAMPLES-FIRST, slowest-first within a tier — min-of-N
+    // only repairs the total where a query still carries its one cold
+    // (plan-compile-inflated) sample or where noise dominates. The old
+    // full-pass gate (elapsed < 0.5×budget) meant a loaded host —
+    // exactly when noise is worst — never got a second sample at all;
+    // plain slowest-first then burned pass 3 re-running warmed heavies
+    // while the cheap tail stayed cold. Budget is re-checked before
+    // every query so a slow re-run can never push past the driver's
+    // kill; errored queries sort first so a transient failure gets its
+    // retry before polish.
     var pass = 1
-    while (pass < 3 && elapsed < budgetS * 0.8) {
+    while (pass < 4 && elapsed < budgetS * 0.8) {
       pass += 1
-      val bySlow = ordered.sortBy { case (n, _) =>
-        -times.getOrElse(n, Double.MaxValue)
+      val byNeed = ordered.sortBy { case (n, _) =>
+        (samples(n), -times.getOrElse(n, Double.MaxValue))
       }
-      val it = bySlow.iterator
+      val it = byNeed.iterator
       while (it.hasNext && elapsed < budgetS * 0.85) {
         val (name, fn) = it.next()
         runOnce(name, fn); emit()
