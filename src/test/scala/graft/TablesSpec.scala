@@ -138,6 +138,36 @@ class TablesSpec extends SparkSpec {
       "canonical columns must keep raw scan pushdown")
   }
 
+  test("conform absorbs any combination of value-preserving drifts (property, seed 42)") {
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(42)
+    // per-column safe drifts the generator could plausibly introduce
+    val drifts: Map[String, Seq[String]] = Map(
+      "l_linenumber" -> Seq("int", "bigint", "smallint"),
+      "l_quantity" -> Seq("double", "float"),
+      "l_extendedprice" -> Seq("double", "float"),
+      "l_shipdate" -> Seq("timestamp", "timestamp_ntz", "date"))
+    val expected = Map[String, DataType](
+      "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType)
+    for (round <- 1 to 6) {
+      val combo = drifts.map { case (c, opts) => c -> opts(rng.nextInt(opts.size)) }
+      val dir = writeLineitem(df => combo.foldLeft(df) { case (d, (c, t)) =>
+        d.withColumn(c, col(c).cast(t))
+      })
+      val li = Tables.lineitem(spark, dir)
+      expected.foreach { case (c, want) =>
+        assert(li.schema(c).dataType === want, s"round=$round combo=$combo col=$c")
+      }
+      assert(li.schema("l_shipdate").dataType.typeName.startsWith("timestamp"),
+        s"round=$round combo=$combo")
+      val r = li.head()
+      assert(r.getAs[Int]("l_linenumber") === 1, s"round=$round combo=$combo")
+      assert(r.getAs[Double]("l_quantity") === 17.0, s"round=$round combo=$combo")
+      assert(r.getAs[Double]("l_extendedprice") === 1000.5, s"round=$round combo=$combo")
+    }
+  }
+
   test("unconformable drift fails with one error naming table, column, types") {
     val dir = writeLineitem(_.withColumn("l_returnflag", lit(7)))
     val e = intercept[IllegalArgumentException](Tables.lineitem(spark, dir))
