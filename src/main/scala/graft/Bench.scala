@@ -84,6 +84,16 @@ object Bench {
     }
   }
 
+  /** Re-sample priority for the noise-reduction passes: queries with the
+    * FEWEST samples first (a single cold, plan-compile-inflated sample is
+    * the thing min-of-N repairs), slowest-first within a tier, and
+    * never-timed (errored) queries ahead of everything so a transient
+    * failure gets its retry before polish. Pure — pinned by
+    * BenchLineSpec. */
+  def resampleOrder(names: Seq[String], samples: String => Int,
+                    time: String => Option[Double]): Seq[String] =
+    names.sortBy(n => (samples(n), -time(n).getOrElse(Double.MaxValue)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -163,10 +173,9 @@ object Bench {
     var pass = 1
     while (pass < 4 && elapsed < budgetS * 0.8) {
       pass += 1
-      val byNeed = ordered.sortBy { case (n, _) =>
-        (samples(n), -times.getOrElse(n, Double.MaxValue))
-      }
-      val it = byNeed.iterator
+      val byName = ordered.toMap
+      val it = resampleOrder(ordered.map(_._1), samples, times.get)
+        .map(n => n -> byName(n)).iterator
       while (it.hasNext && elapsed < budgetS * 0.85) {
         val (name, fn) = it.next()
         runOnce(name, fn); emit()

@@ -110,6 +110,19 @@ object Tables {
       }
     }
 
+  /** Classification of one actual column against canon, for
+    * [[SchemaReport]]: "ok" (exact), "equiv" (interchangeable flavor),
+    * "cast" (conformed silently), "DRIFT" (unconformable — queries
+    * would fail), "extra"/"n/a" (not in canon; `events.ts` lands here
+    * because [[normalizeEvents]] owns it, any vintage). */
+  def driftStatus(table: String, column: String, actual: DataType): String =
+    canon.get(table).flatMap(_.collectFirst { case (n, want) if n == column =>
+      if (actual == want) "ok"
+      else if (equivalent(actual, want)) "equiv"
+      else if (castable(actual, want)) s"cast -> ${want.simpleString}"
+      else "DRIFT"
+    }).getOrElse(if (table == "events" && column == "ts") "n/a (normalized)" else "extra")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     conform(spark.read.parquet(s"$dir/$name.parquet"), name)
 

@@ -86,6 +86,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("errors_omitted").asInt() === 116 - kept)
   }
 
+  test("resampleOrder: fewest samples first, slowest within tier, errored ahead of all") {
+    val names = Seq("cheap_warm", "heavy_warm", "cold_slow", "cold_fast", "errored")
+    val samples = Map("cheap_warm" -> 2, "heavy_warm" -> 2, "cold_slow" -> 1,
+      "cold_fast" -> 1, "errored" -> 1)
+    val time = Map("cheap_warm" -> 0.3, "heavy_warm" -> 12.0, "cold_slow" -> 2.5,
+      "cold_fast" -> 0.9) // errored: never timed
+    val order = Bench.resampleOrder(names, samples, time.get)
+    assert(order === Seq("errored", "cold_slow", "cold_fast", "heavy_warm", "cheap_warm"))
+  }
+
   test("mixed times + many errors stays within budget and accounts for both") {
     val errs = (0 until 60).map(i => (f"q_err_$i%03d", "boom " + "y" * 100))
     val line = Bench.compactLine(times.take(56), errs, "/root/testdata/sf0.1", of = 116)
