@@ -20,10 +20,14 @@ class DriftIntegrationSpec extends SparkSpec {
   private lazy val driftDir: String = {
     val dir = Files.createTempDirectory("drift-sf").toString
     Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings").foreach { t =>
+        "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // documents: narrow the char counter (values are small ints)
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // lineitem: float quantity, wide linenumber, DATE shipdate
     spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("l_quantity", col("l_quantity").cast("float"))
@@ -48,7 +52,8 @@ class DriftIntegrationSpec extends SparkSpec {
   private val queries = Seq(
     "q_agg_summary", "q_dates", "q_sessionize", "q_join_enrich",
     "q_latest_events", "q_time_slice", "q_market_behavior",
-    "q_w_lineitem_supplier", "q_asof_lookup")
+    "q_w_lineitem_supplier", "q_asof_lookup", "q_text_stats",
+    "q_dedup_exact")
 
   queries.foreach { q =>
     test(s"$q returns identical rows on the drifted vintage") {
