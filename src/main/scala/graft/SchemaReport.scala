@@ -35,6 +35,11 @@ object SchemaReport {
         if (status == "DRIFT") bad += 1
         println(f"  ${f.name}%-18s ${f.dataType.simpleString}%-16s $status")
       }
+      // canon columns absent from the file are drift too (conform throws)
+      Tables.canonColumns(t).filterNot(actual.fieldNames.contains).foreach { n =>
+        bad += 1
+        println(f"  $n%-18s ${"<absent>"}%-16s MISSING")
+      }
     }
     println(if (bad == 0) "NO UNCONFORMABLE DRIFT" else s"$bad UNCONFORMABLE COLUMN(S)")
     spark.stop()

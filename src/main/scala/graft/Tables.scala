@@ -115,6 +115,11 @@ object Tables {
     * "cast" (conformed silently), "DRIFT" (unconformable — queries
     * would fail), "extra"/"n/a" (not in canon; `events.ts` lands here
     * because [[normalizeEvents]] owns it, any vintage). */
+  /** Canonical column names of a known table (empty for unknown ones) —
+    * lets [[SchemaReport]] flag canon columns missing from the file. */
+  def canonColumns(table: String): Seq[String] =
+    canon.getOrElse(table, Seq.empty).map(_._1)
+
   def driftStatus(table: String, column: String, actual: DataType): String =
     canon.get(table).flatMap(_.collectFirst { case (n, want) if n == column =>
       if (actual == want) "ok"
