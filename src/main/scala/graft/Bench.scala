@@ -142,10 +142,14 @@ object Bench {
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
-        samples(name) += 1
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
+        // count SUCCESSFUL timings only: a failed attempt must not
+        // demote the query's resample priority (retries are bounded by
+        // the pass count, so a permanently-broken query costs at most
+        // one attempt per pass)
+        samples(name) += 1
         times(name) = times.get(name).fold(sec)(math.min(_, sec))
         errors.remove(name)
       } catch {
@@ -185,8 +189,11 @@ object Bench {
     // warm end-canary: the start canary folds JVM/codegen warmup into
     // its number (≈6 s even on a calm host); this one re-times the same
     // fixed query with everything warm, so start≫end = warmup,
-    // end≫calm-baseline (~0.5 s) = genuine neighbor load
-    val canaryEnd = try {
+    // end≫calm-baseline (~0.5 s) = genuine neighbor load. Budget-gated:
+    // the resample loop may run to 85% of the wall budget, and on the
+    // loaded host where a canary matters most it could take seconds —
+    // never risk the driver's kill landing before the record is written
+    val canaryEnd = if (elapsed >= budgetS * 0.92) -1.0 else try {
       val t0 = System.nanoTime()
       SparkEntry.queries("q_rollup")(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       (System.nanoTime() - t0) / 1e9

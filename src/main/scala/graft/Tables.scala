@@ -110,23 +110,31 @@ object Tables {
       }
     }
 
+  /** Canonical column names of a known table (empty for unknown ones) —
+    * lets [[SchemaReport]] flag canon columns missing from the file.
+    * `events.ts` is included even though [[normalizeEvents]] (not canon)
+    * owns its typing, so a dropped ts still reports MISSING. */
+  def canonColumns(table: String): Seq[String] = {
+    val cols = canon.getOrElse(table, Seq.empty).map(_._1)
+    if (table == "events") cols :+ "ts" else cols
+  }
+
   /** Classification of one actual column against canon, for
     * [[SchemaReport]]: "ok" (exact), "equiv" (interchangeable flavor),
     * "cast" (conformed silently), "DRIFT" (unconformable — queries
-    * would fail), "extra"/"n/a" (not in canon; `events.ts` lands here
-    * because [[normalizeEvents]] owns it, any vintage). */
-  /** Canonical column names of a known table (empty for unknown ones) —
-    * lets [[SchemaReport]] flag canon columns missing from the file. */
-  def canonColumns(table: String): Seq[String] =
-    canon.getOrElse(table, Seq.empty).map(_._1)
-
+    * would fail), "extra" (not in canon). `events.ts` is validated
+    * against the vintages [[normalizeEvents]] accepts. */
   def driftStatus(table: String, column: String, actual: DataType): String =
-    canon.get(table).flatMap(_.collectFirst { case (n, want) if n == column =>
+    if (table == "events" && column == "ts") actual match {
+      case LongType | TimestampType | TimestampNTZType => "ok (normalized)"
+      case _ => "DRIFT"
+    }
+    else canon.get(table).flatMap(_.collectFirst { case (n, want) if n == column =>
       if (actual == want) "ok"
       else if (equivalent(actual, want)) "equiv"
       else if (castable(actual, want)) s"cast -> ${want.simpleString}"
       else "DRIFT"
-    }).getOrElse(if (table == "events" && column == "ts") "n/a (normalized)" else "extra")
+    }).getOrElse("extra")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     conform(spark.read.parquet(s"$dir/$name.parquet"), name)
@@ -194,15 +202,20 @@ object Tables {
   }
 
   private def normalizeEvents(raw: DataFrame): DataFrame = {
-    val ns = raw.schema("ts").dataType match {
+    val ns = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
       // The micros vintage surfaces as TIMESTAMP or (isAdjustedToUTC=false
       // parquet metadata) TIMESTAMP_NTZ; under the engine-wide UTC session
       // timezone the NTZ→TZ cast is the identity on the underlying micros.
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
-      case _ => raw // already a ns Long (nanosAsLong path)
+      case Some(TimestampType | TimestampNTZType) =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(LongType) => raw // the nanosAsLong vintage — already ns
+      // any OTHER vintage would make `ts div 1e9` silently garble every
+      // downstream date (e.g. plain INT64 micros → dates in 1970) — the
+      // exact failure mode conform exists to make loud. One named error:
+      case other => throw new IllegalArgumentException(
+        s"testdata drift: events.ts is ${other.fold("MISSING")(_.toString)}; " +
+        "engine knows the ns-Long, TIMESTAMP, and TIMESTAMP_NTZ vintages — " +
+        "extend Tables.normalizeEvents deliberately")
     }
     ns.withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_date", to_date(timestamp_seconds(expr("ts div 1000000000"))))

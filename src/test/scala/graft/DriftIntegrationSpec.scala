@@ -17,8 +17,23 @@ class DriftIntegrationSpec extends SparkSpec {
 
   private val src = "/root/testdata/sf0.001"
 
+  private var createdDir: Option[String] = None
+  override def afterAll(): Unit = {
+    createdDir.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    }
+    super.afterAll()
+  }
+
   private lazy val driftDir: String = {
     val dir = Files.createTempDirectory("drift-sf").toString
+    createdDir = Some(dir)
     Seq("region", "nation", "customer", "supplier", "part",
         "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")

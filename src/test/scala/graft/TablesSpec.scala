@@ -13,9 +13,28 @@ import java.nio.file.Files
   */
 class TablesSpec extends SparkSpec {
 
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    }
+    super.afterAll()
+  }
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tmpDirs += d
+    d
+  }
+
   private def writeVintage(vintage: String): String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("tables-spec").toString
+    val dir = tmp("tables-spec")
     val base = Seq(
       (1L, 1700000000123456L, 7L, "click", 1.5, "{}"),
       (2L, 1700000300987654L, 8L, "view", 2.5, "{}")
@@ -30,9 +49,6 @@ class TablesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
-  private def writeVintage(asTimestamp: Boolean): String =
-    writeVintage(if (asTimestamp) "micros" else "long")
-
   test("events normalizes the TIMESTAMP_NTZ vintage to ns Longs") {
     val df = Tables.events(spark, writeVintage("ntz"))
     assert(df.schema("ts").dataType === LongType)
@@ -41,7 +57,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events normalizes the TIMESTAMP(MICROS) vintage to ns Longs") {
-    val df = Tables.events(spark, writeVintage(asTimestamp = true))
+    val df = Tables.events(spark, writeVintage("micros"))
     assert(df.schema("ts").dataType === LongType)
     val rows = df.orderBy("event_id")
       .select("ts", "ts_sec", "event_date").collect()
@@ -52,7 +68,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events passes the raw ns-Long vintage through unchanged") {
-    val df = Tables.events(spark, writeVintage(asTimestamp = false))
+    val df = Tables.events(spark, writeVintage("long"))
     assert(df.schema("ts").dataType === LongType)
     val rows = df.orderBy("event_id").select("ts", "ts_sec").collect()
     assert(rows(0).getLong(0) === 1700000000123456000L)
@@ -60,11 +76,24 @@ class TablesSpec extends SparkSpec {
   }
 
   test("both vintages produce identical downstream frames") {
-    val a = Tables.events(spark, writeVintage(asTimestamp = true))
-    val b = Tables.events(spark, writeVintage(asTimestamp = false))
+    val a = Tables.events(spark, writeVintage("micros"))
+    val b = Tables.events(spark, writeVintage("long"))
     assert(a.schema === b.schema)
     assert(a.orderBy("event_id").collect().toSeq ===
       b.orderBy("event_id").collect().toSeq)
+  }
+
+  test("an unknown ts vintage fails loudly instead of garbling dates") {
+    import spark.implicits._
+    val dir = tmp("tables-spec")
+    // plain DOUBLE epoch-seconds — a plausible future generator mistake
+    // that `ts div 1e9` would silently turn into 1970 dates
+    Seq((1L, 1.7e9, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts"))
+    assert(e.getMessage.contains("Double"))
   }
 
   private def pushedFilters(df: org.apache.spark.sql.DataFrame): String =
@@ -105,7 +134,7 @@ class TablesSpec extends SparkSpec {
 
   private def writeLineitem(mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("tables-conform").toString
+    val dir = tmp("tables-conform")
     val df = Seq((1L, 2L, 3L, 1, 17.0, 1000.5, 0.04, 0.02, "N", "O", "1998-09-02"))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "d")
@@ -182,9 +211,9 @@ class TablesSpec extends SparkSpec {
   }
 
   test("typed Schemas.events decodes both vintages") {
-    assert(Schemas.events(spark, writeVintage(asTimestamp = true)).head().ts ===
+    assert(Schemas.events(spark, writeVintage("micros")).head().ts ===
       1700000000123456000L)
-    assert(Schemas.events(spark, writeVintage(asTimestamp = false)).head().ts ===
+    assert(Schemas.events(spark, writeVintage("long")).head().ts ===
       1700000000123456000L)
   }
 }
