@@ -49,9 +49,14 @@ object Bench {
     * so a partial record (mid-run kill) is self-describing via
     * done &lt; of. */
   def compactLine(times: Seq[(String, Double)], errors: Seq[(String, String)],
-                  sf: String, of: Int, budget: Int = 1700): String = {
+                  sf: String, of: Int, budget: Int = 1700,
+                  canary: Seq[(String, Double)] = Nil): String = {
     val total = times.map(_._2).sum
     val done = times.size + errors.size
+    // host-load canary fields (cold/warm q_rollup timings) ride in the
+    // headline so cross-round perf judgment no longer requires digging
+    // bench_snapshots; negative = not measured, omitted from the line
+    val can = canary.collect { case (k, v) if v >= 0 => s""","${k}":${jnum(v)}""" }.mkString
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double,
              errs: Seq[(String, String)], errsOmitted: Int): String = {
       val body = qs.sortBy(_._1)
@@ -60,7 +65,7 @@ object Bench {
       val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(120))}" }
         .mkString("{", ",", "}")
       val eo = if (errsOmitted > 0) s""","errors_omitted":$errsOmitted""" else ""
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","done":$done,"of":$of,"queries":$body$omit,"errors":$es$eo,"sf":${jstr(sf)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","done":$done,"of":$of,"queries":$body$omit,"errors":$es$eo,"sf":${jstr(sf)}$can}"""
     }
     val full = line(times, 0, 0.0, errors, 0)
     if (full.length <= budget) full
@@ -125,6 +130,18 @@ object Bench {
     val t00 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t00) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Drift guard: full report to stderr; on an unconformable vintage
+    // leave ONE parseable stdout record (the driver machine-reads the
+    // tail) instead of 124 identical per-query failures, then die.
+    val drifted = SchemaReport.assertConformable(spark, sfDir, throwOnDrift = false)
+    if (drifted.nonEmpty) {
+      println(compactLine(Nil,
+        Seq("__schema_drift__" ->
+          s"unconformable column(s) ${drifted.mkString(", ")} in $sfDir"),
+        sfDir, ordered.size))
+      spark.stop()
+      sys.exit(1)
+    }
     // Host-load canary: one fixed cheap query timed FIRST, recorded in
     // the bench_full.json header. This host's neighbor contention swings
     // wall time 3-4×; cross-round comparisons divide by the canary to
@@ -137,8 +154,9 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val samples = scala.collection.mutable.HashMap[String, Int]().withDefaultValue(0)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def emit(): Unit =
-      println(compactLine(times.toSeq, errors.toSeq, sfDir, ordered.size))
+    def emit(warm: Double = -1.0): Unit =
+      println(compactLine(times.toSeq, errors.toSeq, sfDir, ordered.size,
+        canary = Seq("canary_cold" -> canary, "canary_warm" -> warm)))
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
@@ -209,7 +227,7 @@ object Bench {
         s"""{"passes":$pass,"elapsed_sec":${jnum(elapsed)},"canary_q_rollup":${jnum(canary)},"canary_q_rollup_warm":${jnum(canaryEnd)},"queries":$all}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
-    emit()
+    emit(warm = canaryEnd)
     spark.stop()
   }
 }

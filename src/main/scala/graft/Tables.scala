@@ -82,6 +82,12 @@ object Tables {
     case (f, t) if isIntegral(f) && isIntegral(t)            => true
     case (f, DoubleType) if isIntegral(f)                    => true
     case (FloatType | _: DecimalType, DoubleType)            => true
+    // DATE→TIMESTAMP is value-preserving HERE only because every current
+    // generator date is midnight-only, so the round-trip is exact
+    // (DriftIntegrationSpec pins this on real data). It is NOT a general
+    // guarantee: a vintage that truncated real time-of-day into DATE has
+    // already lost the information upstream, and this cast would accept
+    // it silently — revisit before extending to such a vintage.
     case (DateType, TimestampType | TimestampNTZType)        => true
     case (ArrayType(f, _), ArrayType(t, _))                  => castable(f, t)
     case _                                                   => false
@@ -92,6 +98,9 @@ object Tables {
     * ones get a single codegen'd cast; unconformable drift throws one
     * error naming table, column, and both types. Unknown table names and
     * extra columns pass through untouched. */
+  /** Once-per-column memo for the conform-cast pushdown warning. */
+  private val castWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def conform(df: DataFrame, table: String): DataFrame =
     canon.get(table).fold(df) { cols =>
       val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -103,7 +112,20 @@ object Tables {
       cols.foldLeft(df) { case (d, (n, want)) =>
         val have = actual(n)
         if (equivalent(have, want)) d
-        else if (castable(have, want)) d.withColumn(n, col(n).cast(want))
+        else if (castable(have, want)) {
+          // The silent cast preserves VALUES but forfeits parquet filter
+          // pushdown on this column (the scan now sees cast(col), not
+          // col) — e.g. an l_shipdate DATE vintage would quietly drop
+          // row-group pruning. Warn once per column so a pushdown
+          // regression after a vintage change is visible, not silent.
+          if (castWarned.add(s"$table.$n"))
+            System.err.println(
+              s"[graft] testdata drift: $table.$n is ${have.simpleString}, " +
+              s"conformed by cast to ${want.simpleString} — parquet filter " +
+              "pushdown on this column is forfeited until Tables.canon is " +
+              "updated to the new vintage")
+          d.withColumn(n, col(n).cast(want))
+        }
         else throw new IllegalArgumentException(
           s"testdata drift: $table.$n is $have, engine needs $want and has no " +
           "value-preserving cast — extend Tables.canon/castable deliberately")
@@ -190,16 +212,28 @@ object Tables {
     val raw = load(spark, dir, "events")
     // foldable literals in the raw column's own type: constant-folded
     // before pushdown, so the scan sees plain `ts >= TIMESTAMP '...'`
-    // (or `ts >= <nsLong>`) bounds
-    def bound(sec: Long) = raw.schema("ts").dataType match {
-      case dt @ (TimestampType | TimestampNTZType) =>
+    // (or `ts >= <nsLong>`) bounds. Same vintage set — and same curated
+    // drift error — as normalizeEvents, which runs after the filter:
+    // a dropped/retyped ts must not surface as Spark's generic
+    // "Field ts does not exist" here.
+    def bound(sec: Long) = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(dt @ (TimestampType | TimestampNTZType)) =>
         timestamp_seconds(lit(sec)).cast(dt)
-      case _ => lit(sec * 1000000000L)
+      case Some(LongType) => lit(sec * 1000000000L)
+      case other => throw tsDriftError(other)
     }
     val preds = fromSec.map(s => col("ts") >= bound(s)) ++
                 untilSec.map(s => col("ts") < bound(s))
     normalizeEvents(preds.reduceOption(_ && _).fold(raw)(raw.filter))
   }
+
+  /** The one curated events.ts drift error, shared by every site that
+    * inspects the raw column ([[boundedEvents]], [[normalizeEvents]]). */
+  private def tsDriftError(actual: Option[DataType]): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"testdata drift: events.ts is ${actual.fold("MISSING")(_.toString)}; " +
+      "engine knows the ns-Long, TIMESTAMP, and TIMESTAMP_NTZ vintages — " +
+      "extend Tables.normalizeEvents deliberately")
 
   private def normalizeEvents(raw: DataFrame): DataFrame = {
     val ns = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
@@ -212,10 +246,7 @@ object Tables {
       // any OTHER vintage would make `ts div 1e9` silently garble every
       // downstream date (e.g. plain INT64 micros → dates in 1970) — the
       // exact failure mode conform exists to make loud. One named error:
-      case other => throw new IllegalArgumentException(
-        s"testdata drift: events.ts is ${other.fold("MISSING")(_.toString)}; " +
-        "engine knows the ns-Long, TIMESTAMP, and TIMESTAMP_NTZ vintages — " +
-        "extend Tables.normalizeEvents deliberately")
+      case other => throw tsDriftError(other)
     }
     ns.withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("event_date", to_date(timestamp_seconds(expr("ts div 1000000000"))))

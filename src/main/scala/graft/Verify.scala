@@ -23,6 +23,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Abort BEFORE the query loop if the testdata vintage drifted
+    // unconformably — one named error beats 124 scattered failures
+    // (report goes to stderr; throws on DRIFT).
+    SchemaReport.assertConformable(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

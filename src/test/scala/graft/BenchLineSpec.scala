@@ -86,6 +86,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("errors_omitted").asInt() === 116 - kept)
   }
 
+  test("canary fields ride the headline; negative (unmeasured) ones are omitted") {
+    val both = Bench.compactLine(times.take(5), Nil, "sf", of = 5,
+      canary = Seq("canary_cold" -> 6.25, "canary_warm" -> 0.51))
+    val node = mapper.readTree(both)
+    assert(math.abs(node.get("canary_cold").asDouble() - 6.25) < 1e-9)
+    assert(math.abs(node.get("canary_warm").asDouble() - 0.51) < 1e-9)
+    val coldOnly = mapper.readTree(Bench.compactLine(times.take(5), Nil, "sf", of = 5,
+      canary = Seq("canary_cold" -> 6.25, "canary_warm" -> -1.0)))
+    assert(coldOnly.has("canary_cold") && !coldOnly.has("canary_warm"))
+    // the 120-query overflow shape still fits the tail budget with canaries
+    val big = Bench.compactLine(times, Nil, "/root/testdata/sf0.1", of = 120,
+      canary = Seq("canary_cold" -> 6.25, "canary_warm" -> 0.51))
+    assert(big.length <= 1700, s"line is ${big.length} chars")
+    assert(mapper.readTree(big).has("canary_warm"))
+  }
+
   test("resampleOrder: fewest samples first, slowest within tier, errored ahead of all") {
     val names = Seq("cheap_warm", "heavy_warm", "cold_slow", "cold_fast", "errored")
     val samples = Map("cheap_warm" -> 2, "heavy_warm" -> 2, "cold_slow" -> 1,
