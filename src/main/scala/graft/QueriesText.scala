@@ -64,6 +64,27 @@ object QueriesText {
       val emb = Tables.embeddings(s, dir)
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 < 8), path)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 >= 8), path)
+      // full maintenance cycle: every probe (and the recall gate) runs
+      // against the COMPACTED post-append index, proving compaction is
+      // probe-invisible on top of being spec'd row-identical
+      Similarity.compactIvfIndex(s, path)
+      path
+    })
+  }
+
+  /** Persisted inverted (BM25) index per (JVM, source dir) for
+    * q_bm25_indexed — third index family, same production lifecycle as
+    * [[lshIndexRoot]]/[[ivfIndexRoot]]: built over 80% of the corpus,
+    * the rest appended, then small-file compaction. The probe must then
+    * reproduce the in-memory [[q_bm25_topk]] scores byte-for-byte. */
+  private def postingsIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"postings:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-postidx").toString
+      val docs = Tables.documents(s, dir)
+      graft.operators.KeywordSearch.buildInvertedIndex(docs.filter(col("doc_id") % 10 < 8), path)
+      graft.operators.KeywordSearch.updateInvertedIndex(docs.filter(col("doc_id") % 10 >= 8), path)
+      graft.operators.KeywordSearch.compactInvertedIndex(s, path)
       path
     })
   }
@@ -1660,6 +1681,44 @@ object QueriesText {
         |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
       graft.operators.KeywordSearch.bm25TopK(
         Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 10)
+    }
+
+    // On-disk inverted-index probe: SAME oracle as q_bm25_topk. The
+    // persisted postings (built over 80% of the corpus, 20% appended,
+    // then compacted — the full production lifecycle) must reproduce
+    // the in-memory scores byte-for-byte off a scan partition-pruned
+    // to the query terms' buckets; any lost/duplicated posting fails
+    // the hash gate. Third index family with an oracle-gated on-disk
+    // probe, joining LSH (q_dedup_incremental_indexed) and IVF
+    // (q_ann_ivf_indexed).
+    register("q_bm25_indexed",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('vector', 'hash', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT tf.doc_id, term,
+        |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
+        |              / (dfr + CAST(0.5 AS DOUBLE)))
+        |           * tf
+        |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
+        |  FROM tf JOIN dfq USING (term), g)
+        |SELECT doc_id,
+        |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
+        |                                          ORDER BY term), x -> x.contrib)), 6) AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
+      graft.operators.KeywordSearch.bm25TopKIndexed(
+        s, postingsIndexRoot(s, dir), Seq("vector", "hash", "merge"), k = 10)
     }
 
     // TF-IDF "more like this": corpus ranked by cosine to doc 7's

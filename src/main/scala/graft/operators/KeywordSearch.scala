@@ -149,6 +149,26 @@ object KeywordSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Compact the persisted inverted index's small files — operational
+    * parity with [[graft.operators.Dedup.compactLshIndex]]: every
+    * [[updateInvertedIndex]] appends new part files into the postings'
+    * term-bucket partitions (and rewrites dfreq at shuffle-partition
+    * granularity), so file count — which dominates scan setup cost at
+    * scale — grows with update cadence. Crash-safe staged rewrite of
+    * both bucketed tables PRESERVING the `tb=` partition layout;
+    * contents are row-identical and `stats` (one coalesced file) is
+    * untouched, so [[bm25TopKIndexed]] scores before and after agree
+    * exactly (KeywordSearchSpec). */
+  def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no inverted index at $indexPath — only compact directories built by buildInvertedIndex")
+    graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/postings", "tb", targetFileBytes)
+    graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/dfreq", "tb", targetFileBytes)
+  }
+
   /** BM25 top-k against a persisted inverted index. Identical results
     * to [[bm25TopK]] over the same corpus (KeywordSearchSpec) — the
     * arithmetic and fold order are shared — but the scan is

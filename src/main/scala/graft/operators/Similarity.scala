@@ -295,6 +295,23 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Compact the persisted IVF index's append-accumulated small files —
+    * operational parity with [[Dedup.compactLshIndex]]: every
+    * [[appendToIvfIndex]] batch adds part files into the touched cell
+    * partitions, and probe cost at scale grows with FILE count on top
+    * of list size. Crash-safe staged rewrite of the `inverted` table
+    * that PRESERVES the `cell=` partition layout (the partition pruning
+    * IS the index); contents are row-identical and `meta.json` /
+    * `centroids` are untouched (centroids are one coalesced file by
+    * construction — nothing to compact), so probes before and after
+    * agree exactly (SimilaritySpec). */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    checkIvfMeta(spark, indexPath) // only compact real IVF indexes, loudly
+    graft.sources.Sinks.compactPartitioned(
+      spark, s"$indexPath/inverted", "cell", targetFileBytes)
+  }
+
   /** Cell-balance telemetry for a persisted IVF index — the
     * observable behind the "periodic rebuilds repair cell-balance
     * drift" contract in [[appendToIvfIndex]]: appends assign to

@@ -150,11 +150,14 @@ object Sinks {
     * live target aside to `target__old`, promote, drop the old copy.
     * Recovery for every intermediate state is [[recoverMergeTarget]]. */
   private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem, df: DataFrame,
-                            targetPath: String, targetExists: Boolean): Unit = {
+                            targetPath: String, targetExists: Boolean,
+                            partitionCols: Seq[String] = Nil): Unit = {
     val targetP = new org.apache.hadoop.fs.Path(targetPath)
     val tmp = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
     val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (targetExists && !fs.rename(targetP, old))
       throw new java.io.IOException(s"promote: could not rename $targetP aside to $old")
     if (!fs.rename(tmp, targetP))
@@ -176,6 +179,30 @@ object Sinks {
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = spark.read.parquet(path).repartition(nFiles)
     promoteStaged(fs, compacted, path, targetExists = true)
+  }
+
+  /** [[compact]] for a hive-partitioned table, PRESERVING the partition
+    * layout (a plain compact would flatten `col=value` dirs and destroy
+    * the partition pruning the layout exists for — IVF cell lists,
+    * inverted-index term buckets, date-partitioned facts). Rows are
+    * hashed on the partition column across ceil(bytes/target) tasks, so
+    * each task writes at most one file per partition value it holds:
+    * small partitions compact to one file, and per-partition file count
+    * is bounded by the task count instead of the append history. Same
+    * crash-safe staged promote + [[recoverMergeTarget]] recovery as
+    * [[compact]]. */
+  def compactPartitioned(spark: SparkSession, path: String, partitionCol: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMergeTarget(fs, path)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    require(df.columns.contains(partitionCol),
+      s"compactPartitioned: $path has no column $partitionCol")
+    val compacted = df.repartition(nFiles, col(partitionCol))
+    promoteStaged(fs, compacted, path, targetExists = true, Seq(partitionCol))
   }
 
   /** S8 over JDBC — the reference's serving-store upsert

@@ -121,6 +121,51 @@ class KeywordSearchSpec extends SparkSpec {
     assert(indexed2 === direct2)
   }
 
+  test("compactInvertedIndex: files collapse, tb layout preserved, scores and stats unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25cpt").toString
+    KeywordSearch.buildInvertedIndex(docs, dir, termBuckets = 4)
+    // several update batches accrete part files into the tb partitions
+    (100L to 103L).foreach { i =>
+      KeywordSearch.updateInvertedIndex(
+        Seq((i, "spark engine extra words")).toDF("doc_id", "text"), dir)
+    }
+    def bucketFiles(sub: String): Map[String, Int] =
+      new java.io.File(s"$dir/$sub").listFiles().filter(_.getName.startsWith("tb="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val filesBefore = bucketFiles("postings")
+    assert(filesBefore.values.exists(_ > 1), "fixture must accumulate multiple part files")
+    val before = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val statsBefore = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Double, Int)].collect().toSeq
+
+    KeywordSearch.compactInvertedIndex(spark, dir)
+
+    val filesAfter = bucketFiles("postings")
+    assert(filesAfter.keySet === filesBefore.keySet, "compaction must keep the tb= hive layout")
+    assert(filesAfter.values.forall(_ === 1), "small buckets compact to one file each")
+    val after = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark", "engine"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after === before, "compaction changed probe scores")
+    val statsAfter = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(statsAfter === statsBefore, "compaction must not touch the stats table")
+    // further updates after compaction still compound correctly
+    KeywordSearch.updateInvertedIndex(Seq((300L, "spark spark")).toDF("doc_id", "text"), dir)
+    val grown = KeywordSearch.bm25TopKIndexed(spark, dir, Seq("spark"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val directGrown = KeywordSearch.bm25TopK(
+      docs.unionByName((100L to 103L).map(i => (i, "spark engine extra words")).toDF("doc_id", "text"))
+        .unionByName(Seq((300L, "spark spark")).toDF("doc_id", "text")),
+      Seq("spark"), 10).as[(Long, Double)].collect().toSeq
+    assert(grown === directGrown, "post-compaction update must still match a full rebuild")
+    // only real indexes are compactable
+    intercept[IllegalArgumentException] {
+      KeywordSearch.compactInvertedIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft-notidx").toString)
+    }
+  }
+
   test("oovRate: coverage against the top-V vocabulary, deterministic cutoff") {
     val corpus = Seq(
       (1L, "alpha beta alpha beta"),   // all in-vocab

@@ -99,6 +99,49 @@ class SimilaritySpec extends SparkSpec {
     assert(scanned.contains("cell"), scanned.take(500))
   }
 
+  test("compactIvfIndex: cell layout preserved, probe identical, meta and centroids untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcpt").toString + "/idx"
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
+    // two append batches accrete part files into the touched cells
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" % 10 === 8), dir)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" % 10 === 9), dir)
+    def cellFiles: Map[String, Int] =
+      new java.io.File(s"$dir/inverted").listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val filesBefore = cellFiles
+    assert(filesBefore.values.exists(_ > 1), "fixture must accumulate multiple part files")
+    val probes = corpus.filter($"vec_id" < 5)
+    val before = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val metaBefore = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
+    val centroidsBefore = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().map { case (c, v) => (c, v.toSeq) }.toSet
+
+    Similarity.compactIvfIndex(spark, dir)
+
+    val filesAfter = cellFiles
+    assert(filesAfter.keySet === filesBefore.keySet, "compaction must keep the cell= hive layout")
+    assert(filesAfter.values.forall(_ === 1), "small cells compact to one file each")
+    val after = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(after === before, "compaction changed probe results")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json")) === metaBefore,
+      "compaction must not touch meta.json")
+    val centroidsAfter = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().map { case (c, v) => (c, v.toSeq) }.toSet
+    assert(centroidsAfter === centroidsBefore, "compaction must not touch centroids")
+    // appends after compaction still land probe-visible
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" === 5), dir)
+    val grown = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 8)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(grown.exists(_._2 === 5L), "post-compaction append must be probe-visible")
+    // only real indexes are compactable
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft-notivf").toString)
+    }
+  }
+
   test("IVF index append: new vectors probe-visible, replayed append is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString + "/idx"
     Similarity.buildIvfIndex(corpus, dir, nCells = 8)
