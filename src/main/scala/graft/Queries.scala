@@ -54,6 +54,18 @@ object Queries {
       _ => java.nio.file.Files.createTempDirectory("graft-e1").toString)
   }
 
+  /** One date-partitioned events lake per (JVM, source dir) for
+    * q_lake_slice — built once by [[graft.jobs.EventsLake.build]],
+    * read by every execution; same lifecycle/cleanup as [[e1LakeRoot]]. */
+  private def eventsLakeRoot(s: SparkSession, dir: String): String = {
+    e1CleanupHook
+    e1Lakes.computeIfAbsent(s"events-lake:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-evlake").toString
+      graft.jobs.EventsLake.build(s, dir, s"$path/events")
+      s"$path/events"
+    })
+  }
+
   // ───────────────────────── aggregations ─────────────────────────
 
   // A1/A4/P12 — grouped rollup with sum/avg/count (TPC-H Q1 shape).
@@ -230,6 +242,32 @@ object Queries {
       |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
       |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
     Tables.eventsBetween(s, dir, 1704844800L, 1705017600L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("ts_sec").as("first_sec"),
+        max("ts_sec").as("last_sec"))
+      .orderBy("event_type")
+  }
+
+  // Same daily rollup OFF THE PARTITIONED LAKE: q_time_slice reads the
+  // flat file with a pushed row-group filter; this reads the
+  // EventsLake copy where `event_date` is the physical partition key,
+  // so the one-day predicate becomes a PartitionFilter — directory
+  // pruning at planning time, zero footers opened outside the day
+  // (PruningSpec pins the plan; this oracle pins the values against
+  // the ORIGINAL flat table, so a lake row lost or misfiled in the
+  // rewrite fails the hash gate).
+  register("q_lake_slice",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_sec,
+      |       CAST(max(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_sec
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    s.read.parquet(eventsLakeRoot(s, dir))
+      .filter(col("event_date") === to_date(lit("2024-01-11")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         min("ts_sec").as("first_sec"),

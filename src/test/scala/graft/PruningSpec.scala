@@ -98,4 +98,24 @@ class PruningSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("2024-02-09"), scan.take(800))
     assert(pruned.count() === 100)
   }
+
+  test("q_lake_slice: the registered lake query's one-day predicate is a PartitionFilter") {
+    // the 100 TB layout story on the driver's own data: the EventsLake
+    // copy is partitioned by event_date, so the day filter prunes
+    // DIRECTORIES at planning time (PartitionFilters, and an empty
+    // PushedFilters data-filter set — nothing left to push), unlike
+    // q_time_slice's row-group pushdown on the flat file
+    val df = SparkEntry.queries("q_lake_slice")(spark, "/root/testdata/sf0.001")
+    // sparkPlan, not executedPlan: AQE wraps the executed tree and hides
+    // the scan from collectLeaves until materialization
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+      s"expected an event_date PartitionFilter, got: ${scan.partitionFilters}")
+    // only the one day's directory survives pruning
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition dir, got ${scan.selectedPartitions.partitionCount}")
+    assert(df.count() > 0, "the sliced day must contain rows")
+  }
 }
