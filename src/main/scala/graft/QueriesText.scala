@@ -1993,5 +1993,29 @@ object QueriesText {
         hex(expr("substring(frame0, 1, 8)")).as("frame0_head"))
         .orderBy("doc_id")
     }
+
+    // REAL multimodal decode (no codec needed): each doc's text bytes
+    // are encoded as a spec-conformant PCM WAV (RIFF + odd-size junk
+    // chunk + fmt + 16-bit mono data) and EVERY output column below is
+    // read back out of the binary by actually parsing the RIFF chunk
+    // walk in a typed mapPartitions pass. The oracle recomputes the
+    // expected container arithmetic from the text alone — a wrong
+    // encoder offset, a missed pad byte, or a bad block-align divide
+    // shifts n_bytes/n_samples and fails the hash gate.
+    register("q_multimodal_wav",
+      """SELECT doc_id,
+        |       CAST(56 + 2 * octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(16 AS BIGINT) AS bits,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,
+        |       round(octet_length(CAST(text AS BLOB)) * 1000 / 8000.0, 3) AS dur_ms
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Multimodal.extractWavFeatures(Multimodal.asWavMedia(Tables.documents(s, dir)))
+        .select(
+          col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), round(col("dur_ms"), 3).as("dur_ms"))
+        .orderBy("doc_id")
+    }
   }
 }

@@ -50,6 +50,125 @@ object Multimodal {
       payload.indices.by(stride).take(outBytes).map(payload).toArray
     }
 
+  // ───────────────────── real codec-free decode: PCM WAV ─────────────────────
+  // PCM WAV is a container format, not a codec — header parse + frame
+  // math needs no external libraries, so unlike the image/video stubs
+  // above this decode path is REAL: the bytes are a spec-conformant
+  // RIFF/WAVE file and the features come from actually parsing it.
+
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long)
+  case class WavFeatures(doc_id: Long, n_bytes: Long, sample_rate: Long, channels: Long,
+                         bits: Long, n_samples: Long, dur_ms: Double)
+
+  /** Encode bytes as a minimal spec-conformant PCM WAV: RIFF header, a
+    * deliberately odd-sized `junk` chunk (forces decoders to honor the
+    * RIFF even-byte padding rule instead of assuming fmt comes first),
+    * the 16-byte `fmt ` chunk, and 16-bit mono little-endian samples —
+    * one sample per input byte, centered to signed PCM. Deterministic:
+    * the same text always produces the same file. */
+  def wavEncode(src: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = src.length * 2 // 16-bit mono: one sample per byte
+    val junkBody = 3 // odd on purpose: exercises the pad-to-even rule
+    val riffSize = 4 + (8 + junkBody + 1) + (8 + 16) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    out.put("junk".getBytes("US-ASCII")).putInt(junkBody)
+      .put(Array[Byte](0, 0, 0, 0)) // 3 bytes + 1 pad byte
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < src.length) {
+      out.putShort(((((src(i) & 0xff) - 128) << 8)).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL WAV decoder: strict little-endian RIFF chunk walk (unknown
+    * chunks skipped, odd sizes padded to even per spec), PCM-only
+    * (compressed WAV would need an actual codec — fail loudly), frame
+    * count derived from the data chunk size and the fmt block align. */
+  def decodeWav(payload: Array[Byte]): WavInfo = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataSize = -1L
+    while (off + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+      val size = u32(off + 4)
+      tag(off) match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size bytes")
+          val audioFormat = u16(off + 8)
+          require(audioFormat == 1,
+            s"WAV audio format $audioFormat is not PCM — decoding it needs a real codec")
+          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 20), u16(off + 22)))
+        case "data" => dataSize = size
+        case _ => () // skip unknown chunks (junk, LIST, fact, ...)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunk bodies pad to even
+    }
+    val (channels, rate, blockAlign, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("RIFF/WAVE payload has no fmt chunk"))
+    require(dataSize >= 0, "RIFF/WAVE payload has no data chunk")
+    require(blockAlign > 0, "fmt block align must be positive")
+    WavInfo(rate, channels, bits, dataSize / blockAlign)
+  }
+
+  /** Documents as real WAV media: the text bytes PCM-encoded through
+    * [[wavEncode]] (a stand-in for reading audio files into the binary
+    * column — at 100 TB these arrive from the lake, not from text). */
+  def asWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, wavEncode(text.getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("audio/wav").as("format"),
+          length(col("payload")).as("n_bytes"),
+          lit("wav-encode").as("origin")).as("media_meta"))
+  }
+
+  /** Audio features via the same partition-local typed pass as
+    * [[extractFeatures]], but with the REAL decoder: every output
+    * column is read out of the parsed RIFF structure, so a wrong
+    * encoder or parser fails the q_multimodal_wav oracle gate. */
+  def extractWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = media.select(
+      col("doc_id"),
+      col("payload"),
+      col("media_meta.format").as("format"),
+      col("media_meta.n_bytes").cast("long").as("n_bytes")).as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.map { r =>
+        val info = decodeWav(r.payload)
+        WavFeatures(r.doc_id, r.n_bytes, info.sampleRate.toLong, info.channels.toLong,
+          info.bitsPerSample.toLong, info.nSamples,
+          info.nSamples * 1000.0 / info.sampleRate)
+      }
+    }.toDF()
+  }
+
   /** Frame-sample features via a partition-local typed pass
     * (the `mapPartitions` batch shape a real decoder needs). */
   def extractFeatures(media: DataFrame, frameSize: Int = 16): DataFrame = {

@@ -35,4 +35,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).getAs[Long]("n_frames") === 0) // empty payload
     assert(f(2).getAs[Array[Byte]]("thumb").length === 0)
   }
+
+  test("wavEncode/decodeWav: real RIFF chunk walk, odd-size padding, PCM-only guard") {
+    val payload = Multimodal.wavEncode("abc".getBytes("UTF-8"))
+    assert(Multimodal.decodeWav(payload) === Multimodal.WavInfo(8000, 1, 16, 3))
+    assert(payload.length === 56 + 2 * 3, "container arithmetic: 56 header bytes + 2/sample")
+    // empty data chunk is still a valid container
+    assert(Multimodal.decodeWav(Multimodal.wavEncode(Array.emptyByteArray)).nSamples === 0L)
+    // malformed input fails loudly, never garbles
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("notawavpayload!!".getBytes("US-ASCII"))
+    }
+    // a compressed (non-PCM) format code is rejected, not mis-decoded:
+    // audioFormat lives at offset 32 (RIFF 12 + padded junk chunk 12 + chunk header 8)
+    val nonPcm = payload.clone()
+    nonPcm(32) = 3
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(nonPcm) }
+    // a third-party canonical WAV (fmt first, no junk chunk, stereo)
+    // parses too — the decoder walks chunks, it doesn't assume our
+    // encoder's layout; nSamples uses the real block align (4 bytes)
+    val tp = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tp.put("RIFF".getBytes("US-ASCII")).putInt(44).put("WAVE".getBytes("US-ASCII"))
+    tp.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    tp.put("data".getBytes("US-ASCII")).putInt(8).putLong(0L)
+    assert(Multimodal.decodeWav(tp.array()) === Multimodal.WavInfo(44100, 2, 16, 2))
+  }
+
+  test("extractWavFeatures: every feature column comes from parsing the binary") {
+    val f = Multimodal.extractWavFeatures(Multimodal.asWavMedia(docs))
+      .orderBy("doc_id").collect()
+    val n0 = "hello world this is a binary payload stand-in".getBytes("UTF-8").length
+    assert(f(0).getAs[Long]("n_samples") === n0.toLong)
+    assert(f(0).getAs[Long]("n_bytes") === 56L + 2 * n0)
+    assert(f(0).getAs[Long]("sample_rate") === 8000L)
+    assert(f(0).getAs[Long]("channels") === 1L)
+    assert(f(0).getAs[Long]("bits") === 16L)
+    assert(f(0).getAs[Double]("dur_ms") === n0 * 1000.0 / 8000)
+    assert(f(2).getAs[Long]("n_samples") === 0L, "empty doc → zero samples")
+  }
 }
