@@ -1596,6 +1596,63 @@ object Queries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  // Snapshot diff — recover the delta between two lake versions of a
+  // dimension (the audit inverse of the U6 overwrite load): one full
+  // outer shuffle join on the key, null-safe per-column compare, and
+  // an output that is delta-sized, not corpus-sized. The "new" snapshot
+  // is derived deterministically from customer (drops, attr edits,
+  // inserts) so both engines diff identical inputs.
+  register("q_snapshot_diff",
+    """WITH oldt AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey FROM customer),
+      |newt AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + CAST(10.0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+      |         CASE WHEN c_custkey % 11 = 0 THEN 'REMAPPED' ELSE c_mktsegment END AS c_mktsegment,
+      |         c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), 'NEW', 'new customer',
+      |         CAST(0 AS INTEGER)
+      |  FROM customer WHERE c_custkey < 5),
+      |j AS (
+      |  SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+      |         o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+      |         list_filter([
+      |           CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal' END,
+      |           CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END,
+      |           CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+      |           CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey THEN 'c_nationkey' END
+      |         ], x -> x IS NOT NULL) AS cc
+      |  FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey)
+      |SELECT c_custkey,
+      |       CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+      |            WHEN len(cc) > 0 THEN 'changed' END AS change,
+      |       CASE WHEN in_old AND in_new THEN array_to_string(cc, ',') ELSE '' END AS changed_cols
+      |FROM j WHERE (NOT in_old) OR (NOT in_new) OR len(cc) > 0
+      |ORDER BY c_custkey""") { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val newSnap = cust
+      .filter(col("c_custkey") % 7 =!= 3)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(10.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("REMAPPED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_name"), col("c_nationkey"))
+      .unionByName(cust.filter(col("c_custkey") < 5).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"),
+        lit("new customer").as("c_name"),
+        lit(0).cast("int").as("c_nationkey")))
+    graft.operators.SnapshotDiff.diff(cust, newSnap, Seq("c_custkey"))
+      .select(col("c_custkey"), col("change"),
+        array_join(col("changed_cols"), ",").as("changed_cols"))
+      .orderBy("c_custkey")
+  }
+
   // E1 — the reference's whole daily DAG replayed as one run
   // (dags/trading_dashboard.py:96-100): ingest → conform → merge into
   // history → detect patterns → behavior analysis → train + predict,
