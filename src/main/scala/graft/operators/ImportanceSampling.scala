@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextStats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", NeurIPS 2023 — public
+  * method): select raw-corpus documents whose hashed n-gram profile
+  * looks like a TARGET corpus. Features are unigrams+bigrams hashed
+  * into `nBuckets` buckets; bag-of-buckets models p (target) and q
+  * (raw) are Laplace-smoothed; a document's importance weight is its
+  * log-likelihood ratio  Σ_b c_db · [ln p_b − ln q_b];  selection is
+  * Gumbel-top-k, i.e. sampling without replacement ∝ exp(weight).
+  *
+  * Scale shape (100 TB): the per-corpus models are `nBuckets`-row
+  * aggregates (one explode + one hash aggregation each — the target
+  * corpus is small by definition, the raw pass is the one full scan)
+  * broadcast back as a tiny join; per-doc weights pre-aggregate to
+  * (doc, bucket) counts BEFORE the join, so shuffle volume is
+  * distinct buckets per doc, not gram occurrences. No driver-side
+  * state at any size.
+  *
+  * Determinism: md5 bucket hashing (engine-portable, layout-free),
+  * per-doc fold in sorted bucket order, and Gumbel noise derived from
+  * md5(doc_id) — the whole selection replays bit-exactly in DuckDB.
+  */
+object ImportanceSampling {
+
+  /** 60-bit md5 bucket of a gram string. */
+  private def bucket(gram: org.apache.spark.sql.Column, nBuckets: Int) =
+    conv(substring(md5(gram), 1, 15), 16, 10).cast("long") % nBuckets
+
+  /** (doc_id, b) per unigram+bigram OCCURRENCE (not distinct — the
+    * models are bag-of-grams). Tokens staged as a column before the
+    * per-gram lambdas (see Dedup.gramsOf's O(n²) warning). */
+  def docBuckets(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextStats.tokens(col("text")).as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    toks.select(col("doc_id"),
+        explode(concat(col("tk"), bigrams)).as("g"))
+      .select(col("doc_id"), bucket(col("g"), nBuckets).as("b"))
+  }
+
+  /** The `nBuckets`-row smoothed log-ratio model:
+    * lr_b = ln((tgt_b+1)/(tgt_tot+B)) − ln((raw_b+1)/(raw_tot+B)),
+    * one row per bucket SEEN IN RAW (raw docs can only probe those). */
+  def logRatios(target: DataFrame, raw: DataFrame, nBuckets: Int): DataFrame = {
+    val tgtB = docBuckets(target, nBuckets).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rawB = docBuckets(raw, nBuckets).groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = tgtB.agg(sum(col("tc")).as("tt"))
+      .crossJoin(rawB.agg(sum(col("rc")).as("rt")))
+    rawB.join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(nBuckets.toDouble)))
+          - log((col("rc") + lit(1.0)) / (col("rt") + lit(nBuckets.toDouble)))).as("lr"))
+  }
+
+  /** Per-raw-doc importance weight, folded in sorted bucket order
+    * (byte-stable at any partitioning), rounded to 6 dp. */
+  def weights(raw: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
+    val ratios = logRatios(target, raw, nBuckets)
+    docBuckets(raw, nBuckets)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("b"),
+        (col("c") * col("lr")).as("v")))).as("cs"))
+      .select(col("doc_id"),
+        round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("v")), 6)
+          .as("w"))
+  }
+
+  /** Gumbel-top-k over a (doc_id, w) weight table: sampling k docs
+    * without replacement with probability ∝ exp(w), derandomized —
+    * noise g = −ln(−ln(u)) with u minted from md5(doc_id), so the
+    * sample is reproducible and engine-portable. TakeOrderedAndProject
+    * does the top-k (no global sort materialization). */
+  def gumbelTopK(weights: DataFrame, k: Int): DataFrame = {
+    val h = conv(substring(md5(concat(lit("g:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    weights
+      .withColumn("key", round(col("w") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+}
