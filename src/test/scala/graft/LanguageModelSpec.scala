@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.LanguageModel
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM perplexity: sequence sensitivity (the property unigram
+  * surprisal lacks), layout independence, and backoff smoothness.
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus with one dominant phrase pattern + one scrambled doc made
+  // of the SAME words (identical unigram profile, alien sequence)
+  private val fluent = Seq.tabulate(20)(i =>
+    (i.toLong, "the quick brown fox jumps over the lazy dog"))
+  private val salad = Seq((100L, "dog the over quick lazy brown the jumps fox"))
+  private val corpus = (fluent ++ salad).toDF("doc_id", "text")
+
+  test("word salad scores higher perplexity than fluent docs with the same unigrams") {
+    val ppl = LanguageModel.docPerplexity(corpus, vocabSize = 64, maxBigrams = 64)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(ppl(100L) > ppl(0L) * 2,
+      s"salad=${ppl(100L)} fluent=${ppl(0L)} — sequence signal missing")
+  }
+
+  test("perplexity is layout-independent") {
+    val a = LanguageModel.docPerplexity(corpus)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LanguageModel.docPerplexity(corpus.repartition(5))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  test("bigram pruning backs off smoothly: scores stay finite and positive") {
+    val tiny = LanguageModel.docPerplexity(corpus, vocabSize = 64, maxBigrams = 2)
+      .select("ppl").as[Double].collect()
+    assert(tiny.forall(p => p > 0 && java.lang.Double.isFinite(p)))
+    // heavier pruning can only make docs look LESS predictable overall
+    val full = LanguageModel.docPerplexity(corpus, vocabSize = 64, maxBigrams = 64)
+      .agg(sum("ppl")).as[Double].head()
+    val pruned = LanguageModel.docPerplexity(corpus, vocabSize = 64, maxBigrams = 2)
+      .agg(sum("ppl")).as[Double].head()
+    assert(pruned >= full)
+  }
+
+  test("single-token and empty docs are excluded (no transitions)") {
+    val d = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((200L, "solo"), (201L, ""))).toDF("doc_id", "text")
+    val ids = LanguageModel.docPerplexity(d).select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(200L) && !ids.contains(201L))
+  }
+}
