@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sentiment, TextClean, TextStats}
-import graft.operators.{Chunker, Dedup, Multimodal, Similarity}
+import graft.operators.{BpeTrainer, Chunker, Dedup, ImportanceSampling, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries: dedup, text analysis, similarity search,
@@ -2015,6 +2015,145 @@ object QueriesText {
         .select(
           col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
           col("bits"), col("n_samples"), round(col("dur_ms"), 3).as("dur_ms"))
+        .orderBy("doc_id")
+    }
+
+    // ---- BPE tokenizer training (operators/BpeTrainer.scala) ----
+    // The corpus-scale half of building a tokenizer. q_bpe_pairs is
+    // the first-iteration pair census (the one corpus-scale shuffle);
+    // q_bpe_learn oracle-replays the ENTIRE 8-round learn loop —
+    // census → pair count → argmax → rewrite — in chained DuckDB CTEs,
+    // so a wrong tie-break or a boundary-crossing merge fails the hash.
+
+    register("q_bpe_pairs",
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) t WHERE w <> '' GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(word, i, 1) AS lhs, substr(word, i+1, 1) AS rhs,
+        |         CAST(sum(wc) AS BIGINT) AS pc
+        |  FROM words, unnest(range(1, length(word))) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT lhs, rhs, pc FROM pairs ORDER BY pc DESC, lhs, rhs LIMIT 30""") { (s, dir) =>
+      val census = BpeTrainer.wordCensus(Tables.documents(s, dir))
+        .select(BpeTrainer.wrap(col("word")).as("wstr"), col("wc"))
+      BpeTrainer.pairCounts(census)
+        .orderBy(col("pc").desc, col("lhs"), col("rhs")).limit(30)
+    }
+
+    register("q_bpe_learn",
+      BpeTrainer.learnOracleSql("documents", 8)) { (s, dir) =>
+      BpeTrainer.learn(s, Tables.documents(s, dir), 8)
+        .select(col("rank").cast("long").as("rank"),
+          col("lhs"), col("rhs"), col("pc"))
+        .orderBy("rank")
+    }
+
+    // Interpolated bigram-LM perplexity (operators/LanguageModel): the
+    // sequence-aware CCNet-style quality filter. The corpus is its own
+    // LM — closed vocab (top-256 + <unk>), bigram table pruned by a
+    // total order, pruned bigrams back off to the smoothed unigram.
+    // λ is written (1.0 - 0.7) on BOTH sides so the IEEE value agrees.
+    register("q_lm_perplexity",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |seq AS (SELECT doc_id, i AS pos, tk[i] AS w
+        |        FROM toks, unnest(range(1, len(tk)+1)) AS t(i)),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS n FROM seq GROUP BY 1) t
+        |          ORDER BY n DESC, w LIMIT 256),
+        |mapped AS (SELECT s.doc_id, s.pos,
+        |                  CASE WHEN v.w IS NOT NULL THEN s.w ELSE '<unk>' END AS w
+        |           FROM seq s LEFT JOIN vocab v ON s.w = v.w),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM mapped GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_corpus,
+        |               CAST(count(*) + 1 AS BIGINT) AS v_eff FROM uni),
+        |trans AS (SELECT doc_id, pos,
+        |                 lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+        |          FROM mapped QUALIFY w1 IS NOT NULL),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM trans GROUP BY 1, 2
+        |       ORDER BY cb DESC, w1, w2 LIMIT 4096),
+        |scored AS (
+        |  SELECT t.doc_id, t.pos,
+        |         ln(0.7 * COALESCE(b.cb, 0) / u1.cu
+        |            + (1.0 - 0.7) * (u2.cu + 1.0) / (tot.n_corpus + tot.v_eff)) AS lp
+        |  FROM trans t
+        |  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+        |  JOIN uni u1 ON t.w1 = u1.w
+        |  JOIN uni u2 ON t.w2 = u2.w, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |       round(exp(-list_sum(list(lp ORDER BY pos)) / count(*)), 6) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY ppl DESC, doc_id LIMIT 25""") { (s, dir) =>
+      graft.operators.LanguageModel.docPerplexity(Tables.documents(s, dir))
+        .orderBy(col("ppl").desc, col("doc_id")).limit(25)
+    }
+
+    // ---- DSIR importance resampling (operators/ImportanceSampling) ----
+    // Select raw docs whose hashed-ngram profile matches a target
+    // corpus (here: the English slice). Weights are smoothed
+    // log-likelihood ratios over 256 md5 buckets; q_dsir_sample is the
+    // derandomized Gumbel-top-k (sampling w/o replacement ∝ exp(w)).
+    val dsirCtes =
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, tk[i] AS g FROM toks, unnest(range(1, len(tk)+1)) AS t(i)
+        |  UNION ALL
+        |  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |hashed AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM grams),
+        |tgt AS (SELECT b, count(*) AS tc FROM hashed WHERE lang = 'en' GROUP BY 1),
+        |rawb AS (SELECT b, count(*) AS rc FROM hashed GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(tc) AS BIGINT) FROM tgt) AS tt,
+        |               (SELECT CAST(sum(rc) AS BIGINT) FROM rawb) AS rt),
+        |ratio AS (
+        |  SELECT rawb.b,
+        |         ln((COALESCE(tgt.tc, 0) + 1.0) / (tot.tt + 256.0)) -
+        |         ln((rawb.rc + 1.0) / (tot.rt + 256.0)) AS lr
+        |  FROM rawb LEFT JOIN tgt ON rawb.b = tgt.b, tot),
+        |docb AS (SELECT doc_id, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+        |docw AS (
+        |  SELECT docb.doc_id, round(list_sum(list(docb.c * r.lr ORDER BY docb.b)), 6) AS w
+        |  FROM docb JOIN ratio r ON docb.b = r.b GROUP BY 1)""".stripMargin
+
+    register("q_dsir_weights",
+      s"""$dsirCtes
+         |SELECT doc_id, w FROM docw ORDER BY w DESC, doc_id LIMIT 25""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ImportanceSampling.weights(docs, docs.filter(col("lang") === "en"), 256)
+        .orderBy(col("w").desc, col("doc_id")).limit(25)
+    }
+
+    register("q_dsir_sample",
+      s"""$dsirCtes
+         |SELECT doc_id, w,
+         |       round(w - ln(-ln((CAST(concat('0x', substring(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+         |                        / 1152921504606846976.0)), 6) AS key
+         |FROM docw ORDER BY key DESC, doc_id LIMIT 25""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = ImportanceSampling.weights(docs, docs.filter(col("lang") === "en"), 256)
+      ImportanceSampling.gumbelTopK(w, 25).select("doc_id", "w", "key")
+    }
+
+    // Encode the corpus with the freshly learned merges: map-only
+    // chain of literal replaces (fully codegen'd — the 100 TB encode
+    // pass), fingerprinted per doc so one wrong merge application
+    // anywhere in any document shifts the hash.
+    register("q_bpe_encode",
+      BpeTrainer.encodeOracleSql("documents", 8)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = BpeTrainer.learn(s, docs, 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.encode(docs, merges)
+        .select(col("doc_id"),
+          BpeTrainer.tokenCount(col("enc")).cast("long").as("n_bpe"),
+          md5(col("enc")).as("fp"))
         .orderBy("doc_id")
     }
   }
