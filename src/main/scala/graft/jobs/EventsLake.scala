@@ -34,4 +34,29 @@ object EventsLake {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(lakePath)
+
+  /** Retention: drop every `event_date=` partition strictly BEFORE
+    * `keepFromDate` (ISO yyyy-MM-dd; string order = date order).
+    * Returns the dropped dates, sorted.
+    *
+    * This is the operational payoff of the date-partitioned layout: at
+    * 100 TB, expiring old data is O(days) directory metadata work —
+    * no scan, no rewrite, no tombstone compaction. Idempotent
+    * (re-expiring is a no-op) and crash-safe (each partition delete is
+    * atomic at the directory level; a crash mid-loop leaves a lake
+    * that is still valid and simply not fully expired yet). */
+  def expire(spark: SparkSession, lakePath: String, keepFromDate: String): Seq[String] = {
+    require(keepFromDate.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"keepFromDate must be yyyy-MM-dd, got '$keepFromDate'")
+    val path = new org.apache.hadoop.fs.Path(lakePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val dropped = fs.listStatus(path).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("event_date=") &&
+          p.getName.stripPrefix("event_date=") < keepFromDate
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.getName.stripPrefix("event_date=")).sorted
+  }
 }

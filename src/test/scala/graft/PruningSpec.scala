@@ -118,4 +118,28 @@ class PruningSpec extends SparkSpec {
       s"expected 1 pruned partition dir, got ${scan.selectedPartitions.partitionCount}")
     assert(df.count() > 0, "the sliced day must contain rows")
   }
+
+  test("lake retention: expire drops only pre-cutoff partitions, idempotently") {
+    val root = java.nio.file.Files.createTempDirectory("graft-expire").toString
+    graft.jobs.EventsLake.build(spark, "/root/testdata/sf0.001", s"$root/events")
+    val allDates = spark.read.parquet(s"$root/events")
+      .select("event_date").distinct()
+      .as[java.sql.Date].collect().map(_.toString).sorted
+    assert(allDates.length > 2, s"fixture too small: $allDates")
+    val cutoff = allDates(allDates.length / 2)
+    val dropped = graft.jobs.EventsLake.expire(spark, s"$root/events", cutoff)
+    assert(dropped === allDates.filter(_ < cutoff).toSeq)
+    // survivors intact, expired days gone — metadata-only, no rewrite
+    val after = spark.read.parquet(s"$root/events")
+      .select("event_date").distinct()
+      .as[java.sql.Date].collect().map(_.toString).sorted
+    assert(after.toSeq === allDates.filter(_ >= cutoff).toSeq)
+    // idempotent: a second expire is a no-op
+    assert(graft.jobs.EventsLake.expire(spark, s"$root/events", cutoff) === Seq.empty)
+    // retained rows byte-identical to a fresh filter of the source
+    val kept = spark.read.parquet(s"$root/events").count()
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_date") >= cutoff).count()
+    assert(kept === expected)
+  }
 }
