@@ -545,6 +545,53 @@ object Dedup {
           acc => acc.getField("best")).cast("long").as("max_run"))
   }
 
+  /** Exact-substring dedup REMOVAL — the acting form of [[dupSpans]]'s
+    * telemetry (Lee et al., ACL '22): strip from every document each
+    * token covered by a cross-document duplicated window. Policy is
+    * the conservative remove-all-copies variant: any stride-1 w-token
+    * window appearing in >1 DISTINCT docs marks all w of its tokens
+    * for removal wherever it occurs (within-doc repetition alone never
+    * strips — that is [[passageDedup]]/boilerplate territory).
+    *
+    * Scale shape: identical to [[dupSpans]] up to the census join-back
+    * (map-only shingle explode, 60-bit hash census, skew-immune
+    * join-back); then flagged window STARTS fold into one sorted
+    * per-doc array (bounded by doc length) and rejoin the token
+    * arrays on doc_id — reconstruction is a per-row expression whose
+    * cost is tokens × flagged-starts per doc, never cross-document.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text). */
+  def stripDupSpans(docs: DataFrame, window: Int = 8,
+                    hotThreshold: Int = 5000): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val len = size(col("toks"))
+    val nStarts = greatest(len - window + 1, lit(1))
+    val toks = withToks(docs)
+    val wins = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nStarts - 1),
+          i => array_join(slice(col("toks"), i + 1, lit(window)), " ")))
+          .as(Seq("i", "win")))
+      .withColumn("h", conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long"))
+    val census = wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+    val flagged = Skew.censusJoinBack(wins, census, Seq("h"), "h", col("nd") >= hotThreshold)
+      .filter(col("nd") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    val covered = (p: org.apache.spark.sql.Column) =>
+      exists(col("starts"), s => s <= p && p <= s + (window - 1))
+    toks.join(flagged, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(sequence(lit(0), size(col("toks")) - 1), p => !covered(p)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(
+          transform(col("kept"), p => element_at(col("toks"), p + 1)),
+          " ").as("clean_text"))
+  }
+
   /** Source-scoped boilerplate removal — the CCNet/RefinedWeb
     * line-frequency filter re-expressed over token-window passages: a
     * passage is boilerplate when it recurs in at least `minDocs`

@@ -303,6 +303,39 @@ class DedupSpec extends SparkSpec {
     assert(aligned.forall(_._2 === 0L), "aligned passages must miss the shifted span")
   }
 
+  test("stripDupSpans removes the shared span from ALL copies, keeps unique prose in order") {
+    val a = (1 to 24).map(i => s"alpha$i")
+    val fixture = Seq(
+      (1L, a.mkString(" ")),                                // 24 tokens
+      (2L, ("j1 j2 " + a.take(12).mkString(" "))),          // same 12-token span, shifted by 2
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")))       // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(fixture, window = 8)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 5 duplicated shingles (starts 0..4 in doc 1, 2..6 in doc 2)
+    // cover exactly the shared 12 tokens in each copy
+    assert(out(1L) === ((1L, 24L, 12L, a.drop(12).mkString(" "))))
+    assert(out(2L) === ((2L, 14L, 12L, "j1 j2")))
+    assert(out(3L) === ((3L, 10L, 0L, (1 to 10).map(i => s"c$i").mkString(" "))))
+  }
+
+  test("stripDupSpans: within-doc repetition alone never strips; short dup docs vanish") {
+    val rep = ((1 to 8) ++ (1 to 8)).map(i => s"r$i").mkString(" ")
+    val short = "tiny shared fragment"
+    val fixture = Seq((1L, rep), (2L, short), (3L, short), (4L, "all by itself here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(fixture, window = 8)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 0L && out(1L)._3 === rep,
+      "within-doc repeat must survive (cross-DOC census)")
+    // the 3-token docs share their single sub-window window → fully removed
+    assert(out(2L) === ((2L, 3L, "")) && out(3L) === ((3L, 3L, "")))
+    assert(out(4L)._2 === 0L)
+  }
+
   test("boilerplateStrip: site-wide footer stripped, small-site and cross-site recurrence kept") {
     val footer = "visit our site for more info today ok" // 8 tokens = one window
     def uniq(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
