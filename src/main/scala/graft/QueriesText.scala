@@ -817,6 +817,45 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Exact-substring dedup REMOVAL (the acting form of q_dup_spans):
+    // every token covered by a cross-doc duplicated 8-token window is
+    // stripped in ALL copies; the oracle reconstructs each document's
+    // clean text independently, so one token kept or dropped wrongly
+    // anywhere in the corpus shifts the hash.
+    register("q_dedup_strip_spans",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |         array_to_string(t[(i+1):(i+8)], ' ') AS win
+        |  FROM (SELECT doc_id, t,
+        |               unnest(range(greatest(len(t) - 7, 1))) AS i
+        |        FROM toks)),
+        |h AS (SELECT doc_id, i,
+        |             CAST(concat('0x', substring(md5(win), 1, 15)) AS BIGINT) AS h
+        |      FROM w),
+        |d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h),
+        |fl AS (SELECT doc_id, i FROM h JOIN d USING (h) WHERE nd > 1),
+        |tp AS (SELECT doc_id, p, t[p+1] AS tok
+        |       FROM (SELECT doc_id, t, unnest(range(len(t))) AS p FROM toks)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM fl
+        |                           WHERE fl.doc_id = tp.doc_id
+        |                             AND fl.i BETWEEN tp.p - 7 AND tp.p))
+        |SELECT tk.doc_id,
+        |       CAST(tk.n AS BIGINT) AS n_tokens,
+        |       CAST(tk.n - count(k.p) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+        |FROM (SELECT doc_id, len(t) AS n FROM toks) tk
+        |LEFT JOIN kept k ON tk.doc_id = k.doc_id
+        |GROUP BY tk.doc_id, tk.n
+        |ORDER BY tk.doc_id""") { (s, dir) =>
+      Dedup.stripDupSpans(Tables.documents(s, dir), window = 8)
+        .orderBy("doc_id")
+    }
+
     // Per-source corpus health — the operational rollup a corpus
     // owner watches per ingest: volume (docs/tokens), short-doc and
     // within-source exact-dup fractions, mean quality (fixed-point
@@ -1681,6 +1720,67 @@ object QueriesText {
         |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
       graft.operators.KeywordSearch.bm25TopK(
         Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 10)
+    }
+
+    // Hybrid retrieval: RRF-fuse the BM25 lexical top-50 with the
+    // dense cosine top-50 for probe vec 0 (both components
+    // independently oracle-verified above). Fusion touches only the
+    // two top-k LISTS — the corpus-scale work lives in the retrievers.
+    register("q_hybrid_rrf",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('vector', 'hash', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
+        |cx AS (
+        |  SELECT tf.doc_id, term,
+        |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
+        |              / (dfr + CAST(0.5 AS DOUBLE)))
+        |           * tf
+        |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
+        |  FROM tf JOIN dfq USING (term), g),
+        |lexs AS (
+        |  SELECT doc_id,
+        |         round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
+        |                                            ORDER BY term), x -> x.contrib)), 6) AS score
+        |  FROM cx GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+        |        FROM lexs),
+        |ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT emb FROM ce WHERE vec_id = 0),
+        |dscored AS (
+        |  SELECT n.vec_id AS id,
+        |         round(list_dot_product(p.emb, n.emb)
+        |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6)
+        |           + CAST(0.0 AS DOUBLE) AS cos
+        |  FROM p, ce n WHERE n.vec_id <> 0),
+        |dense AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rb
+        |          FROM dscored QUALIFY rb <= 50)
+        |SELECT COALESCE(lex.id, dense.id) AS doc_id,
+        |       round(COALESCE(1.0 / (60 + ra), 0.0) + COALESCE(1.0 / (60 + rb), 0.0), 6) AS rrf,
+        |       ra AS lex_rank, rb AS dense_rank
+        |FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+        |ORDER BY rrf DESC, doc_id LIMIT 15""") { (s, dir) =>
+      val lex = graft.operators.HybridRetrieval.ranks(
+        graft.operators.KeywordSearch.bm25TopK(
+          Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 50),
+        "doc_id", "score")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0), 50)
+        .select(col("n_id").as("id"), col("rnk").cast("long").as("rank"))
+      graft.operators.HybridRetrieval.rrfFuse(lex, dense, 60)
+        .select(col("id").as("doc_id"), col("rrf"),
+          col("rank_a").as("lex_rank"), col("rank_b").as("dense_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }
 
     // On-disk inverted-index probe: SAME oracle as q_bm25_topk. The
