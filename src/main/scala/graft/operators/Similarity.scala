@@ -391,6 +391,74 @@ object Similarity {
         $"a.cell".as("cell"), col("cos"))
   }
 
+  /** Product quantization (Jégou et al., PAMI 2011 — the faiss
+    * workhorse): split each vector into `nSub` subvectors, quantize
+    * each against its own small codebook, and search by ADC
+    * (asymmetric distance: query subvector → codebook lookup tables).
+    * Completes the ANN family: brute (exact), LSH (bucketed), IVF
+    * (partitioned), PQ (compressed — 64 floats become `nSub` byte
+    * codes, the 100 TB memory story).
+    *
+    * Codebooks are md5-sampled corpus vectors (same determinism
+    * argument as [[clusterDedupPairs]]: a random net loses little vs
+    * trained centroids on near-uniform data, and every code and every
+    * ADC score becomes VALUE-exact and oracle-checkable — no KMeans
+    * opacity, so unlike IVF this needs no separate recall-gate query
+    * to be trusted, though recall is still spec-bounded).
+    *
+    * Scale shape: codebooks are `nCentroids` rows broadcast twice
+    * (encode + probe LUTs); encoding is one broadcast join + one
+    * mergeable argmin per (vector, subspace) — map-side combined,
+    * never a window over the N×k product; search joins the CODES
+    * (bytes, not floats) to the probe LUTs on (subspace, code) and
+    * folds `nSub` terms per candidate in subspace order. Per-probe
+    * top-k plans as WindowGroupLimit. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             nCentroids: Int = 16, nSub: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = widened(corpus).select(col("vec_id"), col("emb"))
+    val probeBase = widened(probes).select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+    val cents = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    // squared distance between the s-th subvectors, folded in dim order
+    def subD2(a: Column, b: Column, s: Column, subDim: Int) = {
+      val off = s * subDim
+      aggregate(
+        zip_with(slice(a, off + 1, lit(subDim)), slice(b, off + 1, lit(subDim)),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val subDim = 64 / nSub
+    val subs = (0 until nSub).map(s => lit(s))
+    def withSub(df: DataFrame) =
+      df.select(col("*"), explode(array(subs: _*)).as("s"))
+    // codes: per (vector, subspace) the nearest codebook entry —
+    // mergeable min_by argmin (d2 asc, cid asc), no window
+    val codes = withSub(base).crossJoin(broadcast(cents))
+      .withColumn("d2", round(subD2(col("emb"), col("cemb"), col("s"), subDim), 6))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+    // probe lookup tables: distance from each query subvector to each
+    // codebook entry — (q, s, cid) rows, tiny, broadcast
+    val lut = withSub(probeBase).crossJoin(broadcast(cents))
+      .withColumn("d2", round(subD2(col("qemb"), col("cemb"), col("s"), subDim), 6))
+      .select(col("q_id"), col("s"), col("cid").as("code"), col("d2"))
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ad2"), col("n_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("d2")))).as("ds"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(aggregate(col("ds"), lit(0.0),
+          (acc, x) => acc + x.getField("d2")), 6).as("ad2"))
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Scalar int8 quantization of an embedding column — the storage
     * path that cuts a float corpus 4× before ANN serving. Per-DIMENSION
     * global min/max (posexplode → 64-row aggregate, broadcast back),
@@ -451,6 +519,32 @@ object Similarity {
         code(col("norm_pre")).as("norm_pre_code"),
         aggregate(col("renorm"), lit(0L), (acc, x) => acc + code(x)).as("code_digest"),
         col("renorm"))
+  }
+
+  /** Johnson–Lindenstrauss random projection d→k with the
+    * database-friendly deterministic ±1 matrix (Achlioptas 2003),
+    * scaled by 1/√k — the cheap dimensionality-reduction tier that
+    * needs NO fitting pass (vs PCA): distances are preserved within
+    * the JL distortion bound in expectation, and the projection is a
+    * pure map over the corpus. ±1 coefficients make each output
+    * coordinate a signed subset sum that any engine reproduces
+    * exactly from the same literal matrix — the same trick that lets
+    * [[lshBuckets]] be oracle-checked — so the projected VALUES (not
+    * just their properties) replay in DuckDB. Rounded to 6 dp.
+    *
+    * Scale shape: map-only (k×d multiply per row, codegen'd
+    * expressions, matrix inlined as literals); no shuffle, no state. */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val planes = hyperplanes(outDim, 64)
+    val scale = math.sqrt(outDim.toDouble)
+    val projCols = planes.map { row =>
+      val coeffs = array(row.map(lit): _*)
+      round(
+        aggregate(zip_with(col("emb"), coeffs, (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x) / lit(scale), 6)
+    }
+    widened(embeddings).select(col("vec_id"), array(projCols: _*).as("proj"))
   }
 
   /** Embedding-cosine near-dup pairs (the dedup flavor of ANN): LSH

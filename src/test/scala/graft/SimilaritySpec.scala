@@ -324,4 +324,80 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted dups: $found")
     assert(pairs.forall(_._3 >= 0.999))
   }
+
+  test("pqTopK: ADC resolves clusters and planted near-dups; layout-independent") {
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    val approx = Similarity.pqTopK(corpus, probes, 5, nCentroids = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // PQ's resolution is the quantization cell: it reliably separates
+    // CLUSTERS (inter-cluster distance >> reconstruction error), not
+    // the micro-ranking inside a noise ball — so the fidelity check is
+    // cluster locality, not exact-neighbor recall
+    val crossCluster = approx.count { case (q, n) => q / 25 != n / 25 }
+    assert(crossCluster <= approx.size / 5,
+      s"$crossCluster of ${approx.size} ADC neighbors crossed clusters")
+    val again = Similarity.pqTopK(corpus.repartition(7), probes, 5, nCentroids = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(again === approx)
+  }
+
+  test("pqTopK: planted near-duplicates rank above ordinary cluster-mates") {
+    // near-copies of each probe (noise far below quantization cell
+    // size) quantize to the probe's own codes → ad2 ≈ 0, so ADC must
+    // surface all of them before any ordinary cluster-mate
+    val rng = new scala.util.Random(13)
+    val base = corpus.as[(Long, Seq[Float])].collect()
+    val planted = for {
+      q <- Seq(0L, 25L, 50L); j <- 0 until 3
+    } yield (1000L + q * 10 + j,
+      base.find(_._1 == q).get._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    val withDups = emb((base.map(t => (t._1, t._2)) ++ planted): _*)
+    val out = Similarity.pqTopK(withDups, withDups.filter($"vec_id".isin(0L, 25L, 50L)), 3,
+        nCentroids = 64)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(0L, 25L, 50L))
+      assert(out(q) === (0 until 3).map(j => 1000L + q * 10 + j).toSet,
+        s"probe $q top-3 ${out(q)} is not its planted near-dups")
+  }
+
+  test("pqTopK: a codebook vector's own subspace distance is zero to itself") {
+    // vectors identical to a codebook entry must score ad2 = 0 against
+    // copies of that entry (the quantization is exact there)
+    val rows = Seq.tabulate(20)(i => (i.toLong, Seq.fill(64)((i % 5).toFloat)))
+    val dup = emb((rows :+ (100L, Seq.fill(64)(1.0f))): _*)
+    val out = Similarity.pqTopK(dup, dup.filter($"vec_id" === 100L), 3)
+      .as[(Long, Long, Double, Long)].collect()
+    // vec 100 equals every value-1 vector; its nearest ADC distance is 0
+    assert(out.head._3 === 0.0, s"expected exact-zero ADC, got ${out.head._3}")
+  }
+
+  test("randomProject: JL distance preservation in the median, linearity, layout independence") {
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val df = emb(vecs: _*)
+    val proj = Similarity.randomProject(df, outDim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val distortions = for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val sorted = distortions.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.6 && median < 1.6,
+      s"median squared-distance ratio $median outside the JL ballpark")
+    // linearity: proj(a) + proj(b) ≈ proj(a + b) (pure linear map)
+    val sumVec = emb((999L, vecs(0)._2.zip(vecs(1)._2).map { case (x, y) => x + y }))
+    val pSum = Similarity.randomProject(sumVec, outDim = 16)
+      .as[(Long, Seq[Double])].head()._2
+    val manual = proj(0L).zip(proj(1L)).map { case (x, y) => x + y }
+    assert(pSum.zip(manual).forall { case (a, b) => math.abs(a - b) < 1e-5 })
+    // layout independence: repartitioning changes nothing
+    val again = Similarity.randomProject(df.repartition(7), outDim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again === proj)
+  }
 }
