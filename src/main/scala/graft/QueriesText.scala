@@ -1209,6 +1209,43 @@ object QueriesText {
       }
     }
 
+    // Product-quantization ANN (ADC search over md5-sampled codebooks
+    // — every code and ADC score is VALUE-exact, so unlike IVF the PQ
+    // path is fully oracle-checked, not recall-gated): 8 subspaces ×
+    // 16 entries, probes vec 0-2, top-5 by asymmetric distance.
+    register("q_ann_pq",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM c
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |ac AS (
+        |  SELECT v.vec_id, sub.s, ct.cid,
+        |         round(list_sum(list_transform(range(8),
+        |               i -> (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1])
+        |                    * (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1]))), 6) AS d2
+        |  FROM c v, sub, cents ct),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code
+        |  FROM (SELECT vec_id, s, cid,
+        |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |        FROM ac) t
+        |  WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, s, cid AS code, d2 FROM ac WHERE vec_id < 3),
+        |sc AS (
+        |  SELECT l.q_id, cd.vec_id AS n_id,
+        |         round(list_sum(list(l.d2 ORDER BY l.s)), 6) AS ad2
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
+        |  WHERE cd.vec_id <> l.q_id
+        |  GROUP BY l.q_id, cd.vec_id)
+        |SELECT q_id, n_id, ad2,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rnk
+        |FROM sc QUALIFY rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5)
+        .orderBy("q_id", "rnk")
+    }
+
     // IVF-bucketed ANN (KMeans inverted file; the probe-side scale path).
     registerNoOracle("q_ann_ivf") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -1416,6 +1453,38 @@ object QueriesText {
       Similarity.truncateNormalize(Tables.embeddings(s, dir), dims = 8)
         .select("vec_id", "norm_full_code", "norm_pre_code", "code_digest")
         .orderBy("vec_id")
+    }
+
+    // Johnson–Lindenstrauss ±1 random projection 64→16 (Achlioptas
+    // matrix, seed-42 literals — same oracle trick as q_ann_lsh): the
+    // projected VALUES replay exactly, not just their distance
+    // properties. Map-only; output is the first 4 coordinates + a
+    // fixed-point digest over all 16.
+    {
+      val jlPlanes = Similarity.hyperplanes(16, 64)
+      def planeLit(p: Array[Double]) =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val yExprs = (0 until 16)
+        .map(j => s"round(list_dot_product(emb, ${planeLit(jlPlanes(j))}) / sqrt(16.0), 6)")
+        .mkString(",\n        ")
+      register("q_embed_project",
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |p AS (SELECT vec_id, [$yExprs] AS y FROM c)
+           |SELECT vec_id,
+           |       y[1] AS y1, y[2] AS y2, y[3] AS y3, y[4] AS y4,
+           |       CAST(list_sum(list_transform(y, v -> CAST(floor(v * 1e6) AS BIGINT))) AS BIGINT) AS code_digest
+           |FROM p ORDER BY vec_id""") { (s, dir) =>
+        Similarity.randomProject(Tables.embeddings(s, dir), outDim = 16)
+          .select(col("vec_id"),
+            element_at(col("proj"), 1).as("y1"),
+            element_at(col("proj"), 2).as("y2"),
+            element_at(col("proj"), 3).as("y3"),
+            element_at(col("proj"), 4).as("y4"),
+            aggregate(
+              transform(col("proj"), v => floor(v * lit(1e6)).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("code_digest"))
+          .orderBy("vec_id")
+      }
     }
 
     // Embedding quality/topic classifier (FineWeb-Edu shape): spark.ml
