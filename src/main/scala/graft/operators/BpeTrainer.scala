@@ -154,6 +154,31 @@ object BpeTrainer {
     }.toDF("doc_id", "enc")
   }
 
+  /** Persist a learned merge table as a tokenizer artifact — the
+    * third thing (after indexes and ML models) a 100 TB pipeline
+    * trains once and ships everywhere: the encode pass on every
+    * ingest batch must use the EXACT merge list the corpus was
+    * curated with, so it lives on disk with an integrity meta, not
+    * in a notebook. Rank order is the artifact's semantics
+    * ([[encode]] applies rules in rank order), hence the meta pins
+    * the rule count and [[loadMerges]] re-sorts by rank. */
+  def saveMerges(merges: DataFrame, path: String): Unit = {
+    val spark = merges.sparkSession
+    val n = merges.count()
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json", Seq("nMerges" -> n))
+  }
+
+  /** Load a persisted merge table, rank-ordered, integrity-checked
+    * against its meta (a lost or duplicated rule row fails loudly). */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val df = spark.read.parquet(s"$path/merges")
+    graft.sources.IndexMeta.check(spark, s"$path/meta.json", "BPE merges",
+      Seq("nMerges" -> df.count()))
+    df.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
   /** The DuckDB replay of [[learn]] — `nMerges` chained CTE rounds of
     * (pair count → argmax → rewrite) over `table`'s text column,
     * emitted as the oracle for q_bpe_learn. Kept HERE so the SQL and

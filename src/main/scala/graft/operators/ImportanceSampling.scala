@@ -62,9 +62,16 @@ object ImportanceSampling {
 
   /** Per-raw-doc importance weight, folded in sorted bucket order
     * (byte-stable at any partitioning), rounded to 6 dp. */
-  def weights(raw: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
-    val ratios = logRatios(target, raw, nBuckets)
-    docBuckets(raw, nBuckets)
+  def weights(raw: DataFrame, target: DataFrame, nBuckets: Int): DataFrame =
+    score(raw, logRatios(target, raw, nBuckets), nBuckets)
+
+  /** The scoring tail shared by [[weights]] (fresh model) and
+    * [[scoreWithModel]] (frozen model): per-(doc, bucket) counts join
+    * the broadcast ratio table, per-doc sorted-bucket fold. Buckets a
+    * doc has that the model lacks contribute nothing — for a frozen
+    * model that is the honest semantics (the model never saw them). */
+  private def score(docs: DataFrame, ratios: DataFrame, nBuckets: Int): DataFrame =
+    docBuckets(docs, nBuckets)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id")
@@ -73,6 +80,31 @@ object ImportanceSampling {
       .select(col("doc_id"),
         round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("v")), 6)
           .as("w"))
+
+  /** Persist the fitted log-ratio model: fit ONCE on (target, raw
+    * sample), then [[scoreWithModel]] scores every future ingest
+    * batch against the frozen artifact — the production selection
+    * loop, where refitting per batch would silently shift the
+    * selection boundary as the raw mix drifts. `nBuckets`-row
+    * parquet + integrity meta, same artifact contract as the
+    * LSH/IVF/postings indexes and [[BpeTrainer.saveMerges]]. */
+  def saveModel(target: DataFrame, raw: DataFrame, nBuckets: Int,
+                path: String): Unit = {
+    val spark = raw.sparkSession
+    logRatios(target, raw, nBuckets).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/ratios")
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("nBuckets" -> nBuckets.toLong))
+  }
+
+  /** Score a batch against a persisted model (meta-checked: probing
+    * with a different bucket count than fit time would hash grams
+    * into the wrong rows and silently misscore). */
+  def scoreWithModel(docs: DataFrame, path: String, nBuckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.IndexMeta.check(spark, s"$path/meta.json", "DSIR model",
+      Seq("nBuckets" -> nBuckets.toLong))
+    score(docs, spark.read.parquet(s"$path/ratios"), nBuckets)
   }
 
   /** Gumbel-top-k over a (doc_id, w) weight table: sampling k docs

@@ -42,7 +42,11 @@ object SnapshotDiff {
       s"new=${newDf.columns.mkString(",")}")
     val o = oldDf.select((keys ++ compareCols).map(col): _*).alias("o")
     val n = newDf.select((keys ++ compareCols).map(col): _*).alias("n")
-    val on = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // PLAIN equality on the keys, not <=>: keys are primary-key-like
+    // (never null), and a null-safe join key rewrites to
+    // (coalesce(k), isnull(k)) which disables bucket-local execution —
+    // the whole point of diffing co-bucketed snapshots (BucketingSpec)
+    val on = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     // presence flags must come from the KEY columns (never null in
     // data), not from nullable value columns
     val inOld = col(s"o.${keys.head}").isNotNull

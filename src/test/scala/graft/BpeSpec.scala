@@ -78,4 +78,20 @@ class BpeSpec extends SparkSpec {
     val m = learned("ab")(5)
     assert(m.map(t => (t._2, t._3)) === Seq(("a", "b")))
   }
+
+  test("persisted merges: save → load → encode matches in-memory; integrity meta guards") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001").limit(80)
+    val merges = BpeTrainer.learn(spark, d, 6)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/tok"
+    BpeTrainer.saveMerges(merges, path)
+    val loaded = BpeTrainer.loadMerges(spark, path)
+    val inMem = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(loaded === inMem)
+    assert(BpeTrainer.encode(d, loaded).as[(Long, String)].collect().toMap ===
+      BpeTrainer.encode(d, inMem).as[(Long, String)].collect().toMap)
+    // a corrupted artifact (lost rule row) fails loudly, not silently
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json", Seq("nMerges" -> 99L))
+    intercept[IllegalArgumentException] { BpeTrainer.loadMerges(spark, path) }
+  }
 }

@@ -46,4 +46,31 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_dim_bucketed")
     }
   }
+
+  test("snapshot diff of co-bucketed snapshots plans no shuffle exchange") {
+    // the 100 TB diff story: both lake versions bucketed by the key →
+    // the full outer join diffs bucket-locally, zero exchanges
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v1 = (0L until 2000L).map(k => (k, s"a$k", k * 1.0)).toDF("k", "a", "b")
+      val v2 = (10L until 2010L).map(k =>
+        (k, if (k % 7 == 0) s"CHANGED$k" else s"a$k", k * 1.0)).toDF("k", "a", "b")
+      v1.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_snap_v1")
+      v2.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_snap_v2")
+      val delta = graft.operators.SnapshotDiff.diff(
+        spark.table("graft_snap_v1"), spark.table("graft_snap_v2"), Seq("k"))
+      assert(!delta.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "co-bucketed snapshot diff must not shuffle")
+      val counts = delta.groupBy("change").count()
+        .as[(String, Long)].collect().toMap
+      assert(counts === Map("added" -> 10L, "removed" -> 10L,
+        "changed" -> (10L until 2000L).count(k => k % 7 == 0).toLong))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_snap_v1")
+      spark.sql("DROP TABLE IF EXISTS graft_snap_v2")
+    }
+  }
 }

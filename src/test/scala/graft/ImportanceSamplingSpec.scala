@@ -43,6 +43,26 @@ class ImportanceSamplingSpec extends SparkSpec {
     assert(s1.count(_ < 100L) >= 6)
   }
 
+  test("frozen model: scoreWithModel ≡ weights when fit on the same corpora; meta guards") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dsir").toString + "/model"
+    ImportanceSampling.saveModel(target, raw, 64, path)
+    val frozen = ImportanceSampling.scoreWithModel(raw, path, 64)
+      .as[(Long, Double)].collect().toSet
+    val fresh = ImportanceSampling.weights(raw, target, 64)
+      .as[(Long, Double)].collect().toSet
+    assert(frozen === fresh)
+    // a NEW batch scores against the frozen boundary without refit
+    val batch = Seq((500L, "alpha beta gamma delta fresh"),
+      (501L, "zeta eta theta iota fresh")).toDF("doc_id", "text")
+    val scored = ImportanceSampling.scoreWithModel(batch, path, 64)
+      .as[(Long, Double)].collect().toMap
+    assert(scored(500L) > scored(501L), s"frozen boundary lost: $scored")
+    // probing with the wrong bucket count fails loudly
+    intercept[IllegalArgumentException] {
+      ImportanceSampling.scoreWithModel(batch, path, 128)
+    }
+  }
+
   test("a doc equal to the whole-target distribution beats a uniform outsider") {
     // sanity on the smoothing direction: unseen-in-target buckets pull
     // weights down, so a pure-outsider doc has negative weight
