@@ -154,6 +154,20 @@ object BpeTrainer {
     }.toDF("doc_id", "enc")
   }
 
+  /** Post-merge vocabulary census: (sym, n) token-weighted symbol
+    * counts after applying `merges` to the word census — the symbol
+    * table a loader ships beside the merge rules. Vocabulary-sized
+    * work (the census is the input), one hash aggregation. */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val applied = merges.foldLeft(wrap(col("word"))) {
+      case (e, (l, r)) => applyMerge(e, l, r)
+    }
+    wordCensus(docs)
+      .select(applied.as("wstr"), col("wc"))
+      .select(explode(symsOf(col("wstr"))).as("sym"), col("wc"))
+      .groupBy("sym").agg(sum(col("wc")).as("n"))
+  }
+
   /** Persist a learned merge table as a tokenizer artifact — the
     * third thing (after indexes and ML models) a 100 TB pipeline
     * trains once and ships everywhere: the encode pass on every
@@ -216,6 +230,16 @@ object BpeTrainer {
     val full = learnOracleSql(table, nMerges)
     full.substring(0, full.lastIndexOf("\nSELECT CAST(1 AS BIGINT)"))
   }
+
+  /** The DuckDB replay of [[learn]]+[[vocab]]: the top-`k` symbol
+    * census over the post-merge word table. */
+  def vocabOracleSql(table: String, nMerges: Int, k: Int): String =
+    s"""${learnCtes(table, nMerges)},
+       |syms AS (
+       |  SELECT unnest(string_split(trim(wstr, chr(1)||chr(2)), chr(2)||chr(1))) AS sym, wc
+       |  FROM words$nMerges)
+       |SELECT sym, CAST(sum(wc) AS BIGINT) AS n
+       |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT $k""".stripMargin
 
   /** The DuckDB replay of [[learn]]+[[encode]]: re-learns the merge
     * rounds, then applies them to every document as the same nested
