@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextStats
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   * order). Pruned-away bigrams back off to the smoothed unigram term,
   * so pruning changes scores smoothly, never abruptly.
   *
-  * Scale shape (100 TB): the LM is TWO bounded aggregates — V+1
-  * unigram rows and ≤maxBigrams bigram rows — both broadcast; scoring
-  * is one posexplode, two broadcast joins, and one per-doc fold. The
-  * only corpus-wide shuffles are the LM count aggregations themselves
-  * and the per-doc regroup, all on compact keys. This is the
-  * distributed equivalent of shipping a pruned KenLM to every node.
+  * Scale shape (100 TB): the LM is THREE bounded aggregates — V-row
+  * vocab, V+1 unigrams, ≤maxBigrams bigrams — all broadcast; scoring
+  * is one posexplode, broadcast joins, and one per-doc fold. The only
+  * corpus-wide shuffles are the LM count aggregations themselves and
+  * the per-doc regroup, all on compact keys. This is the distributed
+  * equivalent of shipping a pruned KenLM to every node — and
+  * [[saveModel]]/[[perplexityWithModel]] make that literal: fit once,
+  * persist the tables, score every future ingest batch against the
+  * frozen artifact (same contract as the DSIR model and the BPE
+  * merges).
   *
   * Determinism: integer counts, a total-order vocab/bigram cutoff,
   * and the per-doc fold in token-position order — byte-stable at any
@@ -36,54 +40,107 @@ object LanguageModel {
 
   val Unk = "<unk>"
 
-  /** Per-doc (doc_id, pos, w) token stream with OOV folded to
-    * [[Unk]]; `vocab` is the top-`vocabSize` tokens. */
-  private def mappedStream(docs: DataFrame, vocabSize: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+  /** Top-`vocabSize` tokens by (count desc, token) — a total order. */
+  private def topVocab(docs: DataFrame, vocabSize: Int): DataFrame =
+    docs.select(explode(TextStats.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(vocabSize)
-      .select(col("w"), lit(1).as("__in"))
-    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select("w")
+
+  /** (doc_id, pos, w) token stream with OOV folded to [[Unk]]. */
+  private def mapped(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .join(broadcast(vocab.select(col("w"), lit(1).as("__in"))), Seq("w"), "left")
       .select(col("doc_id"), col("pos"),
         when(col("__in").isNotNull, col("w")).otherwise(lit(Unk)).as("w"))
-  }
+
+  /** Adjacent transitions (doc_id, pos, w1, w2) of a mapped stream. */
+  private def transitionsOf(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("w1", lag(col("w"), 1)
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("pos"), col("w1"), col("w").as("w2"))
+
+  /** Shared scoring tail: transitions × broadcast LM tables → per-doc
+    * (doc_id, n_trans, ppl), folded in position order. The c1=0 guard
+    * only fires for frozen-model scoring (a fit corpus always counts
+    * its own tokens); it keeps a zero-count `<unk>` from minting NaN. */
+  private def scoreTrans(trans: DataFrame, uni: DataFrame, bi: DataFrame,
+                         totals: DataFrame, lambda: Double): DataFrame =
+    trans
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cu", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cu", "c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(
+        when(col("c1") > 0,
+          lit(lambda) * coalesce(col("cb").cast("double"), lit(0.0)) / col("c1"))
+          .otherwise(lit(0.0))
+          + lit(1.0 - lambda) * (col("c2") + lit(1.0)) / (col("n_corpus") + col("v_eff"))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_trans"),
+        round(exp(-aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("lp")) / size(col("cs"))), 6).as("ppl"))
 
   /** Per-document perplexity under the corpus's own interpolated
     * bigram LM. Output: (doc_id, n_trans, ppl) for docs with ≥1
     * transition. */
   def docPerplexity(docs: DataFrame, vocabSize: Int = 256,
                     maxBigrams: Int = 4096, lambda: Double = 0.7): DataFrame = {
-    val stream = mappedStream(docs, vocabSize)
-    // unigram model: V+1 rows (incl <unk>), one-row total alongside
+    val stream = mapped(docs, topVocab(docs, vocabSize))
     val uni = stream.groupBy("w").agg(count(lit(1)).as("cu"))
-    val nTotal = uni.agg(sum(col("cu")).as("n_corpus"),
+    val totals = uni.agg(sum(col("cu")).as("n_corpus"),
       (count(lit(1)) + 1).as("v_eff")) // +1: smoothing headroom for V+1 types
-    // bigram model over adjacent mapped tokens, pruned to a total-order
-    // top-maxBigrams; per-doc lag needs the doc's stream co-located
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val trans = stream
-      .withColumn("w1", lag(col("w"), 1).over(byDoc))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("pos"), col("w1"), col("w").as("w2"))
+    val trans = transitionsOf(stream)
     val bi = trans.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .orderBy(col("cb").desc, col("w1"), col("w2")).limit(maxBigrams)
-    val scored = trans
-      .join(broadcast(bi), Seq("w1", "w2"), "left")
-      .join(broadcast(uni.withColumnRenamed("w", "w1")
-        .withColumnRenamed("cu", "c1")), Seq("w1"))
-      .join(broadcast(uni.withColumnRenamed("w", "w2")
-        .withColumnRenamed("cu", "c2")), Seq("w2"))
-      .crossJoin(broadcast(nTotal))
-      .withColumn("lp", log(
-        lit(lambda) * coalesce(col("cb").cast("double"), lit(0.0)) / col("c1")
-          + lit(1.0 - lambda) * (col("c2") + lit(1.0)) / (col("n_corpus") + col("v_eff"))))
-    scored.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("cs"))
-      .select(col("doc_id"),
-        size(col("cs")).cast("long").as("n_trans"),
-        round(exp(-aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("lp")) / size(col("cs"))), 6).as("ppl"))
+    scoreTrans(trans, uni, bi, totals, lambda)
+  }
+
+  /** Fit the LM once and persist it — vocab, unigrams (with a
+    * zero-count `<unk>` row so an OOV-free fit corpus still scores
+    * OOV-bearing batches), pruned bigrams, totals, and the parameter
+    * meta. Same frozen-artifact contract as
+    * [[ImportanceSampling.saveModel]] / [[BpeTrainer.saveMerges]]. */
+  def saveModel(docs: DataFrame, path: String, vocabSize: Int = 256,
+                maxBigrams: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    val vocab = topVocab(docs, vocabSize)
+    val stream = mapped(docs, vocab)
+    val uni = stream.groupBy("w").agg(count(lit(1)).as("cu"))
+    // totals FIRST: v_eff counts the fit corpus's real type count —
+    // the synthetic <unk> row must not inflate it
+    val totals = uni.agg(sum(col("cu")).as("n_corpus"),
+      (count(lit(1)) + 1).as("v_eff"))
+    val unkRow = spark.range(1).select(lit(Unk).as("w"), lit(0L).as("cu"))
+    val uniOut = uni.unionByName(
+      unkRow.join(uni.filter(col("w") === Unk), Seq("w"), "left_anti"))
+    val bi = transitionsOf(stream).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(maxBigrams)
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    uniOut.coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
+    bi.coalesce(1).write.mode("overwrite").parquet(s"$path/bi")
+    totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("vocabSize" -> vocabSize.toLong, "maxBigrams" -> maxBigrams.toLong))
+  }
+
+  /** Score a batch against a persisted LM (meta-checked): the frozen
+    * quality boundary for every future ingest batch. */
+  def perplexityWithModel(docs: DataFrame, path: String,
+                          vocabSize: Int = 256, maxBigrams: Int = 4096,
+                          lambda: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.IndexMeta.check(spark, s"$path/meta.json", "bigram LM",
+      Seq("vocabSize" -> vocabSize.toLong, "maxBigrams" -> maxBigrams.toLong))
+    val trans = transitionsOf(mapped(docs, spark.read.parquet(s"$path/vocab")))
+    scoreTrans(trans, spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/bi"), spark.read.parquet(s"$path/totals"), lambda)
   }
 }

@@ -43,6 +43,30 @@ class LanguageModelSpec extends SparkSpec {
     assert(pruned >= full)
   }
 
+  test("frozen LM: perplexityWithModel ≡ docPerplexity on the fit corpus; new batch scored; meta guards") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lm").toString + "/lm"
+    LanguageModel.saveModel(corpus, path, vocabSize = 64, maxBigrams = 64)
+    val frozen = LanguageModel.perplexityWithModel(corpus, path,
+      vocabSize = 64, maxBigrams = 64).as[(Long, Long, Double)].collect().toSet
+    val fresh = LanguageModel.docPerplexity(corpus, vocabSize = 64, maxBigrams = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(frozen === fresh)
+    // an unseen batch with OOV tokens scores finitely off the frozen
+    // boundary: the fluent phrasing stays cheaper than scrambled OOV
+    val batch = Seq(
+      (300L, "the quick brown fox jumps over the lazy dog"),
+      (301L, "xylophone quark zephyr blimp ostrich waffle")).toDF("doc_id", "text")
+    val scored = LanguageModel.perplexityWithModel(batch, path,
+      vocabSize = 64, maxBigrams = 64)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(java.lang.Double.isFinite(scored(300L)) && java.lang.Double.isFinite(scored(301L)))
+    assert(scored(300L) < scored(301L), s"frozen boundary lost: $scored")
+    // wrong parameters fail loudly
+    intercept[IllegalArgumentException] {
+      LanguageModel.perplexityWithModel(batch, path, vocabSize = 128)
+    }
+  }
+
   test("single-token and empty docs are excluded (no transitions)") {
     val d = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
       Seq((200L, "solo"), (201L, ""))).toDF("doc_id", "text")
