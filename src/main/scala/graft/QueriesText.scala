@@ -2326,6 +2326,29 @@ object QueriesText {
       ImportanceSampling.gumbelTopK(w, 25).select("doc_id", "w", "key")
     }
 
+    // Refit telemetry for the frozen DSIR boundary: PSI between the
+    // target's bucket distribution and the current raw corpus's
+    // (<0.1 stable, >0.25 refit) — the when-to-refit signal that
+    // keeps a frozen selection model honest, same design as
+    // q_ivf_cell_stats.
+    register("q_dsir_drift",
+      s"""$dsirCtes,
+         |tot2 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tgt) AS tn,
+         |                (SELECT CAST(count(*) AS BIGINT) FROM rawb) AS rn),
+         |j AS (SELECT COALESCE(t.b, r.b) AS b, COALESCE(t.tc, 0) AS tc, COALESCE(r.rc, 0) AS rc
+         |      FROM tgt t FULL OUTER JOIN rawb r ON t.b = r.b),
+         |terms AS (SELECT j.b,
+         |                 ((j.tc + 1.0)/(tot.tt + 256.0) - (j.rc + 1.0)/(tot.rt + 256.0))
+         |                 * ln(((j.tc + 1.0)/(tot.tt + 256.0)) / ((j.rc + 1.0)/(tot.rt + 256.0))) AS term
+         |          FROM j, tot)
+         |SELECT round(list_sum(list(term ORDER BY b)), 6) AS psi,
+         |       (SELECT tn FROM tot2) AS n_target_buckets,
+         |       (SELECT rn FROM tot2) AS n_raw_buckets
+         |FROM terms""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ImportanceSampling.bucketDrift(docs.filter(col("lang") === "en"), docs, 256)
+    }
+
     // Encode the corpus with the freshly learned merges: map-only
     // chain of literal replaces (fully codegen'd — the 100 TB encode
     // pass), fingerprinted per doc so one wrong merge application

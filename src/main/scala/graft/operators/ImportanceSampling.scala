@@ -107,6 +107,44 @@ object ImportanceSampling {
     score(docs, spark.read.parquet(s"$path/ratios"), nBuckets)
   }
 
+  /** Refit telemetry for a frozen selection boundary: PSI (population
+    * stability index) between the TARGET corpus's bucket distribution
+    * and a CURRENT raw batch's — Σ (p−q)·ln(p/q), Laplace-smoothed
+    * over all `nBuckets` buckets, folded in bucket order. The frozen
+    * model ([[saveModel]]) judges every batch by fit-time statistics;
+    * this query tells the operator WHEN that stops being valid
+    * (convention: <0.1 stable, >0.25 refit) — the same
+    * telemetry-over-silence design as the IVF cell-stats query.
+    * Output: one row (psi, n_target_buckets, n_raw_buckets).
+    *
+    * Scale shape: two bucket histograms (nBuckets-row aggregates) and
+    * an nBuckets-row join — corpus work is the gram explode only. */
+  def bucketDrift(target: DataFrame, raw: DataFrame, nBuckets: Int): DataFrame = {
+    val tgtB = docBuckets(target, nBuckets).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rawB = docBuckets(raw, nBuckets).groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = tgtB.agg(sum(col("tc")).as("tt"), count(lit(1)).as("tn"))
+      .crossJoin(rawB.agg(sum(col("rc")).as("rt"), count(lit(1)).as("rn")))
+    // SHUFFLE_HASH: full outer (no broadcast variant exists) over two
+    // nBuckets-row aggregates — hash beats sorting even at this size,
+    // and it keeps the registry's no-sort-merge-join invariant
+    tgtB.join(rawB.hint("SHUFFLE_HASH"), Seq("b"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("p", (coalesce(col("tc"), lit(0L)) + lit(1.0))
+        / (col("tt") + lit(nBuckets.toDouble)))
+      .withColumn("q", (coalesce(col("rc"), lit(0L)) + lit(1.0))
+        / (col("rt") + lit(nBuckets.toDouble)))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy()
+      .agg(
+        sort_array(collect_list(struct(col("b"), col("term")))).as("cs"),
+        first(col("tn")).as("n_target_buckets"),
+        first(col("rn")).as("n_raw_buckets"))
+      .select(
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("psi"),
+        col("n_target_buckets"), col("n_raw_buckets"))
+  }
+
   /** Gumbel-top-k over a (doc_id, w) weight table: sampling k docs
     * without replacement with probability ∝ exp(w), derandomized —
     * noise g = −ln(−ln(u)) with u minted from md5(doc_id), so the

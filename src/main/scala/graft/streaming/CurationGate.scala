@@ -37,7 +37,8 @@ object CurationGate {
     * model never saw anything like them). */
   def gateBatch(batch: DataFrame, batchId: Long, modelPath: String,
                 mergesPath: String, acceptedPath: String, rejectedPath: String,
-                nBuckets: Int, minWeight: Double, minTokens: Int): Unit = {
+                nBuckets: Int, minWeight: Double, minTokens: Int,
+                statsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val merges = BpeTrainer.loadMerges(spark, mergesPath)
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
@@ -60,6 +61,23 @@ object CurationGate {
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(rejectedPath)
+    // per-batch gate telemetry: acceptance rate and the weight profile
+    // the operator watches for boundary drift (alongside the corpus-vs
+    // -target q_dsir_drift query, which says when to REFIT). Same
+    // dynamic-overwrite idempotence as the data sinks.
+    statsPath.foreach { sp =>
+      scored.agg(
+        count(lit(1)).as("n_in"),
+        count(when(col("reason").isNull, 1)).as("n_accepted"),
+        count(when(col("reason") === "short", 1)).as("n_short"),
+        count(when(col("reason") === "low_weight", 1)).as("n_low_weight"),
+        round(avg(col("w")), 6).as("mean_w"),
+        sum(when(col("reason").isNull, col("n_bpe")).otherwise(lit(0L)))
+          .as("accepted_bpe_tokens"))
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(sp)
+    }
   }
 
   /** The gate as a streaming query: drain with AvailableNow, gate each
@@ -67,13 +85,13 @@ object CurationGate {
   def ingest(docs: DataFrame, modelPath: String, mergesPath: String,
              acceptedPath: String, rejectedPath: String, checkpoint: String,
              nBuckets: Int = 256, minWeight: Double = 0.0,
-             minTokens: Int = 3): StreamingQuery =
+             minTokens: Int = 3, statsPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gateBatch(batch, id, modelPath, mergesPath, acceptedPath, rejectedPath,
-          nBuckets, minWeight, minTokens)
+          nBuckets, minWeight, minTokens, statsPath)
       }
       .start()
 }

@@ -63,6 +63,16 @@ class ImportanceSamplingSpec extends SparkSpec {
     }
   }
 
+  test("bucketDrift: exactly 0 on identical corpora, rises past the refit line on shift") {
+    import graft.operators.ImportanceSampling.bucketDrift
+    val same = bucketDrift(raw, raw, 64).select("psi").as[Double].head()
+    assert(same === 0.0, s"identical corpora must have zero PSI, got $same")
+    // target is the alpha-flavored half; the mixed raw corpus is a
+    // real distribution shift — well past the 0.25 refit convention
+    val shifted = bucketDrift(target, raw, 64).select("psi").as[Double].head()
+    assert(shifted > 0.25, s"expected drift above the refit line, got $shifted")
+  }
+
   test("a doc equal to the whole-target distribution beats a uniform outsider") {
     // sanity on the smoothing direction: unseen-in-target buckets pull
     // weights down, so a pure-outsider doc has negative weight

@@ -488,7 +488,8 @@ class StreamingSpec extends SparkSpec {
       val q = CurationGate.ingest(
         spark.readStream.schema(schema).json(raw),
         s"$root/model", s"$root/tok", acc, rej, s"$root/ckpt",
-        nBuckets = 64, minWeight = 0.0, minTokens = 3)
+        nBuckets = 64, minWeight = 0.0, minTokens = 3,
+        statsPath = Some(s"$root/stats"))
       q.awaitTermination()
     }
     land("b1.json", Seq(
@@ -515,12 +516,23 @@ class StreamingSpec extends SparkSpec {
     // the same id (a crashed-then-retried micro-batch) must leave both
     // sinks byte-identical, because dynamic partition overwrite
     // rewrites exactly its own partition from deterministic scoring
+    // per-batch gate telemetry: one stats row per micro-batch, with
+    // the acceptance split and the accepted token budget
+    val stats = spark.read.parquet(s"$root/stats")
+      .select("ingest_batch", "n_in", "n_accepted", "n_short", "n_low_weight")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(stats === Set((0, 3L, 1L, 1L, 1L), (1, 1L, 1L, 0L, 0L)), s"stats: $stats")
+
     val before = spark.read.parquet(acc).orderBy("doc_id").collect().toSeq
+    val statsBefore = spark.read.parquet(s"$root/stats").orderBy("ingest_batch").collect().toSeq
     CurationGate.gateBatch(
       Seq(4L -> "alpha beta gamma delta more target style text").toDF("doc_id", "text"),
       1L, s"$root/model", s"$root/tok", acc, rej,
-      nBuckets = 64, minWeight = 0.0, minTokens = 3)
+      nBuckets = 64, minWeight = 0.0, minTokens = 3,
+      statsPath = Some(s"$root/stats"))
     val after = spark.read.parquet(acc).orderBy("doc_id").collect().toSeq
     assert(after === before, "replayed gate must be byte-idempotent")
+    val statsAfter = spark.read.parquet(s"$root/stats").orderBy("ingest_batch").collect().toSeq
+    assert(statsAfter === statsBefore, "replayed stats must overwrite, not append")
   }
 }
