@@ -1777,8 +1777,13 @@ object QueriesText {
     // BM25 keyword retrieval: postings filtered to the query's terms
     // before any shuffle, corpus stats broadcast, per-doc score folded
     // in sorted term order so the double sum replays byte-exactly.
-    register("q_bm25_topk",
-      """WITH toks AS (
+    // Shared BM25 oracle CTEs (tokenize → stats → query-term postings
+    // → per-term contributions) — ONE definition consumed by
+    // q_bm25_topk, q_bm25_indexed and q_hybrid_rrf so the arithmetic
+    // can never silently diverge between them (same pattern as
+    // dsirCtes above).
+    val bm25Ctes =
+      """toks AS (
         |  SELECT doc_id,
         |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
@@ -1790,19 +1795,23 @@ object QueriesText {
         |  WHERE term IN ('vector', 'hash', 'merge')
         |  GROUP BY doc_id, dl, term),
         |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
-        |c AS (
+        |bmc AS (
         |  SELECT tf.doc_id, term,
         |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
         |              / (dfr + CAST(0.5 AS DOUBLE)))
         |           * tf
         |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
         |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
-        |  FROM tf JOIN dfq USING (term), g)
-        |SELECT doc_id,
-        |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
-        |                                          ORDER BY term), x -> x.contrib)), 6) AS score
-        |FROM c GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
+        |  FROM tf JOIN dfq USING (term), g)""".stripMargin
+    def bm25TopSql(k: Int) =
+      s"""WITH $bm25Ctes
+         |SELECT doc_id,
+         |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
+         |                                          ORDER BY term), x -> x.contrib)), 6) AS score
+         |FROM bmc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+    register("q_bm25_topk", bm25TopSql(10)) { (s, dir) =>
       graft.operators.KeywordSearch.bm25TopK(
         Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 10)
     }
@@ -1812,31 +1821,12 @@ object QueriesText {
     // independently oracle-verified above). Fusion touches only the
     // two top-k LISTS — the corpus-scale work lives in the retrievers.
     register("q_hybrid_rrf",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
-        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-        |  WHERE term IN ('vector', 'hash', 'merge')
-        |  GROUP BY doc_id, dl, term),
-        |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
-        |cx AS (
-        |  SELECT tf.doc_id, term,
-        |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
-        |              / (dfr + CAST(0.5 AS DOUBLE)))
-        |           * tf
-        |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
-        |  FROM tf JOIN dfq USING (term), g),
+      s"""WITH $bm25Ctes,
         |lexs AS (
         |  SELECT doc_id,
         |         round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
         |                                            ORDER BY term), x -> x.contrib)), 6) AS score
-        |  FROM cx GROUP BY doc_id
+        |  FROM bmc GROUP BY doc_id
         |  ORDER BY score DESC, doc_id LIMIT 50),
         |lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
         |        FROM lexs),
@@ -1876,32 +1866,7 @@ object QueriesText {
     // the hash gate. Third index family with an oracle-gated on-disk
     // probe, joining LSH (q_dedup_incremental_indexed) and IVF
     // (q_ann_ivf_indexed).
-    register("q_bm25_indexed",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |d AS (SELECT doc_id, len(t) AS dl, t FROM toks),
-        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-        |  WHERE term IN ('vector', 'hash', 'merge')
-        |  GROUP BY doc_id, dl, term),
-        |dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY term),
-        |c AS (
-        |  SELECT tf.doc_id, term,
-        |         ln(CAST(1.0 AS DOUBLE) + (g.n_docs - dfr + CAST(0.5 AS DOUBLE))
-        |              / (dfr + CAST(0.5 AS DOUBLE)))
-        |           * tf
-        |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |                + CAST(0.75 AS DOUBLE) * dl / g.avgdl)) AS contrib
-        |  FROM tf JOIN dfq USING (term), g)
-        |SELECT doc_id,
-        |       round(list_sum(list_transform(list(struct_pack(term := term, contrib := contrib)
-        |                                          ORDER BY term), x -> x.contrib)), 6) AS score
-        |FROM c GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
+    register("q_bm25_indexed", bm25TopSql(10)) { (s, dir) =>
       graft.operators.KeywordSearch.bm25TopKIndexed(
         s, postingsIndexRoot(s, dir), Seq("vector", "hash", "merge"), k = 10)
     }
@@ -2341,10 +2306,12 @@ object QueriesText {
          |                 ((j.tc + 1.0)/(tot.tt + 256.0) - (j.rc + 1.0)/(tot.rt + 256.0))
          |                 * ln(((j.tc + 1.0)/(tot.tt + 256.0)) / ((j.rc + 1.0)/(tot.rt + 256.0))) AS term
          |          FROM j, tot)
-         |SELECT round(list_sum(list(term ORDER BY b)), 6) AS psi,
+         |SELECT round(list_sum(list(term ORDER BY b))
+         |             + (256 - count(*)) * ((1.0/(tt + 256.0)) - (1.0/(rt + 256.0)))
+         |               * ln((1.0/(tt + 256.0)) / (1.0/(rt + 256.0))), 6) AS psi,
          |       (SELECT tn FROM tot2) AS n_target_buckets,
          |       (SELECT rn FROM tot2) AS n_raw_buckets
-         |FROM terms""") { (s, dir) =>
+         |FROM terms, tot GROUP BY tt, rt""") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       ImportanceSampling.bucketDrift(docs.filter(col("lang") === "en"), docs, 256)
     }

@@ -93,14 +93,14 @@ object Tables {
     case _                                                   => false
   }
 
+  /** Once-per-column memo for the conform-cast pushdown warning. */
+  private val castWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Conform a known table to [[canon]]: columns already at the canonical
     * type pass through RAW (their scan pushdown is untouched); drifted
     * ones get a single codegen'd cast; unconformable drift throws one
     * error naming table, column, and both types. Unknown table names and
     * extra columns pass through untouched. */
-  /** Once-per-column memo for the conform-cast pushdown warning. */
-  private val castWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def conform(df: DataFrame, table: String): DataFrame =
     canon.get(table).fold(df) { cols =>
       val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -198,6 +198,17 @@ object BpeTrainer {
     * emitted as the oracle for q_bpe_learn. Kept HERE so the SQL and
     * the Scala loop evolve together. */
   def learnOracleSql(table: String, nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, pc FROM best$i")
+      .mkString("\nUNION ALL ")
+    s"${learnCtes(table, nMerges)}\n$union\nORDER BY rank"
+  }
+
+  /** Shared CTE prefix (census + `nMerges` merge rounds, ending at
+    * `words<nMerges>`/`best<i>`), consumed by [[learnOracleSql]],
+    * [[vocabOracleSql]] and [[encodeOracleSql]]. */
+  private def learnCtes(table: String, nMerges: Int): String = {
+    require(nMerges >= 1, s"nMerges=$nMerges: the oracle CTE chain needs ≥1 round")
     val census =
       s"""words0 AS (
          |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g') AS wstr,
@@ -218,17 +229,7 @@ object BpeTrainer {
          |                 chr(1)||b.lhs||b.rhs||chr(2)) AS wstr, wc
          |  FROM $prev, best$i b)""".stripMargin
     }
-    val union = (1 to nMerges)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, pc FROM best$i")
-      .mkString("\nUNION ALL ")
-    s"WITH $census,\n${rounds.mkString(",\n")}\n$union\nORDER BY rank"
-  }
-
-  /** Shared CTE prefix of [[learnOracleSql]] (census + merge rounds),
-    * for oracles that CONSUME the learned merges. */
-  private def learnCtes(table: String, nMerges: Int): String = {
-    val full = learnOracleSql(table, nMerges)
-    full.substring(0, full.lastIndexOf("\nSELECT CAST(1 AS BIGINT)"))
+    s"WITH $census,\n${rounds.mkString(",\n")}"
   }
 
   /** The DuckDB replay of [[learn]]+[[vocab]]: the top-`k` symbol

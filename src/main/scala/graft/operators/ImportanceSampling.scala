@@ -61,18 +61,36 @@ object ImportanceSampling {
   }
 
   /** Per-raw-doc importance weight, folded in sorted bucket order
-    * (byte-stable at any partitioning), rounded to 6 dp. */
-  def weights(raw: DataFrame, target: DataFrame, nBuckets: Int): DataFrame =
-    score(raw, logRatios(target, raw, nBuckets), nBuckets)
+    * (byte-stable at any partitioning), rounded to 6 dp.
+    *
+    * ONE raw-corpus pass: the per-(doc, bucket) counts are
+    * materialized once (localCheckpoint — bounded by docs × ≤nBuckets
+    * rows, far below gram-occurrence cardinality) and BOTH the raw
+    * histogram the model needs and the per-doc scoring fold derive
+    * from them; only the small target corpus is scanned separately. */
+  def weights(raw: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
+    val docb = docBuckets(raw, nBuckets)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rawB = docb.groupBy("b").agg(sum(col("c")).as("rc"))
+    val tgtB = docBuckets(target, nBuckets).groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = tgtB.agg(sum(col("tc")).as("tt"))
+      .crossJoin(rawB.agg(sum(col("rc")).as("rt")))
+    val ratios = rawB.join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(nBuckets.toDouble)))
+          - log((col("rc") + lit(1.0)) / (col("rt") + lit(nBuckets.toDouble)))).as("lr"))
+    scoreCounts(docb, ratios)
+  }
 
   /** The scoring tail shared by [[weights]] (fresh model) and
     * [[scoreWithModel]] (frozen model): per-(doc, bucket) counts join
     * the broadcast ratio table, per-doc sorted-bucket fold. Buckets a
     * doc has that the model lacks contribute nothing — for a frozen
     * model that is the honest semantics (the model never saw them). */
-  private def score(docs: DataFrame, ratios: DataFrame, nBuckets: Int): DataFrame =
-    docBuckets(docs, nBuckets)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+  private def scoreCounts(docb: DataFrame, ratios: DataFrame): DataFrame =
+    docb
       .join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("b"),
@@ -80,6 +98,11 @@ object ImportanceSampling {
       .select(col("doc_id"),
         round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("v")), 6)
           .as("w"))
+
+  private def score(docs: DataFrame, ratios: DataFrame, nBuckets: Int): DataFrame =
+    scoreCounts(
+      docBuckets(docs, nBuckets).groupBy("doc_id", "b").agg(count(lit(1)).as("c")),
+      ratios)
 
   /** Persist the fitted log-ratio model: fit ONCE on (target, raw
     * sample), then [[scoreWithModel]] scores every future ingest
@@ -137,11 +160,20 @@ object ImportanceSampling {
       .groupBy()
       .agg(
         sort_array(collect_list(struct(col("b"), col("term")))).as("cs"),
+        first(col("tt")).as("tt"), first(col("rt")).as("rt"),
         first(col("tn")).as("n_target_buckets"),
         first(col("rn")).as("n_raw_buckets"))
+      // buckets observed in NEITHER corpus still carry a smoothing
+      // term (p0 − q0)·ln(p0/q0) ≠ 0 whenever the two corpus sizes
+      // differ — add it in closed form so the reported PSI is the
+      // documented sum over ALL nBuckets buckets, not just observed
+      .withColumn("p0", lit(1.0) / (col("tt") + lit(nBuckets.toDouble)))
+      .withColumn("q0", lit(1.0) / (col("rt") + lit(nBuckets.toDouble)))
       .select(
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("term")), 6).as("psi"),
+        round(
+          aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("term"))
+            + (lit(nBuckets) - size(col("cs"))).cast("double")
+              * (col("p0") - col("q0")) * log(col("p0") / col("q0")), 6).as("psi"),
         col("n_target_buckets"), col("n_raw_buckets"))
   }
 

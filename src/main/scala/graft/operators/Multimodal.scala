@@ -103,22 +103,30 @@ object Multimodal {
     def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
     require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       "not a RIFF/WAVE payload")
-    var off = 12
+    // offsets advance in LONG arithmetic: a hostile/corrupt u32 size
+    // near 2^32 truncated via toInt could make the advance zero or
+    // negative and spin this walk forever inside an executor task —
+    // fail loudly instead, like every other malformed-input path
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
     var dataSize = -1L
     while (off + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
-      val size = u32(off + 4)
-      tag(off) match {
+      val o = off.toInt
+      val size = u32(o + 4)
+      require(size <= payload.length - (off + 8),
+        s"RIFF chunk '${tag(o)}' claims $size bytes but only " +
+          s"${payload.length - off - 8} remain — corrupt container")
+      tag(o) match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too short: $size bytes")
-          val audioFormat = u16(off + 8)
+          val audioFormat = u16(o + 8)
           require(audioFormat == 1,
             s"WAV audio format $audioFormat is not PCM — decoding it needs a real codec")
-          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 20), u16(off + 22)))
+          fmt = Some((u16(o + 10), u32(o + 12).toInt, u16(o + 20), u16(o + 22)))
         case "data" => dataSize = size
         case _ => () // skip unknown chunks (junk, LIST, fact, ...)
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunk bodies pad to even
+      off += 8 + size + (size & 1) // chunk bodies pad to even
     }
     val (channels, rate, blockAlign, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("RIFF/WAVE payload has no fmt chunk"))

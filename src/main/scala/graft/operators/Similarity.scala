@@ -415,6 +415,9 @@ object Similarity {
     * top-k plans as WindowGroupLimit. */
   def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
              nCentroids: Int = 16, nSub: Int = 8): DataFrame = {
+    require(nSub >= 1 && 64 % nSub == 0,
+      s"nSub=$nSub must divide the 64-dim embedding exactly — a remainder " +
+        "would silently drop trailing dimensions from every code and distance")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = widened(corpus).select(col("vec_id"), col("emb"))

@@ -35,13 +35,23 @@ object SnapshotDiff {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
-    val compareCols = oldDf.columns.filterNot(keys.contains)
-      .filter(newDf.columns.contains).sorted
-    require(compareCols.nonEmpty || oldDf.columns.sameElements(keys),
-      s"snapshots share no non-key columns: old=${oldDf.columns.mkString(",")} " +
-      s"new=${newDf.columns.mkString(",")}")
-    val o = oldDf.select((keys ++ compareCols).map(col): _*).alias("o")
-    val n = newDf.select((keys ++ compareCols).map(col): _*).alias("n")
+    require(keys.forall(oldDf.columns.contains) && keys.forall(newDf.columns.contains),
+      s"key column(s) missing from a snapshot: keys=${keys.mkString(",")} " +
+      s"old=${oldDf.columns.mkString(",")} new=${newDf.columns.mkString(",")}")
+    // compare over the UNION of value columns: a column present on only
+    // one side reads as NULL on the other, so schema evolution surfaces
+    // as changed rows (changed_cols names the added/dropped column) —
+    // an intersection would silently report an empty delta for a
+    // populated new column
+    val compareCols = (oldDf.columns ++ newDf.columns)
+      .distinct.filterNot(keys.contains).sorted.toSeq
+    def side(df: DataFrame, alias: String) = {
+      val cols = keys.map(col) ++ compareCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c))
+      df.select(cols: _*).alias(alias)
+    }
+    val o = side(oldDf, "o")
+    val n = side(newDf, "n")
     // PLAIN equality on the keys, not <=>: keys are primary-key-like
     // (never null), and a null-safe join key rewrites to
     // (coalesce(k), isnull(k)) which disables bucket-local execution —

@@ -41,7 +41,16 @@ object CurationGate {
                 statsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val merges = BpeTrainer.loadMerges(spark, mergesPath)
-    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // DETERMINISTIC within-batch id dedup (dropDuplicates keeps an
+    // arbitrary row, which would break the byte-identical replay
+    // contract when one batch carries the same doc_id with different
+    // text): min row by content hash — replay-stable at any layout
+    val b = batch
+      .groupBy(col("doc_id").as("__id"))
+      .agg(min_by(struct(batch.columns.map(col): _*),
+        md5(col("text"))).as("__r"))
+      .select(col("__r.*"))
+      .localCheckpoint()
     val scored = b
       .join(ImportanceSampling.scoreWithModel(b, modelPath, nBuckets),
         Seq("doc_id"), "left")

@@ -51,6 +51,13 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm = payload.clone()
     nonPcm(32) = 3
     intercept[IllegalArgumentException] { Multimodal.decodeWav(nonPcm) }
+    // a hostile chunk size near 2^32 (toInt-negative) must fail the
+    // overrun check, not spin the chunk walk forever: junk chunk's
+    // size field lives at offset 16
+    val hostile = payload.clone()
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(hostile) }
     // a third-party canonical WAV (fmt first, no junk chunk, stereo)
     // parses too — the decoder walks chunks, it doesn't assume our
     // encoder's layout; nSamples uses the real block align (4 bytes)

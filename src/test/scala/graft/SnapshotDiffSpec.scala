@@ -62,6 +62,17 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("a column added in the new snapshot surfaces as changed rows, not silence") {
+    val old = Seq((1, "x"), (2, "y")).toDF("k", "a")
+    val nw = Seq((1, "x", Some(5.0)), (2, "y", None)).toDF("k", "a", "status")
+    val d = diffMap(old, nw)
+    // row 1 gained a populated status → changed on exactly that column;
+    // row 2's status is NULL on both effective sides → unchanged
+    assert(d === Map(1 -> ("changed", Seq("status"))))
+    // symmetric: a dropped-and-populated column reports as changed too
+    assert(diffMap(nw, old) === Map(1 -> ("changed", Seq("status"))))
+  }
+
   test("key-only snapshots diff on presence alone") {
     val old = Seq(1, 2, 3).toDF("k")
     val nw = Seq(2, 3, 4).toDF("k")
