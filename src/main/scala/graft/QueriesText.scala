@@ -371,6 +371,55 @@ object QueriesText {
           .orderBy("doc_id")
       }
 
+      // Dup-mass telemetry: the duplicate-GROUP size histogram (how
+      // many groups of 2, of 3, ... — plus the singleton count) and
+      // each band's share of the corpus. The curation dashboard's
+      // "how much dup mass, in what shape" rollup over the SAME
+      // oracle-proven components as q_dedup_groups; group-count-sized
+      // aggregates after the census.
+      register("q_dedup_group_sizes",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u),
+           |sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS sz FROM grp GROUP BY 1),
+           |withsingles AS (
+           |  SELECT sz, CAST(count(*) AS BIGINT) AS n_groups FROM sizes GROUP BY 1
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT),
+           |         (SELECT count(*) FROM documents)
+           |           - (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM sizes))
+           |SELECT sz, n_groups, CAST(sz * n_groups AS BIGINT) AS n_docs,
+           |       round(CAST(sz * n_groups AS DOUBLE)
+           |             / (SELECT count(*) FROM documents), 4) AS corpus_frac
+           |FROM withsingles WHERE n_groups > 0
+           |ORDER BY sz""") { (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs)
+          .select("doc_a", "doc_b")
+        val sizes = Dedup.connectedComponents(pairs)
+          .groupBy("group_id").agg(count(lit(1)).as("sz"))
+        val nDocs = docs.agg(count(lit(1)).as("n_total"))
+        val dupTotal = sizes.agg(coalesce(sum(col("sz")), lit(0L)).as("n_dup"))
+        val hist = sizes.groupBy("sz").agg(count(lit(1)).as("n_groups"))
+          .unionByName(
+            nDocs.crossJoin(dupTotal)
+              .select(lit(1L).as("sz"), (col("n_total") - col("n_dup")).as("n_groups")))
+        hist.filter(col("n_groups") > 0)
+          .crossJoin(broadcast(nDocs))
+          .select(col("sz"), col("n_groups"),
+            (col("sz") * col("n_groups")).as("n_docs"),
+            round((col("sz") * col("n_groups")).cast("double") / col("n_total"), 4)
+              .as("corpus_frac"))
+          .orderBy("sz")
+      }
+
       // Survivor selection — the POLICY step after group resolution:
       // keep the highest-QUALITY member of each dup group (tie → min
       // doc_id), not the arbitrary min-id keeper. One mergeable
