@@ -56,7 +56,14 @@ object EventsLake {
         p.getName.startsWith("event_date=") &&
           p.getName.stripPrefix("event_date=") < keepFromDate
       }
-    dropped.foreach(fs.delete(_, true))
+    dropped.foreach { p =>
+      // fs.delete returning false with the path still present means a
+      // failed delete — report it loudly rather than claiming the
+      // partition was dropped (a partially failed expiry must not
+      // look like a successful one)
+      if (!fs.delete(p, true) && fs.exists(p))
+        sys.error(s"expire: failed to delete partition $p")
+    }
     dropped.map(_.getName.stripPrefix("event_date=")).sorted
   }
 }

@@ -136,7 +136,11 @@ object BpeTrainer {
         val words = text.trim.toLowerCase(java.util.Locale.ROOT)
           .split("\\s+").filter(w => w.nonEmpty && !w.contains(D1) && !w.contains(D2))
         val enc = words.map { w =>
-          var syms = w.map(_.toString).toBuffer
+          // symbolize per CODE POINT (not UTF-16 unit) to match wrap's
+          // regex '(.)' — a supplementary-plane char is ONE symbol on
+          // both paths, keeping encode ≡ encodeLarge byte-identical
+          var syms = scala.collection.mutable.ArrayBuffer(
+            w.codePoints().toArray.map(cp => new String(Character.toChars(cp))): _*)
           for ((l, r) <- rules) {
             var j = 0
             while (j < syms.length - 1) {
@@ -215,7 +219,8 @@ object BpeTrainer {
          |         count(*) AS wc
          |  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
          |        FROM $table) t
-         |  WHERE w <> '' GROUP BY 1)""".stripMargin
+         |  WHERE w <> '' AND w NOT LIKE '%'||chr(1)||'%' AND w NOT LIKE '%'||chr(2)||'%'
+         |  GROUP BY 1)""".stripMargin
     val rounds = (1 to nMerges).map { i =>
       val prev = s"words${i - 1}"
       s"""pairs$i AS (
@@ -249,7 +254,8 @@ object BpeTrainer {
     * boundary byte shifts the hash. */
   def encodeOracleSql(table: String, nMerges: Int): String = {
     val wrapped =
-      "array_to_string(list_transform(list_filter(string_split(norm, ' '), w -> w <> ''), " +
+      "array_to_string(list_transform(list_filter(string_split(norm, ' '), " +
+        "w -> w <> '' AND NOT contains(w, chr(1)) AND NOT contains(w, chr(2))), " +
         "w -> regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')), ' ')"
     val applied = (1 to nMerges).foldLeft(wrapped) { (e, i) =>
       s"replace($e, chr(1)||b$i.lhs||chr(2)||chr(1)||b$i.rhs||chr(2), " +

@@ -44,11 +44,13 @@ object CurationGate {
     // DETERMINISTIC within-batch id dedup (dropDuplicates keeps an
     // arbitrary row, which would break the byte-identical replay
     // contract when one batch carries the same doc_id with different
-    // text): min row by content hash — replay-stable at any layout
+    // text): min row by (content hash, full row) — the row struct in
+    // the ordering key makes ties total, so two rows with equal text
+    // but different other columns still resolve deterministically
+    val rowStruct = struct(batch.columns.map(col): _*)
     val b = batch
       .groupBy(col("doc_id").as("__id"))
-      .agg(min_by(struct(batch.columns.map(col): _*),
-        md5(col("text"))).as("__r"))
+      .agg(min_by(rowStruct, struct(md5(col("text")), rowStruct)).as("__r"))
       .select(col("__r.*"))
       .localCheckpoint()
     val scored = b

@@ -74,6 +74,20 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("encodeLarge symbolizes per code point: supplementary-plane parity with encode") {
+    // 😀 (U+1F600) and 𝕏 (U+1D54F) are surrogate PAIRS in UTF-16; both
+    // paths must treat each as ONE symbol, so a merge rule over the
+    // full character applies identically (the r12 advice regression)
+    val d = docs("😀😀 a𝕏b", "ab 😀a")
+    val merges = Seq(("😀", "😀"), ("a", "𝕏"), ("a𝕏", "b"))
+    val a = BpeTrainer.encode(d, merges).as[(Long, String)].collect().toMap
+    val b = BpeTrainer.encodeLarge(d, merges).as[(Long, String)].collect().toMap
+    assert(a === b)
+    val d1 = BpeTrainer.D1; val d2 = BpeTrainer.D2
+    // and the merge really fired: 😀😀 collapsed to one symbol
+    assert(a(0L).startsWith(s"$d1😀😀$d2"))
+  }
+
   test("learn stops early when no pairs remain") {
     val m = learned("ab")(5)
     assert(m.map(t => (t._2, t._3)) === Seq(("a", "b")))
