@@ -89,6 +89,45 @@ object QueriesText {
     })
   }
 
+  /** Persisted PQ index per (JVM, source dir) for q_ann_pq_indexed —
+    * fourth index family, same production lifecycle as the other
+    * three: codebook sampled over 80% of the corpus, the rest encoded
+    * against the FROZEN codebook by append, then small-file
+    * compaction. The probe must reproduce the ADC scores the oracle
+    * computes from scratch byte-for-byte. */
+  private def pqIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"pq:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 < 8), path)
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") % 10 >= 8), path)
+      Similarity.compactPqIndex(s, path)
+      path
+    })
+  }
+
+  /** Persisted duplicate-group component state per (JVM, source dir)
+    * for q_dedup_groups_incremental: the near-dup pairs are split in
+    * two deterministic hash batches — the first BUILDS the state, the
+    * second MERGES into it (the production streaming-dedup lifecycle,
+    * where group assignment must cost work ∝ batch, not a global CC
+    * re-run). Every execution then reads the merged state, which the
+    * full-recompute oracle must match exactly. */
+  private def ccStateRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"ccstate:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-ccstate").toString
+      val pairs = graft.operators.Dedup.minhashPairs(Tables.documents(s, dir))
+        .select("doc_a", "doc_b")
+        .localCheckpoint() // compute the pair set once, split it twice
+      val half = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(2L))
+      graft.operators.Dedup.buildComponentState(pairs.filter(half === 0), path)
+      graft.operators.Dedup.mergeComponentState(pairs.filter(half === 1), path)
+      path
+    })
+  }
+
   /** Persisted BPE tokenizer artifact per (JVM, source dir): learned
     * once (8 merges), saved via [[graft.operators.BpeTrainer.saveMerges]],
     * loaded by every q_bpe_encode/q_bpe_vocab execution — the
@@ -366,6 +405,37 @@ object QueriesText {
         val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
           .select("doc_a", "doc_b")
         Dedup.connectedComponents(pairs)
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
+          .orderBy("doc_id")
+      }
+
+      // The SAME components reached incrementally: the near-dup pairs
+      // are split in two deterministic batches, the first builds the
+      // persisted (doc_id, group_id) state, the second MERGES into it
+      // (root-level CC over the batch only — rounds ∝ batch diameter —
+      // then a bucket-pruned relabel). The oracle is q_dedup_groups'
+      // full-recompute recursive CTE, so incremental ≡ rebuild is
+      // hash-gated on real data, on top of IncrementalCcSpec's
+      // crash/replay fixtures. This is the streaming dedup path's
+      // missing half: candidates ∝ batch (persisted LSH index), and
+      // now GROUP ASSIGNMENT ∝ batch too.
+      register("q_dedup_groups_incremental",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u)
+           |SELECT doc_id, group_id,
+           |       count(*) OVER (PARTITION BY group_id) AS n_members
+           |FROM grp
+           |ORDER BY doc_id""") { (s, dir) =>
+        Dedup.readComponentState(s, ccStateRoot(s, dir))
           .withColumn("n_members", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
           .orderBy("doc_id")
@@ -1308,6 +1378,49 @@ object QueriesText {
         |ORDER BY q_id, rnk""") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5)
+        .orderBy("q_id", "rnk")
+    }
+
+    // The same ADC probe answered off the PERSISTED PQ index — the
+    // codebook is sampled over the 80% build slice only (frozen), the
+    // remaining vectors are APPENDED as codes against it, and the
+    // compacted artifact serves every probe. The oracle replays that
+    // exact lifecycle: cents from the 80% slice, codes for the WHOLE
+    // corpus against those cents — so a lost/duplicated code row, a
+    // re-sampled codebook, or a compaction bug shifts the hash. Unlike
+    // IVF, PQ needs no recall companion: the artifact path is
+    // value-exact end to end.
+    register("q_ann_pq_indexed",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM c
+        |          WHERE vec_id % 10 < 8
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |ac AS (
+        |  SELECT v.vec_id, sub.s, ct.cid,
+        |         round(list_sum(list_transform(range(8),
+        |               i -> (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1])
+        |                    * (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1]))), 6) AS d2
+        |  FROM c v, sub, cents ct),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code
+        |  FROM (SELECT vec_id, s, cid,
+        |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |        FROM ac) t
+        |  WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, s, cid AS code, d2 FROM ac WHERE vec_id < 3),
+        |sc AS (
+        |  SELECT l.q_id, cd.vec_id AS n_id,
+        |         round(list_sum(list(l.d2 ORDER BY l.s)), 6) AS ad2
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
+        |  WHERE cd.vec_id <> l.q_id
+        |  GROUP BY l.q_id, cd.vec_id)
+        |SELECT q_id, n_id, ad2,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rnk
+        |FROM sc QUALIFY rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      Similarity.pqTopKIndexed(s, pqIndexRoot(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 3), 5)
         .orderBy("q_id", "rnk")
     }
 

@@ -717,6 +717,143 @@ object Dedup {
       .distinct()
   }
 
+  /** Persisted duplicate-group state for the STREAMING dedup path —
+    * the missing piece between per-batch candidate generation (work ∝
+    * batch, via the persisted LSH index) and group assignment, which
+    * naively re-runs [[connectedComponents]] over ALL pairs ever seen.
+    * State is the (doc_id, group_id) table, hive-partitioned by
+    * `gb` = hash(group_id) % stateBuckets so a later merge can rewrite
+    * ONLY the buckets whose groups a batch touches.
+    *
+    * [[mergeComponentState]] folds a batch's new edges in three
+    * batch-proportional steps: (1) map each edge endpoint to its
+    * current root (one partition-prunable join against the state);
+    * (2) run CC over the ROOT-level graph only — batch-sized input, so
+    * rounds ∝ the BATCH's diameter, never the corpus's; (3) relabel =
+    * a broadcast join applied to just the affected buckets, written
+    * back with dynamic partition overwrite. A replayed merge is a
+    * no-op (every mapped edge collapses to a self-loop), so the write
+    * is crash-retry idempotent — the same replay contract as
+    * [[appendToLshIndex]]. IncrementalCcSpec pins merge-across-appends
+    * ≡ full recompute, including batches that bridge two existing
+    * groups and batches whose new doc re-roots an old group. */
+  def buildComponentState(pairs: DataFrame, statePath: String,
+                          stateBuckets: Int = 64): Unit = {
+    val spark = pairs.sparkSession
+    connectedComponents(pairs)
+      .withColumn("gb", pmod(xxhash64(col("group_id")), lit(stateBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("gb").parquet(s"$statePath/components")
+    graft.sources.IndexMeta.write(spark, s"$statePath/meta.json",
+      Seq("stateBuckets" -> stateBuckets.toLong))
+  }
+
+  /** The current (doc_id, group_id) state. Fails loudly on an unbuilt
+    * path (the meta guard, as for every persisted artifact). */
+  def readComponentState(spark: SparkSession, statePath: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
+    recoverComponentState(spark, statePath)
+    spark.read.parquet(s"$statePath/components").select("doc_id", "group_id")
+  }
+
+  /** Merge a batch's near-dup pairs into the persisted component
+    * state. Group ids keep the [[connectedComponents]] convention
+    * (minimum doc_id of the component), so state after any sequence of
+    * merges equals a full recompute over the union of all pair sets. */
+  def mergeComponentState(newPairs: DataFrame, statePath: String): Unit = {
+    val spark = newPairs.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
+    val stateBuckets = meta.getOrElse("stateBuckets",
+      sys.error(s"component state meta at $statePath lacks stateBuckets")).toInt
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(stateBuckets.toLong)).cast("int")
+    recoverComponentState(spark, statePath)
+    val state = spark.read.parquet(s"$statePath/components")
+    val Array(ca, cb) = newPairs.columns.take(2)
+    val edges = newPairs.select(col(ca).as("u"), col(cb).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    // (1) endpoints → current roots; docs the state has never seen
+    // root to themselves. Root-mapping joins shuffle only the EDGES
+    // (state side is the build input of a shuffled hash join; at scale
+    // the doc_id-keyed lookup is served by the layout).
+    val rootEdges = edges
+      .join(state.select(col("doc_id").as("u"), col("group_id").as("ru")), Seq("u"), "left")
+      .join(state.select(col("doc_id").as("v"), col("group_id").as("rv")), Seq("v"), "left")
+      .select(coalesce(col("ru"), col("u")).as("a"), coalesce(col("rv"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+    // (2) CC over the root-level graph — batch-sized, so the round
+    // count follows the batch's diameter, not the corpus's
+    val delta = connectedComponents(rootEdges).localCheckpoint(true)
+    // (3) delta doc_ids are old roots (their whole group relabels) or
+    // brand-new docs; both maps are batch-bounded → broadcast
+    val relabel = delta
+      .join(state.select(col("group_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as("__old_root"), col("group_id").as("__new_root"))
+      .localCheckpoint(true)
+    val newDocs = delta
+      .join(state.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // affected buckets: where relabeled groups live now + where they
+    // land after the relabel — only those partitions are read/rewritten
+    val touched = relabel
+      .select(bucketOf(col("__old_root")).as("gb"))
+      .unionByName(relabel.select(bucketOf(col("__new_root")).as("gb")))
+      .unionByName(newDocs.select(bucketOf(col("group_id")).as("gb")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val rewritten = state
+        .filter(col("gb").isInCollection(touched)) // partition-pruned read
+        .join(broadcast(relabel), col("group_id") === col("__old_root"), "left")
+        .select(col("doc_id"), coalesce(col("__new_root"), col("group_id")).as("group_id"))
+        .unionByName(newDocs.select("doc_id", "group_id"))
+        .withColumn("gb", bucketOf(col("group_id")))
+      // per-bucket staged promote (NOT dynamic partition overwrite: a
+      // bucket whose every group relabeled away produces zero output
+      // rows, and dynamic overwrite would then leave its stale rows in
+      // place — each touched bucket must be REPLACED, possibly by
+      // nothing). Aside-rename protocol per partition; every crash
+      // window is healed by [[recoverComponentState]] at the next
+      // merge, and a partially-promoted state self-heals because the
+      // replayed batch re-presents its edges.
+      val root = s"$statePath/components"
+      val staging = s"$statePath/components__staged"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rewritten.write.mode("overwrite").partitionBy("gb").parquet(staging)
+      touched.foreach { b =>
+        val tgt = new org.apache.hadoop.fs.Path(s"$root/gb=$b")
+        val stg = new org.apache.hadoop.fs.Path(s"$staging/gb=$b")
+        val old = new org.apache.hadoop.fs.Path(s"$root/gb=${b}__old")
+        if (fs.exists(tgt) && !fs.rename(tgt, old))
+          throw new java.io.IOException(s"merge: could not set aside $tgt")
+        if (fs.exists(stg) && !fs.rename(stg, tgt))
+          throw new java.io.IOException(s"merge: could not promote $stg")
+        fs.delete(old, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+  }
+
+  /** Heal the component-state crash windows of [[mergeComponentState]]:
+    * restore any bucket whose promote was interrupted mid-rename
+    * (`gb=b__old` present with `gb=b` missing), drop completed asides,
+    * and clear an orphaned staging dir. Runs at the start of every
+    * merge; idempotent. */
+  private def recoverComponentState(spark: SparkSession, statePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith("__old")) {
+        val tgt = new org.apache.hadoop.fs.Path(root, name.stripSuffix("__old"))
+        if (!fs.exists(tgt)) {
+          if (!fs.rename(st.getPath, tgt))
+            throw new java.io.IOException(s"recover: could not restore ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/components__staged"), true)
+  }
+
   /** Canonical-document selection over resolved duplicate groups: keep
     * ONE survivor per group — the highest-scoring member (ties broken
     * toward the smallest id) — instead of [[connectedComponents]]'s

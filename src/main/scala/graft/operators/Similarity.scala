@@ -415,42 +415,59 @@ object Similarity {
     * top-k plans as WindowGroupLimit. */
   def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
              nCentroids: Int = 16, nSub: Int = 8): DataFrame = {
+    requirePqParams(nSub)
+    val base = widened(corpus).select(col("vec_id"), col("emb"))
+    val cents = pqCodebook(base, nCentroids)
+    val codes = pqEncode(base, cents, nSub)
+    pqScore(codes, pqLut(probes, cents, nSub), k)
+  }
+
+  private def requirePqParams(nSub: Int): Unit =
     require(nSub >= 1 && 64 % nSub == 0,
       s"nSub=$nSub must divide the 64-dim embedding exactly — a remainder " +
         "would silently drop trailing dimensions from every code and distance")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val base = widened(corpus).select(col("vec_id"), col("emb"))
-    val probeBase = widened(probes).select(col("vec_id").as("q_id"), col("emb").as("qemb"))
-    val cents = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+
+  /** md5-sampled codebook: (cid, cemb) — cid is the sampled vector's
+    * id (the argmin tie-break key, shared by the in-memory and
+    * persisted paths so both pick the same entry on equal distances). */
+  private def pqCodebook(base: DataFrame, nCentroids: Int): DataFrame =
+    base.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    // squared distance between the s-th subvectors, folded in dim order
-    def subD2(a: Column, b: Column, s: Column, subDim: Int) = {
-      val off = s * subDim
-      aggregate(
-        zip_with(slice(a, off + 1, lit(subDim)), slice(b, off + 1, lit(subDim)),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    val subDim = 64 / nSub
-    val subs = (0 until nSub).map(s => lit(s))
-    def withSub(df: DataFrame) =
-      df.select(col("*"), explode(array(subs: _*)).as("s"))
-    // codes: per (vector, subspace) the nearest codebook entry —
-    // mergeable min_by argmin (d2 asc, cid asc), no window
-    val codes = withSub(base).crossJoin(broadcast(cents))
-      .withColumn("d2", round(subD2(col("emb"), col("cemb"), col("s"), subDim), 6))
+
+  /** Squared distance between the s-th subvectors, folded in dim order. */
+  private def pqSubD2(a: Column, b: Column, s: Column, subDim: Int) = {
+    val off = s * subDim
+    aggregate(
+      zip_with(slice(a, off + 1, lit(subDim)), slice(b, off + 1, lit(subDim)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  private def pqWithSub(df: DataFrame, nSub: Int) =
+    df.select(col("*"), explode(array((0 until nSub).map(s => lit(s)): _*)).as("s"))
+
+  /** Codes: per (vector, subspace) the nearest codebook entry —
+    * mergeable min_by argmin (d2 asc, cid asc), no window. */
+  private def pqEncode(base: DataFrame, cents: DataFrame, nSub: Int): DataFrame =
+    pqWithSub(base, nSub).crossJoin(broadcast(cents))
+      .withColumn("d2", round(pqSubD2(col("emb"), col("cemb"), col("s"), 64 / nSub), 6))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
-    // probe lookup tables: distance from each query subvector to each
-    // codebook entry — (q, s, cid) rows, tiny, broadcast
-    val lut = withSub(probeBase).crossJoin(broadcast(cents))
-      .withColumn("d2", round(subD2(col("qemb"), col("cemb"), col("s"), subDim), 6))
+
+  /** Probe lookup tables: distance from each query subvector to each
+    * codebook entry — (q, s, cid) rows, tiny, broadcast by the caller. */
+  private def pqLut(probes: DataFrame, cents: DataFrame, nSub: Int): DataFrame =
+    pqWithSub(widened(probes).select(col("vec_id").as("q_id"), col("emb").as("qemb")), nSub)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(pqSubD2(col("qemb"), col("cemb"), col("s"), 64 / nSub), 6))
       .select(col("q_id"), col("s"), col("cid").as("code"), col("d2"))
-    val byProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("ad2"), col("n_id"))
+
+  /** Shared ADC scoring tail: join the byte codes to the broadcast
+    * probe LUTs on (subspace, code), fold the nSub terms per candidate
+    * in subspace order, per-probe top-k as WindowGroupLimit. */
+  private def pqScore(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val byProbe = Window.partitionBy("q_id").orderBy(col("ad2"), col("n_id"))
     codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -460,6 +477,91 @@ object Similarity {
           (acc, x) => acc + x.getField("d2")), 6).as("ad2"))
       .withColumn("rnk", row_number().over(byProbe).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Persist a PQ index: the `nCentroids`-row `codebook` table plus the
+    * corpus CODES — `nSub` small integers per vector, which at 100 TB
+    * ARE the index (the float corpus is never re-read or re-encoded at
+    * probe time; 64 floats → nSub codes is the PQ compression story).
+    * Build once (one broadcast-join encode pass over the corpus); every
+    * [[pqTopKIndexed]] probe then computes its tiny LUTs against the
+    * stored codebook and joins the stored codes — identical results to
+    * [[pqTopK]] with the same parameters (SimilaritySpec pins it, and
+    * q_ann_pq_indexed carries the full value-exact oracle). Same
+    * frozen-artifact lifecycle as the LSH/IVF/postings/BPE families:
+    * integrity meta beside the tables, append against the frozen
+    * codebook, small-file compaction. */
+  def buildPqIndex(corpus: DataFrame, indexPath: String,
+                   nCentroids: Int = 16, nSub: Int = 8): Unit = {
+    requirePqParams(nSub)
+    val spark = corpus.sparkSession
+    val base = widened(corpus).select(col("vec_id"), col("emb"))
+    val cents = pqCodebook(base, nCentroids).localCheckpoint()
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    pqEncode(base, cents, nSub)
+      .select(col("vec_id"), col("s"), col("code"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      Seq("nCentroids" -> nCentroids.toLong, "nSub" -> nSub.toLong, "dim" -> 64L))
+  }
+
+  /** PQ parameter fingerprint guard (same [[graft.sources.IndexMeta]]
+    * contract as the IVF/LSH indexes): probing or appending with a
+    * different subspace split than build time would silently join codes
+    * against mismatched LUT entries. Returns (nCentroids, nSub). */
+  private def checkPqMeta(spark: SparkSession, indexPath: String): (Int, Int) = {
+    val m = graft.sources.IndexMeta.read(spark, s"$indexPath/meta.json", "PQ index")
+    def f(k: String) = m.getOrElse(k, sys.error(s"PQ index meta at $indexPath lacks $k")).toInt
+    (f("nCentroids"), f("nSub"))
+  }
+
+  /** Append new vectors to a persisted PQ index: encode against the
+    * FROZEN codebook (codebooks are not re-sampled — the standard PQ
+    * append; quantization-error drift on a shifting distribution is
+    * what periodic [[buildPqIndex]] rebuilds repair) and append the new
+    * codes. Already-coded vec_ids are anti-joined out first (the id
+    * column only — parquet pruning), so a crash-retried append never
+    * duplicates codes; within-batch duplicate ids collapse to one row;
+    * the batch is pinned with localCheckpoint so the append write
+    * cannot re-plan over the `codes` table its anti-join reads. */
+  def appendToPqIndex(embeddings: DataFrame, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val (_, nSub) = checkPqMeta(spark, indexPath)
+    val cents = spark.read.parquet(s"$indexPath/codebook")
+    val coded = spark.read.parquet(s"$indexPath/codes").select(col("vec_id")).distinct()
+    val fresh = widened(embeddings).select(col("vec_id"), col("emb"))
+      .dropDuplicates("vec_id")
+      .join(coded.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+    pqEncode(fresh, cents, nSub)
+      .select(col("vec_id"), col("s"), col("code"))
+      .localCheckpoint()
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** Compact the persisted PQ index's append-accumulated small files —
+    * operational parity with [[compactIvfIndex]]/[[Dedup.compactLshIndex]].
+    * Crash-safe staged rewrite of the `codes` table; contents are
+    * row-identical and `meta.json`/`codebook` are untouched (the
+    * codebook is one coalesced file by construction), so probes before
+    * and after agree exactly (SimilaritySpec). */
+  def compactPqIndex(spark: SparkSession, indexPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    checkPqMeta(spark, indexPath) // only compact real PQ indexes, loudly
+    graft.sources.Sinks.compact(spark, s"$indexPath/codes", targetFileBytes)
+  }
+
+  /** ADC top-k against a persisted PQ index: the codebook is a tiny
+    * read (broadcast into the probe LUTs), the corpus contribution is
+    * the stored CODES — integers, a fraction of the float corpus's
+    * bytes — and the scoring tail is [[pqScore]], shared with
+    * [[pqTopK]], so results off the artifact are value-identical to
+    * the in-memory form over the same indexed corpus. */
+  def pqTopKIndexed(spark: SparkSession, indexPath: String,
+                    probes: DataFrame, k: Int): DataFrame = {
+    val (_, nSub) = checkPqMeta(spark, indexPath)
+    val cents = spark.read.parquet(s"$indexPath/codebook")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    pqScore(codes, pqLut(probes, cents, nSub), k)
   }
 
   /** Scalar int8 quantization of an embedding column — the storage

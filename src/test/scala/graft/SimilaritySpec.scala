@@ -372,6 +372,64 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._3 === 0.0, s"expected exact-zero ADC, got ${out.head._3}")
   }
 
+  test("persisted PQ index: byte-identical to in-memory pqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/idx"
+    Similarity.buildPqIndex(corpus, dir, nCentroids = 64)
+    val probes = corpus.filter($"vec_id" < 5)
+    val indexed = Similarity.pqTopKIndexed(spark, dir, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inMem = Similarity.pqTopK(corpus, probes, 5, nCentroids = 64)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(indexed === inMem, "same codebook + shared scoring tail → identical ADC results")
+  }
+
+  test("PQ index lifecycle: frozen-codebook append is probe-visible, replay no-op, compact invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqapp").toString + "/idx"
+    Similarity.buildPqIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCentroids = 64)
+    Similarity.appendToPqIndex(corpus.filter($"vec_id" % 10 >= 8), dir)
+    // exact twins of three vectors: identical embeddings quantize to the
+    // SAME codes against the frozen codebook, so each twin's ADC
+    // distance equals its original's self-quantization error → top-k
+    val twins = corpus.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    Similarity.appendToPqIndex(twins, dir)
+    val probes = corpus.filter($"vec_id" < 3)
+    val got = Similarity.pqTopKIndexed(spark, dir, probes, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 3L).foreach(i =>
+      assert(got(i).contains(i + 10000L), s"appended twin of $i missing from its top-3: ${got(i)}"))
+    // replayed append: the anti-join makes it a no-op
+    Similarity.appendToPqIndex(twins, dir)
+    val meta = graft.sources.IndexMeta.read(spark, s"$dir/meta.json", "PQ index")
+    assert(spark.read.parquet(s"$dir/codes").filter($"vec_id" >= 10000L).count()
+      === 3L * meta("nSub"), "replayed append duplicated code rows")
+    // compaction: row-identical codes, probe-identical, meta/codebook untouched
+    val before = Similarity.pqTopKIndexed(spark, dir, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val metaBefore = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
+    val filesBefore = new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 1, "fixture must accumulate multiple part files")
+    Similarity.compactPqIndex(spark, dir)
+    assert(new java.io.File(s"$dir/codes").listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    val after = Similarity.pqTopKIndexed(spark, dir, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(after === before, "compaction changed probe results")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json")) === metaBefore)
+  }
+
+  test("PQ index meta guard: unbuilt probe/append/compact fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqmeta").toString + "/idx"
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(spark, dir, corpus.filter($"vec_id" < 2), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(corpus.filter($"vec_id" < 2), dir)
+    }
+    intercept[IllegalArgumentException] { Similarity.compactPqIndex(spark, dir) }
+  }
+
   test("randomProject: JL distance preservation in the median, linearity, layout independence") {
     val rng = new scala.util.Random(7)
     val vecs = Seq.tabulate(40)(i =>
