@@ -2020,6 +2020,63 @@ object QueriesText {
         .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }
 
+    // The production SERVING shape of hybrid retrieval: RRF over the
+    // two PERSISTED index families — BM25 off the on-disk postings
+    // (byte-exact vs in-memory, gated below) and dense cosine off the
+    // on-disk IVF inverted file (approximate by design; nProbe=12/16
+    // measured ≥0.94 recall@50 across sf0.001–0.1). Rows-only like
+    // q_ann_ivf_indexed, gated DIRECTLY by q_hybrid_rrf_indexed_check
+    // on the same indexes; registered so the bench measures the
+    // two-index serving probe.
+    registerNoOracle("q_hybrid_rrf_indexed") { (s, dir) =>
+      val lex = graft.operators.HybridRetrieval.ranks(
+        graft.operators.KeywordSearch.bm25TopKIndexed(
+          s, postingsIndexRoot(s, dir), Seq("vector", "hash", "merge"), k = 50),
+        "doc_id", "score")
+      val dense = Similarity.ivfTopKIndexed(s, ivfIndexRoot(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") === 0), 50, nProbe = 12)
+        .select(col("n_id").as("id"), col("rnk").as("rank"))
+      graft.operators.HybridRetrieval.rrfFuse(lex, dense, 60)
+        .select(col("id").as("doc_id"), col("rrf"),
+          col("rank_a").as("lex_rank"), col("rank_b").as("dense_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+    }
+
+    // The gate for q_hybrid_rrf_indexed, closing its chain the way
+    // q_ann_ivf_indexed_recall closes q_ann_ivf_indexed: the LEXICAL
+    // side off the postings index must reproduce the oracle-verified
+    // in-memory BM25 ranks byte-for-byte at the fusion's k=50 (not
+    // just q_bm25_indexed's k=10), and the DENSE side's recall@50 vs
+    // the oracle-verified brute-force truth must clear the calibrated
+    // bound on the post-append IVF index. DuckDB asserts both held
+    // and pins the fused row count.
+    register("q_hybrid_rrf_indexed_check",
+      """SELECT TRUE AS lex_exact_ok, TRUE AS dense_recall_ok,
+        |       CAST(15 AS BIGINT) AS n_fused FROM (SELECT 1)""") { (s, dir) =>
+      val terms = Seq("vector", "hash", "merge")
+      val lexIdx = graft.operators.HybridRetrieval.ranks(
+        graft.operators.KeywordSearch.bm25TopKIndexed(
+          s, postingsIndexRoot(s, dir), terms, k = 50), "doc_id", "score")
+      val lexMem = graft.operators.HybridRetrieval.ranks(
+        graft.operators.KeywordSearch.bm25TopK(
+          Tables.documents(s, dir), terms, k = 50), "doc_id", "score")
+      val lexMism = lexIdx.exceptAll(lexMem).unionAll(lexMem.exceptAll(lexIdx))
+        .agg(count(lit(1)).as("n_mism"))
+      val emb = Tables.embeddings(s, dir)
+      val probe0 = emb.filter(col("vec_id") === 0)
+      val truth = Similarity.bruteTopK(emb, probe0, 50).select("q_id", "n_id")
+      val dense = Similarity.ivfTopKIndexed(s, ivfIndexRoot(s, dir), probe0, 50, nProbe = 12)
+        .select("q_id", "n_id").withColumn("hit", lit(1L))
+      val recall = truth.join(broadcast(dense), Seq("q_id", "n_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+      val fusedN = SparkEntry.queries("q_hybrid_rrf_indexed")(s, dir)
+        .agg(count(lit(1)).as("n_fused"))
+      lexMism.crossJoin(recall).crossJoin(fusedN)
+        .select((col("n_mism") === 0).as("lex_exact_ok"),
+          (col("recall") >= 0.8).as("dense_recall_ok"),
+          col("n_fused"))
+    }
+
     // On-disk inverted-index probe: SAME oracle as q_bm25_topk. The
     // persisted postings (built over 80% of the corpus, 20% appended,
     // then compacted — the full production lifecycle) must reproduce
