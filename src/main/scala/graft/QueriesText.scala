@@ -1936,6 +1936,29 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Deterministic training-order shuffle: the exact global
+    // permutation position (and its order-preserving shard) of every
+    // document in md5(doc_id:salt) order — the loader step between
+    // packing and export. The oracle IS the semantic spec (one global
+    // row_number over the hash order); the Spark side must reproduce
+    // it from per-shard windows + a broadcast triangle cumsum, never a
+    // global sort partition — any boundary or offset bug shifts pos
+    // and fails the hash.
+    register("q_shuffle_order",
+      """WITH h AS (SELECT doc_id,
+        |                  md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS hh
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(floor(CAST(concat('0x', substring(hh, 1, 2)) AS INT) * 64 / 256) AS INT) AS shard,
+        |       row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |FROM h
+        |ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.Sampling.shuffleDeterministic(
+        Tables.documents(s, dir), "doc_id", nShards = 64)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }
+
     // BM25 keyword retrieval: postings filtered to the query's terms
     // before any shuffle, corpus stats broadcast, per-doc score folded
     // in sorted term order so the double sum replays byte-exactly.

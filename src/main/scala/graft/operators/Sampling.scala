@@ -105,6 +105,44 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Reproducible global training-order shuffle — the loader step
+    * between packing ([[Packing]]/[[Sharding]]) and export: training
+    * wants the corpus in a fixed pseudo-random order, and that order
+    * must be REPRODUCIBLE (same corpus + seed → same order, on any
+    * cluster, after any retry) so a run can resume mid-epoch and an
+    * ablation can replay the exact data order.
+    *
+    * The permutation is md5(key:salt) order (ties broken by key — a
+    * total order). Emitted as (shard, pos): `shard` is an
+    * ORDER-PRESERVING hash-prefix range (shard boundaries align with
+    * the permutation, so shard files concatenate into the global
+    * order) and `pos` is the exact global 0-based position.
+    *
+    * Scale shape: never a global sort partition — per-shard counts
+    * cumulate through a broadcast triangle join (the two-phase
+    * cumulative sum of [[Sharding.sizeBudgeted]]), and the only sort
+    * is the within-shard window, each shard ~1/nShards of the corpus
+    * writing its own file. One shuffle on the shard key. */
+  def shuffleDeterministic(df: DataFrame, keyCol: String,
+                           nShards: Int = 64, salt: Int = 42): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, "nShards must be in 1..256")
+    val withH = df
+      .withColumn("__h", md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
+      .withColumn("shard",
+        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * nShards / 256)
+          .cast("int"))
+    val counts = withH.groupBy("shard").agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    withH.join(broadcast(offsets), Seq("shard"))
+      .withColumn("pos", col("__offset") + row_number().over(w) - 1)
+      .drop("__h", "__offset")
+  }
+
   /** Mix sources to target proportions: compute per-source keep rates
     * from the observed counts so the OUTPUT approximates `weights`
     * (scaled to the largest feasible total without upsampling). */

@@ -166,6 +166,38 @@ class SamplingSpec extends SparkSpec {
     assert(capped.length === 10 && capped.max === 1L)
   }
 
+  test("shuffleDeterministic: exact global permutation, shard-aligned, layout-independent") {
+    val df = (0L until 300L).map(id => (id, s"doc-$id")).toDF("doc_id", "payload")
+    val out = Sampling.shuffleDeterministic(df, "doc_id", nShards = 16)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    // pos is a bijection onto 0..N-1
+    assert(out.map(_._3).toSeq === (0L until 300L))
+    // the permutation IS md5(key:salt) order with a key tiebreak
+    val expected = (0L until 300L).sortBy { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h, id)
+    }
+    assert(out.map(_._1).toSeq === expected)
+    // shards are contiguous position ranges in shard order (files
+    // concatenate into the global order)
+    val byShard = out.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (sh, rows) => (sh, rows.map(_._3).min, rows.map(_._3).max) }
+    byShard.sliding(2).foreach {
+      case Seq((_, _, hiA), (_, loB, _)) => assert(hiA < loB, "shard ranges overlap")
+      case _ => ()
+    }
+    // layout independence: any input partitioning yields the same rows
+    val again = Sampling.shuffleDeterministic(df.repartition(7), "doc_id", nShards = 16)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(again.toSeq === out.toSeq)
+    // a different salt is a different permutation
+    val other = Sampling.shuffleDeterministic(df, "doc_id", nShards = 16, salt = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    assert(other.toSeq !== out.map(_._1).toSeq)
+  }
+
   test("zero budget drops the source entirely from BOTH mixers") {
     // a zero budget is the natural "drop this source" config; the
     // epoch mixer's sequence(0, nEp−1) must not descend into a
