@@ -1066,6 +1066,94 @@ object QueriesText {
         .orderBy("source")
     }
 
+    // Domain-grain corpus health — q_source_health at REGISTERED-DOMAIN
+    // grain, preceded by URL canonicalization (the CCNet/RefinedWeb
+    // stage before source-scoped dedup): lowercase scheme+host, strip
+    // userinfo/fragment/default port/www./trailing slash, drop
+    // tracking params, SORT the rest. The url column is synthesized
+    // deterministically from doc_id in BOTH engines (the testdata has
+    // no url column), covering dup-heavy domains, per-doc-unique
+    // paths, a co.uk and a com.au two-level suffix, uppercase hosts,
+    // and raw forms that only collide after canonicalization. Pure
+    // string expressions, map-only — one grouped census, domain-sized
+    // aggregates.
+    register("q_domain_health",
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE CAST(doc_id % 5 AS INT)
+        |           WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || CAST(doc_id % 4 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |           WHEN 1 THEN 'https://News.Example.co.uk/Article/' || CAST(doc_id AS VARCHAR) || '?fbclid=' || CAST(doc_id AS VARCHAR)
+        |           WHEN 2 THEN 'https://blog.Other.ORG:443/post/?b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN 3 THEN 'http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag'
+        |           ELSE 'https://Sub.Site.COM.AU/x/' || CAST(doc_id % 2 AS VARCHAR) || '//'
+        |         END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |         regexp_replace(regexp_replace(trim(url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM d),
+        |h0 AS (
+        |  SELECT *, regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^[^@]*@', '') AS hp,
+        |         regexp_replace(rest, '^[^/?]*', '') AS pq
+        |  FROM p),
+        |h1 AS (
+        |  SELECT *, CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+        |                 WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+        |                 ELSE hp END AS hp2
+        |  FROM h0),
+        |h2 AS (SELECT *, regexp_replace(hp2, '^www\.', '') AS host FROM h1),
+        |pc AS (
+        |  SELECT *, regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') AS path,
+        |         coalesce(array_to_string(list_sort(list_filter(string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+        |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)'))), '&'), '') AS q
+        |  FROM h2),
+        |c AS (
+        |  SELECT doc_id, n_chars, host,
+        |         sch || '://' || host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl,
+        |         CASE WHEN len(string_split(regexp_replace(host, ':\d+$', ''), '.')) >= 3
+        |                   AND array_to_string(string_split(regexp_replace(host, ':\d+$', ''), '.')[-2:], '.')
+        |                       IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','co.kr','co.in','co.nz','co.za','com.au','net.au','org.au','com.br','com.cn','com.mx','com.sg','com.tr')
+        |              THEN array_to_string(string_split(regexp_replace(host, ':\d+$', ''), '.')[-3:], '.')
+        |              WHEN len(string_split(regexp_replace(host, ':\d+$', ''), '.')) >= 2
+        |              THEN array_to_string(string_split(regexp_replace(host, ':\d+$', ''), '.')[-2:], '.')
+        |              ELSE regexp_replace(host, ':\d+$', '') END AS domain
+        |  FROM pc),
+        |cc AS (SELECT domain, host, curl, count(*) AS n, sum(n_chars) AS sc FROM c GROUP BY 1, 2, 3)
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |       CAST(count(*) AS BIGINT) AS n_canonical,
+        |       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS url_dup_frac,
+        |       round(CAST(sum(sc) AS DOUBLE) / sum(n), 2) AS avg_chars
+        |FROM cc GROUP BY domain ORDER BY domain""") { (s, dir) =>
+      val id = col("doc_id")
+      val url =
+        when(id % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
+          (id % 4).cast("string"), lit("/?utm_source=x&id="), (id % 3).cast("string")))
+        .when(id % 5 === 1, concat(lit("https://News.Example.co.uk/Article/"),
+          id.cast("string"), lit("?fbclid="), id.cast("string")))
+        .when(id % 5 === 2, concat(lit("https://blog.Other.ORG:443/post/?b=2&a="),
+          (id % 7).cast("string")))
+        .when(id % 5 === 3, lit("http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag"))
+        .otherwise(concat(lit("https://Sub.Site.COM.AU/x/"),
+          (id % 2).cast("string"), lit("//")))
+      val t = Tables.documents(s, dir).select(id, col("n_chars"),
+        graft.functions.Urls.canonicalizeUrl(url).as("curl"),
+        graft.functions.Urls.host(url).as("host"),
+        graft.functions.Urls.registeredDomain(url).as("domain"))
+      t.groupBy("domain", "host", "curl")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        .groupBy("domain")
+        .agg(
+          sum("n").as("n_docs"),
+          countDistinct("host").as("n_hosts"),
+          count(lit(1)).as("n_canonical"),
+          round(sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).cast("double")
+            / sum("n"), 4).as("url_dup_frac"),
+          round(sum("sc").cast("double") / sum("n"), 2).as("avg_chars"))
+        .orderBy("domain")
+    }
+
     // Source-scoped boilerplate removal (CCNet/RefinedWeb line-freq
     // filter over 8-token passages): a passage is boilerplate when it
     // recurs in ≥ 2 docs AND ≥ 5 % of the docs of its OWN source —

@@ -181,4 +181,44 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L).exists(_ > 0), "scored doc keeps its score")
     assert(got(2L).isEmpty, "NULL-text doc must survive with NULL, not drop")
   }
+
+  test("canonicalizeUrl: case, ports, userinfo, fragment, slash, tracking params, param sort") {
+    import graft.functions.Urls
+    val cases = Seq(
+      // scheme+host lowercase, www+default port stripped, fragment
+      // dropped, trailing slash stripped, tracking dropped, params sorted
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag" -> "http://example.com/a/b?a=2&z=1",
+      "https://site.org:443/" -> "https://site.org",
+      // NON-default port is identity-relevant and kept
+      "https://site.org:8080/p" -> "https://site.org:8080/p",
+      "http://user:pw@Host.com/x" -> "http://host.com/x",
+      // empty and all-tracking queries collapse to no query at all
+      "https://x.com/p?" -> "https://x.com/p",
+      "https://x.com/p?ref=abc&fbclid=1" -> "https://x.com/p",
+      // path case is preserved (paths are case-sensitive, hosts not)
+      "https://X.com/CaseSensitive" -> "https://x.com/CaseSensitive")
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalizeUrl($"u")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // raw variants that must COLLIDE post-canonicalization
+    val variants = Seq(
+      "https://www.shop.net/item?b=2&a=1",
+      "HTTPS://Shop.NET:443/item/?a=1&b=2&utm_medium=email")
+    val canon = variants.toDF("u")
+      .select(Urls.canonicalizeUrl($"u")).as[String].collect().toSet
+    assert(canon === Set("https://shop.net/item?a=1&b=2"))
+  }
+
+  test("registeredDomain: two-level public suffixes, ports, short hosts") {
+    import graft.functions.Urls
+    val cases = Seq(
+      "https://news.example.co.uk/x" -> "example.co.uk",
+      "https://a.b.site.com/x" -> "site.com",
+      "https://localhost/x" -> "localhost",
+      "https://sub.x.com.au:8080/" -> "x.com.au",
+      "http://www.gov.uk/" -> "gov.uk")
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.registeredDomain($"u")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }
