@@ -2498,6 +2498,46 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // REAL image decode (codec-free): each doc's text bytes become a
+    // spec-conformant binary PPM (P6 magic + header COMMENT + dims +
+    // maxval + RGB raster, r=v g=255−v b=v⊕85, 16-wide zero-padded
+    // rows) and every output column is read back by actually parsing
+    // the header tokenizer and walking the raster in a typed
+    // mapPartitions pass. The oracle recomputes the container
+    // arithmetic AND the exact per-channel byte sums from the text
+    // alone (via hex expansion) — a wrong header offset, a skipped
+    // comment byte, or a misaligned raster walk shifts a mean and
+    // fails the hash. The image analog of q_multimodal_wav.
+    register("q_multimodal_ppm",
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        |         hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents),
+        |d AS (SELECT doc_id, n, greatest(1, CAST(ceil(n / 16.0) AS BIGINT)) AS h, hx FROM b),
+        |v AS (SELECT doc_id, n, h,
+        |             list_transform(range(n),
+        |               i -> CAST(concat('0x', substring(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bytes
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(29 + length(CAST(h AS VARCHAR)) + 48 * h AS BIGINT) AS n_bytes,
+        |       CAST(16 AS BIGINT) AS width,
+        |       h AS height,
+        |       CAST(255 AS BIGINT) AS maxval,
+        |       CAST(16 * h AS BIGINT) AS n_pixels,
+        |       round(CAST(coalesce(list_sum(bytes), 0) AS DOUBLE) / (16 * h), 4) AS r_mean,
+        |       round(CAST(coalesce(list_sum(list_transform(bytes, x -> 255 - x)), 0) AS DOUBLE) / (16 * h), 4) AS g_mean,
+        |       round(CAST(coalesce(list_sum(list_transform(bytes, x -> xor(x, 85))), 0) AS DOUBLE) / (16 * h), 4) AS b_mean
+        |FROM v ORDER BY doc_id""") { (s, dir) =>
+      Multimodal.extractPpmFeatures(Multimodal.asPpmMedia(Tables.documents(s, dir)))
+        .select(
+          col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("maxval"), col("n_pixels"),
+          round(col("r_mean"), 4).as("r_mean"),
+          round(col("g_mean"), 4).as("g_mean"),
+          round(col("b_mean"), 4).as("b_mean"))
+        .orderBy("doc_id")
+    }
+
     // ---- BPE tokenizer training (operators/BpeTrainer.scala) ----
     // The corpus-scale half of building a tokenizer. q_bpe_pairs is
     // the first-iteration pair census (the one corpus-scale shuffle);

@@ -177,6 +177,141 @@ object Multimodal {
     }.toDF()
   }
 
+  // ───────────────────── real codec-free decode: binary PPM ─────────────────────
+  // P6 PPM (netpbm) is to images what PCM WAV is to audio: a header +
+  // raw raster, no compression — header tokenizing and pixel math need
+  // no external libraries, so this image-decode path is REAL and closes
+  // the multimodal image half the stubs above only shape.
+
+  case class PpmInfo(width: Int, height: Int, maxval: Int, rasterOffset: Int)
+  case class PpmFeatures(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                         maxval: Long, n_pixels: Long,
+                         r_mean: Double, g_mean: Double, b_mean: Double)
+
+  /** Encode bytes as a spec-conformant binary PPM (P6): magic, a
+    * header COMMENT (forces decoders to implement the real header
+    * tokenizer instead of a fixed-offset read), width/height/maxval,
+    * then one RGB pixel per input byte — r = v, g = 255−v, b = v⊕85 —
+    * row width 16, last row zero-padded. Empty input encodes one
+    * all-zero row (a 0-high image is not a valid PPM). Deterministic:
+    * same bytes → same file. */
+  def ppmEncode(src: Array[Byte], width: Int = 16): Array[Byte] = {
+    require(width >= 1, "width must be positive")
+    val h = math.max(1, math.ceil(src.length / width.toDouble).toInt)
+    val header = s"P6\n# graft synthetic\n$width $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](width * h * 3)
+    var i = 0
+    while (i < src.length) {
+      val v = src(i) & 0xff
+      raster(3 * i) = v.toByte
+      raster(3 * i + 1) = (255 - v).toByte
+      raster(3 * i + 2) = (v ^ 85).toByte
+      i += 1
+    }
+    header ++ raster
+  }
+
+  /** REAL P6 header parse: whitespace/comment-tolerant token scan with
+    * hostile-header guards — non-P6 magic, non-decimal tokens, header
+    * values overflowing Int, maxval > 255 (two-byte samples — a real
+    * format variant this decoder does not speak: fail loudly, never
+    * misread), zero dims, and a raster shorter than width×height×3
+    * claims (the PPM analog of the WAV chunk-overrun guard; the byte
+    * need is computed in LONG arithmetic so huge dims cannot wrap). */
+  def decodePpm(payload: Array[Byte]): PpmInfo = {
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+      "not a P6 PPM payload")
+    var off = 2
+    def skipSpaceAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (off < payload.length && Character.isWhitespace(payload(off))) {
+          off += 1; moved = true
+        }
+        if (off < payload.length && payload(off) == '#') {
+          while (off < payload.length && payload(off) != '\n') off += 1
+          moved = true
+        }
+      }
+    }
+    def token(): Long = {
+      skipSpaceAndComments()
+      require(off < payload.length && payload(off) >= '0' && payload(off) <= '9',
+        "malformed PPM header: expected a decimal token")
+      var v = 0L
+      while (off < payload.length && payload(off) >= '0' && payload(off) <= '9') {
+        v = v * 10 + (payload(off) - '0')
+        require(v <= Int.MaxValue, "PPM header value overflows")
+        off += 1
+      }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    require(w >= 1 && h >= 1, s"PPM dims ${w}x$h must be positive")
+    require(maxval >= 1 && maxval <= 255,
+      s"PPM maxval $maxval unsupported (maxval > 255 means two-byte samples)")
+    require(off < payload.length && Character.isWhitespace(payload(off)),
+      "malformed PPM header: missing raster separator")
+    off += 1
+    val need = w * h * 3L
+    require(need <= payload.length - off.toLong,
+      s"PPM raster claims $need bytes but only ${payload.length - off} remain — corrupt payload")
+    PpmInfo(w.toInt, h.toInt, maxval.toInt, off)
+  }
+
+  /** Documents as real PPM media (the image analog of [[asWavMedia]]). */
+  def asPpmMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, ppmEncode(text.getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/x-portable-pixmap").as("format"),
+          length(col("payload")).as("n_bytes"),
+          lit("ppm-encode").as("origin")).as("media_meta"))
+  }
+
+  /** Image features via the partition-local typed pass, REAL decoder:
+    * dimensions/maxval come from the parsed header and the per-channel
+    * means from walking the actual raster bytes (exact integer sums,
+    * one double division at the end), so a wrong header offset, a
+    * missed comment, or a raster misread fails the q_multimodal_ppm
+    * oracle gate. */
+  def extractPpmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = media.select(
+      col("doc_id"),
+      col("payload"),
+      col("media_meta.format").as("format"),
+      col("media_meta.n_bytes").cast("long").as("n_bytes")).as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.map { r =>
+        val info = decodePpm(r.payload)
+        val n = info.width.toLong * info.height
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = info.rasterOffset
+        val end = info.rasterOffset + n.toInt * 3
+        while (i < end) {
+          sr += r.payload(i) & 0xff
+          sg += r.payload(i + 1) & 0xff
+          sb += r.payload(i + 2) & 0xff
+          i += 3
+        }
+        PpmFeatures(r.doc_id, r.n_bytes, info.width.toLong, info.height.toLong,
+          info.maxval.toLong, n,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }.toDF()
+  }
+
   /** Frame-sample features via a partition-local typed pass
     * (the `mapPartitions` batch shape a real decoder needs). */
   def extractFeatures(media: DataFrame, frameSize: Int = 16): DataFrame = {

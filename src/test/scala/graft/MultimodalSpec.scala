@@ -81,4 +81,63 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0).getAs[Double]("dur_ms") === n0 * 1000.0 / 8000)
     assert(f(2).getAs[Long]("n_samples") === 0L, "empty doc → zero samples")
   }
+
+  test("ppmEncode/decodePpm: real header tokenizer, comment skip, hostile-header guards") {
+    val payload = Multimodal.ppmEncode("abc".getBytes("UTF-8"))
+    val info = Multimodal.decodePpm(payload)
+    assert(info === Multimodal.PpmInfo(16, 1, 255, 30),
+      "16x1 padded row; header = 29 + digits(h) bytes")
+    assert(payload.length === 30 + 48, "container arithmetic: header + 3*16*1 raster")
+    // pixel derivation: r=v, g=255-v, b=v^85 for 'a' (97)
+    assert((payload(info.rasterOffset) & 0xff) === 97)
+    assert((payload(info.rasterOffset + 1) & 0xff) === 158)
+    assert((payload(info.rasterOffset + 2) & 0xff) === (97 ^ 85))
+    // empty input encodes one all-zero row (0-high PPM is invalid)
+    assert(Multimodal.decodePpm(Multimodal.ppmEncode(Array.emptyByteArray)).height === 1)
+    // a third-party header layout (extra whitespace, comments between
+    // EVERY token, multi-digit dims) parses too — it's a tokenizer,
+    // not a fixed-offset read
+    val tp = ("P6 # c1\n  2\n# between dims\n 3\t255\n" + "x" * 18).getBytes("US-ASCII")
+    assert(Multimodal.decodePpm(tp).width === 2)
+    assert(Multimodal.decodePpm(tp).height === 3)
+    // hostile headers fail loudly, never misread:
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n1 1\n255\nxxx".getBytes("US-ASCII")) // wrong magic
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(("P6\n1 1\n65535\n" + "xx").getBytes("US-ASCII")) // 2-byte samples
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n4 4\n255\nxxx".getBytes("US-ASCII")) // truncated raster
+    }
+    intercept[IllegalArgumentException] { // dims that overflow int
+      Multimodal.decodePpm("P6\n99999999999 1\n255\nx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n0 5\n255\nx".getBytes("US-ASCII")) // zero dim
+    }
+  }
+
+  test("extractPpmFeatures: dims and channel means come from parsing the raster") {
+    val f = Multimodal.extractPpmFeatures(Multimodal.asPpmMedia(docs))
+      .orderBy("doc_id").collect()
+    val src = "hello world this is a binary payload stand-in".getBytes("UTF-8")
+    val h = math.ceil(src.length / 16.0).toInt
+    val n = 16L * h
+    assert(f(0).getAs[Long]("width") === 16L)
+    assert(f(0).getAs[Long]("height") === h.toLong)
+    assert(f(0).getAs[Long]("n_pixels") === n)
+    assert(f(0).getAs[Long]("n_bytes") === 29L + h.toString.length + 48L * h)
+    // channel means: exact integer sums over the derived pixels,
+    // zero-padding included in the denominator
+    val sr = src.map(_ & 0xff).sum.toDouble
+    val sg = src.map(v => 255 - (v & 0xff)).sum.toDouble
+    val sb = src.map(v => (v & 0xff) ^ 85).sum.toDouble
+    assert(f(0).getAs[Double]("r_mean") === sr / n)
+    assert(f(0).getAs[Double]("g_mean") === sg / n)
+    assert(f(0).getAs[Double]("b_mean") === sb / n)
+    // empty doc → the all-zero 16x1 row
+    assert(f(2).getAs[Long]("n_pixels") === 16L)
+    assert(f(2).getAs[Double]("r_mean") === 0.0)
+  }
 }
