@@ -128,6 +128,21 @@ object QueriesText {
     })
   }
 
+  /** Persisted bigram-LM artifact pair per (JVM, source dir): the full
+    * count-table model fit once, then QUANTIZED into its deploy tier
+    * (fixed-point interpolated log-probs — the KenLM trick). The
+    * q_lm_quantized gate scores the corpus against BOTH tiers and
+    * bounds the quantization error. */
+  private def lmArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"lm:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-lm").toString
+      graft.operators.LanguageModel.saveModel(Tables.documents(s, dir), s"$path/full")
+      graft.operators.LanguageModel.quantizeModel(s, s"$path/full", s"$path/q")
+      path
+    })
+  }
+
   /** Persisted BPE tokenizer artifact per (JVM, source dir): learned
     * once (8 merges), saved via [[graft.operators.BpeTrainer.saveMerges]],
     * loaded by every q_bpe_encode/q_bpe_vocab execution — the
@@ -2607,6 +2622,66 @@ object QueriesText {
         |FROM scored GROUP BY doc_id ORDER BY ppl DESC, doc_id LIMIT 25""") { (s, dir) =>
       graft.operators.LanguageModel.docPerplexity(Tables.documents(s, dir))
         .orderBy(col("ppl").desc, col("doc_id")).limit(25)
+    }
+
+    // Quantized LM deploy tier: the persisted count-table LM is
+    // quantized to fixed-point interpolated log-probs (floor(lp·2^9) —
+    // the KenLM deploy trick: score time is table lookups + one
+    // multiply, no division/interpolation arithmetic) and the WHOLE
+    // corpus is scored against both tiers. The gate bounds the error:
+    // floor can only lower each ln-prob by < 2^-9, so quantized
+    // perplexity must sit in [ppl·(1−ε), ppl·exp(2^-9)+ε]. DuckDB
+    // pins the scored-doc count and asserts the bound held.
+    register("q_lm_quantized",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS within_bound
+        |FROM (SELECT doc_id,
+        |             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |      FROM documents) t
+        |WHERE len(tk) >= 2""") { (s, dir) =>
+      val root = lmArtifactRoot(s, dir)
+      val docs = Tables.documents(s, dir)
+      val full = graft.operators.LanguageModel.perplexityWithModel(docs, s"$root/full")
+        .select(col("doc_id"), col("ppl"))
+      val q = graft.operators.LanguageModel.perplexityWithQuantizedModel(docs, s"$root/q")
+        .select(col("doc_id"), col("ppl").as("ppl_q"))
+      full.join(q.hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("ratio", col("ppl_q") / col("ppl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("ratio")) <= math.exp(math.pow(2.0, -9)) + 1e-4
+            && min(col("ratio")) >= 1.0 - 1e-4).as("within_bound"))
+    }
+
+    // Artifact-size telemetry for the two LM tiers — the observable
+    // behind "the deploy ships the quantized tier". Table row counts
+    // are oracle-exact (DuckDB re-derives the vocab/bigram table
+    // sizes from the same construction); on-disk bytes are real FS
+    // numbers folded into a sanity boolean (encodings are not
+    // SQL-replayable).
+    register("q_lm_artifact_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |seq AS (SELECT doc_id, i AS pos, tk[i] AS w
+        |        FROM toks, unnest(range(1, len(tk)+1)) AS t(i)),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS n FROM seq GROUP BY 1) t
+        |          ORDER BY n DESC, w LIMIT 256),
+        |mapped AS (SELECT s.doc_id, s.pos,
+        |                  CASE WHEN v.w IS NOT NULL THEN s.w ELSE '<unk>' END AS w
+        |           FROM seq s LEFT JOIN vocab v ON s.w = v.w),
+        |trans AS (SELECT doc_id, pos,
+        |                 lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+        |          FROM mapped QUALIFY w1 IS NOT NULL)
+        |SELECT CAST(least(4096, (SELECT count(*) FROM (SELECT DISTINCT w1, w2 FROM trans) b)) AS BIGINT) AS bi_rows,
+        |       CAST(least(4096, (SELECT count(*) FROM (SELECT DISTINCT w1, w2 FROM trans) b)) AS BIGINT) AS qbi_rows,
+        |       CAST((SELECT count(DISTINCT w) FROM mapped)
+        |            + (CASE WHEN (SELECT count(*) FROM mapped WHERE w = '<unk>') > 0
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS quni_rows,
+        |       TRUE AS bytes_ok""") { (s, dir) =>
+      val root = lmArtifactRoot(s, dir)
+      graft.operators.LanguageModel.modelSizeStats(s, s"$root/full", s"$root/q")
+        .select(col("bi_rows"), col("qbi_rows"), col("quni_rows"),
+          (col("full_bytes") > 0 && col("q_bytes") > 0
+            && col("byte_ratio") > 0.0 && col("byte_ratio") <= 1.5).as("bytes_ok"))
     }
 
     // ---- DSIR importance resampling (operators/ImportanceSampling) ----

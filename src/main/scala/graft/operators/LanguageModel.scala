@@ -69,7 +69,7 @@ object LanguageModel {
     * its own tokens); it keeps a zero-count `<unk>` from minting NaN. */
   private def scoreTrans(trans: DataFrame, uni: DataFrame, bi: DataFrame,
                          totals: DataFrame, lambda: Double): DataFrame =
-    trans
+    pplFold(trans
       .join(broadcast(bi), Seq("w1", "w2"), "left")
       .join(broadcast(uni.withColumnRenamed("w", "w1")
         .withColumnRenamed("cu", "c1")), Seq("w1"))
@@ -80,7 +80,12 @@ object LanguageModel {
         when(col("c1") > 0,
           lit(lambda) * coalesce(col("cb").cast("double"), lit(0.0)) / col("c1"))
           .otherwise(lit(0.0))
-          + lit(1.0 - lambda) * (col("c2") + lit(1.0)) / (col("n_corpus") + col("v_eff"))))
+          + lit(1.0 - lambda) * (col("c2") + lit(1.0)) / (col("n_corpus") + col("v_eff")))))
+
+  /** Per-doc perplexity fold over (doc_id, pos, lp) transitions, in
+    * position order — shared by the full and quantized scorers. */
+  private def pplFold(scored: DataFrame): DataFrame =
+    scored
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("cs"))
       .select(col("doc_id"),
@@ -142,5 +147,96 @@ object LanguageModel {
     val trans = transitionsOf(mapped(docs, spark.read.parquet(s"$path/vocab")))
     scoreTrans(trans, spark.read.parquet(s"$path/uni"),
       spark.read.parquet(s"$path/bi"), spark.read.parquet(s"$path/totals"), lambda)
+  }
+
+  // ───────────────────── quantized deploy tier ─────────────────────
+  // The 100 TB deploy does not ship count tables: it ships QUANTIZED
+  // log-probs (the KenLM trick), so score time is pure table lookups
+  // + a per-doc fold — no division, no interpolation arithmetic, and
+  // the bigram table carries one small integer instead of counts.
+
+  /** Quantize a persisted LM into its deploy artifact at `qPath`:
+    * per stored bigram the FULL interpolated ln p(w2|w1), per vocab
+    * word the backoff ln-prob (the exact value [[scoreTrans]] uses
+    * when the bigram is pruned/absent, including the c1 = 0 guard
+    * case), both at fixed point floor(lp · 2^scaleBits) — floor, not
+    * round, the codebase's cross-engine determinism rule. λ is baked
+    * into the codes (changing it means re-quantizing, exactly like a
+    * real deploy). Error per transition < 2^−scaleBits, so quantized
+    * perplexity sits in [ppl, ppl·exp(2^−scaleBits)] — the spec'd
+    * bound LanguageModelSpec pins. */
+  def quantizeModel(spark: SparkSession, path: String, qPath: String,
+                    lambda: Double = 0.7, scaleBits: Int = 9): Unit = {
+    require(scaleBits >= 1 && scaleBits <= 20, "scaleBits must be in 1..20")
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "bigram LM")
+    val uni = spark.read.parquet(s"$path/uni")
+    val bi = spark.read.parquet(s"$path/bi")
+    val totals = spark.read.parquet(s"$path/totals")
+    val s = (1L << scaleBits).toDouble
+    val backoffLp = log(lit(1.0 - lambda) * (col("cu") + lit(1.0))
+      / (col("n_corpus") + col("v_eff")))
+    uni.crossJoin(broadcast(totals))
+      .select(col("w"), floor(backoffLp * s).cast("int").as("q"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$qPath/quni")
+    val biLp = log(
+      when(col("c1") > 0, lit(lambda) * col("cb").cast("double") / col("c1"))
+        .otherwise(lit(0.0))
+        + lit(1.0 - lambda) * (col("c2") + lit(1.0)) / (col("n_corpus") + col("v_eff")))
+    bi
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), floor(biLp * s).cast("int").as("q"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$qPath/qbi")
+    spark.read.parquet(s"$path/vocab")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qPath/vocab")
+    graft.sources.IndexMeta.write(spark, s"$qPath/meta.json",
+      Seq("scaleBits" -> scaleBits.toLong,
+        "lambdaMicro" -> Math.round(lambda * 1e6),
+        "vocabSize" -> meta("vocabSize"), "maxBigrams" -> meta("maxBigrams")))
+  }
+
+  /** Score a batch against the QUANTIZED artifact: OOV-map against the
+    * shipped vocab, then every transition's ln-prob is ONE lookup —
+    * the bigram code, else the w2 backoff code — dequantized by a
+    * single multiply. Same fold as the full scorer. */
+  def perplexityWithQuantizedModel(docs: DataFrame, qPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$qPath/meta.json", "quantized LM")
+    val scaleBits = meta.getOrElse("scaleBits",
+      sys.error(s"quantized LM meta at $qPath lacks scaleBits")).toInt
+    val s = (1L << scaleBits).toDouble
+    val trans = transitionsOf(mapped(docs, spark.read.parquet(s"$qPath/vocab")))
+    val qbi = spark.read.parquet(s"$qPath/qbi")
+    val quni = spark.read.parquet(s"$qPath/quni")
+      .select(col("w").as("w2"), col("q").as("qb"))
+    pplFold(trans
+      .join(broadcast(qbi), Seq("w1", "w2"), "left")
+      .join(broadcast(quni), Seq("w2"))
+      .withColumn("lp", coalesce(col("q"), col("qb")).cast("double") / s))
+  }
+
+  /** Artifact-size telemetry for the two LM tiers: table row counts
+    * and on-disk bytes, plus the quantized/full byte ratio — the
+    * observable behind "the deploy ships the quantized tier". One
+    * metadata pass (no data scan for the byte counts). */
+  def modelSizeStats(spark: SparkSession, path: String, qPath: String): DataFrame = {
+    import spark.implicits._
+    def bytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(hp).getLength
+    }
+    val fullBytes = Seq("vocab", "uni", "bi", "totals").map(t => bytes(s"$path/$t")).sum
+    val qBytes = Seq("vocab", "quni", "qbi").map(t => bytes(s"$qPath/$t")).sum
+    Seq((
+      spark.read.parquet(s"$path/bi").count(),
+      spark.read.parquet(s"$qPath/qbi").count(),
+      spark.read.parquet(s"$path/uni").count(),
+      spark.read.parquet(s"$qPath/quni").count(),
+      fullBytes, qBytes,
+      BigDecimal(qBytes.toDouble / fullBytes)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("bi_rows", "qbi_rows", "uni_rows", "quni_rows",
+        "full_bytes", "q_bytes", "byte_ratio")
   }
 }

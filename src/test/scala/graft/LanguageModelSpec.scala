@@ -67,6 +67,45 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("quantized deploy tier: perplexity within the fixed-point bound, meta guards, telemetry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lmq").toString
+    LanguageModel.saveModel(corpus, s"$root/full", vocabSize = 64, maxBigrams = 64)
+    LanguageModel.quantizeModel(spark, s"$root/full", s"$root/q", scaleBits = 9)
+    val batch = corpus.unionByName(
+      Seq((301L, "xylophone quark zephyr blimp ostrich waffle")).toDF("doc_id", "text"))
+    val full = LanguageModel.perplexityWithModel(batch, s"$root/full",
+      vocabSize = 64, maxBigrams = 64)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    val q = LanguageModel.perplexityWithQuantizedModel(batch, s"$root/q")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(q.keySet === full.keySet, "both tiers must score the same docs")
+    // floor-quantization can only RAISE each transition's -lnp by
+    // < 2^-9, so ppl_q ∈ [ppl·(1−ε), ppl·exp(2^-9)+ε]
+    val hi = math.exp(math.pow(2.0, -9)) + 1e-4
+    q.foreach { case (id, pq) =>
+      val ratio = pq / full(id)
+      assert(ratio >= 1.0 - 1e-4 && ratio <= hi,
+        s"doc $id quantization error out of bound: full=${full(id)} q=$pq ratio=$ratio")
+    }
+    // the quantized scorer is genuinely coarser: at a BRUTAL scale
+    // (2^1) the scores must diverge — proving the q codes, not the
+    // full tables, produced the result above
+    LanguageModel.quantizeModel(spark, s"$root/full", s"$root/q1", scaleBits = 1)
+    val coarse = LanguageModel.perplexityWithQuantizedModel(batch, s"$root/q1")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(coarse.exists { case (id, p) => math.abs(p / full(id) - 1) > 0.01 },
+      "scaleBits=1 scoring suspiciously equals the full model")
+    // telemetry: quantized tables mirror the full tiers' row counts
+    val st = LanguageModel.modelSizeStats(spark, s"$root/full", s"$root/q").collect().head
+    assert(st.getAs[Long]("qbi_rows") === st.getAs[Long]("bi_rows"))
+    assert(st.getAs[Long]("quni_rows") === st.getAs[Long]("uni_rows"))
+    assert(st.getAs[Long]("full_bytes") > 0 && st.getAs[Long]("q_bytes") > 0)
+    // an unbuilt quantized path fails loudly
+    intercept[IllegalArgumentException] {
+      LanguageModel.perplexityWithQuantizedModel(batch, s"$root/missing")
+    }
+  }
+
   test("single-token and empty docs are excluded (no transitions)") {
     val d = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
       Seq((200L, "solo"), (201L, ""))).toDF("doc_id", "text")
