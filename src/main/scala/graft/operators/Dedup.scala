@@ -752,7 +752,21 @@ object Dedup {
   def readComponentState(spark: SparkSession, statePath: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
     recoverComponentState(spark, statePath)
-    spark.read.parquet(s"$statePath/components").select("doc_id", "group_id")
+    componentStateDf(spark, statePath).select("doc_id", "group_id")
+  }
+
+  /** The on-disk state as a DataFrame — schema-stable even when the
+    * state is EMPTY (a build over zero pairs, the natural seed for a
+    * fresh streaming ingest, writes no partition files at all, and a
+    * bare parquet read of that dir cannot infer a schema). */
+  private def componentStateDf(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("gb="))
+    if (hasData) spark.read.parquet(s"$statePath/components")
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("group_id"),
+      lit(0).cast("int").as("gb"))
   }
 
   /** Merge a batch's near-dup pairs into the persisted component
@@ -767,7 +781,7 @@ object Dedup {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(stateBuckets.toLong)).cast("int")
     recoverComponentState(spark, statePath)
-    val state = spark.read.parquet(s"$statePath/components")
+    val state = componentStateDf(spark, statePath)
     val Array(ca, cb) = newPairs.columns.take(2)
     val edges = newPairs.select(col(ca).as("u"), col(cb).as("v"))
       .where(col("u") =!= col("v")).distinct()

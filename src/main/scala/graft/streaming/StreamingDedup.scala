@@ -84,7 +84,8 @@ object StreamingDedup {
                          acceptedPath: String, rejectedPath: String,
                          shingleK: Int = 3, bands: Int = 16,
                          rowsPerBand: Int = 4,
-                         threshold: Double = 0.5): Unit = {
+                         threshold: Double = 0.5,
+                         groupStatePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // pin: the batch feeds the index probe, the self-join, and the
     // accepted/rejected splits — one tokenize+hash pass, not four
@@ -118,6 +119,18 @@ object StreamingDedup {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(rejectedPath)
     Dedup.appendToLshIndex(accepted, indexPath, shingleK, bands, rowsPerBand)
+    // duplicate-GROUP state fold: the batch's verified near-dup EDGES
+    // (index matches + within-batch pairs; id collisions are audit
+    // rows, not similarity edges) merge into the persisted component
+    // state — rounds ∝ batch, bucket-pruned relabels
+    // (Dedup.mergeComponentState), so group assignment keeps pace with
+    // ingest instead of waiting for a global CC batch job. A replayed
+    // batch re-presents the same edges and the merge no-ops.
+    groupStatePath.foreach { sp =>
+      Dedup.mergeComponentState(
+        rejected.filter(col("via") =!= "id_collision")
+          .select(col("doc_id"), col("matched_id")), sp)
+    }
   }
 
   /** The ingest service as a streaming query: drain the document
@@ -127,13 +140,14 @@ object StreamingDedup {
   def nearDupIngest(docs: DataFrame, indexPath: String, acceptedPath: String,
                     rejectedPath: String, checkpoint: String,
                     shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                    threshold: Double = 0.5): StreamingQuery =
+                    threshold: Double = 0.5,
+                    groupStatePath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestNearDupBatch(batch, id, indexPath, acceptedPath, rejectedPath,
-          shingleK, bands, rowsPerBand, threshold)
+          shingleK, bands, rowsPerBand, threshold, groupStatePath)
       }
       .start()
 }

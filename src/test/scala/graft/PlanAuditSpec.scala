@@ -32,4 +32,26 @@ class PlanAuditSpec extends SparkSpec {
           assert(!plan.contains(b), s"$b found in $name's physical plan"))
       }
     }
+
+  test("committed PLAN_AUDIT.txt covers exactly the registered queries (no stale dump)") {
+    // the round-close evidence gate: registering a query without
+    // regenerating the committed shuffle/pushdown dump fails the suite,
+    // so the detailed audit (runMain graft.PlanAudit > PLAN_AUDIT.txt)
+    // can never silently go stale again
+    val dump = java.nio.file.Paths.get("PLAN_AUDIT.txt")
+    assert(java.nio.file.Files.exists(dump), "PLAN_AUDIT.txt missing — run graft.PlanAudit")
+    val dumped = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(dump)).asScala
+      .filter(_.startsWith("q_")).map(_.split("\\s+")(0)).toSet
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- dumped
+    val stale = dumped -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"PLAN_AUDIT.txt is stale — regenerate with 'sbt \"runMain graft.PlanAudit\" > PLAN_AUDIT.txt'. " +
+        s"Missing from dump: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"no longer registered: ${stale.toSeq.sorted.mkString(",")}")
+    assert(dumped.nonEmpty && scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(dump)).asScala.exists(_.startsWith("AUDIT FLAGS: 0")),
+      "PLAN_AUDIT.txt must end with AUDIT FLAGS: 0")
+  }
 }

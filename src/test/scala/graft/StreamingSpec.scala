@@ -60,6 +60,10 @@ class StreamingSpec extends SparkSpec {
     // seed corpus: docs 1, 2 already in the index
     Dedup.buildLshIndex(
       Seq((1L, words(1)), (2L, words(2))).toDF("doc_id", "text"), idx)
+    // duplicate-group state, seeded EMPTY: the ingest folds each
+    // batch's verified edges into it (work ∝ batch, no global CC)
+    val ccState = s"$root/ccstate"
+    Dedup.buildComponentState(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), ccState)
 
     def land(name: String, rows: Seq[(Long, String)]): Unit =
       Files.write(java.nio.file.Paths.get(s"$raw/$name"),
@@ -76,7 +80,8 @@ class StreamingSpec extends SparkSpec {
       13L -> words(13)))
     def drain(): Unit = {
       val docs = spark.readStream.schema(schema).json(raw)
-      val q = StreamingDedup.nearDupIngest(docs, idx, acc, rej, s"$root/ckpt")
+      val q = StreamingDedup.nearDupIngest(docs, idx, acc, rej, s"$root/ckpt",
+        groupStatePath = Some(ccState))
       q.awaitTermination()
     }
     drain()
@@ -114,9 +119,23 @@ class StreamingSpec extends SparkSpec {
     // not merely idempotent on ids
     val rejBefore = spark.read.parquet(rej).collect().toSet
     val replay1 = spark.read.schema(schema).json(s"$raw/d1.json")
-    StreamingDedup.ingestNearDupBatch(replay1, batchId = 0L, idx, acc, rej)
+    StreamingDedup.ingestNearDupBatch(replay1, batchId = 0L, idx, acc, rej,
+      groupStatePath = Some(ccState))
     val rejAfter = spark.read.parquet(rej).collect().toSet
     assert(rejAfter === rejBefore, "replayed rejected partition must be row-identical")
+
+    // duplicate-group state: the per-batch edge folds (incl. the two
+    // replays above, which must no-op) leave EXACTLY the components a
+    // global CC over every flagged pair would compute
+    val allPairs = spark.read.parquet(rej)
+      .filter($"via" =!= "id_collision")
+      .select($"doc_id".as("doc_a"), $"matched_id".as("doc_b"))
+    val expected = Dedup.connectedComponents(allPairs)
+      .as[(Long, Long)].collect().toSet
+    val got = Dedup.readComponentState(spark, ccState)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected,
+      "incremental group state diverged from the full-recompute components")
   }
 
   test("id collision: reused indexed doc_id with different text is audited, not accepted") {
