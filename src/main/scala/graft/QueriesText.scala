@@ -2191,11 +2191,17 @@ object QueriesText {
       val emb = Tables.embeddings(s, dir)
       val probe0 = emb.filter(col("vec_id") === 0)
       val truth = Similarity.bruteTopK(emb, probe0, 50).select("q_id", "n_id")
-      val dense = Similarity.ivfTopKIndexed(s, ivfIndexRoot(s, dir), probe0, 50, nProbe = 12)
-        .select("q_id", "n_id").withColumn("hit", lit(1L))
+      // ONE on-disk dense probe feeds both legs: the recall gate and
+      // the fused count (re-invoking q_hybrid_rrf_indexed here would
+      // run both index probes a second time with identical parameters)
+      val denseTop = Similarity.ivfTopKIndexed(s, ivfIndexRoot(s, dir), probe0, 50, nProbe = 12)
+        .localCheckpoint()
+      val dense = denseTop.select("q_id", "n_id").withColumn("hit", lit(1L))
       val recall = truth.join(broadcast(dense), Seq("q_id", "n_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
-      val fusedN = SparkEntry.queries("q_hybrid_rrf_indexed")(s, dir)
+      val fusedN = graft.operators.HybridRetrieval.rrfFuse(
+          lexIdx, denseTop.select(col("n_id").as("id"), col("rnk").as("rank")), 60)
+        .orderBy(col("rrf").desc, col("id")).limit(15)
         .agg(count(lit(1)).as("n_fused"))
       lexMism.crossJoin(recall).crossJoin(fusedN)
         .select((col("n_mism") === 0).as("lex_exact_ok"),
@@ -2647,8 +2653,12 @@ object QueriesText {
       full.join(q.hint("shuffle_hash"), Seq("doc_id"))
         .withColumn("ratio", col("ppl_q") / col("ppl"))
         .agg(count(lit(1)).as("n_docs"),
-          (max(col("ratio")) <= math.exp(math.pow(2.0, -9)) + 1e-4
-            && min(col("ratio")) >= 1.0 - 1e-4).as("within_bound"))
+          // coalesce: over zero scored docs max/min are NULL and the
+          // bound must hold VACUOUSLY (the oracle's constant TRUE)
+          coalesce(
+            max(col("ratio")) <= math.exp(math.pow(2.0, -9)) + 1e-4
+              && min(col("ratio")) >= 1.0 - 1e-4,
+            lit(true)).as("within_bound"))
     }
 
     // Artifact-size telemetry for the two LM tiers — the observable

@@ -749,9 +749,25 @@ object Dedup {
 
   /** The current (doc_id, group_id) state. Fails loudly on an unbuilt
     * path (the meta guard, as for every persisted artifact). */
+  /** The current (doc_id, group_id) state. NON-destructive by design:
+    * crash recovery mutates the directory and belongs to the single
+    * writer ([[mergeComponentState]] runs it on entry) — a reader
+    * racing an in-flight merge must never delete its staging or
+    * restore its aside buckets. If an interrupted merge left an aside
+    * bucket with no promoted target, the state is incomplete and this
+    * read fails LOUDLY (re-run the failed merge to heal) instead of
+    * silently returning a state missing that bucket's groups. */
   def readComponentState(spark: SparkSession, statePath: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
-    recoverComponentState(spark, statePath)
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      require(!(name.endsWith("__old") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, name.stripSuffix("__old")))),
+        s"component state at $statePath has an unhealed interrupted merge " +
+          s"($name with no promoted target) — re-run the failed mergeComponentState")
+    }
     componentStateDf(spark, statePath).select("doc_id", "group_id")
   }
 
@@ -849,9 +865,15 @@ object Dedup {
 
   /** Heal the component-state crash windows of [[mergeComponentState]]:
     * restore any bucket whose promote was interrupted mid-rename
-    * (`gb=b__old` present with `gb=b` missing), drop completed asides,
-    * and clear an orphaned staging dir. Runs at the start of every
-    * merge; idempotent. */
+    * (`gb=b__old` present with `gb=b` missing) and drop completed
+    * asides. Runs ONLY at the start of a merge — the single-writer
+    * entry point, same placement as Sinks.recoverMergeTarget; the read
+    * path never mutates (a reader racing a live merge must not touch
+    * its directories). An orphaned staging dir needs no explicit
+    * cleanup: the next merge's mode("overwrite") staging write
+    * replaces it. Concurrent merges to one statePath are not
+    * supported (the same single-writer contract as every persisted
+    * artifact here). Idempotent. */
   private def recoverComponentState(spark: SparkSession, statePath: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -865,7 +887,6 @@ object Dedup {
         } else fs.delete(st.getPath, true)
       }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/components__staged"), true)
   }
 
   /** Canonical-document selection over resolved duplicate groups: keep

@@ -19,10 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** md5(key:salt) — the one salted row-key digest every operator in
+    * this file derives decisions from. */
+  private def saltedHash(keyCol: Column, salt: Int): Column =
+    md5(concat(keyCol.cast("string"), lit(":"), lit(salt.toString)))
+
   /** Uniform in [0, 1): first 15 hex chars of md5 (60 bits) / 2^60. */
   private def unit(keyCol: Column, salt: Int): Column =
-    conv(substring(md5(concat(keyCol.cast("string"), lit(":"), lit(salt.toString))), 1, 15),
-      16, 10).cast("long").cast("double") / 1152921504606846976.0
+    conv(substring(saltedHash(keyCol, salt), 1, 15), 16, 10)
+      .cast("long").cast("double") / 1152921504606846976.0
+
+  /** Order-preserving bucket of a hex digest's first byte: bucket
+    * boundaries align with the digest sort order, so bucketing a
+    * hash-ordered stream keeps buckets contiguous. Shared by the
+    * two-phase cumulative sums here ([[shuffleDeterministic]],
+    * [[tokenBudgetMix]]'s running totals) — one formula, one place
+    * to change it. */
+  private def prefixBucket(h: Column, n: Int): Column =
+    floor(conv(substring(h, 1, 2), 16, 10).cast("int") * n / 256).cast("int")
 
   /** Keep each row of stratum s with probability rates(s) —
     * key-hash-deterministic. Strata missing from `rates` are dropped. */
@@ -79,7 +93,7 @@ object Sampling {
     require(k > 0, "k must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), col(keyCol))
+      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
@@ -127,10 +141,8 @@ object Sampling {
                            nShards: Int = 64, salt: Int = 42): DataFrame = {
     require(nShards >= 1 && nShards <= 256, "nShards must be in 1..256")
     val withH = df
-      .withColumn("__h", md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
-      .withColumn("shard",
-        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * nShards / 256)
-          .cast("int"))
+      .withColumn("__h", saltedHash(col(keyCol), salt))
+      .withColumn("shard", prefixBucket(col("__h"), nShards))
     val counts = withH.groupBy("shard").agg(count(lit(1)).as("__n"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.shard") < col("a.shard"), "left")
@@ -230,8 +242,7 @@ object Sampling {
     val h = md5(col(keyCol).cast("string"))
     val withKeys = df
       .withColumn("__h", h)
-      .withColumn("__bucket",
-        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("int") * buckets / 256).cast("int"))
+      .withColumn("__bucket", prefixBucket(col("__h"), buckets))
     val totals = withKeys.groupBy(sourceCol, "__bucket")
       .agg(sum(col(sizeCol)).as("__btotal"))
     val offsets = totals.as("a")

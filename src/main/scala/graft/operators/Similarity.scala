@@ -43,6 +43,19 @@ object Similarity {
   private def widened(df: DataFrame): DataFrame =
     df.withColumn("emb", transform(col("embedding"), x => x.cast("double")))
 
+  /** DETERMINISTIC within-batch vec_id dedup for the index append
+    * paths: a batch carrying one id twice with DIFFERENT embeddings
+    * must persist the same survivor on every retry (dropDuplicates
+    * keeps an arbitrary row, so a crash-replayed append could index a
+    * different vector than the original run — breaking byte-stable
+    * replay). Survivor = max full-row fingerprint, the
+    * Sinks.jdbcUpsert convention. Keeps whatever columns `df` has
+    * beyond (vec_id, emb) out of scope: index appends only ever
+    * consume those two. */
+  private def dedupVecIds(df: DataFrame): DataFrame =
+    df.groupBy(col("vec_id"))
+      .agg(max_by(col("emb"), xxhash64(col("vec_id"), col("emb"))).as("emb"))
+
   /** Probe sides are broadcast by contract (queries ≪ corpus), but the
     * hint was unconditional — a caller handing in a huge query batch
     * would OOM every executor at once. Guard: count up to `maxRows + 1`
@@ -258,7 +271,7 @@ object Similarity {
       s"corrupt IVF index at $indexPath: centroid dim ${centers.head.length} != meta dim $metaDim")
     val indexed = spark.read.parquet(s"$indexPath/inverted").select(col("vec_id"))
     val fresh = widened(embeddings)
-      .dropDuplicates("vec_id")
+      .transform(dedupVecIds)
       .join(indexed.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
       .withColumn("cell", nearestCellsUdf(centers, 1)(col("emb")).getItem(0))
       .select(col("vec_id"), col("emb"), col("cell"))
@@ -530,7 +543,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexPath/codebook")
     val coded = spark.read.parquet(s"$indexPath/codes").select(col("vec_id")).distinct()
     val fresh = widened(embeddings).select(col("vec_id"), col("emb"))
-      .dropDuplicates("vec_id")
+      .transform(dedupVecIds)
       .join(coded.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
     pqEncode(fresh, cents, nSub)
       .select(col("vec_id"), col("s"), col("code"))

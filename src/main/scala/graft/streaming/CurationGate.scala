@@ -44,13 +44,19 @@ object CurationGate {
     // DETERMINISTIC within-batch id dedup (dropDuplicates keeps an
     // arbitrary row, which would break the byte-identical replay
     // contract when one batch carries the same doc_id with different
-    // text): min row by (content hash, full row) — the row struct in
-    // the ordering key makes ties total, so two rows with equal text
-    // but different other columns still resolve deterministically
+    // text): min row by (content hash, full-row fingerprint) — the
+    // xxhash64 fingerprint in the ordering key resolves equal-text
+    // ties deterministically (same row → same hash on any layout)
+    // while staying ORDERABLE for every batch schema (a raw row
+    // struct in the key would reject map-typed columns outright;
+    // hash expressions accept them). Distinct rows colliding on the
+    // 64-bit fingerprint is the only residual tie — same accepted
+    // residual as the Sinks.jdbcUpsert survivor rule.
     val rowStruct = struct(batch.columns.map(col): _*)
     val b = batch
       .groupBy(col("doc_id").as("__id"))
-      .agg(min_by(rowStruct, struct(md5(col("text")), rowStruct)).as("__r"))
+      .agg(min_by(rowStruct,
+        struct(md5(col("text")), xxhash64(batch.columns.map(col): _*))).as("__r"))
       .select(col("__r.*"))
       .localCheckpoint()
     val scored = b

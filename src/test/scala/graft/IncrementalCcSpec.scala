@@ -103,7 +103,7 @@ class IncrementalCcSpec extends SparkSpec {
     assert(meta("stateBuckets") === 8L)
   }
 
-  test("interrupted promote heals: an aside bucket with no target is restored on read") {
+  test("interrupted promote: read fails loudly, the next merge heals") {
     val dir = stateDir()
     Dedup.buildComponentState(pairsDf((30L, 31L), (40L, 41L)), dir, stateBuckets = 8)
     val healthy = readSorted(dir)
@@ -113,6 +113,16 @@ class IncrementalCcSpec extends SparkSpec {
     val bucket = root.listFiles().filter(_.getName.startsWith("gb=")).head
     val aside = new java.io.File(root, bucket.getName + "__old")
     assert(bucket.renameTo(aside), "fixture rename failed")
-    assert(readSorted(dir) === healthy, "recovery must restore the aside bucket")
+    // the READ path must not mutate a directory a live merge may own —
+    // it reports the unhealed state loudly instead of silently
+    // returning a state missing that bucket's groups
+    val e = intercept[IllegalArgumentException] { readSorted(dir) }
+    assert(e.getMessage.contains("interrupted merge"), e.getMessage)
+    assert(new java.io.File(root, aside.getName).exists(),
+      "read must not have touched the aside bucket")
+    // recovery belongs to the single writer: any merge heals it (an
+    // empty edge batch is the minimal retry)
+    Dedup.mergeComponentState(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), dir)
+    assert(readSorted(dir) === healthy, "merge-entry recovery must restore the aside bucket")
   }
 }

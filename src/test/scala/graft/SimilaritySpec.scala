@@ -419,6 +419,25 @@ class SimilaritySpec extends SparkSpec {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json")) === metaBefore)
   }
 
+  test("index append picks a DETERMINISTIC survivor for conflicting duplicate ids") {
+    // one batch, same vec_id, two DIFFERENT embeddings, presented in
+    // both input orders: the persisted code rows must be identical —
+    // a crash-replayed append may re-present the batch in any order
+    // and must index the same vector (max-fingerprint survivor)
+    val a = (9999L, Seq.fill(64)(0.25f)); val b = (9999L, Seq.fill(64)(-0.75f))
+    def buildAndAppend(batch: Seq[(Long, Seq[Float])]): Set[(Long, Int, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pqdet").toString + "/idx"
+      Similarity.buildPqIndex(corpus, dir, nCentroids = 16)
+      Similarity.appendToPqIndex(emb(batch: _*), dir)
+      spark.read.parquet(s"$dir/codes").filter($"vec_id" === 9999L)
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    val fwd = buildAndAppend(Seq(a, b))
+    val rev = buildAndAppend(Seq(b, a))
+    assert(fwd === rev, "survivor depends on batch row order")
+    assert(fwd.nonEmpty)
+  }
+
   test("PQ index meta guard: unbuilt probe/append/compact fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pqmeta").toString + "/idx"
     intercept[IllegalArgumentException] {
