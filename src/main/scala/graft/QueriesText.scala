@@ -456,6 +456,44 @@ object QueriesText {
           .orderBy("doc_id")
       }
 
+      // Near-dup-aware train/val/test split — the leakage-safety story
+      // end to end: the split key is the doc's duplicate-GROUP id from
+      // the INCREMENTALLY-maintained component state (own doc_id for
+      // docs with no near-dup), so two near-duplicate documents can
+      // never straddle the train/eval boundary — the contamination
+      // q_split_assign prevents at source grain, enforced at the
+      // finer near-dup grain. Map-only on top of the state read; the
+      // oracle recomputes components from scratch AND replays the md5
+      // split arithmetic, so a stale or wrong state row flips a
+      // doc's split and fails the hash.
+      register("q_split_groups",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u),
+           |k AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_key
+           |      FROM documents d LEFT JOIN grp g USING (doc_id))
+           |SELECT doc_id, group_key,
+           |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, group_key,
+           |             CAST(concat('0x', substring(md5(concat(group_key, ':42')), 1, 15)) AS BIGINT)
+           |               / 1152921504606846976.0 AS u
+           |      FROM k)
+           |ORDER BY doc_id""") { (s, dir) =>
+        val keyed = Tables.documents(s, dir)
+          .join(Dedup.readComponentState(s, ccStateRoot(s, dir)), Seq("doc_id"), "left")
+          .withColumn("group_key", coalesce(col("group_id"), col("doc_id")))
+        graft.operators.Sampling.assignSplit(keyed, "group_key")
+          .select(col("doc_id"), col("group_key"), col("split"))
+          .orderBy("doc_id")
+      }
+
       // Dup-mass telemetry: the duplicate-GROUP size histogram (how
       // many groups of 2, of 3, ... — plus the singleton count) and
       // each band's share of the corpus. The curation dashboard's
@@ -1524,6 +1562,60 @@ object QueriesText {
         |ORDER BY q_id, rnk""") { (s, dir) =>
       Similarity.pqTopKIndexed(s, pqIndexRoot(s, dir),
           Tables.embeddings(s, dir).filter(col("vec_id") < 3), 5)
+        .orderBy("q_id", "rnk")
+    }
+
+    // Two-stage ANN serving off the SAME persisted PQ index: ADC
+    // shortlist (top-50 by quantized distance, codes only) → exact-
+    // cosine rerank of the shortlist against the full-precision
+    // vectors → top-5. The faiss refine shape, fully value-exact:
+    // the oracle replays the codes, the ADC shortlist AND the exact
+    // rerank, so a shortlist off by one candidate or a rerank tie
+    // broken differently fails the hash.
+    register("q_ann_pq_rerank",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM c
+        |          WHERE vec_id % 10 < 8
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |ac AS (
+        |  SELECT v.vec_id, sub.s, ct.cid,
+        |         round(list_sum(list_transform(range(8),
+        |               i -> (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1])
+        |                    * (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1]))), 6) AS d2
+        |  FROM c v, sub, cents ct),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code
+        |  FROM (SELECT vec_id, s, cid,
+        |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |        FROM ac) t
+        |  WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, s, cid AS code, d2 FROM ac WHERE vec_id < 3),
+        |sc AS (
+        |  SELECT l.q_id, cd.vec_id AS n_id,
+        |         round(list_sum(list(l.d2 ORDER BY l.s)), 6) AS ad2
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
+        |  WHERE cd.vec_id <> l.q_id
+        |  GROUP BY l.q_id, cd.vec_id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rs
+        |    FROM sc) t
+        |  WHERE rs <= 50),
+        |rr AS (
+        |  SELECT s.q_id, s.n_id,
+        |         round(list_dot_product(q.emb, n.emb)
+        |               / (sqrt(list_dot_product(q.emb, q.emb))
+        |                  * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        |  FROM short s JOIN c q ON q.vec_id = s.q_id JOIN c n ON n.vec_id = s.n_id)
+        |SELECT q_id, n_id, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        |FROM rr QUALIFY rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKReranked(s, pqIndexRoot(s, dir), emb,
+          emb.filter(col("vec_id") < 3), 5)
         .orderBy("q_id", "rnk")
     }
 

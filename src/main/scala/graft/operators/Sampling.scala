@@ -155,6 +155,22 @@ object Sampling {
       .drop("__h", "__offset")
   }
 
+  /** Materialize [[shuffleDeterministic]]'s permutation as the export
+    * artifact: one parquet dir per shard (`shard=` hive layout), rows
+    * inside each shard file in ascending `pos` — so a loader reading
+    * shard dirs in order streams the corpus in the exact global
+    * training order, and any shard can be re-read independently for a
+    * mid-epoch resume. One shuffle (repartition by shard) + a
+    * shard-local sort; the write preserves task row order, which IS
+    * pos order after sortWithinPartitions. Deterministic: same corpus
+    * + seed → byte-identical shards (SamplingSpec). */
+  def writeShuffled(df: DataFrame, keyCol: String, outPath: String,
+                    nShards: Int = 64, salt: Int = 42): Unit =
+    shuffleDeterministic(df, keyCol, nShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
   /** Mix sources to target proportions: compute per-source keep rates
     * from the observed counts so the OUTPUT approximates `weights`
     * (scaled to the largest feasible total without upsampling). */

@@ -577,6 +577,35 @@ object Similarity {
     pqScore(codes, pqLut(probes, cents, nSub), k)
   }
 
+  /** Two-stage ANN serving: ADC shortlist off the PERSISTED PQ index,
+    * then EXACT-cosine rerank of the shortlist against the full-
+    * precision vectors — the production compressed-scan + rerank
+    * shape (faiss's IndexPQ + refine). The corpus-scale work reads
+    * only CODES; full vectors are fetched for `shortlist` candidates
+    * per probe by an id join (the standard rerank fetch — at 100 TB
+    * an id-keyed lookup against the vector store, here the corpus
+    * table itself). Value-exact end to end: the ADC shortlist is the
+    * oracle-replayable [[pqTopKIndexed]] and the rerank is the exact
+    * round-6 cosine, so unlike IVF this two-stage path carries a full
+    * DuckDB oracle (q_ann_pq_rerank), no recall gate needed. */
+  def pqTopKReranked(spark: SparkSession, indexPath: String, corpus: DataFrame,
+                     probes: DataFrame, k: Int, shortlist: Int = 50,
+                     maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k = $k")
+    val cand = pqTopKIndexed(spark, indexPath, probes, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val vecs = widened(corpus).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
+    val probeVecs = widened(probes).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(vecs, Seq("n_id"))
+      .join(probeSide(probeVecs, probes, maxBroadcastProbes), Seq("q_id"))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   /** Scalar int8 quantization of an embedding column — the storage
     * path that cuts a float corpus 4× before ANN serving. Per-DIMENSION
     * global min/max (posexplode → 64-row aggregate, broadcast back),

@@ -198,6 +198,41 @@ class SamplingSpec extends SparkSpec {
     assert(other.toSeq !== out.map(_._1).toSeq)
   }
 
+  test("writeShuffled: shard dirs hold the permutation in pos order, re-runs byte-identical") {
+    val df = (0L until 200L).map(id => (id, s"p-$id")).toDF("doc_id", "payload")
+    val out = java.nio.file.Files.createTempDirectory("graft-shuf").toString + "/export"
+    Sampling.writeShuffled(df, "doc_id", out, nShards = 8)
+    val root = new java.io.File(out)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.nonEmpty, "expected shard= hive layout")
+    // within every shard FILE the rows are in pos order (the loader's
+    // sequential-read contract), and concatenating shards in shard
+    // order reproduces the exact global permutation
+    val all = shardDirs.flatMap { sd =>
+      val files = new java.io.File(root, sd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.flatMap { f =>
+        val rows = spark.read.parquet(f.getPath)
+          .select("doc_id", "pos").as[(Long, Long)].collect()
+        assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq,
+          s"rows in $sd/${f.getName} not in pos order")
+        rows
+      }
+    }
+    assert(all.map(_._2).toSeq === (0L until 200L), "shards do not concatenate into the permutation")
+    val expected = Sampling.shuffleDeterministic(df, "doc_id", nShards = 8)
+      .select("doc_id", "pos").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    assert(all.map(_._1).toSeq === expected.toSeq)
+    // re-export over a different input layout is row-identical
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shuf2").toString + "/export"
+    Sampling.writeShuffled(df.repartition(7), "doc_id", out2, nShards = 8)
+    val a = spark.read.parquet(out).select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = spark.read.parquet(out2).select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("zero budget drops the source entirely from BOTH mixers") {
     // a zero budget is the natural "drop this source" config; the
     // epoch mixer's sequence(0, nEp−1) must not descend into a

@@ -419,6 +419,32 @@ class SimilaritySpec extends SparkSpec {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json")) === metaBefore)
   }
 
+  test("pqTopKReranked: exhaustive shortlist reduces to exact brute force; rerank is exact cosine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrr").toString + "/idx"
+    Similarity.buildPqIndex(corpus, dir, nCentroids = 64)
+    val probes = corpus.filter($"vec_id" < 3)
+    // shortlist covering every non-self candidate: the ADC stage prunes
+    // nothing, so the rerank must equal brute-force exactly — ranks,
+    // neighbors AND round-6 cosine values
+    val rr = Similarity.pqTopKReranked(spark, dir, corpus, probes, 5, shortlist = 199)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rr === brute, "exhaustive-shortlist rerank must reduce to brute force")
+    // a REAL (pruning) shortlist still returns exact cosine values in
+    // descending order per probe
+    val pruned = Similarity.pqTopKReranked(spark, dir, corpus, probes, 5, shortlist = 20)
+      .as[(Long, Long, Double, Long)].collect()
+    pruned.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq,
+        "rerank output not in descending exact-cosine order")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKReranked(spark, dir, corpus, probes, k = 10, shortlist = 5)
+    }
+  }
+
   test("index append picks a DETERMINISTIC survivor for conflicting duplicate ids") {
     // one batch, same vec_id, two DIFFERENT embeddings, presented in
     // both input orders: the persisted code rows must be identical —
