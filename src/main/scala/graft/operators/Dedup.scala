@@ -863,6 +863,23 @@ object Dedup {
     }
   }
 
+  /** Compact the component state's merge-accumulated small files —
+    * the standing-maintenance parity every persisted artifact here
+    * has: each [[mergeComponentState]] rewrites its touched buckets
+    * with one file per (task × bucket), so file count grows with merge
+    * cadence. Crash-safe staged rewrite PRESERVING the `gb=` layout
+    * (the bucket pruning IS the state's structure); contents are
+    * row-identical and `meta.json` untouched, so reads and merges
+    * before/after agree exactly (IncrementalCcSpec). Single-writer:
+    * do not compact concurrently with a merge. */
+  def compactComponentState(spark: SparkSession, statePath: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
+    recoverComponentState(spark, statePath)
+    graft.sources.Sinks.compactPartitioned(
+      spark, s"$statePath/components", "gb", targetFileBytes)
+  }
+
   /** Heal the component-state crash windows of [[mergeComponentState]]:
     * restore any bucket whose promote was interrupted mid-rename
     * (`gb=b__old` present with `gb=b` missing) and drop completed

@@ -31,31 +31,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingVectors {
 
   /** One micro-batch: land the (deduplicated) vectors in the
-    * batch-partitioned sink, then append them to the IVF index. Sink
-    * first — a crash between the two writes then leaves the vector
-    * durable and the retry heals the index, never the reverse (an
-    * indexed vector missing from the sink would survive no rebuild). */
+    * batch-partitioned sink, then append them to the IVF index — and,
+    * when a PQ index path is given, to the PQ codes too, so BOTH ANN
+    * tiers (partition-pruned IVF probe, compressed ADC/rerank probe)
+    * see the corpus as of the last committed batch. Sink first — a
+    * crash between the writes then leaves the vector durable and the
+    * retry heals the indexes, never the reverse (an indexed vector
+    * missing from the sink would survive no rebuild). Within-batch
+    * duplicate ids collapse to a DETERMINISTIC max-fingerprint
+    * survivor, so the sink and both index appends persist the same
+    * row on every replay. */
   def ingestVectorBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                        vectorsPath: String): Unit = {
-    val b = batch.dropDuplicates("vec_id").localCheckpoint()
+                        vectorsPath: String,
+                        pqIndexPath: Option[String] = None): Unit = {
+    val b = batch
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("embedding"),
+        xxhash64(col("vec_id"), col("embedding"))).as("embedding"))
+      .localCheckpoint()
     b.withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(vectorsPath)
     Similarity.appendToIvfIndex(b, indexPath)
+    pqIndexPath.foreach(Similarity.appendToPqIndex(b, _))
   }
 
   /** The ingest service as a streaming query: drain the embedding
     * stream with AvailableNow, run [[ingestVectorBatch]] per
     * micro-batch. The index at `indexPath` must exist
     * ([[Similarity.buildIvfIndex]] over a seed corpus — centroids
-    * need at least nCells vectors to train). */
+    * need at least nCells vectors to train; likewise
+    * [[Similarity.buildPqIndex]] when `pqIndexPath` is given). */
   def vectorIngest(vecs: DataFrame, indexPath: String, vectorsPath: String,
-                   checkpoint: String): StreamingQuery =
+                   checkpoint: String,
+                   pqIndexPath: Option[String] = None): StreamingQuery =
     vecs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestVectorBatch(batch, id, indexPath, vectorsPath)
+        ingestVectorBatch(batch, id, indexPath, vectorsPath, pqIndexPath)
       }
       .start()
 }

@@ -92,6 +92,37 @@ class IncrementalCcSpec extends SparkSpec {
       s"stale pre-relabel rows survived: $rows")
   }
 
+  test("state compaction: files collapse, rows identical, merges still correct after") {
+    val dir = stateDir()
+    val b1 = (0L until 24L by 2L).map(i => (i, i + 1L))
+    Dedup.buildComponentState(pairsDf(b1: _*), dir, stateBuckets = 4)
+    // several merges accrete files into the touched buckets
+    Dedup.mergeComponentState(pairsDf((0L, 2L)), dir)
+    Dedup.mergeComponentState(pairsDf((4L, 6L)), dir)
+    Dedup.mergeComponentState(pairsDf((8L, 10L)), dir)
+    val before = readSorted(dir)
+    def files: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/components"))
+    }
+    val nBefore = files
+    Dedup.compactComponentState(spark, dir)
+    assert(files < nBefore, s"compaction did not reduce files ($nBefore)")
+    assert(readSorted(dir) === before, "compaction changed state rows")
+    // layout preserved and merges keep working on the compacted state
+    assert(new java.io.File(s"$dir/components").listFiles()
+      .exists(_.getName.startsWith("gb=")), "compaction must keep the gb= layout")
+    Dedup.mergeComponentState(pairsDf((12L, 14L)), dir)
+    assert(readSorted(dir) ===
+      fullCc(b1 ++ Seq((0L, 2L), (4L, 6L), (8L, 10L), (12L, 14L)): _*))
+    intercept[IllegalArgumentException] {
+      Dedup.compactComponentState(spark,
+        java.nio.file.Files.createTempDirectory("graft-notcc").toString)
+    }
+  }
+
   test("unbuilt state fails loudly; meta pins the bucket count") {
     val dir = stateDir()
     intercept[IllegalArgumentException] { Dedup.readComponentState(spark, dir) }

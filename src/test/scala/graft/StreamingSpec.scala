@@ -178,6 +178,11 @@ class StreamingSpec extends SparkSpec {
     // seed corpus trains the centroids; the stream appends against them
     val seed = (0L until 16L).map(i => (i, vec()))
     Similarity.buildIvfIndex(seed.toDF("vec_id", "embedding"), idx, nCells = 4)
+    // PQ tier fed by the same stream (nSub=1: the fixture's 8-dim
+    // vectors fit one subspace; dim handling is SimilaritySpec's job)
+    val pqIdx = s"$root/pqidx"
+    Similarity.buildPqIndex(seed.toDF("vec_id", "embedding"), pqIdx,
+      nCentroids = 8, nSub = 1)
 
     def land(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
       Files.write(java.nio.file.Paths.get(s"$raw/$name"),
@@ -189,7 +194,8 @@ class StreamingSpec extends SparkSpec {
       StructField("embedding", ArrayType(FloatType))))
     def drain(): Unit = {
       val q = StreamingVectors.vectorIngest(
-        spark.readStream.schema(schema).json(raw), idx, sink, s"$root/ckpt")
+        spark.readStream.schema(schema).json(raw), idx, sink, s"$root/ckpt",
+        pqIndexPath = Some(pqIdx))
       q.awaitTermination()
     }
 
@@ -216,11 +222,19 @@ class StreamingSpec extends SparkSpec {
       .select("n_id").as[Long].collect()
     assert(got.toSeq === Seq(200L))
 
+    // the PQ tier saw the same stream: every distinct id coded exactly
+    // once (nSub=1 → one code row per vector), 16 seed + 6 ingested
+    val codes = () => spark.read.parquet(s"$pqIdx/codes")
+    assert(codes().count() === 22L, "PQ codes must cover seed + both drains once")
+    assert(codes().filter($"vec_id" === 103L).count() === 1L)
+
     // replay of batch 1 (foreachBatch is at-least-once): sink partition
-    // overwritten in place, index append a no-op
+    // overwritten in place, both index appends no-ops
     val replay = spark.read.schema(schema).json(s"$raw/v2.json")
-    StreamingVectors.ingestVectorBatch(replay, batchId = 1L, idx, sink)
+    StreamingVectors.ingestVectorBatch(replay, batchId = 1L, idx, sink,
+      pqIndexPath = Some(pqIdx))
     assert(inv().count() === 22L, "replayed append duplicated index rows")
+    assert(codes().count() === 22L, "replayed append duplicated PQ code rows")
     assert(spark.read.parquet(sink).count() === 6L,
       "replayed sink partition duplicated vector rows")
   }
