@@ -1483,6 +1483,79 @@ object QueriesText {
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
           .orderBy("q_id", "rnk")
       }
+
+      // Retrieval-quality evaluation harness (operators/RankEval):
+      // recall@10, MRR@10 and nDCG@10 of the LSH tier against the
+      // exact brute-force truth, per probe — the metric set that ranks
+      // retrieval CONFIGURATIONS against each other, itself
+      // oracle-exact because both rankings replay in SQL (constant
+      // hyperplanes for LSH, exact cosine for the truth) and the DCG
+      // sum folds in candidate-rank order.
+      register("q_rank_eval",
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |cb AS (
+           |  SELECT vec_id, emb,
+           |         unnest($bucketEntries) AS bucket
+           |  FROM c),
+           |cnd AS (
+           |  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM cb p JOIN cb n ON p.bucket = n.bucket
+           |  WHERE p.vec_id < 10 AND p.vec_id <> n.vec_id),
+           |lscored AS (
+           |  SELECT q_id, n_id,
+           |         round(list_dot_product(qe.emb, ne.emb)
+           |               / (sqrt(list_dot_product(qe.emb, qe.emb))
+           |                  * sqrt(list_dot_product(ne.emb, ne.emb))), 6)
+           |           + CAST(0.0 AS DOUBLE) AS cos
+           |  FROM cnd
+           |  JOIN c qe ON qe.vec_id = cnd.q_id
+           |  JOIN c ne ON ne.vec_id = cnd.n_id),
+           |lshk AS (
+           |  SELECT q_id, n_id,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           |  FROM lscored QUALIFY rnk <= 10),
+           |bscored AS (
+           |  SELECT p.vec_id AS q_id, n.vec_id AS n_id,
+           |         round(list_dot_product(p.emb, n.emb)
+           |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6)
+           |           + CAST(0.0 AS DOUBLE) AS cos
+           |  FROM c p JOIN c n ON p.vec_id <> n.vec_id
+           |  WHERE p.vec_id < 10),
+           |truth AS (
+           |  SELECT q_id, n_id,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           |  FROM bscored QUALIFY rnk <= 10),
+           |tc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY 1),
+           |jj AS (
+           |  SELECT l.q_id, l.rnk,
+           |         CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |  FROM lshk l LEFT JOIN truth t ON t.q_id = l.q_id AND t.n_id = l.n_id),
+           |agg AS (
+           |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand,
+           |         CAST(sum(rel) AS BIGINT) AS hits,
+           |         min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+           |         list_sum(list(rel / (ln(rnk + 1.0) / ln(2.0)) ORDER BY rnk)) AS dcg
+           |  FROM jj GROUP BY 1),
+           |idcg AS (
+           |  SELECT tc.q_id,
+           |         list_sum(list_transform(range(1, least(tc.n_rel, 10) + 1),
+           |           i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) AS v
+           |  FROM tc)
+           |SELECT tc.q_id, tc.n_rel,
+           |       coalesce(a.n_cand, 0) AS n_cand,
+           |       coalesce(a.hits, 0) AS hits,
+           |       round(CAST(coalesce(a.hits, 0) AS DOUBLE) / tc.n_rel, 6) AS recall,
+           |       round(coalesce(1.0 / a.fr, 0.0), 6) AS mrr,
+           |       round(CASE WHEN i.v > 0 THEN coalesce(a.dcg, 0.0) / i.v ELSE 0.0 END, 6) AS ndcg
+           |FROM tc LEFT JOIN agg a USING (q_id) JOIN idcg i USING (q_id)
+           |ORDER BY q_id""") { (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+        graft.operators.RankEval.metrics(
+          Similarity.bruteTopK(emb, probes, 10),
+          Similarity.lshTopK(emb, probes, 10), 10)
+          .orderBy("q_id")
+      }
     }
 
     // Product-quantization ANN (ADC search over md5-sampled codebooks
