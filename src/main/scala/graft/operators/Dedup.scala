@@ -736,7 +736,18 @@ object Dedup {
     * is crash-retry idempotent — the same replay contract as
     * [[appendToLshIndex]]. IncrementalCcSpec pins merge-across-appends
     * ≡ full recompute, including batches that bridge two existing
-    * groups and batches whose new doc re-roots an old group. */
+    * groups and batches whose new doc re-roots an old group.
+    *
+    * Honest cost accounting at 100 TB: the ROUNDS are ∝ batch and the
+    * RELABEL WRITE is bucket-pruned, but step (1)'s endpoint→root
+    * lookup streams the whole (doc_id, group_id) state through a hash
+    * join (the state is bucketed by GROUP for the relabel; a doc-keyed
+    * probe cannot prune it). That is one columnar scan of a compact
+    * two-long-column table per merge — fine at per-batch cadence, and
+    * when it isn't, the production move is a SECOND doc-hash-bucketed
+    * projection of the state (or a key-value lookup service) so the
+    * probe touches only the batch's doc buckets; the group-bucketed
+    * table here stays the source of truth for relabels either way. */
   def buildComponentState(pairs: DataFrame, statePath: String,
                           stateBuckets: Int = 64): Unit = {
     val spark = pairs.sparkSession
