@@ -159,6 +159,37 @@ object QueriesText {
     })
   }
 
+  /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
+    * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
+    * emits per-probe recall/MRR/nDCG at cutoff `k` — ONE definition
+    * (the [[graft.operators.RankEval.metrics]] replay), so the metric
+    * arithmetic can never silently diverge between evaluated tiers. */
+  private def irMetricsSqlTail(k: Int): String =
+    s"""tc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY 1),
+       |jj AS (
+       |  SELECT l.q_id, l.rnk,
+       |         CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM cand l LEFT JOIN truth t ON t.q_id = l.q_id AND t.n_id = l.n_id),
+       |agg AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(sum(rel) AS BIGINT) AS hits,
+       |         min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+       |         list_sum(list(rel / (ln(rnk + 1.0) / ln(2.0)) ORDER BY rnk)) AS dcg
+       |  FROM jj GROUP BY 1),
+       |idcg AS (
+       |  SELECT tc.q_id,
+       |         list_sum(list_transform(range(1, least(tc.n_rel, $k) + 1),
+       |           i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) AS v
+       |  FROM tc)
+       |SELECT tc.q_id, tc.n_rel,
+       |       coalesce(a.n_cand, 0) AS n_cand,
+       |       coalesce(a.hits, 0) AS hits,
+       |       round(CAST(coalesce(a.hits, 0) AS DOUBLE) / tc.n_rel, 6) AS recall,
+       |       round(coalesce(1.0 / a.fr, 0.0), 6) AS mrr,
+       |       round(CASE WHEN i.v > 0 THEN coalesce(a.dcg, 0.0) / i.v ELSE 0.0 END, 6) AS ndcg
+       |FROM tc LEFT JOIN agg a USING (q_id) JOIN idcg i USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   def init(): Unit = if (!registry.contains("q_dedup_exact")) {
 
     // Exact dedup on normalized content (hash groupBy — one shuffle).
@@ -1510,7 +1541,7 @@ object QueriesText {
            |  FROM cnd
            |  JOIN c qe ON qe.vec_id = cnd.q_id
            |  JOIN c ne ON ne.vec_id = cnd.n_id),
-           |lshk AS (
+           |cand AS (
            |  SELECT q_id, n_id,
            |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
            |  FROM lscored QUALIFY rnk <= 10),
@@ -1525,30 +1556,7 @@ object QueriesText {
            |  SELECT q_id, n_id,
            |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
            |  FROM bscored QUALIFY rnk <= 10),
-           |tc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY 1),
-           |jj AS (
-           |  SELECT l.q_id, l.rnk,
-           |         CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-           |  FROM lshk l LEFT JOIN truth t ON t.q_id = l.q_id AND t.n_id = l.n_id),
-           |agg AS (
-           |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand,
-           |         CAST(sum(rel) AS BIGINT) AS hits,
-           |         min(CASE WHEN rel = 1 THEN rnk END) AS fr,
-           |         list_sum(list(rel / (ln(rnk + 1.0) / ln(2.0)) ORDER BY rnk)) AS dcg
-           |  FROM jj GROUP BY 1),
-           |idcg AS (
-           |  SELECT tc.q_id,
-           |         list_sum(list_transform(range(1, least(tc.n_rel, 10) + 1),
-           |           i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) AS v
-           |  FROM tc)
-           |SELECT tc.q_id, tc.n_rel,
-           |       coalesce(a.n_cand, 0) AS n_cand,
-           |       coalesce(a.hits, 0) AS hits,
-           |       round(CAST(coalesce(a.hits, 0) AS DOUBLE) / tc.n_rel, 6) AS recall,
-           |       round(coalesce(1.0 / a.fr, 0.0), 6) AS mrr,
-           |       round(CASE WHEN i.v > 0 THEN coalesce(a.dcg, 0.0) / i.v ELSE 0.0 END, 6) AS ndcg
-           |FROM tc LEFT JOIN agg a USING (q_id) JOIN idcg i USING (q_id)
-           |ORDER BY q_id""") { (s, dir) =>
+           |${irMetricsSqlTail(10)}""") { (s, dir) =>
         val emb = Tables.embeddings(s, dir)
         val probes = emb.filter(col("vec_id") < 10)
         graft.operators.RankEval.metrics(
@@ -1690,6 +1698,108 @@ object QueriesText {
       Similarity.pqTopKReranked(s, pqIndexRoot(s, dir), emb,
           emb.filter(col("vec_id") < 3), 5)
         .orderBy("q_id", "rnk")
+    }
+
+    // The evaluation harness pointed at the two-stage PQ serving path:
+    // recall/MRR/nDCG@10 of the persisted-index ADC-shortlist +
+    // exact-rerank probe vs brute-force truth — the number an operator
+    // actually tunes `shortlist` against. Same shared metric tail as
+    // q_rank_eval; the candidate ranking replays the full persisted-PQ
+    // lifecycle (80% codebook, whole-corpus codes, shortlist 50).
+    register("q_rank_eval_pq",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM c
+        |          WHERE vec_id % 10 < 8
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sub AS (SELECT unnest(range(8)) AS s),
+        |ac AS (
+        |  SELECT v.vec_id, sub.s, ct.cid,
+        |         round(list_sum(list_transform(range(8),
+        |               i -> (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1])
+        |                    * (v.emb[sub.s*8 + i + 1] - ct.cemb[sub.s*8 + i + 1]))), 6) AS d2
+        |  FROM c v, sub, cents ct),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code
+        |  FROM (SELECT vec_id, s, cid,
+        |               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |        FROM ac) t
+        |  WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, s, cid AS code, d2 FROM ac WHERE vec_id < 3),
+        |sc AS (
+        |  SELECT l.q_id, cd.vec_id AS n_id,
+        |         round(list_sum(list(l.d2 ORDER BY l.s)), 6) AS ad2
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
+        |  WHERE cd.vec_id <> l.q_id
+        |  GROUP BY l.q_id, cd.vec_id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rs
+        |    FROM sc) t
+        |  WHERE rs <= 50),
+        |rr AS (
+        |  SELECT sh.q_id, sh.n_id,
+        |         round(list_dot_product(q.emb, n.emb)
+        |               / (sqrt(list_dot_product(q.emb, q.emb))
+        |                  * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        |  FROM short sh JOIN c q ON q.vec_id = sh.q_id JOIN c n ON n.vec_id = sh.n_id),
+        |cand AS (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        |  FROM rr QUALIFY rnk <= 10),
+        |bscored AS (
+        |  SELECT p.vec_id AS q_id, n.vec_id AS n_id,
+        |         round(list_dot_product(p.emb, n.emb)
+        |               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(n.emb, n.emb))), 6)
+        |           + CAST(0.0 AS DOUBLE) AS cos
+        |  FROM c p JOIN c n ON p.vec_id <> n.vec_id
+        |  WHERE p.vec_id < 3),
+        |truth AS (
+        |  SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        |  FROM bscored QUALIFY rnk <= 10),
+        |""".stripMargin + irMetricsSqlTail(10)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 3)
+      graft.operators.RankEval.metrics(
+        Similarity.bruteTopK(emb, probes, 10),
+        Similarity.pqTopKReranked(s, pqIndexRoot(s, dir), emb, probes, 10, shortlist = 50),
+        10)
+        .orderBy("q_id")
+    }
+
+    // Topic-balanced sampling: assign every vector to its md5-sampled
+    // nearest-centroid TOPIC cluster (the deterministic, oracle-exact
+    // clustering q_dedup_semantic established), then take exactly k
+    // per cluster by hash rank — the cluster-balanced curation cut
+    // that stops one dominant topic from swamping the mix. Composition
+    // of two verified pieces (Similarity.assignClusters +
+    // Sampling.exactKPerStratum), value-exact end to end.
+    register("q_topic_sample",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM c
+        |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid) AS rn
+        |  FROM (SELECT v.vec_id, ct.cid,
+        |               round(list_dot_product(v.emb, ct.cemb)
+        |                     / (sqrt(list_dot_product(v.emb, v.emb))
+        |                        * sqrt(list_dot_product(ct.cemb, ct.cemb))), 6) AS cosc
+        |        FROM c v, cent ct) t),
+        |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY cell
+        |                            ORDER BY md5(concat(vec_id, ':42')), vec_id) AS rs
+        |  FROM cells) t
+        |WHERE rs <= 10 ORDER BY vec_id""") { (s, dir) =>
+      graft.operators.Sampling.exactKPerStratum(
+        Similarity.assignClusters(Tables.embeddings(s, dir), 16)
+          .select("vec_id", "cell"),
+        "cell", "vec_id", k = 10)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
     }
 
     // IVF-bucketed ANN (KMeans inverted file; the probe-side scale path).

@@ -378,20 +378,33 @@ object Similarity {
     * round-6 cosine so ranking matches any engine's last bit), never a
     * window over the N·k cross product.
     */
-  def clusterDedupPairs(embeddings: DataFrame, k: Int, threshold: Double): DataFrame = {
+  /** Deterministic nearest-centroid assignment over md5-sampled
+    * centroids — the shared first half of [[clusterDedupPairs]], also
+    * the TOPIC-CLUSTER labeler for cluster-balanced sampling
+    * (q_topic_sample): every vector gets the cell of its max-cosine
+    * centroid (round-6 cos desc, centroid id asc — a total order any
+    * engine replays). Map-only against the broadcast k-row centroid
+    * table; one mergeable max_by aggregation, never a window over the
+    * N·k product. Output: (vec_id, cell, emb). */
+  def assignClusters(embeddings: DataFrame, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val base = widened(embeddings).select(col("vec_id"), col("emb"))
     val centroids = base
       .orderBy(md5(col("vec_id").cast("string")))
       .limit(k)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    val assigned = base.crossJoin(broadcast(centroids))
+    base.crossJoin(broadcast(centroids))
       .withColumn("cos_c", round(cosine(spark, col("emb"), col("cemb")), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cid"), struct(col("cos_c"), (-col("cid")).as("nc"))).as("cell"),
         first(col("emb")).as("emb"))
+  }
+
+  def clusterDedupPairs(embeddings: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignClusters(embeddings, k)
     // shuffle_hash: the cell-keyed self-join needs no sort order, and
     // letting size estimates pick sort-merge costs two sorts of the
     // whole assigned table
