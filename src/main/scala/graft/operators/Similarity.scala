@@ -461,6 +461,84 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
 
+  /** TRAINED codebook — real PQ (Jégou et al. 2011 §III): independent
+    * k-means per subspace, `iters` Lloyd rounds seeded from the
+    * md5-sampled net (a deterministic init, so every run trains the
+    * same book). Each round is one broadcast-join assignment (argmin
+    * over the k-row centroid table — map-side combined, never a
+    * window) and one per-(subspace, centroid, dim) mean — the
+    * standard N·k/iter k-means cost, run ONCE at build time. Empty
+    * cells keep their previous centroid (the k-means convention that
+    * never loses codebook entries). Centroids are rounded to 6 dp per
+    * round, so the trained values are stable enough to compare across
+    * runs; the trained path is still registered rows-only (mean
+    * accumulation order is engine-internal — the q_ann_ivf pattern)
+    * and gated by q_ann_pq_trained_check's measured-improvement bound.
+    *
+    * Output keeps the (cid, cemb) contract of [[pqCodebook]] — entry
+    * `cid`'s full 64-dim `cemb` is the concatenation of that entry's
+    * per-subspace centroids, which is exactly how [[pqSubD2]] slices
+    * it — so encode, LUT, probe, append and compaction are all shared
+    * with the sampled path unchanged. */
+  private[graft] def pqCodebookTrained(base: DataFrame, nCentroids: Int,
+                                       nSub: Int, iters: Int): DataFrame = {
+    val subDim = 64 / nSub
+    val subvecs = pqWithSub(base, nSub)
+      .select(col("vec_id"), col("s"), slice(col("emb"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+      .localCheckpoint()
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    var cents = pqWithSub(pqCodebook(base, nCentroids), nSub)
+      .select(col("s"), col("cid"), slice(col("cemb"), col("s") * subDim + 1, lit(subDim)).as("cvec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = subvecs.join(broadcast(cents), Seq("s"))
+        .withColumn("d2", round(d2(col("sv"), col("cvec")), 6))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          first(col("sv")).as("sv"))
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          e => round(e.getField("m"), 6)).as("cvec"))
+      cents = cents.select(col("s"), col("cid"), col("cvec").as("prev"))
+        .join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents.groupBy(col("cid"))
+      .agg(flatten(transform(sort_array(collect_list(struct(col("s"), col("cvec")))),
+        e => e.getField("cvec"))).as("cemb"))
+  }
+
+  /** [[buildPqIndex]] with a TRAINED codebook (per-subspace Lloyd
+    * k-means, deterministic md5-sampled init) — same frozen-artifact
+    * lifecycle and layout, so [[appendToPqIndex]]/[[pqTopKIndexed]]/
+    * [[pqTopKReranked]]/[[compactPqIndex]] serve it unchanged. Meta
+    * records the training (`trained`/`iters`) beside the split
+    * fingerprint. Where most of PQ's accuracy lives: the trained book
+    * adapts cell boundaries to the corpus distribution instead of
+    * quantizing against 16 arbitrary corpus vectors — measured by
+    * q_ann_pq_trained_check (recall@10 / nDCG@10 ≥ the sampled book's
+    * on the same corpus) and SimilaritySpec's distortion bound. */
+  def buildPqIndexTrained(corpus: DataFrame, indexPath: String,
+                          nCentroids: Int = 16, nSub: Int = 8, iters: Int = 5): Unit = {
+    requirePqParams(nSub)
+    require(iters >= 1, "iters must be positive")
+    val spark = corpus.sparkSession
+    val base = widened(corpus).select(col("vec_id"), col("emb"))
+    val cents = pqCodebookTrained(base, nCentroids, nSub, iters).localCheckpoint()
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    pqPack(pqEncode(base, cents, nSub))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      Seq("nCentroids" -> nCentroids.toLong, "nSub" -> nSub.toLong, "dim" -> 64L,
+        "trained" -> 1L, "iters" -> iters.toLong))
+  }
+
   /** Squared distance between the s-th subvectors, folded in dim order. */
   private def pqSubD2(a: Column, b: Column, s: Column, subDim: Int) = {
     val off = s * subDim
@@ -480,6 +558,24 @@ object Similarity {
       .withColumn("d2", round(pqSubD2(col("emb"), col("cemb"), col("s"), 64 / nSub), 6))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+
+  /** Pack a vector's nSub (s, code) rows into ONE row carrying the
+    * code array in subspace order. This is the PERSISTED layout: a
+    * parquet row either commits or doesn't, so every on-disk vec_id
+    * carries ALL its subspace codes — a crashed append can never leave
+    * a vector with a subset of its codes for the presence-keyed
+    * anti-join heal to then skip forever (which would silently
+    * underestimate its ADC distance in every probe). */
+  private def pqPack(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** Unpack the persisted per-vector code arrays back to the
+    * (vec_id, s, code) rows [[pqScore]] joins on; position IS the
+    * subspace (pqPack sorts by s, and s is dense 0..nSub-1). */
+  private def pqUnpack(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
 
   /** Probe lookup tables: distance from each query subvector to each
     * codebook entry — (q, s, cid) rows, tiny, broadcast by the caller. */
@@ -524,8 +620,7 @@ object Similarity {
     val base = widened(corpus).select(col("vec_id"), col("emb"))
     val cents = pqCodebook(base, nCentroids).localCheckpoint()
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
-    pqEncode(base, cents, nSub)
-      .select(col("vec_id"), col("s"), col("code"))
+    pqPack(pqEncode(base, cents, nSub))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
     graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
       Seq("nCentroids" -> nCentroids.toLong, "nSub" -> nSub.toLong, "dim" -> 64L))
@@ -549,7 +644,13 @@ object Similarity {
     * column only — parquet pruning), so a crash-retried append never
     * duplicates codes; within-batch duplicate ids collapse to one row;
     * the batch is pinned with localCheckpoint so the append write
-    * cannot re-plan over the `codes` table its anti-join reads. */
+    * cannot re-plan over the `codes` table its anti-join reads.
+    * Presence implies COMPLETENESS: codes persist one row per vec_id
+    * carrying the whole nSub-code array ([[pqPack]]), so a partially
+    * committed append can only leave whole vectors behind — never a
+    * vector with a subset of its subspace codes that the anti-join
+    * would then skip forever while [[pqScore]] silently summed fewer
+    * d2 terms for it. */
   def appendToPqIndex(embeddings: DataFrame, indexPath: String): Unit = {
     val spark = embeddings.sparkSession
     val (_, nSub) = checkPqMeta(spark, indexPath)
@@ -558,8 +659,7 @@ object Similarity {
     val fresh = widened(embeddings).select(col("vec_id"), col("emb"))
       .transform(dedupVecIds)
       .join(coded.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-    pqEncode(fresh, cents, nSub)
-      .select(col("vec_id"), col("s"), col("code"))
+    pqPack(pqEncode(fresh, cents, nSub))
       .localCheckpoint()
       .write.mode("append").parquet(s"$indexPath/codes")
   }
@@ -586,7 +686,7 @@ object Similarity {
                     probes: DataFrame, k: Int): DataFrame = {
     val (_, nSub) = checkPqMeta(spark, indexPath)
     val cents = spark.read.parquet(s"$indexPath/codebook")
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = pqUnpack(spark.read.parquet(s"$indexPath/codes"))
     pqScore(codes, pqLut(probes, cents, nSub), k)
   }
 

@@ -40,7 +40,14 @@ object StreamingVectors {
     * missing from the sink would survive no rebuild). Within-batch
     * duplicate ids collapse to a DETERMINISTIC max-fingerprint
     * survivor, so the sink and both index appends persist the same
-    * row on every replay. */
+    * row on every replay.
+    *
+    * Batch schema contract: batches are (vec_id, embedding) ONLY —
+    * the survivor groupBy projects exactly those two columns, so any
+    * extra column a caller smuggles in is dropped from the durable
+    * sink by design (the index appends never consume more, and a
+    * payload column would belong in a document/metadata sink keyed by
+    * vec_id, not in the vector store). */
   def ingestVectorBatch(batch: DataFrame, batchId: Long, indexPath: String,
                         vectorsPath: String,
                         pqIndexPath: Option[String] = None): Unit = {
