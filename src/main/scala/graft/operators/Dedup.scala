@@ -727,59 +727,87 @@ object Dedup {
     *
     * [[mergeComponentState]] folds a batch's new edges in three
     * batch-proportional steps: (1) map each edge endpoint to its
-    * current root (one partition-prunable join against the state);
-    * (2) run CC over the ROOT-level graph only — batch-sized input, so
-    * rounds ∝ the BATCH's diameter, never the corpus's; (3) relabel =
-    * a broadcast join applied to just the affected buckets, written
-    * back with dynamic partition overwrite. A replayed merge is a
-    * no-op (every mapped edge collapses to a self-loop), so the write
-    * is crash-retry idempotent — the same replay contract as
-    * [[appendToLshIndex]]. IncrementalCcSpec pins merge-across-appends
-    * ≡ full recompute, including batches that bridge two existing
-    * groups and batches whose new doc re-roots an old group.
+    * current root — a partition-pruned probe of the DOC-keyed
+    * projection, touching only the batch's doc buckets; (2) run CC
+    * over the ROOT-level graph only — batch-sized input, so rounds ∝
+    * the BATCH's diameter, never the corpus's; (3) relabel = a
+    * broadcast join applied to just the affected buckets. A replayed
+    * merge is a no-op (every mapped edge collapses to a self-loop),
+    * so the write is crash-retry idempotent — the same replay
+    * contract as [[appendToLshIndex]]. IncrementalCcSpec pins
+    * merge-across-appends ≡ full recompute, including batches that
+    * bridge two existing groups and batches whose new doc re-roots an
+    * old group.
     *
-    * Honest cost accounting at 100 TB: the ROUNDS are ∝ batch and the
-    * RELABEL WRITE is bucket-pruned, but step (1)'s endpoint→root
-    * lookup streams the whole (doc_id, group_id) state through a hash
-    * join (the state is bucketed by GROUP for the relabel; a doc-keyed
-    * probe cannot prune it). That is one columnar scan of a compact
-    * two-long-column table per merge — fine at per-batch cadence, and
-    * when it isn't, the production move is a SECOND doc-hash-bucketed
-    * projection of the state (or a key-value lookup service) so the
-    * probe touches only the batch's doc buckets; the group-bucketed
-    * table here stays the source of truth for relabels either way. */
+    * TWO on-disk projections of the same (doc_id, group_id) facts:
+    * `components/gb=hash(group_id)` — the source of truth, bucketed
+    * by GROUP so a relabel rewrites only the buckets whose groups
+    * changed — and `components_by_doc/db=hash(doc_id)`, bucketed by
+    * DOC so the endpoint→root probe reads only the batch's doc
+    * buckets instead of streaming the whole state through a hash join
+    * (the r13 honest-cost residual, now closed). Both are rewritten
+    * per merge behind ONE commit marker ([[applyStateCommit]]), so a
+    * crash at any point either replays the whole commit forward at
+    * the next merge or leaves nothing visible — the projections can
+    * never diverge, which step (1)'s correctness requires (a probe
+    * against a projection that missed an earlier relabel would root
+    * new docs under group ids that no longer exist). */
   def buildComponentState(pairs: DataFrame, statePath: String,
                           stateBuckets: Int = 64): Unit = {
     val spark = pairs.sparkSession
-    connectedComponents(pairs)
+    val comps = connectedComponents(pairs).localCheckpoint(true)
+    comps
       .withColumn("gb", pmod(xxhash64(col("group_id")), lit(stateBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("gb").parquet(s"$statePath/components")
+    comps
+      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(stateBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$statePath/components_by_doc")
     graft.sources.IndexMeta.write(spark, s"$statePath/meta.json",
       Seq("stateBuckets" -> stateBuckets.toLong))
   }
 
-  /** The current (doc_id, group_id) state. Fails loudly on an unbuilt
-    * path (the meta guard, as for every persisted artifact). */
   /** The current (doc_id, group_id) state. NON-destructive by design:
     * crash recovery mutates the directory and belongs to the single
     * writer ([[mergeComponentState]] runs it on entry) — a reader
-    * racing an in-flight merge must never delete its staging or
-    * restore its aside buckets. If an interrupted merge left an aside
-    * bucket with no promoted target, the state is incomplete and this
-    * read fails LOUDLY (re-run the failed merge to heal) instead of
-    * silently returning a state missing that bucket's groups. */
+    * racing an in-flight merge must never replay its commit marker or
+    * delete its staging. If an interrupted merge left a commit marker
+    * (some buckets promoted, others not), the state is mid-commit and
+    * this read fails LOUDLY (re-run the failed merge to heal) instead
+    * of silently returning a mix of pre- and post-merge buckets. Any
+    * directory under `components/` that is not a `gb=` partition also
+    * fails loudly — stale debris must never ride into the read (the
+    * r13 advisor's silent-stale-aside finding). */
   def readComponentState(spark: SparkSession, statePath: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
     val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      require(!(name.endsWith("__old") &&
-          !fs.exists(new org.apache.hadoop.fs.Path(root, name.stripSuffix("__old")))),
-        s"component state at $statePath has an unhealed interrupted merge " +
-          s"($name with no promoted target) — re-run the failed mergeComponentState")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker")),
+      s"component state at $statePath has an unfinished merge commit — " +
+        "re-run the failed mergeComponentState to roll it forward")
+    if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      require(st.getPath.getName.matches("gb=\\d+"),
+        s"component state at $statePath holds a non-bucket directory " +
+          s"${st.getPath.getName} — refusing to read a state with stale debris")
     }
     componentStateDf(spark, statePath).select("doc_id", "group_id")
+  }
+
+  /** The DOC-keyed projection of the state — the serving read for
+    * "which group is doc X in" lookups: `db=hash(doc_id)` bucketing
+    * makes an id-keyed probe a partition-pruned read, where the
+    * group-bucketed source of truth would need a full scan. Kept
+    * row-identical to [[readComponentState]] by the single-marker
+    * commit (IncrementalCcSpec pins projection ≡ state after merges
+    * and after crash recovery). Same loud-fail guards as the state
+    * read. */
+  def readComponentStateByDoc(spark: SparkSession, statePath: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker")),
+      s"component state at $statePath has an unfinished merge commit — " +
+        "re-run the failed mergeComponentState to roll it forward")
+    projectionDf(spark, statePath).select("doc_id", "group_id")
   }
 
   /** The on-disk state as a DataFrame — schema-stable even when the
@@ -796,10 +824,30 @@ object Dedup {
       lit(0).cast("int").as("gb"))
   }
 
+  /** [[componentStateDf]] for the doc-keyed projection table. */
+  private def projectionDf(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/components_by_doc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("db="))
+    if (hasData) spark.read.parquet(s"$statePath/components_by_doc")
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("group_id"),
+      lit(0).cast("int").as("db"))
+  }
+
   /** Merge a batch's near-dup pairs into the persisted component
     * state. Group ids keep the [[connectedComponents]] convention
     * (minimum doc_id of the component), so state after any sequence of
-    * merges equals a full recompute over the union of all pair sets. */
+    * merges equals a full recompute over the union of all pair sets.
+    *
+    * Scale shape — every corpus-sized table is read PARTITION-PRUNED:
+    * the endpoint→root probe reads only the batch's doc buckets of
+    * the doc-keyed projection; the existing-root test reads only the
+    * delta's group buckets of the state; the new-doc test reads only
+    * the delta's doc buckets of the projection; the relabel rewrite
+    * reads only the touched group buckets. Nothing in the merge scans
+    * the whole state — work is ∝ batch (plus the contents of the
+    * touched buckets), the r13 verdict's remaining cost item. */
   def mergeComponentState(newPairs: DataFrame, statePath: String): Unit = {
     val spark = newPairs.sparkSession
     val meta = graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
@@ -808,30 +856,46 @@ object Dedup {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(stateBuckets.toLong)).cast("int")
     recoverComponentState(spark, statePath)
-    val state = componentStateDf(spark, statePath)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Array(ca, cb) = newPairs.columns.take(2)
     val edges = newPairs.select(col(ca).as("u"), col(cb).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    // (1) endpoints → current roots; docs the state has never seen
-    // root to themselves. Root-mapping joins shuffle only the EDGES
-    // (state side is the build input of a shuffled hash join; at scale
-    // the doc_id-keyed lookup is served by the layout).
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // (1) endpoints → current roots via the DOC-keyed projection,
+    // partition-pruned to the batch's doc buckets (batch-bounded
+    // bucket list; ≤ stateBuckets ids — a driver-safe collect). Docs
+    // the state has never seen root to themselves.
+    val batchDb = edges.select(bucketOf(col("u")).as("b"))
+      .unionByName(edges.select(bucketOf(col("v")).as("b")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probe = projectionDf(spark, statePath)
+      .filter(col("db").isInCollection(batchDb)) // partition-pruned read
     val rootEdges = edges
-      .join(state.select(col("doc_id").as("u"), col("group_id").as("ru")), Seq("u"), "left")
-      .join(state.select(col("doc_id").as("v"), col("group_id").as("rv")), Seq("v"), "left")
+      .join(probe.select(col("doc_id").as("u"), col("group_id").as("ru")), Seq("u"), "left")
+      .join(probe.select(col("doc_id").as("v"), col("group_id").as("rv")), Seq("v"), "left")
       .select(coalesce(col("ru"), col("u")).as("a"), coalesce(col("rv"), col("v")).as("b"))
       .where(col("a") =!= col("b"))
     // (2) CC over the root-level graph — batch-sized, so the round
     // count follows the batch's diameter, not the corpus's
     val delta = connectedComponents(rootEdges).localCheckpoint(true)
     // (3) delta doc_ids are old roots (their whole group relabels) or
-    // brand-new docs; both maps are batch-bounded → broadcast
+    // brand-new docs; both maps are batch-bounded → broadcast. The
+    // existing-root test is GROUP-keyed (is this id a current
+    // group_id?) so it prunes on the state's gb buckets; the new-doc
+    // test is DOC-keyed so it prunes on the projection's db buckets —
+    // the two bucket id sets coincide (same hash of the same ids).
+    val deltaBuckets = delta.select(bucketOf(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val state = componentStateDf(spark, statePath)
     val relabel = delta
-      .join(state.select(col("group_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .join(state.filter(col("gb").isInCollection(deltaBuckets))
+        .select(col("group_id").as("doc_id")).distinct(), Seq("doc_id"))
       .select(col("doc_id").as("__old_root"), col("group_id").as("__new_root"))
       .localCheckpoint(true)
     val newDocs = delta
-      .join(state.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(projectionDf(spark, statePath)
+        .filter(col("db").isInCollection(deltaBuckets))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // affected buckets: where relabeled groups live now + where they
     // land after the relabel — only those partitions are read/rewritten
@@ -846,76 +910,149 @@ object Dedup {
         .join(broadcast(relabel), col("group_id") === col("__old_root"), "left")
         .select(col("doc_id"), coalesce(col("__new_root"), col("group_id")).as("group_id"))
         .unionByName(newDocs.select("doc_id", "group_id"))
+        // belt-and-braces per-doc dedup (r13 advisor): the commit
+        // marker already makes a half-promoted state unreachable, but
+        // a duplicate copy arriving here for ANY reason must still
+        // collapse to one row before the bucket write
+        .groupBy(col("doc_id")).agg(min(col("group_id")).as("group_id"))
         .withColumn("gb", bucketOf(col("group_id")))
-      // per-bucket staged promote (NOT dynamic partition overwrite: a
-      // bucket whose every group relabeled away produces zero output
-      // rows, and dynamic overwrite would then leave its stale rows in
-      // place — each touched bucket must be REPLACED, possibly by
-      // nothing). Aside-rename protocol per partition; every crash
-      // window is healed by [[recoverComponentState]] at the next
-      // merge, and a partially-promoted state self-heals because the
-      // replayed batch re-presents its edges.
-      val root = s"$statePath/components"
-      val staging = s"$statePath/components__staged"
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      rewritten.write.mode("overwrite").partitionBy("gb").parquet(staging)
-      touched.foreach { b =>
-        val tgt = new org.apache.hadoop.fs.Path(s"$root/gb=$b")
-        val stg = new org.apache.hadoop.fs.Path(s"$staging/gb=$b")
-        val old = new org.apache.hadoop.fs.Path(s"$root/gb=${b}__old")
-        if (fs.exists(tgt) && !fs.rename(tgt, old))
-          throw new java.io.IOException(s"merge: could not set aside $tgt")
-        if (fs.exists(stg) && !fs.rename(stg, tgt))
-          throw new java.io.IOException(s"merge: could not promote $stg")
-        fs.delete(old, true)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // Stage BOTH tables, then commit behind ONE marker: gb staging
+      // first (read back as the upsert set for the doc projection so
+      // the two stagings can never disagree), then the marker — an
+      // atomic rename — then per-bucket promotes. A crash before the
+      // marker leaves nothing visible; a crash after it is rolled
+      // FORWARD by [[recoverComponentState]] at the next merge, so
+      // the retried batch never re-merges against a half-promoted
+      // state (the r13 advisor's duplicate-row window). NOT dynamic
+      // partition overwrite: a bucket whose every group relabeled
+      // away produces zero output rows and must be REPLACED by
+      // nothing — those buckets ride in the marker as deletes.
+      val gbStaging = s"$statePath/components__staged"
+      rewritten.write.mode("overwrite").partitionBy("gb").parquet(gbStaging)
+      val rewrittenRows = spark.read.parquet(gbStaging).select("doc_id", "group_id")
+      val touchedDb = rewrittenRows.select(bucketOf(col("doc_id")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val dbStaging = s"$statePath/components_by_doc__staged"
+      projectionDf(spark, statePath)
+        .filter(col("db").isInCollection(touchedDb)) // partition-pruned read
+        .select("doc_id", "group_id")
+        .join(rewrittenRows.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(rewrittenRows)
+        .withColumn("db", bucketOf(col("doc_id")))
+        .write.mode("overwrite").partitionBy("db").parquet(dbStaging)
+      writeStateCommit(fs, statePath, Seq(
+        ("components", "gb", touched),
+        ("components_by_doc", "db", touchedDb)))
+      applyStateCommit(spark, statePath)
     }
+  }
+
+  /** Marker file naming the buckets of an in-flight merge commit.
+    * Present ⇒ the commit must be rolled forward before any read or
+    * further merge; absent ⇒ the state and its doc projection agree. */
+  private val CommitMarker = "commit.plan"
+
+  /** Write the commit marker ATOMICALLY (temp file + rename) after all
+    * staging is on disk. One line per touched bucket:
+    * `table<TAB>action<TAB>partitionDir`, action = `promote` when the
+    * staging holds a replacement, `delete` when the bucket emptied
+    * (every row relabeled away) and the live dir must go. Actions are
+    * fixed at marker time — staging is complete, so stg-existence is
+    * final — which is what lets recovery distinguish "promote not yet
+    * applied" from "bucket legitimately replaced by nothing". */
+  private def writeStateCommit(fs: org.apache.hadoop.fs.FileSystem, statePath: String,
+                               tables: Seq[(String, String, Seq[Int])]): Unit = {
+    val lines = tables.flatMap { case (table, pcol, touched) =>
+      touched.sorted.map { b =>
+        val part = s"$pcol=$b"
+        val stg = new org.apache.hadoop.fs.Path(s"$statePath/${table}__staged/$part")
+        val action = if (fs.exists(stg)) "promote" else "delete"
+        s"$table\t$action\t$part"
+      }
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker")
+    fs.delete(marker, false) // only reachable if a previous apply died pre-promote
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"merge: could not publish commit marker $marker")
+  }
+
+  /** Roll the marked commit FORWARD: apply every bucket action
+    * (idempotently — a promote whose staging is gone checks the
+    * target is live; a delete re-deletes nothing), then drop the
+    * marker and staging. Callable any number of times from any crash
+    * point at or after marker publication. */
+  private def applyStateCommit(spark: SparkSession, statePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker")
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).foreach { line =>
+      line.split("\t") match {
+        case Array(table, action, part) =>
+          val tgt = new org.apache.hadoop.fs.Path(s"$statePath/$table/$part")
+          val stg = new org.apache.hadoop.fs.Path(s"$statePath/${table}__staged/$part")
+          action match {
+            case "promote" =>
+              if (fs.exists(stg)) {
+                if (fs.exists(tgt) && !fs.delete(tgt, true))
+                  throw new java.io.IOException(s"commit: could not drop $tgt for promote")
+                if (!fs.rename(stg, tgt))
+                  throw new java.io.IOException(s"commit: could not promote $stg")
+              } else require(fs.exists(tgt),
+                s"corrupt state commit at $statePath: $part has neither staging nor target")
+            case "delete" => fs.delete(tgt, true)
+            case other => sys.error(s"corrupt commit marker line action '$other' at $statePath")
+          }
+        case _ => sys.error(s"corrupt commit marker line '$line' at $statePath")
+      }
+    }
+    if (!fs.delete(marker, false))
+      throw new java.io.IOException(s"commit: could not retire marker $marker")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/components__staged"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/components_by_doc__staged"), true)
   }
 
   /** Compact the component state's merge-accumulated small files —
     * the standing-maintenance parity every persisted artifact here
     * has: each [[mergeComponentState]] rewrites its touched buckets
     * with one file per (task × bucket), so file count grows with merge
-    * cadence. Crash-safe staged rewrite PRESERVING the `gb=` layout
-    * (the bucket pruning IS the state's structure); contents are
-    * row-identical and `meta.json` untouched, so reads and merges
-    * before/after agree exactly (IncrementalCcSpec). Single-writer:
-    * do not compact concurrently with a merge. */
+    * cadence. Compacts BOTH projections, each with a crash-safe staged
+    * rewrite PRESERVING its bucket layout (the partition pruning IS
+    * the state's structure); contents are row-identical and
+    * `meta.json` untouched, so reads and merges before/after agree
+    * exactly (IncrementalCcSpec). Single-writer: do not compact
+    * concurrently with a merge. */
   def compactComponentState(spark: SparkSession, statePath: String,
                             targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     graft.sources.IndexMeta.read(spark, s"$statePath/meta.json", "component state")
     recoverComponentState(spark, statePath)
     graft.sources.Sinks.compactPartitioned(
       spark, s"$statePath/components", "gb", targetFileBytes)
+    graft.sources.Sinks.compactPartitioned(
+      spark, s"$statePath/components_by_doc", "db", targetFileBytes)
   }
 
   /** Heal the component-state crash windows of [[mergeComponentState]]:
-    * restore any bucket whose promote was interrupted mid-rename
-    * (`gb=b__old` present with `gb=b` missing) and drop completed
-    * asides. Runs ONLY at the start of a merge — the single-writer
-    * entry point, same placement as Sinks.recoverMergeTarget; the read
-    * path never mutates (a reader racing a live merge must not touch
-    * its directories). An orphaned staging dir needs no explicit
-    * cleanup: the next merge's mode("overwrite") staging write
-    * replaces it. Concurrent merges to one statePath are not
-    * supported (the same single-writer contract as every persisted
-    * artifact here). Idempotent. */
-  private def recoverComponentState(spark: SparkSession, statePath: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(s"$statePath/components")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.endsWith("__old")) {
-        val tgt = new org.apache.hadoop.fs.Path(root, name.stripSuffix("__old"))
-        if (!fs.exists(tgt)) {
-          if (!fs.rename(st.getPath, tgt))
-            throw new java.io.IOException(s"recover: could not restore ${st.getPath}")
-        } else fs.delete(st.getPath, true)
-      }
-    }
-  }
+    * if a commit marker is present, the crashed merge had already
+    * staged everything — roll the whole commit FORWARD
+    * ([[applyStateCommit]]), bringing state and doc projection to the
+    * same post-merge snapshot. Runs ONLY at the start of a merge —
+    * the single-writer entry point, same placement as
+    * Sinks.recoverMergeTarget; the read path never mutates (a reader
+    * racing a live merge must not replay its marker). Marker-less
+    * staging debris (a crash before publication) needs no cleanup:
+    * the next merge's mode("overwrite") staging write replaces it.
+    * Concurrent merges to one statePath are not supported (the same
+    * single-writer contract as every persisted artifact here).
+    * Idempotent. */
+  private def recoverComponentState(spark: SparkSession, statePath: String): Unit =
+    applyStateCommit(spark, statePath)
 
   /** Canonical-document selection over resolved duplicate groups: keep
     * ONE survivor per group — the highest-scoring member (ties broken
@@ -946,6 +1083,19 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("__keeper"))
       .drop("__keeper")
   }
+
+  /** [[survivors]] served off the PERSISTED component state instead of
+    * a connected-components recompute — the serving form once the
+    * incremental state exists: group resolution is a partitioned
+    * parquet read ([[readComponentState]]), so survivor selection
+    * costs one aggregation and one join however many merges built the
+    * state, never a CC re-run over all pairs ever seen. Oracle-gated
+    * ≡ the recompute path (q_dedup_survivors_state replays components
+    * from scratch in DuckDB — the same incremental ≡ rebuild contract
+    * as q_dedup_groups_incremental). */
+  def survivorsFromState(spark: SparkSession, statePath: String, scores: DataFrame,
+                         idCol: String = "doc_id", scoreCol: String = "quality"): DataFrame =
+    survivors(readComponentState(spark, statePath), scores, idCol, scoreCol)
 
   /** Near-dup pairs by word n-gram Jaccard, LSH-bucketed by the cheapest
     * usable key (min-k shingle hashes) to stay sub-quadratic, then

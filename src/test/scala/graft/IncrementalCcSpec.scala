@@ -17,8 +17,14 @@ class IncrementalCcSpec extends SparkSpec {
   private def stateDir() =
     java.nio.file.Files.createTempDirectory("graft-ccstate").toString + "/cc"
 
-  private def readSorted(dir: String): Seq[(Long, Long)] =
-    Dedup.readComponentState(spark, dir).as[(Long, Long)].collect().toSeq.sorted
+  private def readSorted(dir: String): Seq[(Long, Long)] = {
+    val state = Dedup.readComponentState(spark, dir).as[(Long, Long)].collect().toSeq.sorted
+    // standing invariant: the doc-keyed projection is row-identical to
+    // the group-bucketed source of truth after every committed merge
+    val byDoc = Dedup.readComponentStateByDoc(spark, dir).as[(Long, Long)].collect().toSeq.sorted
+    assert(byDoc === state, "doc-keyed projection diverged from the component state")
+    state
+  }
 
   private def fullCc(ps: (Long, Long)*): Seq[(Long, Long)] =
     Dedup.connectedComponents(pairsDf(ps: _*)).as[(Long, Long)].collect().toSeq.sorted
@@ -96,10 +102,24 @@ class IncrementalCcSpec extends SparkSpec {
     val dir = stateDir()
     val b1 = (0L until 24L by 2L).map(i => (i, i + 1L))
     Dedup.buildComponentState(pairsDf(b1: _*), dir, stateBuckets = 4)
-    // several merges accrete files into the touched buckets
     Dedup.mergeComponentState(pairsDf((0L, 2L)), dir)
     Dedup.mergeComponentState(pairsDf((4L, 6L)), dir)
     Dedup.mergeComponentState(pairsDf((8L, 10L)), dir)
+    // at scale a big rewrite writes one file per (task × bucket); the
+    // tiny fixture coalesces to one file per bucket, so fabricate the
+    // multi-file shape by splitting one bucket of each projection
+    Seq("components", "components_by_doc").foreach { table =>
+      val b = new java.io.File(s"$dir/$table").listFiles()
+        .filter(_.getName.contains("=")).maxBy(_.getName)
+      val rows = spark.read.parquet(b.toString).repartition(2).localCheckpoint(true)
+      val tmp = new java.io.File(b.getParentFile, b.getName + "__tmp")
+      rows.write.parquet(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(b)
+      assert(tmp.renameTo(b), "fixture bucket split failed")
+    }
     val before = readSorted(dir)
     def files: Int = {
       def walk(f: java.io.File): Int =
@@ -134,26 +154,83 @@ class IncrementalCcSpec extends SparkSpec {
     assert(meta("stateBuckets") === 8L)
   }
 
-  test("interrupted promote: read fails loudly, the next merge heals") {
+  test("mid-commit crash: read fails loudly, the next merge rolls the commit forward") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     val dir = stateDir()
-    Dedup.buildComponentState(pairsDf((30L, 31L), (40L, 41L)), dir, stateBuckets = 8)
-    val healthy = readSorted(dir)
-    // simulate a crash mid-promote: one bucket renamed aside, promote
-    // of the staged replacement never happened
-    val root = new java.io.File(s"$dir/components")
-    val bucket = root.listFiles().filter(_.getName.startsWith("gb=")).head
-    val aside = new java.io.File(root, bucket.getName + "__old")
-    assert(bucket.renameTo(aside), "fixture rename failed")
-    // the READ path must not mutate a directory a live merge may own —
-    // it reports the unhealed state loudly instead of silently
-    // returning a state missing that bucket's groups
-    val e = intercept[IllegalArgumentException] { readSorted(dir) }
-    assert(e.getMessage.contains("interrupted merge"), e.getMessage)
-    assert(new java.io.File(root, aside.getName).exists(),
-      "read must not have touched the aside bucket")
-    // recovery belongs to the single writer: any merge heals it (an
-    // empty edge batch is the minimal retry)
+    // one group {50,51}; the interrupted merge is edge (1,50), whose
+    // commit relabels the group to 1 (new bucket), EMPTIES group 50's
+    // old bucket (a delete action), and upserts docs 1/50/51 into the
+    // doc projection. Hand-build the exact staging + marker that merge
+    // leaves the instant after marker publication.
+    Dedup.buildComponentState(pairsDf((50L, 51L)), dir, stateBuckets = 64)
+    def bucket(id: Long): Int =
+      spark.range(1).select(pmod(xxhash64(lit(id)), lit(64L)).cast("int")).as[Int].head()
+    val (g1, g50) = (bucket(1L), bucket(50L))
+    assert(g1 !== g50, "fixture needs the relabel to change buckets")
+    val post = Seq((1L, 1L), (50L, 1L), (51L, 1L))
+    post.toDF("doc_id", "group_id").coalesce(1)
+      .write.parquet(s"$dir/components__staged/gb=$g1")
+    val dbs = post.map { case (d, g) => (d, g, bucket(d)) }
+    dbs.groupBy(_._3).foreach { case (db, rows) =>
+      rows.map(r => (r._1, r._2)).toDF("doc_id", "group_id").coalesce(1)
+        .write.parquet(s"$dir/components_by_doc__staged/db=$db")
+    }
+    val marker =
+      (Seq(s"components\tpromote\tgb=$g1", s"components\tdelete\tgb=$g50") ++
+        dbs.map(_._3).distinct.sorted.map(db => s"components_by_doc\tpromote\tdb=$db"))
+        .mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/commit.plan"),
+      marker.getBytes("UTF-8"))
+    // a reader racing the (dead) writer must fail LOUDLY, not serve a
+    // mix of pre- and post-merge buckets — and must not mutate
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readComponentState(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("unfinished merge commit"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.readComponentStateByDoc(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("unfinished merge commit"), e2.getMessage)
+    assert(new java.io.File(s"$dir/commit.plan").exists(),
+      "read must not have consumed the commit marker")
+    // simulate the crash having landed MID-apply: the delete action
+    // already ran — recovery must be idempotent over applied actions
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/components/gb=$g50"), true)
+    // recovery belongs to the single writer: any merge rolls the
+    // commit forward (an empty edge batch is the minimal retry)
     Dedup.mergeComponentState(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), dir)
-    assert(readSorted(dir) === healthy, "merge-entry recovery must restore the aside bucket")
+    assert(readSorted(dir) === post.sorted,
+      "merge-entry recovery must complete the marked commit on BOTH projections")
+    assert(!new java.io.File(s"$dir/commit.plan").exists(), "marker must be retired")
+    assert(!new java.io.File(s"$dir/components__staged").exists(), "staging must be dropped")
+  }
+
+  test("stale debris under components/ fails the read loudly") {
+    val dir = stateDir()
+    Dedup.buildComponentState(pairsDf((60L, 61L)), dir, stateBuckets = 8)
+    readSorted(dir) // healthy
+    assert(new java.io.File(s"$dir/components/gb=3__old").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readComponentState(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("stale debris"), e.getMessage)
+  }
+
+  test("survivorsFromState ≡ survivors over a full recompute") {
+    val dir = stateDir()
+    val b1 = Seq((5L, 6L), (9L, 10L)); val b2 = Seq((6L, 9L), (20L, 21L))
+    Dedup.buildComponentState(pairsDf(b1: _*), dir, stateBuckets = 8)
+    Dedup.mergeComponentState(pairsDf(b2: _*), dir)
+    val scores = Seq((5L, 0.2), (6L, 0.9), (9L, 0.9), (10L, 0.1), (20L, 0.5), (21L, 0.7))
+      .toDF("doc_id", "quality")
+    val fromState = Dedup.survivorsFromState(spark, dir, scores)
+      .select("doc_id", "group_id", "keep").as[(Long, Long, Boolean)].collect().toSet
+    val recompute = Dedup.survivors(
+      Dedup.connectedComponents(pairsDf(b1 ++ b2: _*)), scores)
+      .select("doc_id", "group_id", "keep").as[(Long, Long, Boolean)].collect().toSet
+    assert(fromState === recompute)
+    // ties broke toward the smaller id: 6 beats 9 in the merged group
+    assert(fromState.contains((6L, 5L, true)) && fromState.contains((9L, 5L, false)))
   }
 }
