@@ -209,16 +209,47 @@ class FunctionsSpec extends SparkSpec {
     assert(canon === Set("https://shop.net/item?a=1&b=2"))
   }
 
-  test("registeredDomain: two-level public suffixes, ports, short hosts") {
+  test("registeredDomain: PSL snapshot — exact, wildcard, exception, multi-level rules") {
     import graft.functions.Urls
     val cases = Seq(
+      // two-level exact suffixes
       "https://news.example.co.uk/x" -> "example.co.uk",
       "https://a.b.site.com/x" -> "site.com",
       "https://localhost/x" -> "localhost",
       "https://sub.x.com.au:8080/" -> "x.com.au",
-      "http://www.gov.uk/" -> "gov.uk")
+      // the suffix itself degrades to the host (normalizer contract)
+      "http://www.gov.uk/" -> "gov.uk",
+      // ccTLD conventions the r13 heuristic missed
+      "https://shop.example.com.ar/" -> "example.com.ar",
+      "https://x.y.banka.co.il/" -> "banka.co.il",
+      "https://w.example.com.tw/" -> "example.com.tw",
+      // THREE-level exact suffix: k12.ca.us
+      "https://www.school.k12.ca.us/" -> "school.k12.ca.us",
+      // wildcard rule *.kobe.jp: <label>.kobe.jp is the public suffix
+      "https://b.a.shop.kobe.jp/" -> "a.shop.kobe.jp",
+      // exception rule !city.kobe.jp beats the wildcard
+      "https://a.b.city.kobe.jp/" -> "city.kobe.jp",
+      // host == wildcard parent: the wildcard does NOT match, default does
+      "https://kobe.jp/" -> "kobe.jp",
+      // prefecture second-level (plain exact)
+      "https://www.site.aichi.jp/" -> "site.aichi.jp",
+      // wildcard TLD *.bd with its own exception-free shape
+      "https://a.example.bd/" -> "a.example.bd",
+      "https://example.bd/" -> "example.bd",
+      // !www.ck: registrable directly under the wildcard TLD
+      "https://foo.www.ck/" -> "www.ck",
+      "https://a.b.ck/" -> "a.b.ck")
     val got = cases.map(_._1).toDF("u")
       .select(Urls.registeredDomain($"u")).as[String].collect().toSeq
-    assert(got === cases.map(_._2))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g === want, s"registeredDomain($in)")
+    }
+    // rule-set sanity: the snapshot parsed into every structural shape
+    assert(Urls.SuffixRules.exact2.contains("co.uk"))
+    assert(Urls.SuffixRules.exact3.contains("k12.ca.us"))
+    assert(Urls.SuffixRules.wild1.contains("bd"))
+    assert(Urls.SuffixRules.wild2.contains("kobe.jp"))
+    assert(Urls.SuffixRules.exc2.contains("www.ck"))
+    assert(Urls.SuffixRules.exc3.contains("city.kobe.jp"))
   }
 }
