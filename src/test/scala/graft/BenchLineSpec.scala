@@ -102,6 +102,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(mapper.readTree(big).has("canary_warm"))
   }
 
+  test("cold-sample accounting: cold_n + capped names ride the line, absent when floor met") {
+    val cold = (0 until 20).map(i => f"q_cold_$i%02d")
+    val node = mapper.readTree(Bench.compactLine(times.take(10), Nil, "sf", of = 10,
+      cold = cold))
+    assert(node.get("cold_n").asInt() === 20)
+    assert(node.get("cold").size() === 12, "named cold queries cap at 12")
+    assert(node.get("cold").get(0).asText() === "q_cold_00", "cold names are sorted")
+    // floor met → no cold fields at all (the normal end state)
+    val done = mapper.readTree(Bench.compactLine(times.take(10), Nil, "sf", of = 10))
+    assert(!done.has("cold_n") && !done.has("cold"))
+    // the 120-query overflow shape still fits the tail budget with a
+    // full cold list AND canaries aboard
+    val big = Bench.compactLine(times, Nil, "/root/testdata/sf0.1", of = 120,
+      canary = Seq("canary_cold" -> 6.25, "canary_warm" -> 0.51),
+      cold = (0 until 120).map(i => f"q_name_number_$i%03d"))
+    assert(big.length <= 1700, s"line is ${big.length} chars")
+    assert(mapper.readTree(big).get("cold_n").asInt() === 120)
+  }
+
   test("resampleOrder: fewest samples first, slowest within tier, errored ahead of all") {
     val names = Seq("cheap_warm", "heavy_warm", "cold_slow", "cold_fast", "errored")
     val samples = Map("cheap_warm" -> 2, "heavy_warm" -> 2, "cold_slow" -> 1,
