@@ -188,28 +188,108 @@ object Similarity {
     * the IVF read-reduction made physical as partition pruning, which
     * is the shape that matters at 100 TB — a probe touches
     * nProbe/nCells of the corpus files, not the table. */
-  def buildIvfIndex(embeddings: DataFrame, indexPath: String, nCells: Int = 16): Unit = {
+  def buildIvfIndex(embeddings: DataFrame, indexPath: String, nCells: Int = 16): Unit =
+    writeIvfTables(widened(embeddings).select(col("vec_id"), col("emb")), indexPath, nCells)
+
+  /** The index-build core shared by [[buildIvfIndex]] (flat layout)
+    * and [[rebuildIvfIndex]] (version dirs): one seeded KMeans fit,
+    * the tiny centroid table, the cell-partitioned inverted file, and
+    * meta WRITTEN LAST — a version directory is only eligible for
+    * serving once its meta exists, which is what makes a crashed
+    * rebuild invisible. `base` is already (vec_id, emb-double). */
+  private def writeIvfTables(base: DataFrame, root: String, nCells: Int): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
-    val widenedCorpus = widened(embeddings).withColumn("fv", array_to_vector(col("emb")))
+    val widenedCorpus = base.withColumn("fv", array_to_vector(col("emb")))
     val km = new KMeans().setK(nCells).setSeed(ivfSeed)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(widenedCorpus)
     km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     km.transform(widenedCorpus)
       .select(col("vec_id"), col("emb"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/inverted")
-    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/inverted")
+    graft.sources.IndexMeta.write(spark, s"$root/meta.json",
       Seq("nCells" -> nCells.toLong, "seed" -> ivfSeed,
         "dim" -> km.clusterCenters.head.size.toLong))
   }
 
   private val ivfSeed = 42L
+
+  /** Resolve the SERVING root of an IVF index: the version directory
+    * named by the `CURRENT` pointer, else (pointer mid-swap or never
+    * versioned) the newest COMPLETE `v_<n>` dir — complete = its meta
+    * exists, and meta is written last — else the legacy flat layout at
+    * `indexPath` itself. Probes, appends, compaction and telemetry all
+    * resolve through here, so a [[rebuildIvfIndex]] swap retargets
+    * every consumer atomically with the pointer rename while readers
+    * that already resolved keep their old (still on-disk) version. */
+  private def ivfRoot(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/CURRENT")
+    def complete(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$name/meta.json"))
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(complete(name), s"IVF index at $indexPath: CURRENT names $name but it is incomplete")
+      s"$indexPath/$name"
+    } else {
+      val vers = if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.matches("v_\\d+")).filter(complete) else Array.empty[String]
+      if (vers.nonEmpty) s"$indexPath/${vers.maxBy(_.stripPrefix("v_").toLong)}"
+      else indexPath
+    }
+  }
+
+  /** Centroid refresh — the ACTING half of the drift telemetry
+    * ([[ivfCellStats]] says WHEN; this is the rebuild): re-cluster the
+    * currently indexed corpus with a fresh seeded KMeans fit, write a
+    * complete NEW version directory (`v_<n+1>`: centroids + re-assigned
+    * inverted file + meta), and swap the `CURRENT` pointer. The swap is
+    * the only mutation the serving path can observe: a probe resolves
+    * either the old version or the new one, never a half-written mix —
+    * an incomplete version (no meta yet, or a crash mid-rebuild) is
+    * never eligible, and the previous version stays on disk so
+    * probes that resolved before the swap finish against intact files.
+    * Versions older than the previous are deleted (bounded disk debt);
+    * the legacy flat tables are left for the operator since the first
+    * rebuild cannot know whether an out-of-band reader still points at
+    * them. Single-writer, like every persisted artifact here. */
+  def rebuildIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val oldRoot = ivfRoot(spark, indexPath)
+    val meta = graft.sources.IndexMeta.read(spark, s"$oldRoot/meta.json", "IVF index")
+    val nCells = meta.getOrElse("nCells",
+      sys.error(s"IVF index meta at $oldRoot lacks nCells")).toInt
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .map(_.getPath.getName).filter(_.matches("v_\\d+"))
+      .map(_.stripPrefix("v_").toLong)
+    val next = (existing.foldLeft(0L)(math.max)) + 1
+    val newName = s"v_$next"
+    val corpus = spark.read.parquet(s"$oldRoot/inverted").select(col("vec_id"), col("emb"))
+    writeIvfTables(corpus, s"$indexPath/$newName", nCells)
+    // publish: temp + rename. The delete→rename window is benign — a
+    // reader finding no CURRENT falls back to the newest complete
+    // version, which IS the one being published.
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((newName + "\n").getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/CURRENT")
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"rebuild: could not publish $cur")
+    existing.filter(_ < next - 1).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/v_$n"), true)
+    }
+  }
 
   /** IVF parameter fingerprint beside the index tables (same
     * [[graft.sources.IndexMeta]] format as the LSH dedup index).
@@ -217,9 +297,9 @@ object Similarity {
     * different embedding dimension would otherwise silently compute
     * truncated distances and degrade recall with no error. Returns the
     * stored build-time dim. */
-  private def checkIvfMeta(spark: SparkSession, indexPath: String): Int =
-    graft.sources.IndexMeta.read(spark, s"$indexPath/meta.json", "IVF index")
-      .getOrElse("dim", sys.error(s"IVF index meta at $indexPath lacks dim"))
+  private def checkIvfMeta(spark: SparkSession, root: String): Int =
+    graft.sources.IndexMeta.read(spark, s"$root/meta.json", "IVF index")
+      .getOrElse("dim", sys.error(s"IVF index meta at $root lacks dim"))
       .toInt
 
   /** Nearest-`nProbe` cells by squared Euclidean against the (tiny,
@@ -265,18 +345,19 @@ object Similarity {
     * same `inverted` table its anti-join reads. */
   def appendToIvfIndex(embeddings: DataFrame, indexPath: String): Unit = {
     val spark = embeddings.sparkSession
-    val metaDim = checkIvfMeta(spark, indexPath)
-    val centers = readCentroids(spark, indexPath)
+    val root = ivfRoot(spark, indexPath)
+    val metaDim = checkIvfMeta(spark, root)
+    val centers = readCentroids(spark, root)
     require(centers.head.length == metaDim,
-      s"corrupt IVF index at $indexPath: centroid dim ${centers.head.length} != meta dim $metaDim")
-    val indexed = spark.read.parquet(s"$indexPath/inverted").select(col("vec_id"))
+      s"corrupt IVF index at $root: centroid dim ${centers.head.length} != meta dim $metaDim")
+    val indexed = spark.read.parquet(s"$root/inverted").select(col("vec_id"))
     val fresh = widened(embeddings)
       .transform(dedupVecIds)
       .join(indexed.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
       .withColumn("cell", nearestCellsUdf(centers, 1)(col("emb")).getItem(0))
       .select(col("vec_id"), col("emb"), col("cell"))
       .localCheckpoint()
-    fresh.write.mode("append").partitionBy("cell").parquet(s"$indexPath/inverted")
+    fresh.write.mode("append").partitionBy("cell").parquet(s"$root/inverted")
   }
 
   /** ANN top-k against a persisted IVF index: centroids are a tiny
@@ -288,14 +369,15 @@ object Similarity {
                      k: Int, nProbe: Int = 4,
                      maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
     import spark.implicits._
-    checkIvfMeta(spark, indexPath) // loud failure on unbuilt/dim-mismatched index
-    val centers = readCentroids(spark, indexPath)
+    val root = ivfRoot(spark, indexPath)
+    checkIvfMeta(spark, root) // loud failure on unbuilt/dim-mismatched index
+    val centers = readCentroids(spark, root)
     val probeCellsUdf = nearestCellsUdf(centers, nProbe)
     val probes = widened(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCellsUdf(col("emb"))).as("cell"))
     val probedCells = probes.select("cell").distinct().as[Int].collect()
-    val corpus = spark.read.parquet(s"$indexPath/inverted")
+    val corpus = spark.read.parquet(s"$root/inverted")
       .filter(col("cell").isInCollection(probedCells.toSeq)) // partition-pruned
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -320,9 +402,10 @@ object Similarity {
     * agree exactly (SimilaritySpec). */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
                       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    checkIvfMeta(spark, indexPath) // only compact real IVF indexes, loudly
+    val root = ivfRoot(spark, indexPath)
+    checkIvfMeta(spark, root) // only compact real IVF indexes, loudly
     graft.sources.Sinks.compactPartitioned(
-      spark, s"$indexPath/inverted", "cell", targetFileBytes)
+      spark, s"$root/inverted", "cell", targetFileBytes)
   }
 
   /** Cell-balance telemetry for a persisted IVF index — the
@@ -345,10 +428,11 @@ object Similarity {
     * cells), imbalance = max_cell / avg_cell (1.0 = perfectly
     * balanced; empty cells push it up). */
   def ivfCellStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val root = ivfRoot(spark, indexPath)
     val nCells = graft.sources.IndexMeta
-      .read(spark, s"$indexPath/meta.json", "IVF index")
-      .getOrElse("nCells", sys.error(s"IVF index meta at $indexPath lacks nCells"))
-    spark.read.parquet(s"$indexPath/inverted")
+      .read(spark, s"$root/meta.json", "IVF index")
+      .getOrElse("nCells", sys.error(s"IVF index meta at $root lacks nCells"))
+    spark.read.parquet(s"$root/inverted")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(
         sum(col("n")).as("total_vecs"),

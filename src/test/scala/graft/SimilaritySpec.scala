@@ -211,6 +211,62 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"post-append indexed IVF recall $recall")
   }
 
+  test("rebuildIvfIndex: versioned atomic swap, probe ≡ fresh build, appends follow the pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrb").toString + "/idx"
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" % 10 >= 8), dir) // drifted cells
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    Similarity.rebuildIvfIndex(spark, dir)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/CURRENT")).trim === "v_1")
+    // the legacy flat tables (the pre-rebuild serving root) are intact:
+    // a probe that resolved before the swap finishes against whole files
+    assert(new java.io.File(s"$dir/inverted").exists() &&
+      new java.io.File(s"$dir/centroids").exists())
+    // probe off the rebuilt index ≡ a fresh buildIvfIndex over the same
+    // corpus (same seeded fit over the same reloaded rows)
+    val got = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-ivfrf").toString + "/idx"
+    Similarity.buildIvfIndex(
+      spark.read.parquet(s"$dir/inverted").select($"vec_id", $"emb".as("embedding")),
+      freshDir, nCells = 8)
+    val fresh = Similarity.ivfTopKIndexed(spark, freshDir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === fresh, "rebuild must equal a fresh build over the same corpus")
+    // every vector survived the re-assignment exactly once
+    assert(spark.read.parquet(s"$dir/v_1/inverted").count() === 200L)
+    // recall holds on the refreshed centroids
+    val truth = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val approx = got.map(r => (r._1, r._2))
+    assert(truth.intersect(approx).size.toDouble / truth.size >= 0.8)
+    // a mid-swap reader (pointer momentarily absent) falls back to the
+    // newest COMPLETE version — the same results, never a half-written mix
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"), false)
+    val noPointer = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(noPointer === got, "pointer-less resolution must serve the newest complete version")
+    // appends resolve through the pointer: they land in the CURRENT
+    // version, and cell telemetry sees them there
+    Similarity.rebuildIvfIndex(spark, dir) // re-publishes CURRENT (v_2)
+    val twin = corpus.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfIndex(twin, dir)
+    assert(spark.read.parquet(s"$dir/v_2/inverted").filter($"vec_id" === 9000L).count() === 1L)
+    assert(spark.read.parquet(s"$dir/inverted").filter($"vec_id" === 9000L).count() === 0L,
+      "append must not touch the superseded flat tables")
+    assert(Similarity.ivfCellStats(spark, dir).collect().head
+      .getAs[Long]("total_vecs") === 201L)
+    // bounded version debt: the previous version survives each swap,
+    // older ones are deleted
+    assert(new java.io.File(s"$dir/v_1").exists(), "previous version must be kept")
+    Similarity.rebuildIvfIndex(spark, dir) // v_3 → v_1 ages out
+    assert(!new java.io.File(s"$dir/v_1").exists(), "v_1 must age out after two more swaps")
+    assert(new java.io.File(s"$dir/v_2").exists())
+  }
+
   test("ivfCellStats: exact totals, stats consistent with the inverted file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfstats").toString + "/idx"
     Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
