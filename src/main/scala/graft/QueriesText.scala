@@ -682,6 +682,115 @@ object QueriesText {
           .orderBy("doc_id")
       }
 
+      // EXPORT CAPSTONE — the whole LOADER half as ONE plan, the
+      // mirror of q_curate_corpus's cleaning half: duplicate-group
+      // SURVIVORS (served off the incremental component state) →
+      // leakage-safe GROUP-KEYED train split (near-dups never straddle
+      // the boundary) → per-source TOKEN-BUDGET mix → size-budgeted
+      // shard PACKING → DETERMINISTIC training-order shuffle. Every
+      // stage's fragment is individually oracle-proven
+      // (q_dedup_survivors_state, q_split_groups, q_token_budget_mix,
+      // q_shard_pack, q_shuffle_order); this query hash-gates their
+      // COMPOSITION — the row set a training job would actually read,
+      // with its pack shard, order-preserving shuffle shard and exact
+      // global position. The oracle recomputes components from
+      // scratch and replays every window, so a stale state row, a
+      // budget boundary bug or a shifted shuffle offset fails the hash.
+      register("q_export_pipeline",
+        s"""WITH RECURSIVE $pairsCte,
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT u, u AS m FROM edges
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.u),
+           |grp AS (SELECT u AS doc_id, min(m) AS group_id FROM reach GROUP BY u),
+           |q AS (
+           |  SELECT doc_id,
+           |         round(least(1.0, len(toks) / 100.0)
+           |               * (1.0 - CAST(len(list_filter(toks,
+           |                        x -> x IN ('the','a','an','of','to','in','and','is'))) AS DOUBLE)
+           |                 / len(toks)), 4) AS quality
+           |  FROM t),
+           |jq AS (SELECT g.doc_id, g.group_id, q.quality FROM grp g JOIN q USING (doc_id)),
+           |k AS (SELECT group_id, doc_id AS keeper
+           |      FROM (SELECT group_id, doc_id,
+           |                   row_number() OVER (PARTITION BY group_id
+           |                                      ORDER BY quality DESC, doc_id) AS rn
+           |            FROM jq) r WHERE rn = 1),
+           |kept AS (
+           |  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_key
+           |  FROM documents d
+           |  LEFT JOIN grp g USING (doc_id)
+           |  LEFT JOIN k ON k.group_id = g.group_id
+           |  WHERE g.doc_id IS NULL OR d.doc_id = k.keeper),
+           |train AS (
+           |  SELECT doc_id FROM kept
+           |  WHERE CAST(concat('0x', substring(md5(concat(group_key, ':42')), 1, 15)) AS BIGINT)
+           |          / 1152921504606846976.0 < 0.8),
+           |sz AS (
+           |  SELECT tr.doc_id, d.source, d.n_chars,
+           |         CAST(len(t.toks) AS BIGINT) AS n_toks,
+           |         md5(CAST(tr.doc_id AS VARCHAR)) AS hh
+           |  FROM train tr
+           |  JOIN documents d USING (doc_id)
+           |  JOIN t ON t.doc_id = tr.doc_id),
+           |b(source, budget) AS (VALUES ('src0', CAST(800 AS BIGINT)), ('src1', CAST(400 AS BIGINT)),
+           |                             ('src2', CAST(999999 AS BIGINT)), ('src3', CAST(600 AS BIGINT))),
+           |c AS (
+           |  SELECT sz.*,
+           |         coalesce(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY hh, n_toks
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bf
+           |  FROM sz),
+           |mixed AS (SELECT c.doc_id, c.source, c.n_toks, c.n_chars, c.hh
+           |          FROM c JOIN b USING (source) WHERE c.bf < b.budget),
+           |packed AS (
+           |  SELECT doc_id, source, n_toks,
+           |         CAST(floor(coalesce(CAST(sum(n_chars) OVER (ORDER BY hh, n_chars
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           |                / CAST(20000 AS DOUBLE)) AS INT) AS pack_shard
+           |  FROM mixed),
+           |sh AS (SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS sh_h FROM packed)
+           |SELECT p.doc_id, p.source, p.n_toks, p.pack_shard,
+           |       CAST(floor(CAST(concat('0x', substring(sh.sh_h, 1, 2)) AS INT) * 64 / 256) AS INT) AS shard,
+           |       row_number() OVER (ORDER BY sh.sh_h, p.doc_id) - 1 AS pos
+           |FROM packed p JOIN sh USING (doc_id)
+           |ORDER BY p.doc_id""") { (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val toks = docs.withColumn("toks", TextStats.tokens(col("text")))
+        val quality = toks.select(col("doc_id"),
+          round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+        val surv = Dedup.survivorsFromState(s, ccStateRoot(s, dir), quality)
+        val kept = docs.select(col("doc_id"))
+          .join(surv.select(col("doc_id"), col("group_id"), col("keep")), Seq("doc_id"), "left")
+          .withColumn("group_key", coalesce(col("group_id"), col("doc_id")))
+          .filter(coalesce(col("keep"), lit(true)))
+        val train = graft.operators.Sampling.assignSplit(kept, "group_key")
+          .filter(col("split") === "train")
+        // stage boundaries are PINNED (as a production export would
+        // materialize between stages): the two-phase cumulative sums
+        // inside mix/pack/shuffle each reference their input ~3×, and
+        // without pins the whole upstream pipeline re-expands at every
+        // reference — 27 copies of the survivor+split subtree in one
+        // plan. Each pin computes its stage once, inside the timed run.
+        val sized = train.select("doc_id")
+          .join(toks.select(col("doc_id"), col("source"), col("n_chars"),
+            size(col("toks")).cast("long").as("n_toks")), Seq("doc_id"))
+          .localCheckpoint()
+        val mixed = graft.operators.Sampling.tokenBudgetMix(sized, "source", "doc_id",
+          "n_toks", Map("src0" -> 800L, "src1" -> 400L, "src2" -> 999999L, "src3" -> 600L))
+          .localCheckpoint()
+        val packed = graft.operators.Sharding.sizeBudgeted(mixed, "doc_id", "n_chars",
+            target = 20000L)
+          .withColumnRenamed("shard", "pack_shard")
+          .localCheckpoint()
+        graft.operators.Sampling.shuffleDeterministic(packed, "doc_id", nShards = 64)
+          .select("doc_id", "source", "n_toks", "pack_shard", "shard", "pos")
+          .orderBy("doc_id")
+      }
+
       // Incremental near-dup — the daily-ingest question: which NEW
       // docs (doc_id % 10 ≥ 8 plays the arriving batch) duplicate a
       // doc the CORPUS (% 10 < 8) already holds. Candidates come from
