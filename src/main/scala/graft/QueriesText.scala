@@ -124,6 +124,22 @@ object QueriesText {
     })
   }
 
+  /** Persisted IVFPQ index per (JVM, source dir) — the COMPOSED
+    * serving index (coarse cells × residual PQ codes, the faiss
+    * IVFPQ shape), same 80/20 build → append → compact lifecycle as
+    * every other family. */
+  private def ivfPqIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"ivfpq:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 10 < 8), path)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 10 >= 8), path)
+      Similarity.compactIvfPqIndex(s, path)
+      path
+    })
+  }
+
   /** Persisted duplicate-group component state per (JVM, source dir)
     * for q_dedup_groups_incremental: the near-dup pairs are split in
     * two deterministic hash batches — the first BUILDS the state, the
@@ -1987,6 +2003,45 @@ object QueriesText {
           (col("r_adc_t") >= col("r_adc_s") && col("n_adc_t") >= col("n_adc_s") &&
             col("r_rr_t") >= col("r_rr_s") && col("n_rr_t") >= col("n_rr_s"))
             .as("trained_ok"))
+    }
+
+    // IVFPQ — the COMPOSED serving index (Jégou 2011 §IV, the faiss
+    // billion-scale shape): coarse cells prune WHICH codes a probe
+    // reads (partition pruning), residual PQ codes compress WHAT it
+    // reads (64 floats → 8 ints), exact-cosine rerank restores
+    // precision on the shortlist. Rows-only (KMeans + Lloyd
+    // internals); gated by q_ann_ivfpq_check's measured bounds on
+    // this same persisted 80/20 index.
+    registerNoOracle("q_ann_ivfpq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKReranked(s, ivfPqIndexRoot(s, dir), emb,
+          emb.filter(col("vec_id") < 3), 5, nProbe = 8, shortlist = 50)
+        .orderBy("q_id", "rnk")
+    }
+
+    // The IVFPQ gate: on the persisted post-append index, the
+    // reranked tier (nProbe 8 of 16, shortlist 50) must reach
+    // recall@10 ≥ 0.5 vs the oracle-verified brute truth AND beat the
+    // raw ADC head it reranks — measured 0.67 vs 0.33 at sf0.01 on
+    // the near-orthogonal bench corpus (IVF pruning × residual
+    // quantization is the hardest case there: no cluster structure).
+    register("q_ann_ivfpq_check",
+      """SELECT count(*) AS n_probes, TRUE AS ivfpq_ok
+        |FROM embeddings WHERE vec_id < 10""") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val root = ivfPqIndexRoot(s, dir)
+      val truth = Similarity.bruteTopK(emb, probes, 10)
+      def avgRecall(cand: org.apache.spark.sql.DataFrame, tag: String) =
+        graft.operators.RankEval.metrics(truth, cand, 10)
+          .agg(avg(col("recall")).as(s"r_$tag"))
+      avgRecall(Similarity.ivfPqTopKReranked(s, root, emb, probes, 10,
+          nProbe = 8, shortlist = 50), "rr")
+        .crossJoin(broadcast(avgRecall(Similarity.ivfPqTopK(s, root, probes, 10,
+          nProbe = 8), "adc")))
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .select(col("n_probes"),
+          (col("r_rr") >= 0.5 && col("r_rr") >= col("r_adc")).as("ivfpq_ok"))
     }
 
     // Topic-balanced sampling: assign every vector to its md5-sampled

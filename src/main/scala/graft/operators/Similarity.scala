@@ -803,6 +803,194 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Drift-triggered refresh — the closed loop over the telemetry:
+    * read [[ivfCellStats]]'s imbalance (max cell / average over built
+    * cells) and [[rebuildIvfIndex]] only when it exceeds
+    * `maxImbalance`. Returns whether a rebuild ran. The operator's
+    * cron job at 100 TB is exactly this call: cheap stats pass (reads
+    * the partition column only) on every tick, the expensive re-fit
+    * only when appends have actually skewed the cells. */
+  def maybeRebuildIvfIndex(spark: SparkSession, indexPath: String,
+                           maxImbalance: Double = 3.0): Boolean = {
+    require(maxImbalance >= 1.0, "maxImbalance below 1 would rebuild on every tick")
+    val imb = ivfCellStats(spark, indexPath)
+      .select(col("imbalance")).collect().head.getDouble(0)
+    val refresh = imb > maxImbalance
+    if (refresh) rebuildIvfIndex(spark, indexPath)
+    refresh
+  }
+
+  /** IVFPQ — the composed serving index (Jégou et al. 2011 §IV, the
+    * faiss IVFPQ shape and THE billion-scale ANN workhorse): coarse
+    * KMeans cells prune WHICH vectors a probe reads (the IVF half),
+    * and inside each cell the vector is stored only as PQ codes of its
+    * RESIDUAL against the cell centroid (the PQ half — residuals are
+    * centered near zero, so the shared trained codebook spends its 16
+    * entries per subspace on the part of the vector the cell didn't
+    * already explain). A probe reads nProbe/nCells of the CODES — both
+    * reductions compose: partition pruning × 64-float→nSub-int
+    * compression.
+    *
+    * Artifact layout mirrors the other families: tiny `centroids` +
+    * `codebook` tables, `codes` hive-partitioned by cell (per-vector-
+    * atomic rows, the [[pqPack]] invariant), integrity meta. Append
+    * assigns against the FROZEN centroids and encodes against the
+    * FROZEN codebook (drift repaired by periodic rebuilds, as for
+    * IVF); compaction preserves the cell layout. Rows-only at the
+    * registry (KMeans + Lloyd internals aren't SQL-replayable) gated
+    * by q_ann_ivfpq_check's measured recall bound — the q_ann_ivf
+    * pattern. */
+  def buildIvfPqIndex(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
+                      nCentroids: Int = 16, nSub: Int = 8, iters: Int = 5): Unit = {
+    requirePqParams(nSub)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = widened(embeddings).select(col("vec_id"), col("emb"))
+    val km = new KMeans().setK(nCells).setSeed(ivfSeed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.withColumn("fv", array_to_vector(col("emb"))))
+    km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val residuals = ivfPqResiduals(spark, base, s"$indexPath/centroids")
+      .localCheckpoint()
+    val cents = pqCodebookTrained(
+      residuals.select(col("vec_id"), col("emb")), nCentroids, nSub, iters)
+      .localCheckpoint()
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    pqPack(pqEncode(residuals.select(col("vec_id"), col("emb")), cents, nSub))
+      .join(residuals.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
+    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      Seq("nCells" -> nCells.toLong, "nCentroids" -> nCentroids.toLong,
+        "nSub" -> nSub.toLong, "dim" -> 64L, "seed" -> ivfSeed, "iters" -> iters.toLong))
+  }
+
+  /** Assign each vector its nearest frozen centroid's cell and replace
+    * `emb` with the RESIDUAL emb − centroid — the shared first step of
+    * the IVFPQ build, append and probe paths, so all three quantize in
+    * the same residual space. Output: (vec_id, cell, emb=residual). */
+  private def ivfPqResiduals(spark: SparkSession, base: DataFrame,
+                             centroidsPath: String): DataFrame = {
+    val centers = {
+      import spark.implicits._
+      spark.read.parquet(centroidsPath)
+        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    }
+    val centroids = broadcast(spark.createDataFrame(
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "__cent"))
+    base
+      .withColumn("cell", nearestCellsUdf(centers, 1)(col("emb")).getItem(0))
+      .join(centroids, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("__cent"), (x, c) => x - c).as("emb"))
+  }
+
+  private def checkIvfPqMeta(spark: SparkSession, indexPath: String): Int = {
+    val m = graft.sources.IndexMeta.read(spark, s"$indexPath/meta.json", "IVFPQ index")
+    m.getOrElse("nCells", sys.error(s"IVFPQ index meta at $indexPath lacks nCells"))
+    m.getOrElse("nSub", sys.error(s"IVFPQ index meta at $indexPath lacks nSub")).toInt
+  }
+
+  /** Append new vectors: cell against the FROZEN centroids, residual
+    * codes against the FROZEN codebook, already-coded ids anti-joined
+    * out (id column only — parquet pruning), per-vector-atomic rows —
+    * the same replay contract as every other index family. */
+  def appendToIvfPqIndex(embeddings: DataFrame, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val nSub = checkIvfPqMeta(spark, indexPath)
+    val cents = spark.read.parquet(s"$indexPath/codebook")
+    val coded = spark.read.parquet(s"$indexPath/codes").select(col("vec_id")).distinct()
+    val fresh = widened(embeddings).select(col("vec_id"), col("emb"))
+      .transform(dedupVecIds)
+      .join(coded.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+    val residuals = ivfPqResiduals(spark, fresh, s"$indexPath/centroids")
+    pqPack(pqEncode(residuals.select(col("vec_id"), col("emb")), cents, nSub))
+      .join(residuals.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+  }
+
+  /** Compact the IVFPQ codes, preserving the `cell=` pruning layout. */
+  def compactIvfPqIndex(spark: SparkSession, indexPath: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    checkIvfPqMeta(spark, indexPath)
+    graft.sources.Sinks.compactPartitioned(
+      spark, s"$indexPath/codes", "cell", targetFileBytes)
+  }
+
+  /** ADC top-k against the IVFPQ index: per probe, the nProbe nearest
+    * cells are selected against the tiny driver-held centroid table;
+    * the probe's RESIDUAL against each probed cell's centroid builds
+    * that cell's lookup table (nProbe × nSub × nCentroids rows per
+    * probe — broadcast); the stored codes are read PARTITION-PRUNED to
+    * the probed cells and joined on (cell, s, code). Distance folds in
+    * subspace order — the [[pqScore]] discipline, cell-aware. */
+  def ivfPqTopK(spark: SparkSession, indexPath: String, probes: DataFrame,
+                k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val nSub = checkIvfPqMeta(spark, indexPath)
+    val centers = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val cents = spark.read.parquet(s"$indexPath/codebook")
+    val centroids = broadcast(spark.createDataFrame(
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "__cent"))
+    val probeCells = widened(probes)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(nearestCellsUdf(centers, nProbe)(col("emb"))).as("cell"))
+      .join(centroids, Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("q_emb"), col("__cent"), (x, c) => x - c).as("q_res"))
+    val lut = pqWithSub(probeCells, nSub).crossJoin(broadcast(cents))
+      .withColumn("d2", round(pqSubD2(col("q_res"), col("cemb"), col("s"), 64 / nSub), 6))
+      .select(col("q_id"), col("cell"), col("s"), col("cid").as("code"), col("d2"))
+    val probedCells = probeCells.select("cell").distinct().as[Int].collect()
+    val codes = pqUnpackWithCell(
+      spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isInCollection(probedCells.toSeq))) // partition-pruned
+    val byProbe = Window.partitionBy("q_id").orderBy(col("ad2"), col("n_id"))
+    codes.join(broadcast(lut), Seq("cell", "s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("d2")))).as("ds"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(aggregate(col("ds"), lit(0.0),
+          (acc, x) => acc + x.getField("d2")), 6).as("ad2"))
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  private def pqUnpackWithCell(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+
+  /** Two-stage IVFPQ serving: pruned-ADC shortlist off the codes, then
+    * exact-cosine rerank against fetched full-precision vectors — the
+    * complete faiss IndexIVFPQ + refine production shape. */
+  def ivfPqTopKReranked(spark: SparkSession, indexPath: String, corpus: DataFrame,
+                        probes: DataFrame, k: Int, nProbe: Int = 4,
+                        shortlist: Int = 50,
+                        maxBroadcastProbes: Int = defaultMaxBroadcastProbes): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k = $k")
+    val cand = ivfPqTopK(spark, indexPath, probes, shortlist, nProbe)
+      .select(col("q_id"), col("n_id"))
+    val vecs = widened(corpus).select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
+    val probeVecs = widened(probes).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(vecs, Seq("n_id"))
+      .join(probeSide(probeVecs, probes, maxBroadcastProbes), Seq("q_id"))
+      .withColumn("cos", round(cosine(spark, col("q_emb"), col("n_emb")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   /** Scalar int8 quantization of an embedding column — the storage
     * path that cuts a float corpus 4× before ANN serving. Per-DIMENSION
     * global min/max (posexplode → 64-row aggregate, broadcast back),

@@ -267,6 +267,85 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(s"$dir/v_2").exists())
   }
 
+  test("IVFPQ: exhaustive settings reduce to brute force; pruning keeps recall; lifecycle parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus, dir, nCells = 8, nCentroids = 64)
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    // nProbe = nCells and an exhaustive shortlist: both reductions are
+    // disabled, so the exact-cosine rerank must equal brute force —
+    // ranks, neighbors AND round-6 cosines
+    val rr = Similarity.ivfPqTopKReranked(spark, dir, corpus, probes, 5,
+      nProbe = 8, shortlist = 199)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rr === brute, "exhaustive IVFPQ rerank must reduce to brute force")
+    // REAL pruning (nProbe 2 of 8, shortlist 20): recall holds on the
+    // clustered corpus — the double reduction still finds cluster-mates
+    val pruned = Similarity.ivfPqTopKReranked(spark, dir, corpus, probes, 5,
+      nProbe = 2, shortlist = 20)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(r => (r._1, r._2))
+    val recall = bruteIds.intersect(pruned).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"pruned IVFPQ recall $recall")
+    // lifecycle: an appended twin lands in its original's cell with
+    // IDENTICAL residual codes (frozen centroids + frozen codebook),
+    // per-vector-atomic; replay is a no-op; compaction probe-invisible
+    val twin = corpus.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 7000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfPqIndex(twin, dir)
+    Similarity.appendToIvfPqIndex(twin, dir) // replay
+    val rows = spark.read.parquet(s"$dir/codes")
+      .filter($"vec_id".isin(0L, 7000L))
+      .select("vec_id", "codes", "cell")
+      .as[(Long, Seq[Long], Int)].collect()
+    val byId = rows.groupBy(_._1)
+    assert(byId(7000L).length === 1, "replayed append duplicated IVFPQ code rows")
+    assert(byId(7000L).head._2 === byId(0L).head._2, "twin must share its original's codes")
+    assert(byId(7000L).head._3 === byId(0L).head._3, "twin must share its original's cell")
+    val before = Similarity.ivfPqTopK(spark, dir, probes, 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    Similarity.compactIvfPqIndex(spark, dir)
+    val after = Similarity.ivfPqTopK(spark, dir, probes, 5, nProbe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(after === before, "compaction changed IVFPQ probe results")
+    // meta guard: unbuilt use fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(spark,
+        java.nio.file.Files.createTempDirectory("graft-noivfpq").toString, probes, 3)
+    }
+  }
+
+  test("maybeRebuildIvfIndex: no refit below the imbalance bound, refit above restores balance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfauto").toString + "/idx"
+    Similarity.buildIvfIndex(corpus, dir, nCells = 8)
+    assert(!Similarity.maybeRebuildIvfIndex(spark, dir, maxImbalance = 3.0),
+      "a freshly built index must not trigger a rebuild")
+    // skew the cells: a DIFFUSE new cluster the frozen centroids never
+    // saw — its points pile into the nearest existing cell(s), but a
+    // re-fit can allocate centroids to the new region and split it
+    val rng2 = new scala.util.Random(23)
+    val newCenter = Array.fill(64)(rng2.nextGaussian())
+    val pile = emb((1 to 150).map { i =>
+      (20000L + i, newCenter.map(x => (x + 0.8 * rng2.nextGaussian()).toFloat).toSeq)
+    }: _*)
+    Similarity.appendToIvfIndex(pile, dir)
+    val imbBefore = Similarity.ivfCellStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    assert(imbBefore > 2.0, s"fixture must skew the cells (imbalance $imbBefore)")
+    assert(Similarity.maybeRebuildIvfIndex(spark, dir, maxImbalance = 2.0))
+    val imbAfter = Similarity.ivfCellStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    assert(imbAfter < imbBefore,
+      s"refit must reduce imbalance ($imbBefore -> $imbAfter)")
+    // the refreshed index serves the full corpus incl. the pile
+    assert(Similarity.ivfCellStats(spark, dir)
+      .select("total_vecs").as[Long].head() === 350L)
+    intercept[IllegalArgumentException] {
+      Similarity.maybeRebuildIvfIndex(spark, dir, maxImbalance = 0.5)
+    }
+  }
+
   test("ivfCellStats: exact totals, stats consistent with the inverted file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfstats").toString + "/idx"
     Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 < 8), dir, nCells = 8)
