@@ -32,9 +32,10 @@ object StreamingVectors {
 
   /** One micro-batch: land the (deduplicated) vectors in the
     * batch-partitioned sink, then append them to the IVF index — and,
-    * when a PQ index path is given, to the PQ codes too, so BOTH ANN
-    * tiers (partition-pruned IVF probe, compressed ADC/rerank probe)
-    * see the corpus as of the last committed batch. Sink first — a
+    * when given, to the PQ codes and the composed IVFPQ index too, so
+    * every ANN tier (partition-pruned IVF probe, compressed ADC/rerank
+    * probe, cells×residual-codes IVFPQ probe) sees the corpus as of
+    * the last committed batch. Sink first — a
     * crash between the writes then leaves the vector durable and the
     * retry heals the indexes, never the reverse (an indexed vector
     * missing from the sink would survive no rebuild). Within-batch
@@ -50,7 +51,8 @@ object StreamingVectors {
     * vec_id, not in the vector store). */
   def ingestVectorBatch(batch: DataFrame, batchId: Long, indexPath: String,
                         vectorsPath: String,
-                        pqIndexPath: Option[String] = None): Unit = {
+                        pqIndexPath: Option[String] = None,
+                        ivfPqIndexPath: Option[String] = None): Unit = {
     val b = batch
       .groupBy(col("vec_id"))
       .agg(max_by(col("embedding"),
@@ -61,6 +63,7 @@ object StreamingVectors {
       .partitionBy("ingest_batch").parquet(vectorsPath)
     Similarity.appendToIvfIndex(b, indexPath)
     pqIndexPath.foreach(Similarity.appendToPqIndex(b, _))
+    ivfPqIndexPath.foreach(Similarity.appendToIvfPqIndex(b, _))
   }
 
   /** The ingest service as a streaming query: drain the embedding
@@ -68,15 +71,17 @@ object StreamingVectors {
     * micro-batch. The index at `indexPath` must exist
     * ([[Similarity.buildIvfIndex]] over a seed corpus — centroids
     * need at least nCells vectors to train; likewise
-    * [[Similarity.buildPqIndex]] when `pqIndexPath` is given). */
+    * [[Similarity.buildPqIndex]] / [[Similarity.buildIvfPqIndex]]
+    * when their paths are given). */
   def vectorIngest(vecs: DataFrame, indexPath: String, vectorsPath: String,
                    checkpoint: String,
-                   pqIndexPath: Option[String] = None): StreamingQuery =
+                   pqIndexPath: Option[String] = None,
+                   ivfPqIndexPath: Option[String] = None): StreamingQuery =
     vecs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestVectorBatch(batch, id, indexPath, vectorsPath, pqIndexPath)
+        ingestVectorBatch(batch, id, indexPath, vectorsPath, pqIndexPath, ivfPqIndexPath)
       }
       .start()
 }

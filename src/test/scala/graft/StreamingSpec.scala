@@ -178,11 +178,15 @@ class StreamingSpec extends SparkSpec {
     // seed corpus trains the centroids; the stream appends against them
     val seed = (0L until 16L).map(i => (i, vec()))
     Similarity.buildIvfIndex(seed.toDF("vec_id", "embedding"), idx, nCells = 4)
-    // PQ tier fed by the same stream (nSub=1: the fixture's 8-dim
-    // vectors fit one subspace; dim handling is SimilaritySpec's job)
+    // PQ + IVFPQ tiers fed by the same stream (nSub=1: the fixture's
+    // 8-dim vectors fit one subspace; dim handling is SimilaritySpec's
+    // job)
     val pqIdx = s"$root/pqidx"
     Similarity.buildPqIndex(seed.toDF("vec_id", "embedding"), pqIdx,
       nCentroids = 8, nSub = 1)
+    val ivfPqIdx = s"$root/ivfpqidx"
+    Similarity.buildIvfPqIndex(seed.toDF("vec_id", "embedding"), ivfPqIdx,
+      nCells = 4, nCentroids = 8, nSub = 1)
 
     def land(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
       Files.write(java.nio.file.Paths.get(s"$raw/$name"),
@@ -195,7 +199,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = {
       val q = StreamingVectors.vectorIngest(
         spark.readStream.schema(schema).json(raw), idx, sink, s"$root/ckpt",
-        pqIndexPath = Some(pqIdx))
+        pqIndexPath = Some(pqIdx), ivfPqIndexPath = Some(ivfPqIdx))
       q.awaitTermination()
     }
 
@@ -223,18 +227,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq(200L))
 
     // the PQ tier saw the same stream: every distinct id coded exactly
-    // once (nSub=1 → one code row per vector), 16 seed + 6 ingested
+    // once (one per-vector-atomic code row), 16 seed + 6 ingested
     val codes = () => spark.read.parquet(s"$pqIdx/codes")
     assert(codes().count() === 22L, "PQ codes must cover seed + both drains once")
     assert(codes().filter($"vec_id" === 103L).count() === 1L)
+    // ...and so did the composed IVFPQ tier, cell-partitioned
+    val ivfPqCodes = () => spark.read.parquet(s"$ivfPqIdx/codes")
+    assert(ivfPqCodes().count() === 22L, "IVFPQ codes must cover seed + both drains once")
+    assert(ivfPqCodes().filter($"vec_id" === 103L).count() === 1L)
 
     // replay of batch 1 (foreachBatch is at-least-once): sink partition
-    // overwritten in place, both index appends no-ops
+    // overwritten in place, every index append a no-op
     val replay = spark.read.schema(schema).json(s"$raw/v2.json")
     StreamingVectors.ingestVectorBatch(replay, batchId = 1L, idx, sink,
-      pqIndexPath = Some(pqIdx))
+      pqIndexPath = Some(pqIdx), ivfPqIndexPath = Some(ivfPqIdx))
     assert(inv().count() === 22L, "replayed append duplicated index rows")
     assert(codes().count() === 22L, "replayed append duplicated PQ code rows")
+    assert(ivfPqCodes().count() === 22L, "replayed append duplicated IVFPQ code rows")
     assert(spark.read.parquet(sink).count() === 6L,
       "replayed sink partition duplicated vector rows")
   }
