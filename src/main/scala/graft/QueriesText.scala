@@ -3110,6 +3110,54 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Real codec-free VIDEO decode + frame sampling: documents encoded
+    // as spec-conformant YUV4MPEG2 streams (plain-text header, FRAME
+    // markers, raw planar C420 YUV — the video analog of PCM WAV and
+    // P6 PPM), then every 2nd frame sampled with EXACT integer plane
+    // sums from walking the actual raster. The oracle recomputes every
+    // sampled frame's luma/chroma sums from the text bytes via hex
+    // expansion (the q_multimodal_ppm pattern), so a wrong frame
+    // offset, a missed FRAME marker, a plane-boundary slip or a
+    // padding bug fails the hash. mapPartitions + flatMap is the
+    // decode-once-emit-per-frame batch shape a real decoder needs.
+    register("q_multimodal_y4m",
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        |         hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents),
+        |d AS (SELECT doc_id, n, greatest(1, CAST(ceil(n / 64.0) AS BIGINT)) AS nf, hx FROM b),
+        |v AS (SELECT doc_id, n, nf,
+        |             list_transform(range(n),
+        |               i -> CAST(concat('0x', substring(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bytes
+        |      FROM d),
+        |s AS (
+        |  SELECT doc_id, n, nf, t.f,
+        |         CAST(list_sum(list_transform(range(64),
+        |               j -> CASE WHEN t.f*64 + j < n THEN bytes[CAST(t.f*64 + j + 1 AS INT)] ELSE 0 END)) AS BIGINT) AS y_sum,
+        |         CAST(list_sum(list_transform(range(16),
+        |               k -> 255 - CASE WHEN t.f*64 + 4*k < n THEN bytes[CAST(t.f*64 + 4*k + 1 AS INT)] ELSE 0 END)) AS BIGINT) AS u_sum,
+        |         CAST(list_sum(list_transform(range(16),
+        |               k -> xor(CASE WHEN t.f*64 + 4*k < n THEN bytes[CAST(t.f*64 + 4*k + 1 AS INT)] ELSE 0 END, 85))) AS BIGINT) AS v_sum
+        |  FROM v, unnest(range(nf)) AS t(f)
+        |  WHERE t.f % 2 = 0)
+        |SELECT doc_id, f AS frame_idx,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+        |       nf AS n_frames,
+        |       CAST(39 + 102 * nf AS BIGINT) AS n_bytes,
+        |       y_sum, u_sum, v_sum,
+        |       round(CAST(y_sum AS DOUBLE) / 64, 4) AS y_mean
+        |FROM s ORDER BY doc_id, frame_idx""") { (s, dir) =>
+      Multimodal.extractY4mFrameFeatures(
+          Multimodal.asY4mMedia(Tables.documents(s, dir)), every = 2)
+        .select(
+          col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"), col("n_bytes"),
+          col("y_sum"), col("u_sum"), col("v_sum"),
+          round(col("y_mean"), 4).as("y_mean"))
+        .orderBy("doc_id", "frame_idx")
+    }
+
     // ---- BPE tokenizer training (operators/BpeTrainer.scala) ----
     // The corpus-scale half of building a tokenizer. q_bpe_pairs is
     // the first-iteration pair census (the one corpus-scale shuffle);

@@ -312,6 +312,180 @@ object Multimodal {
     }.toDF()
   }
 
+  // ───────────────────── real codec-free decode: Y4M video ─────────────────────
+  // YUV4MPEG2 is to video what PCM WAV is to audio and P6 PPM to
+  // images: a plain-text header, then per-frame "FRAME\n" markers with
+  // RAW planar YUV bytes — no compression, no codec. Parsing it needs
+  // only the header tokenizer + plane arithmetic, so the video
+  // decode/frame-sample path is REAL, closing the last multimodal
+  // modality the stubs above only shape.
+
+  case class Y4mInfo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                     nFrames: Int, frameOffsets: Seq[Int])
+  case class Y4mFrameFeatures(doc_id: Long, frame_idx: Long, width: Long, height: Long,
+                              fps_num: Long, fps_den: Long, n_frames: Long,
+                              n_bytes: Long, y_sum: Long, u_sum: Long, v_sum: Long,
+                              y_mean: Double)
+
+  /** Encode bytes as a spec-conformant YUV4MPEG2 stream (C420jpeg):
+    * header `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C420jpeg`, then one
+    * frame per w×h input-byte window (last window zero-padded; empty
+    * input encodes one all-zero frame). Frame f's luma plane byte j is
+    * src[f·wh + j]; the quarter-size chroma planes derive from every
+    * 4th source byte — u = 255−v, v = v⊕85 (the PPM channel recipe, so
+    * the oracle replays every plane sum from the raw bytes in closed
+    * form). Deterministic: same bytes → same stream. */
+  def y4mEncode(src: Array[Byte], width: Int = 8, height: Int = 8): Array[Byte] = {
+    require(width >= 2 && height >= 2 && width % 2 == 0 && height % 2 == 0,
+      "C420 needs positive even dims")
+    val wh = width * height
+    val nFrames = math.max(1, math.ceil(src.length / wh.toDouble).toInt)
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val chroma = wh / 4
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (marker.length + wh + 2 * chroma))
+    out.write(header)
+    def srcAt(i: Int): Int = if (i < src.length) src(i) & 0xff else 0
+    var f = 0
+    while (f < nFrames) {
+      out.write(marker)
+      var j = 0
+      while (j < wh) { out.write(srcAt(f * wh + j)); j += 1 }
+      var k = 0
+      while (k < chroma) { out.write(255 - srcAt(f * wh + 4 * k)); k += 1 }
+      k = 0
+      while (k < chroma) { out.write(srcAt(f * wh + 4 * k) ^ 85); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL YUV4MPEG2 parse with hostile-stream guards: magic, required
+    * W/H/F parameters (decimal, overflow-checked in long arithmetic,
+    * positive and even — C420 chroma halves both dims), unknown
+    * parameter tokens tolerated (Ip/A/C/X… are spec'd extensions),
+    * then a frame walk that demands every `FRAME` marker (with
+    * optional frame parameters) and a complete 1.5·w·h C420 raster —
+    * a truncated frame or a corrupt marker fails loudly, never a
+    * silent short read. Returns per-frame raster offsets. */
+  def decodeY4m(payload: Array[Byte]): Y4mInfo = {
+    val magic = "YUV4MPEG2"
+    require(payload.length >= magic.length &&
+      new String(payload, 0, magic.length, "US-ASCII") == magic,
+      "not a YUV4MPEG2 payload")
+    var off = magic.length
+    var w = -1L; var h = -1L; var fn = -1L; var fd = -1L
+    def decimal(s: String, what: String): Long = {
+      require(s.nonEmpty && s.forall(c => c >= '0' && c <= '9'),
+        s"malformed Y4M $what parameter '$s'")
+      val v = s.foldLeft(0L)((acc, c) => {
+        val n = acc * 10 + (c - '0')
+        require(n <= Int.MaxValue, s"Y4M $what value overflows"); n
+      })
+      v
+    }
+    while (off < payload.length && payload(off) != '\n') {
+      require(payload(off) == ' ', "malformed Y4M header: parameters must be space-separated")
+      off += 1
+      val start = off
+      while (off < payload.length && payload(off) != ' ' && payload(off) != '\n') off += 1
+      val tok = new String(payload, start, off - start, "US-ASCII")
+      require(tok.nonEmpty, "malformed Y4M header: empty parameter")
+      tok.charAt(0) match {
+        case 'W' => w = decimal(tok.substring(1), "width")
+        case 'H' => h = decimal(tok.substring(1), "height")
+        case 'F' =>
+          val parts = tok.substring(1).split(":", -1)
+          require(parts.length == 2, s"malformed Y4M frame-rate '$tok'")
+          fn = decimal(parts(0), "fps numerator"); fd = decimal(parts(1), "fps denominator")
+        case _ => () // Ip / A / C / X…: spec'd extensions, tolerated
+      }
+    }
+    require(off < payload.length, "malformed Y4M header: unterminated")
+    off += 1
+    require(w >= 2 && h >= 2 && w % 2 == 0 && h % 2 == 0,
+      s"Y4M dims ${w}x$h unsupported (C420 needs positive even dims)")
+    require(fn >= 1 && fd >= 1, "Y4M header lacks a valid F<num>:<den> frame rate")
+    val frameBytes = w * h * 3L / 2L
+    val offsets = Seq.newBuilder[Int]
+    var n = 0
+    while (off < payload.length) {
+      val ms = "FRAME"
+      require(payload.length - off >= ms.length &&
+        new String(payload, off, ms.length, "US-ASCII") == ms,
+        s"corrupt Y4M: frame $n lacks its FRAME marker")
+      off += ms.length
+      while (off < payload.length && payload(off) != '\n') off += 1 // frame params
+      require(off < payload.length, s"corrupt Y4M: frame $n header unterminated")
+      off += 1
+      require(payload.length - off >= frameBytes,
+        s"corrupt Y4M: frame $n raster claims $frameBytes bytes but only ${payload.length - off} remain")
+      offsets += off
+      off += frameBytes.toInt
+      n += 1
+    }
+    require(n >= 1, "Y4M stream holds no frames")
+    Y4mInfo(w.toInt, h.toInt, fn.toInt, fd.toInt, n, offsets.result())
+  }
+
+  /** Documents as real Y4M media (the video analog of [[asWavMedia]] /
+    * [[asPpmMedia]]). */
+  def asY4mMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, y4mEncode(text.getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("video/x-yuv4mpeg").as("format"),
+          length(col("payload")).as("n_bytes"),
+          lit("y4m-encode").as("origin")).as("media_meta"))
+  }
+
+  /** FRAME SAMPLING over real video — the brief's video operation: one
+    * row per every-`every`-th frame with exact integer plane sums from
+    * walking the actual raster (so a wrong frame offset, a missed
+    * FRAME marker or a plane-boundary slip fails the q_multimodal_y4m
+    * oracle). `mapPartitions` + flatMap is the batch shape a real
+    * decoder needs: decode once per doc, emit a row per sampled
+    * frame. */
+  def extractY4mFrameFeatures(media: DataFrame, every: Int = 2): DataFrame = {
+    require(every >= 1, "every must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = media.select(
+      col("doc_id"),
+      col("payload"),
+      col("media_meta.format").as("format"),
+      col("media_meta.n_bytes").cast("long").as("n_bytes")).as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val info = decodeY4m(r.payload)
+        val wh = info.width * info.height
+        val chroma = wh / 4
+        (0 until info.nFrames).by(every).map { f =>
+          val o = info.frameOffsets(f)
+          var sy = 0L; var su = 0L; var sv = 0L
+          var i = 0
+          while (i < wh) { sy += r.payload(o + i) & 0xff; i += 1 }
+          i = 0
+          while (i < chroma) { su += r.payload(o + wh + i) & 0xff; i += 1 }
+          i = 0
+          while (i < chroma) { sv += r.payload(o + wh + chroma + i) & 0xff; i += 1 }
+          Y4mFrameFeatures(r.doc_id, f.toLong, info.width.toLong, info.height.toLong,
+            info.fpsNum.toLong, info.fpsDen.toLong, info.nFrames.toLong,
+            r.n_bytes, sy, su, sv, sy.toDouble / wh)
+        }
+      }
+    }.toDF()
+  }
+
   /** Frame-sample features via a partition-local typed pass
     * (the `mapPartitions` batch shape a real decoder needs). */
   def extractFeatures(media: DataFrame, frameSize: Int = 16): DataFrame = {

@@ -140,4 +140,72 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).getAs[Long]("n_pixels") === 16L)
     assert(f(2).getAs[Double]("r_mean") === 0.0)
   }
+
+  test("y4mEncode/decodeY4m: real header walk, frame markers, hostile-stream guards") {
+    // long enough for SEVERAL 64-byte luma windows (multi-frame stream)
+    val src = ("hello world this is a binary payload stand-in " * 4).getBytes("UTF-8")
+    val enc = Multimodal.y4mEncode(src) // 8x8 → 64-byte luma windows
+    val info = Multimodal.decodeY4m(enc)
+    assert(info.width === 8 && info.height === 8)
+    assert(info.fpsNum === 25 && info.fpsDen === 1)
+    assert(info.nFrames === math.ceil(src.length / 64.0).toInt)
+    assert(info.frameOffsets.length === info.nFrames)
+    // every frame raster is exactly 1.5·wh and markers line up
+    info.frameOffsets.foreach { o =>
+      assert(new String(enc, o - 6, 5, "US-ASCII") === "FRAME")
+    }
+    // frame parameters after a FRAME marker are tolerated (spec'd)
+    val withParams = enc.take(enc.length) // copy
+    val paramed = (enc.take(39) ++ "FRAME Xtag\n".getBytes("US-ASCII") ++
+      enc.slice(45, enc.length)).toArray
+    assert(Multimodal.decodeY4m(paramed).nFrames === info.nFrames)
+    val _ = withParams
+    // hostile streams fail LOUDLY, never a silent short read
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("JUNK".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // missing W
+      Multimodal.decodeY4m("YUV4MPEG2 H8 F25:1\nFRAME\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // odd dims: C420 cannot subsample
+      Multimodal.decodeY4m("YUV4MPEG2 W7 H8 F25:1\nFRAME\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // overflowing dim
+      Multimodal.decodeY4m("YUV4MPEG2 W99999999999 H8 F25:1\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodeY4m(enc.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // corrupt second frame marker
+      val bad = enc.clone(); bad(info.frameOffsets(1) - 6) = 'X'.toByte
+      Multimodal.decodeY4m(bad)
+    }
+    intercept[IllegalArgumentException] { // no frames at all
+      Multimodal.decodeY4m("YUV4MPEG2 W8 H8 F25:1\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("extractY4mFrameFeatures: sums come from the raster, sampling stride, padding") {
+    val feats = Multimodal.extractY4mFrameFeatures(Multimodal.asY4mMedia(docs), every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    val src = "hello world this is a binary payload stand-in".getBytes("UTF-8")
+    val nf = math.ceil(src.length / 64.0).toInt
+    def b(i: Int): Int = if (i < src.length) src(i) & 0xff else 0
+    val doc1 = feats.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1.map(_.getAs[Long]("frame_idx")).toSeq === (0 until nf by 2).map(_.toLong))
+    doc1.foreach { r =>
+      val f = r.getAs[Long]("frame_idx").toInt
+      assert(r.getAs[Long]("y_sum") === (0 until 64).map(j => b(f * 64 + j)).sum.toLong)
+      assert(r.getAs[Long]("u_sum") === (0 until 16).map(k => 255 - b(f * 64 + 4 * k)).sum.toLong)
+      assert(r.getAs[Long]("v_sum") === (0 until 16).map(k => b(f * 64 + 4 * k) ^ 85).sum.toLong)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      assert(r.getAs[Long]("n_bytes") === 39L + 102L * nf)
+    }
+    // empty doc: one all-zero frame — zero luma, flat chroma
+    val doc3 = feats.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(doc3.length === 1)
+    assert(doc3.head.getAs[Long]("y_sum") === 0L)
+    assert(doc3.head.getAs[Long]("u_sum") === 16L * 255)
+    assert(doc3.head.getAs[Long]("v_sum") === 16L * 85)
+  }
 }
