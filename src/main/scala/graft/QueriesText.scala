@@ -3110,6 +3110,62 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // REAL image resize (the thumbnail stage, no stub): decode each
+    // P6 → nearest-neighbor downsample to 4×4 (out pixel (x,y) samples
+    // src (⌊x·W/4⌋, ⌊y·H/4⌋) — exact integer arithmetic) → re-encode →
+    // decode again for features, one typed partition pass. The oracle
+    // replays the SAMPLING MAP itself from the text bytes: each of the
+    // 16 output pixels' source index, padding included, then the same
+    // channel recipe — a wrong floor, a swapped axis or an
+    // off-by-one-row slip shifts a sampled byte and fails the hash.
+    register("q_multimodal_resize",
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        |         hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents),
+        |d AS (SELECT doc_id, n, greatest(1, CAST(ceil(n / 16.0) AS BIGINT)) AS h, hx FROM b),
+        |v AS (SELECT doc_id, n, h,
+        |             list_transform(range(n),
+        |               i -> CAST(concat('0x', substring(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bytes
+        |      FROM d),
+        |px AS (
+        |  SELECT doc_id,
+        |         -- a sampled position past the source bytes hits the
+        |         -- encoder's ZERO-PADDED raster: all three channels
+        |         -- are 0 there (the channel recipe applies to source
+        |         -- bytes only), so each channel carries its own CASE
+        |         list_transform(range(16),
+        |           p -> CASE WHEN ((p // 4) * h // 4) * 16 + (p % 4) * 4 < n
+        |                     THEN bytes[CAST(((p // 4) * h // 4) * 16 + (p % 4) * 4 + 1 AS INT)]
+        |                     ELSE 0 END) AS rs,
+        |         list_transform(range(16),
+        |           p -> CASE WHEN ((p // 4) * h // 4) * 16 + (p % 4) * 4 < n
+        |                     THEN 255 - bytes[CAST(((p // 4) * h // 4) * 16 + (p % 4) * 4 + 1 AS INT)]
+        |                     ELSE 0 END) AS gs,
+        |         list_transform(range(16),
+        |           p -> CASE WHEN ((p // 4) * h // 4) * 16 + (p % 4) * 4 < n
+        |                     THEN xor(bytes[CAST(((p // 4) * h // 4) * 16 + (p % 4) * 4 + 1 AS INT)], 85)
+        |                     ELSE 0 END) AS bs
+        |  FROM v)
+        |SELECT doc_id,
+        |       CAST(75 AS BIGINT) AS n_bytes,
+        |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(255 AS BIGINT) AS maxval, CAST(16 AS BIGINT) AS n_pixels,
+        |       round(CAST(list_sum(rs) AS DOUBLE) / 16, 4) AS r_mean,
+        |       round(CAST(list_sum(gs) AS DOUBLE) / 16, 4) AS g_mean,
+        |       round(CAST(list_sum(bs) AS DOUBLE) / 16, 4) AS b_mean
+        |FROM px ORDER BY doc_id""") { (s, dir) =>
+      Multimodal.extractResizedPpmFeatures(
+          Multimodal.asPpmMedia(Tables.documents(s, dir)), 4, 4)
+        .select(
+          col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("maxval"), col("n_pixels"),
+          round(col("r_mean"), 4).as("r_mean"),
+          round(col("g_mean"), 4).as("g_mean"),
+          round(col("b_mean"), 4).as("b_mean"))
+        .orderBy("doc_id")
+    }
+
     // Real codec-free VIDEO decode + frame sampling: documents encoded
     // as spec-conformant YUV4MPEG2 streams (plain-text header, FRAME
     // markers, raw planar C420 YUV — the video analog of PCM WAV and

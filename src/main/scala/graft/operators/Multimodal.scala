@@ -260,6 +260,71 @@ object Multimodal {
     PpmInfo(w.toInt, h.toInt, maxval.toInt, off)
   }
 
+  /** REAL image resize — nearest-neighbor downscale/upscale of a
+    * decoded P6 raster, emitted as a new spec-conformant P6 (header
+    * comment included, so resized outputs re-enter the decode path).
+    * Replaces the `resizeStub` shape for the image modality: output
+    * pixel (x, y) samples source pixel (⌊x·W/outW⌋, ⌊y·H/outH⌋) —
+    * exact integer arithmetic, so every resized byte (and any feature
+    * computed from it) replays in SQL (q_multimodal_resize). Pure
+    * per-payload function, used inside the same partition-local typed
+    * pass as the decoders. */
+  def resizePpm(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW >= 1 && outH >= 1, "resize dims must be positive")
+    val info = decodePpm(payload)
+    val header = s"P6\n# graft resized\n$outW $outH\n${info.maxval}\n".getBytes("US-ASCII")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * info.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * info.width / outW
+        val src = info.rasterOffset + (sy * info.width + sx) * 3
+        val dst = (y * outW + x) * 3
+        out(dst) = payload(src)
+        out(dst + 1) = payload(src + 1)
+        out(dst + 2) = payload(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    header ++ out
+  }
+
+  /** Resize every payload and re-extract features — the thumbnail
+    * stage as a REAL pipeline: decode → nearest-neighbor resample →
+    * re-encode → decode again for features, all in one typed
+    * partition-local pass. */
+  def extractResizedPpmFeatures(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaRow] = media.select(
+      col("doc_id"),
+      col("payload"),
+      col("media_meta.format").as("format"),
+      col("media_meta.n_bytes").cast("long").as("n_bytes")).as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = resizePpm(r.payload, outW, outH)
+        val info = decodePpm(resized)
+        val n = info.width.toLong * info.height
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = info.rasterOffset
+        val end = info.rasterOffset + n.toInt * 3
+        while (i < end) {
+          sr += resized(i) & 0xff
+          sg += resized(i + 1) & 0xff
+          sb += resized(i + 2) & 0xff
+          i += 3
+        }
+        PpmFeatures(r.doc_id, resized.length.toLong, info.width.toLong, info.height.toLong,
+          info.maxval.toLong, n,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }.toDF()
+  }
+
   /** Documents as real PPM media (the image analog of [[asWavMedia]]). */
   def asPpmMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -208,4 +208,34 @@ class MultimodalSpec extends SparkSpec {
     assert(doc3.head.getAs[Long]("u_sum") === 16L * 255)
     assert(doc3.head.getAs[Long]("v_sum") === 16L * 85)
   }
+
+  test("resizePpm: exact nearest-neighbor map, identity size, re-decodable output") {
+    val src = ("abcdefghijklmnop" * 4).getBytes("UTF-8") // 64 bytes → 16x4 image
+    val ppm = Multimodal.ppmEncode(src)
+    val info = Multimodal.decodePpm(ppm)
+    assert(info.width === 16 && info.height === 4)
+    // identity resize: raster byte-identical (header comment differs)
+    val same = Multimodal.resizePpm(ppm, 16, 4)
+    val sInfo = Multimodal.decodePpm(same)
+    assert(same.slice(sInfo.rasterOffset, same.length).toSeq ===
+      ppm.slice(info.rasterOffset, ppm.length).toSeq)
+    // 4x2 downscale: out (x, y) samples src (x*4, y*2) — check every byte
+    val small = Multimodal.resizePpm(ppm, 4, 2)
+    val smInfo = Multimodal.decodePpm(small)
+    assert(smInfo.width === 4 && smInfo.height === 2)
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3) {
+      val got = small(smInfo.rasterOffset + (y * 4 + x) * 3 + c)
+      val want = ppm(info.rasterOffset + ((y * 2) * 16 + x * 4) * 3 + c)
+      assert(got === want, s"resized pixel ($x,$y) channel $c")
+    }
+    // upscale replicates pixels (nearest-neighbor, no interpolation)
+    val big = Multimodal.resizePpm(small, 8, 4)
+    val bInfo = Multimodal.decodePpm(big)
+    assert(big(bInfo.rasterOffset) === big(bInfo.rasterOffset + 3),
+      "upscaled neighbors must replicate the same source pixel")
+    intercept[IllegalArgumentException] { Multimodal.resizePpm(ppm, 0, 4) }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePpm("JUNK".getBytes("US-ASCII"), 4, 4)
+    }
+  }
 }
