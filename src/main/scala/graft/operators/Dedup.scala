@@ -755,6 +755,17 @@ object Dedup {
   def buildComponentState(pairs: DataFrame, statePath: String,
                           stateBuckets: Int = 64): Unit = {
     val spark = pairs.sparkSession
+    // The two projection overwrites are not mutually atomic, so the
+    // meta fingerprint brackets them: INVALIDATE first (delete), write
+    // both tables, re-write meta LAST. A crash between the writes —
+    // including a REBUILD over an existing state, where stale meta
+    // would otherwise keep blessing a components/projection mix — then
+    // leaves a meta-less directory every read and merge rejects
+    // loudly, never a silently divergent pair (the r14 advisor's
+    // self-rooting-docs window).
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/meta.json"), false)
     val comps = connectedComponents(pairs).localCheckpoint(true)
     comps
       .withColumn("gb", pmod(xxhash64(col("group_id")), lit(stateBuckets.toLong)).cast("int"))
@@ -764,6 +775,26 @@ object Dedup {
       .write.mode("overwrite").partitionBy("db").parquet(s"$statePath/components_by_doc")
     graft.sources.IndexMeta.write(spark, s"$statePath/meta.json",
       Seq("stateBuckets" -> stateBuckets.toLong))
+  }
+
+  /** The two projections must carry data TOGETHER or not at all: a
+    * state whose `components` holds gb= partitions while
+    * `components_by_doc` holds no db= partitions (a lost/partial
+    * projection) would make [[projectionDf]]'s schema-stable empty
+    * fallback root every merge endpoint to itself — duplicate doc
+    * rows under fresh group ids with no error. Checked by every
+    * projection consumer ([[mergeComponentState]],
+    * [[readComponentStateByDoc]]); heal by rebuilding the state. */
+  private def requireProjectionConsistent(spark: SparkSession, statePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParts(table: String, prefix: String): Boolean = {
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+      fs.exists(root) && fs.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
+    }
+    require(!hasParts("components", "gb=") || hasParts("components_by_doc", "db="),
+      s"component state at $statePath has data but its doc-keyed projection is " +
+        "empty — the projections have diverged; rebuild the state (buildComponentState)")
   }
 
   /** The current (doc_id, group_id) state. NON-destructive by design:
@@ -807,6 +838,13 @@ object Dedup {
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$CommitMarker")),
       s"component state at $statePath has an unfinished merge commit — " +
         "re-run the failed mergeComponentState to roll it forward")
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/components_by_doc")
+    if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      require(st.getPath.getName.matches("db=\\d+"),
+        s"component state at $statePath holds a non-bucket directory " +
+          s"${st.getPath.getName} in its doc projection — refusing to read stale debris")
+    }
+    requireProjectionConsistent(spark, statePath)
     projectionDf(spark, statePath).select("doc_id", "group_id")
   }
 
@@ -856,6 +894,7 @@ object Dedup {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(stateBuckets.toLong)).cast("int")
     recoverComponentState(spark, statePath)
+    requireProjectionConsistent(spark, statePath)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Array(ca, cb) = newPairs.columns.take(2)

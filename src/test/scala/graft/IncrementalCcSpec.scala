@@ -217,6 +217,63 @@ class IncrementalCcSpec extends SparkSpec {
     assert(e.getMessage.contains("stale debris"), e.getMessage)
   }
 
+  test("stale debris under components_by_doc/ fails the doc-keyed read loudly") {
+    val dir = stateDir()
+    Dedup.buildComponentState(pairsDf((70L, 71L)), dir, stateBuckets = 8)
+    readSorted(dir) // healthy
+    assert(new java.io.File(s"$dir/components_by_doc/db=2__old").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readComponentStateByDoc(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("stale debris"), e.getMessage)
+  }
+
+  test("lost doc projection: merge and doc-keyed read fail loudly, never self-root") {
+    // the r14 advisor's window: components holds data but the doc
+    // projection is gone (lost volume, partial copy). projectionDf's
+    // schema-stable empty fallback must NOT silently root every merge
+    // endpoint to itself — both projection consumers reject the state.
+    val dir = stateDir()
+    Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
+    readSorted(dir) // healthy
+    def rmTree(p: String): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+    rmTree(s"$dir/components_by_doc")
+    val em = intercept[IllegalArgumentException] {
+      Dedup.mergeComponentState(pairsDf((81L, 90L)), dir)
+    }
+    assert(em.getMessage.contains("diverged"), em.getMessage)
+    val er = intercept[IllegalArgumentException] {
+      Dedup.readComponentStateByDoc(spark, dir).collect()
+    }
+    assert(er.getMessage.contains("diverged"), er.getMessage)
+    // heal = rebuild: the state then reads and merges normally again
+    Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
+    Dedup.mergeComponentState(pairsDf((81L, 90L)), dir)
+    assert(readSorted(dir) === fullCc((80L, 81L), (90L, 91L), (81L, 90L)))
+  }
+
+  test("rebuild-over-existing-state crash window: meta is invalidated first") {
+    // buildComponentState over an EXISTING state deletes meta before
+    // the two projection overwrites and re-writes it last, so a crash
+    // between the writes leaves a state every consumer rejects (no
+    // stale meta blessing a components/projection mix). Simulate the
+    // crash point by deleting meta from a healthy state.
+    val dir = stateDir()
+    Dedup.buildComponentState(pairsDf((30L, 31L)), dir, stateBuckets = 8)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/meta.json"))
+    intercept[Exception] { Dedup.readComponentState(spark, dir).collect() }
+    intercept[Exception] { Dedup.readComponentStateByDoc(spark, dir).collect() }
+    intercept[Exception] { Dedup.mergeComponentState(pairsDf((31L, 32L)), dir) }
+    // the completed rebuild (meta re-written last) heals it
+    Dedup.buildComponentState(pairsDf((30L, 31L)), dir, stateBuckets = 8)
+    assert(readSorted(dir) === fullCc((30L, 31L)))
+  }
+
   test("survivorsFromState ≡ survivors over a full recompute") {
     val dir = stateDir()
     val b1 = Seq((5L, 6L), (9L, 10L)); val b2 = Seq((6L, 9L), (20L, 21L))
