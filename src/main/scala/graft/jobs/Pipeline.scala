@@ -106,13 +106,27 @@ object Pipeline {
     Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
-  /** Run the full E1 sequence. */
+  /** Per-stage wall seconds of the most recent [[run]] in this JVM —
+    * telemetry only (the bench folds it into bench_full.json as
+    * `e1_stages` so a pipeline regression localizes to a stage
+    * instead of "q_e1_pipeline got slower", r14 verdict #7). Volatile
+    * single-slot: the pipeline is single-writer per JVM like every
+    * job here, and a stale read costs nothing but a stale number. */
+  @volatile var lastStageSeconds: Seq[(String, Double)] = Nil
+
+  /** Run the full E1 sequence, timing each stage. */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String): LakePaths = {
     val lake = LakePaths(lakeRoot)
-    mergeHistory(spark, sfDir, lake)
-    detectPatterns(spark, lake)
-    analyze(spark, sfDir, lake)
-    predict(spark, sfDir, lake)
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    lastStageSeconds = Seq(
+      timed("merge_history") { mergeHistory(spark, sfDir, lake) },
+      timed("detect_patterns") { detectPatterns(spark, lake) },
+      timed("analyze") { analyze(spark, sfDir, lake) },
+      timed("predict") { predict(spark, sfDir, lake) })
     lake
   }
 

@@ -131,6 +131,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(order === Seq("errored", "cold_slow", "cold_fast", "heavy_warm", "cheap_warm"))
   }
 
+  test("measuredBudget: funds a full second pass off the measured pass 1, env pin wins outright") {
+    // the r14 shape: 163 queries, pass 1 measured at 355 s on the
+    // noisy host (the 2.5 s/query guess gave 407.5 s total and left
+    // pass 2 ~12 s). The measured budget must leave pass 2 at least a
+    // full pass-1-sized slice under the 0.9 cutoff.
+    val b = Bench.measuredBudget(407.5, None, 355.0)
+    assert(b * 0.9 - 355.0 >= 355.0, s"pass 2 headroom ${b * 0.9 - 355.0} under budget $b")
+    // a fast host keeps the static floor (no artificial shrink)
+    assert(Bench.measuredBudget(300.0, None, 40.0) === 300.0)
+    // the env pin is exact — the driver owns the kill window
+    assert(Bench.measuredBudget(407.5, Some(120.0), 355.0) === 120.0)
+  }
+
   test("mixed times + many errors stays within budget and accounts for both") {
     val errs = (0 until 60).map(i => (f"q_err_$i%03d", "boom " + "y" * 100))
     val line = Bench.compactLine(times.take(56), errs, "/root/testdata/sf0.1", of = 116)
