@@ -47,6 +47,7 @@ object Probe {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       println(f"PROBE $name cold=$cold%.3f warm=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (args.contains("-show")) fn(spark, sfDir).show(20, truncate = false)
     }
     spark.stop()
   }

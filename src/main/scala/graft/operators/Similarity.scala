@@ -234,17 +234,30 @@ object Similarity {
     val cur = new org.apache.hadoop.fs.Path(s"$indexPath/CURRENT")
     def complete(name: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$name/meta.json"))
-    if (fs.exists(cur)) {
-      val in = fs.open(cur)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(complete(name), s"IVF index at $indexPath: CURRENT names $name but it is incomplete")
-      s"$indexPath/$name"
-    } else {
+    def newestComplete(): String = {
       val vers = if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
         .filter(_.matches("v_\\d+")).filter(complete) else Array.empty[String]
       if (vers.nonEmpty) s"$indexPath/${vers.maxBy(_.stripPrefix("v_").toLong)}"
       else indexPath
+    }
+    // exists→open is a TOCTOU window against a concurrent rebuild's
+    // delete→rename publish: the pointer can vanish between the two
+    // calls. That race IS the documented "no CURRENT" state — take the
+    // newest-complete-version fallback, never surface the FNFE. A
+    // pointer that reads fine but names an incomplete version is real
+    // corruption and stays loud.
+    val pointed =
+      if (!fs.exists(cur)) None
+      else try {
+        val in = fs.open(cur)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close())
+      } catch { case _: java.io.FileNotFoundException => None }
+    pointed match {
+      case Some(name) =>
+        require(complete(name), s"IVF index at $indexPath: CURRENT names $name but it is incomplete")
+        s"$indexPath/$name"
+      case None => newestComplete()
     }
   }
 
@@ -258,10 +271,17 @@ object Similarity {
     * an incomplete version (no meta yet, or a crash mid-rebuild) is
     * never eligible, and the previous version stays on disk so
     * probes that resolved before the swap finish against intact files.
-    * Versions older than the previous are deleted (bounded disk debt);
-    * the legacy flat tables are left for the operator since the first
-    * rebuild cannot know whether an out-of-band reader still points at
-    * them. Single-writer, like every persisted artifact here. */
+    * GC keeps exactly {new version, the version ACTUALLY served
+    * before the swap} — keyed off the resolved old root, NOT off
+    * version numbering, because a crashed rebuild can leave an
+    * incomplete v_k with a HIGHER number than the serving version:
+    * numbering-based GC would then keep the garbage and delete the
+    * version live readers still scan (the r14 advisor's
+    * FileNotFound-mid-scan window). Everything else, incomplete
+    * debris included, is deleted (bounded disk debt); the legacy flat
+    * tables are left for the operator since the first rebuild cannot
+    * know whether an out-of-band reader still points at them.
+    * Single-writer, like every persisted artifact here. */
   def rebuildIvfIndex(spark: SparkSession, indexPath: String): Unit = {
     val oldRoot = ivfRoot(spark, indexPath)
     val meta = graft.sources.IndexMeta.read(spark, s"$oldRoot/meta.json", "IVF index")
@@ -271,14 +291,27 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
       .map(_.getPath.getName).filter(_.matches("v_\\d+"))
-      .map(_.stripPrefix("v_").toLong)
-    val next = (existing.foldLeft(0L)(math.max)) + 1
+    val next = existing.map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
     val newName = s"v_$next"
     val corpus = spark.read.parquet(s"$oldRoot/inverted").select(col("vec_id"), col("emb"))
     writeIvfTables(corpus, s"$indexPath/$newName", nCells)
-    // publish: temp + rename. The delete→rename window is benign — a
-    // reader finding no CURRENT falls back to the newest complete
-    // version, which IS the one being published.
+    publishIndexVersion(fs, indexPath, newName, oldRoot, existing)
+  }
+
+  /** Atomic version publication + GC, shared by [[rebuildIvfIndex]]
+    * and [[rebuildIvfPqIndex]]: point CURRENT at `newName` via temp +
+    * rename (the delete→rename window is benign — a reader finding no
+    * CURRENT falls back to the newest complete version, which IS the
+    * one being published), then GC by SERVED identity, not version
+    * arithmetic: keep only the new version and the one `oldRoot`
+    * actually resolved to — a crashed rebuild's incomplete v_k can
+    * outnumber the serving version, so "keep v_(next-1)" would keep
+    * garbage and delete what live readers still scan. When oldRoot is
+    * the legacy flat layout its basename matches no v_ name and every
+    * old version dir is debris. */
+  private def publishIndexVersion(fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+                                  newName: String, oldRoot: String,
+                                  existing: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write((newName + "\n").getBytes("UTF-8")) finally out.close()
@@ -286,8 +319,9 @@ object Similarity {
     fs.delete(cur, false)
     if (!fs.rename(tmp, cur))
       throw new java.io.IOException(s"rebuild: could not publish $cur")
-    existing.filter(_ < next - 1).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/v_$n"), true)
+    val keep = Set(newName, new org.apache.hadoop.fs.Path(oldRoot).getName)
+    existing.filterNot(keep).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$n"), true)
     }
   }
 
@@ -841,32 +875,121 @@ object Similarity {
     * by q_ann_ivfpq_check's measured recall bound — the q_ann_ivf
     * pattern. */
   def buildIvfPqIndex(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
-                      nCentroids: Int = 16, nSub: Int = 8, iters: Int = 5): Unit = {
+                      nCentroids: Int = 16, nSub: Int = 8, iters: Int = 5): Unit =
+    writeIvfPqTables(widened(embeddings).select(col("vec_id"), col("emb")),
+      indexPath, nCells, nCentroids, nSub, iters)
+
+  /** The IVFPQ build core shared by [[buildIvfPqIndex]] (flat layout)
+    * and [[rebuildIvfPqIndex]] (version dirs) — the same split
+    * [[writeIvfTables]] has for the IVF family: coarse KMeans fit,
+    * tiny centroid table, residual-space trained codebook,
+    * cell-partitioned packed codes, and meta WRITTEN LAST so a
+    * crashed (re)build is never eligible for serving. `base` is
+    * already (vec_id, emb-double). */
+  private def writeIvfPqTables(base: DataFrame, root: String, nCells: Int,
+                               nCentroids: Int, nSub: Int, iters: Int): Unit = {
     requirePqParams(nSub)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
-    val base = widened(embeddings).select(col("vec_id"), col("emb"))
     val km = new KMeans().setK(nCells).setSeed(ivfSeed)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base.withColumn("fv", array_to_vector(col("emb"))))
     km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val residuals = ivfPqResiduals(spark, base, s"$indexPath/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    val residuals = ivfPqResiduals(spark, base, s"$root/centroids")
       .localCheckpoint()
     val cents = pqCodebookTrained(
       residuals.select(col("vec_id"), col("emb")), nCentroids, nSub, iters)
       .localCheckpoint()
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
     pqPack(pqEncode(residuals.select(col("vec_id"), col("emb")), cents, nSub))
       .join(residuals.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/codes")
-    graft.sources.IndexMeta.write(spark, s"$indexPath/meta.json",
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+    graft.sources.IndexMeta.write(spark, s"$root/meta.json",
       Seq("nCells" -> nCells.toLong, "nCentroids" -> nCentroids.toLong,
         "nSub" -> nSub.toLong, "dim" -> 64L, "seed" -> ivfSeed, "iters" -> iters.toLong))
+  }
+
+  /** Full refresh of an IVFPQ index — closes the drift loop the IVF
+    * family already has ([[rebuildIvfIndex]]) for the composed index,
+    * whose frozen coarse cells AND frozen residual codebook skew just
+    * the same under streaming appends (r14 verdict #2): re-cluster the
+    * cells, RETRAIN the residual codebook, re-encode every indexed
+    * vector, all into a new `v_<n+1>` version directory behind the
+    * same atomic CURRENT-pointer swap ([[publishIndexVersion]] — one
+    * observable mutation, incomplete versions never eligible, the
+    * served version kept for in-flight readers, debris GC'd).
+    *
+    * Unlike IVF, the artifact CANNOT seed its own rebuild: PQ codes
+    * are lossy, the original vectors are not recoverable from them.
+    * `corpus` is therefore the authoritative vector store (the same
+    * table [[ivfPqTopKReranked]] fetches full-precision vectors from)
+    * and must cover every indexed id — a silent subset would DROP
+    * vectors from the index, so coverage is checked loudly. Vectors in
+    * `corpus` but not yet indexed are ignored (they belong to the next
+    * append), keeping rebuild ≡ "the same index, re-quantized". */
+  def rebuildIvfPqIndex(spark: SparkSession, indexPath: String, corpus: DataFrame): Unit = {
+    val oldRoot = ivfRoot(spark, indexPath)
+    val m = graft.sources.IndexMeta.read(spark, s"$oldRoot/meta.json", "IVFPQ index")
+    def f(k: String) = m.getOrElse(k, sys.error(s"IVFPQ index meta at $oldRoot lacks $k")).toInt
+    val indexed = spark.read.parquet(s"$oldRoot/codes").select(col("vec_id"))
+    val base = widened(corpus).select(col("vec_id"), col("emb"))
+      .transform(dedupVecIds)
+      .join(indexed.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val nIndexed = indexed.distinct().count()
+    val nCovered = base.count()
+    require(nCovered == nIndexed,
+      s"rebuildIvfPqIndex: corpus covers $nCovered of $nIndexed indexed vectors — " +
+        "a rebuild from a partial vector store would silently drop the rest")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .map(_.getPath.getName).filter(_.matches("v_\\d+"))
+    val next = existing.map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
+    val newName = s"v_$next"
+    writeIvfPqTables(base, s"$indexPath/$newName",
+      f("nCells"), f("nCentroids"), f("nSub"), f("iters"))
+    publishIndexVersion(fs, indexPath, newName, oldRoot, existing)
+  }
+
+  /** Drift-triggered IVFPQ refresh — [[maybeRebuildIvfIndex]]'s twin
+    * for the composed index: cheap cell-stats tick (reads the codes'
+    * partition column only), the expensive re-cluster + codebook
+    * retrain only past the imbalance bound. Returns whether a rebuild
+    * ran. */
+  def maybeRebuildIvfPqIndex(spark: SparkSession, indexPath: String, corpus: DataFrame,
+                             maxImbalance: Double = 3.0): Boolean = {
+    require(maxImbalance >= 1.0, "maxImbalance below 1 would rebuild on every tick")
+    val imb = ivfPqCellStats(spark, indexPath)
+      .select(col("imbalance")).collect().head.getDouble(0)
+    val refresh = imb > maxImbalance
+    if (refresh) rebuildIvfPqIndex(spark, indexPath, corpus)
+    refresh
+  }
+
+  /** [[ivfCellStats]] for the IVFPQ index: same one-row telemetry
+    * (total/used/max/min/avg/imbalance) over the `codes` table's cell
+    * partitions — the observable [[maybeRebuildIvfPqIndex]] acts on. */
+  def ivfPqCellStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val root = ivfRoot(spark, indexPath)
+    val nCells = graft.sources.IndexMeta
+      .read(spark, s"$root/meta.json", "IVFPQ index")
+      .getOrElse("nCells", sys.error(s"IVFPQ index meta at $root lacks nCells"))
+    spark.read.parquet(s"$root/codes")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("total_vecs"),
+        lit(nCells).as("n_cells"),
+        count(lit(1)).as("cells_used"),
+        max(col("n")).as("max_cell"),
+        min(col("n")).as("min_cell"),
+        round(sum(col("n")) / lit(nCells), 2).as("avg_cell"),
+        round(max(col("n")) / (sum(col("n")) / lit(nCells)), 4).as("imbalance"))
   }
 
   /** Assign each vector its nearest frozen centroid's cell and replace
@@ -890,10 +1013,14 @@ object Similarity {
         zip_with(col("emb"), col("__cent"), (x, c) => x - c).as("emb"))
   }
 
-  private def checkIvfPqMeta(spark: SparkSession, indexPath: String): Int = {
-    val m = graft.sources.IndexMeta.read(spark, s"$indexPath/meta.json", "IVFPQ index")
-    m.getOrElse("nCells", sys.error(s"IVFPQ index meta at $indexPath lacks nCells"))
-    m.getOrElse("nSub", sys.error(s"IVFPQ index meta at $indexPath lacks nSub")).toInt
+  /** Meta guard against the RESOLVED root (version dir or legacy
+    * flat layout — the same [[ivfRoot]] resolution every IVFPQ
+    * consumer shares, so a [[rebuildIvfPqIndex]] swap retargets all
+    * of them atomically). Returns nSub. */
+  private def checkIvfPqMeta(spark: SparkSession, root: String): Int = {
+    val m = graft.sources.IndexMeta.read(spark, s"$root/meta.json", "IVFPQ index")
+    m.getOrElse("nCells", sys.error(s"IVFPQ index meta at $root lacks nCells"))
+    m.getOrElse("nSub", sys.error(s"IVFPQ index meta at $root lacks nSub")).toInt
   }
 
   /** Append new vectors: cell against the FROZEN centroids, residual
@@ -902,25 +1029,27 @@ object Similarity {
     * the same replay contract as every other index family. */
   def appendToIvfPqIndex(embeddings: DataFrame, indexPath: String): Unit = {
     val spark = embeddings.sparkSession
-    val nSub = checkIvfPqMeta(spark, indexPath)
-    val cents = spark.read.parquet(s"$indexPath/codebook")
-    val coded = spark.read.parquet(s"$indexPath/codes").select(col("vec_id")).distinct()
+    val root = ivfRoot(spark, indexPath)
+    val nSub = checkIvfPqMeta(spark, root)
+    val cents = spark.read.parquet(s"$root/codebook")
+    val coded = spark.read.parquet(s"$root/codes").select(col("vec_id")).distinct()
     val fresh = widened(embeddings).select(col("vec_id"), col("emb"))
       .transform(dedupVecIds)
       .join(coded.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-    val residuals = ivfPqResiduals(spark, fresh, s"$indexPath/centroids")
+    val residuals = ivfPqResiduals(spark, fresh, s"$root/centroids")
     pqPack(pqEncode(residuals.select(col("vec_id"), col("emb")), cents, nSub))
       .join(residuals.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .localCheckpoint()
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
   }
 
   /** Compact the IVFPQ codes, preserving the `cell=` pruning layout. */
   def compactIvfPqIndex(spark: SparkSession, indexPath: String,
                         targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    checkIvfPqMeta(spark, indexPath)
+    val root = ivfRoot(spark, indexPath)
+    checkIvfPqMeta(spark, root)
     graft.sources.Sinks.compactPartitioned(
-      spark, s"$indexPath/codes", "cell", targetFileBytes)
+      spark, s"$root/codes", "cell", targetFileBytes)
   }
 
   /** ADC top-k against the IVFPQ index: per probe, the nProbe nearest
@@ -933,10 +1062,11 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, indexPath: String, probes: DataFrame,
                 k: Int, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
-    val nSub = checkIvfPqMeta(spark, indexPath)
-    val centers = spark.read.parquet(s"$indexPath/centroids")
+    val root = ivfRoot(spark, indexPath)
+    val nSub = checkIvfPqMeta(spark, root)
+    val centers = spark.read.parquet(s"$root/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-    val cents = spark.read.parquet(s"$indexPath/codebook")
+    val cents = spark.read.parquet(s"$root/codebook")
     val centroids = broadcast(spark.createDataFrame(
       centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "__cent"))
@@ -951,7 +1081,7 @@ object Similarity {
       .select(col("q_id"), col("cell"), col("s"), col("cid").as("code"), col("d2"))
     val probedCells = probeCells.select("cell").distinct().as[Int].collect()
     val codes = pqUnpackWithCell(
-      spark.read.parquet(s"$indexPath/codes")
+      spark.read.parquet(s"$root/codes")
         .filter(col("cell").isInCollection(probedCells.toSeq))) // partition-pruned
     val byProbe = Window.partitionBy("q_id").orderBy(col("ad2"), col("n_id"))
     codes.join(broadcast(lut), Seq("cell", "s", "code"))

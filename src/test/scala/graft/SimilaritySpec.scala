@@ -316,6 +316,127 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rebuildIvfPqIndex: versioned swap, retrained artifacts exact post-rebuild, drift loop, GC parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqrb").toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus.filter($"vec_id" % 10 < 8), dir,
+      nCells = 8, nCentroids = 64)
+    Similarity.appendToIvfPqIndex(corpus.filter($"vec_id" % 10 >= 8), dir) // drifted
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    // a rebuild from a PARTIAL vector store must refuse — it would
+    // silently drop the uncovered vectors from the index
+    val ePart = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfPqIndex(spark, dir, corpus.filter($"vec_id" < 100L))
+    }
+    assert(ePart.getMessage.contains("covers"), ePart.getMessage)
+    Similarity.rebuildIvfPqIndex(spark, dir, corpus)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/CURRENT")).trim === "v_1")
+    // legacy flat tables stay for pre-swap readers
+    assert(new java.io.File(s"$dir/codes").exists() &&
+      new java.io.File(s"$dir/codebook").exists())
+    // every indexed vector survived the re-encode exactly once
+    assert(spark.read.parquet(s"$dir/v_1/codes").count() === 200L)
+    // the strongest post-rebuild pin, partition-independent: with both
+    // reductions disabled the rerank off the REBUILT artifacts must
+    // still reduce to exact brute force (same gate a fresh build has —
+    // a lost vector, wrong cell or corrupt codebook all break it)
+    val rr = Similarity.ivfPqTopKReranked(spark, dir, corpus, probes, 5,
+      nProbe = 8, shortlist = 199)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(corpus, probes, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rr === brute, "exhaustive rerank off the rebuilt index must reduce to brute force")
+    // REAL pruning still holds recall on the re-trained cells
+    val pruned = Similarity.ivfPqTopKReranked(spark, dir, corpus, probes, 5,
+      nProbe = 2, shortlist = 20)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(r => (r._1, r._2))
+    assert(bruteIds.intersect(pruned).size.toDouble / bruteIds.size >= 0.8)
+    // mid-swap reader (pointer momentarily absent) falls back to the
+    // newest complete version — same results
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"), false)
+    assert(Similarity.ivfPqTopKReranked(spark, dir, corpus, probes, 5,
+      nProbe = 8, shortlist = 199)
+      .as[(Long, Long, Double, Long)].collect().toSet === brute)
+    Similarity.rebuildIvfPqIndex(spark, dir, corpus) // re-publishes CURRENT (v_2)
+    // appends resolve through the pointer; telemetry and compaction too
+    val twin = corpus.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfPqIndex(twin, dir)
+    assert(spark.read.parquet(s"$dir/v_2/codes").filter($"vec_id" === 9000L).count() === 1L)
+    assert(spark.read.parquet(s"$dir/codes").filter($"vec_id" === 9000L).count() === 0L,
+      "append must not touch the superseded flat tables")
+    assert(Similarity.ivfPqCellStats(spark, dir).collect().head
+      .getAs[Long]("total_vecs") === 201L)
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(Similarity.ivfPqCellStats(spark, dir).collect().head
+      .getAs[Long]("total_vecs") === 201L)
+    // bounded version debt, served-version GC (parity with IVF)
+    assert(new java.io.File(s"$dir/v_1").exists(), "previous version must be kept")
+    Similarity.rebuildIvfPqIndex(spark, dir, corpus.unionByName(twin)) // v_3 → v_1 ages out
+    assert(!new java.io.File(s"$dir/v_1").exists())
+    assert(new java.io.File(s"$dir/v_2").exists())
+  }
+
+  test("maybeRebuildIvfPqIndex: no refit below the bound, refit above restores balance and serves the pile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqauto").toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus, dir, nCells = 8, nCentroids = 64)
+    assert(!Similarity.maybeRebuildIvfPqIndex(spark, dir, corpus, maxImbalance = 3.0),
+      "a freshly built index must not trigger a rebuild")
+    // a diffuse new cluster the frozen centroids never saw piles into
+    // the nearest existing cell(s); a re-fit splits the new region
+    val rng2 = new scala.util.Random(29)
+    val newCenter = Array.fill(64)(rng2.nextGaussian())
+    val pile = emb((1 to 150).map { i =>
+      (20000L + i, newCenter.map(x => (x + 0.8 * rng2.nextGaussian()).toFloat).toSeq)
+    }: _*)
+    Similarity.appendToIvfPqIndex(pile, dir)
+    val all = corpus.unionByName(pile)
+    val imbBefore = Similarity.ivfPqCellStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    assert(imbBefore > 2.0, s"fixture must skew the cells (imbalance $imbBefore)")
+    assert(Similarity.maybeRebuildIvfPqIndex(spark, dir, all, maxImbalance = 2.0))
+    val imbAfter = Similarity.ivfPqCellStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    assert(imbAfter < imbBefore, s"refit must reduce imbalance ($imbBefore -> $imbAfter)")
+    assert(Similarity.ivfPqCellStats(spark, dir)
+      .select("total_vecs").as[Long].head() === 350L)
+    intercept[IllegalArgumentException] {
+      Similarity.maybeRebuildIvfPqIndex(spark, dir, all, maxImbalance = 0.5)
+    }
+  }
+
+  test("rebuild GC keys off the SERVED version: incomplete higher-numbered debris dies, the serving version survives") {
+    // the r14 advisor's window: a rebuild that crashed after partially
+    // writing v_2 (no meta) leaves debris with a HIGHER number than
+    // the serving v_1. Numbering-based GC (keep v_(next-1)) would keep
+    // the garbage and delete v_1 — the version CURRENT still points at
+    // until the swap, which concurrent readers may be mid-scan on.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfgc").toString + "/idx"
+    Similarity.buildIvfIndex(corpus, dir, nCells = 8)
+    Similarity.rebuildIvfIndex(spark, dir) // serving = v_1
+    val probes = corpus.filter($"vec_id" % 25 === 0L)
+    val served = Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // crashed rebuild: v_2 exists, partially written, NO meta.json
+    assert(new java.io.File(s"$dir/v_2/centroids").mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v_2/centroids/part-junk"),
+      Array[Byte](1, 2, 3))
+    // resolution ignores the incomplete version entirely
+    assert(Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet === served)
+    Similarity.rebuildIvfIndex(spark, dir) // publishes v_3 off v_1
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/CURRENT")).trim === "v_3")
+    assert(new java.io.File(s"$dir/v_1").exists(),
+      "the previously SERVED version must survive the swap for in-flight readers")
+    assert(!new java.io.File(s"$dir/v_2").exists(),
+      "incomplete debris must be deleted, not kept as the 'previous' version")
+    assert(Similarity.ivfTopKIndexed(spark, dir, probes, 5, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet === served)
+  }
+
   test("maybeRebuildIvfIndex: no refit below the imbalance bound, refit above restores balance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfauto").toString + "/idx"
     Similarity.buildIvfIndex(corpus, dir, nCells = 8)
