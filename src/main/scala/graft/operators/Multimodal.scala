@@ -6,55 +6,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with decode/feature-extraction as a partition-local typed pass.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (payload slicing); everything
-  * around it — the schema (binary + metadata struct), the
-  * `mapPartitions` batch shape, and the feature columns — is the real
-  * Spark-side plumbing a decode UDF would plug into.
+  * All three modalities decode for REAL with codec-free container
+  * formats — PCM WAV (audio), P6 PPM (image), YUV4MPEG2 (video) —
+  * and [[extractMediaFeatures]] dispatches a MIXED corpus on the
+  * metadata's format tag, failing loudly on formats it does not
+  * speak (a compressed codec would need a real decoder library; at
+  * scale that slots into the same typed partition-local pass).
   *
-  * Scale: the typed pass is partition-local (no shuffle); a real decoder
-  * would batch per-partition exactly like this, and the binary column
-  * stays columnar-compressed in parquet until projected.
+  * Scale: the typed pass is partition-local (no shuffle); the binary
+  * column stays columnar-compressed in parquet until projected.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, n_bytes: Long)
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_frames: Long, frame0: Array[Byte],
-                           thumb: Array[Byte])
-
-  /** Attach a binary payload + metadata struct to the documents table.
-    * (Testdata has no binary column; the text bytes stand in for an
-    * opaque media blob.) */
-  def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit("fake/utf8").as("format"),
-        length(encode(col("text"), "UTF-8")).as("n_bytes"),
-        col("source").as("origin")).as("media_meta"))
-
-  /** STUB decoder: a real implementation would decode the codec here.
-    * Deterministic fake: "frames" are fixed-size byte windows. */
-  private def decodeStub(payload: Array[Byte], frameSize: Int): Seq[Array[Byte]] =
-    if (payload.isEmpty) Seq.empty
-    else payload.grouped(frameSize).toSeq
-
-  /** STUB resize: a real implementation would rescale pixels; the fake
-    * strided-subsample keeps the shape contract (fixed output size,
-    * deterministic) a resize kernel would satisfy. */
-  private def resizeStub(payload: Array[Byte], outBytes: Int): Array[Byte] =
-    if (payload.isEmpty) Array.emptyByteArray
-    else {
-      val stride = math.max(1, payload.length / outBytes)
-      payload.indices.by(stride).take(outBytes).map(payload).toArray
-    }
 
   // ───────────────────── real codec-free decode: PCM WAV ─────────────────────
   // PCM WAV is a container format, not a codec — header parse + frame
-  // math needs no external libraries, so unlike the image/video stubs
-  // above this decode path is REAL: the bytes are a spec-conformant
-  // RIFF/WAVE file and the features come from actually parsing it.
+  // math needs no external libraries, so this decode path is REAL: the
+  // bytes are a spec-conformant RIFF/WAVE file and the features come
+  // from actually parsing it.
 
   case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long)
   case class WavFeatures(doc_id: Long, n_bytes: Long, sample_rate: Long, channels: Long,
@@ -155,8 +125,8 @@ object Multimodal {
           lit("wav-encode").as("origin")).as("media_meta"))
   }
 
-  /** Audio features via the same partition-local typed pass as
-    * [[extractFeatures]], but with the REAL decoder: every output
+  /** Audio features via a partition-local typed pass with the REAL
+    * decoder: every output
     * column is read out of the parsed RIFF structure, so a wrong
     * encoder or parser fails the q_multimodal_wav oracle gate. */
   def extractWavFeatures(media: DataFrame): DataFrame = {
@@ -180,8 +150,7 @@ object Multimodal {
   // ───────────────────── real codec-free decode: binary PPM ─────────────────────
   // P6 PPM (netpbm) is to images what PCM WAV is to audio: a header +
   // raw raster, no compression — header tokenizing and pixel math need
-  // no external libraries, so this image-decode path is REAL and closes
-  // the multimodal image half the stubs above only shape.
+  // no external libraries, so the image-decode path is REAL too.
 
   case class PpmInfo(width: Int, height: Int, maxval: Int, rasterOffset: Int)
   case class PpmFeatures(doc_id: Long, n_bytes: Long, width: Long, height: Long,
@@ -263,7 +232,7 @@ object Multimodal {
   /** REAL image resize — nearest-neighbor downscale/upscale of a
     * decoded P6 raster, emitted as a new spec-conformant P6 (header
     * comment included, so resized outputs re-enter the decode path).
-    * Replaces the `resizeStub` shape for the image modality: output
+    * The REAL thumbnail stage for the image modality: output
     * pixel (x, y) samples source pixel (⌊x·W/outW⌋, ⌊y·H/outH⌋) —
     * exact integer arithmetic, so every resized byte (and any feature
     * computed from it) replays in SQL (q_multimodal_resize). Pure
@@ -382,8 +351,8 @@ object Multimodal {
   // images: a plain-text header, then per-frame "FRAME\n" markers with
   // RAW planar YUV bytes — no compression, no codec. Parsing it needs
   // only the header tokenizer + plane arithmetic, so the video
-  // decode/frame-sample path is REAL, closing the last multimodal
-  // modality the stubs above only shape.
+  // decode/frame-sample path is REAL as well — all three modalities
+  // decode from their actual bytes.
 
   case class Y4mInfo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
                      nFrames: Int, frameOffsets: Seq[Int])
@@ -551,9 +520,37 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Frame-sample features via a partition-local typed pass
-    * (the `mapPartitions` batch shape a real decoder needs). */
-  def extractFeatures(media: DataFrame, frameSize: Int = 16): DataFrame = {
+  // ─────────────── format-dispatched decode over a MIXED corpus ───────────────
+
+  /** One unified feature row per media document, whatever its
+    * modality: `n_units` is the format's natural count (samples /
+    * pixels / frames) and `detail` its headline signal statistic
+    * (duration ms / red-channel mean / frame-0 luma mean) — all read
+    * out of the REAL parsed container, so every column replays in SQL
+    * from the source bytes (q_multimodal's oracle). */
+  case class MixedMediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+                                width: Long, height: Long, n_units: Long,
+                                detail: Double)
+
+  /** Documents as a MIXED-modality media corpus: audio / image / video
+    * payloads interleaved by doc_id (mod 3), each a spec-conformant
+    * container from the real encoders — the shape of a production
+    * multimodal lake, where one binary column carries many formats and
+    * the metadata struct says which. */
+  def asMixedMedia(docs: DataFrame): DataFrame =
+    asWavMedia(docs.filter(col("doc_id") % 3 === 0))
+      .unionByName(asPpmMedia(docs.filter(col("doc_id") % 3 === 1)))
+      .unionByName(asY4mMedia(docs.filter(col("doc_id") % 3 === 2)))
+
+  /** REAL format-dispatched decode of a mixed media corpus — the
+    * serving entry point that replaced the r14 stub pass: each row's
+    * `media_meta.format` routes it to the matching container decoder
+    * (RIFF walk / P6 header tokenizer / Y4M frame walk) inside ONE
+    * partition-local typed pass; an unknown format fails loudly
+    * instead of guessing. Per-format deep dives stay available as
+    * [[extractWavFeatures]] / [[extractPpmFeatures]] /
+    * [[extractY4mFrameFeatures]]. */
+  def extractMediaFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val typed: Dataset[MediaRow] = media.select(
@@ -563,10 +560,34 @@ object Multimodal {
       col("media_meta.n_bytes").cast("long").as("n_bytes")).as[MediaRow]
     typed.mapPartitions { rows =>
       rows.map { r =>
-        val frames = decodeStub(r.payload, frameSize)
-        MediaFeatures(r.doc_id, r.n_bytes, frames.length.toLong,
-          frames.headOption.getOrElse(Array.emptyByteArray),
-          resizeStub(r.payload, 8))
+        r.format match {
+          case "audio/wav" =>
+            val info = decodeWav(r.payload)
+            MixedMediaFeatures(r.doc_id, r.format, r.n_bytes, 0L, 0L, info.nSamples,
+              info.nSamples * 1000.0 / info.sampleRate)
+          case "image/x-portable-pixmap" =>
+            val info = decodePpm(r.payload)
+            val n = info.width.toLong * info.height
+            var sr = 0L
+            var i = info.rasterOffset
+            val end = info.rasterOffset + n.toInt * 3
+            while (i < end) { sr += r.payload(i) & 0xff; i += 3 }
+            MixedMediaFeatures(r.doc_id, r.format, r.n_bytes,
+              info.width.toLong, info.height.toLong, n, sr.toDouble / n)
+          case "video/x-yuv4mpeg" =>
+            val info = decodeY4m(r.payload)
+            val wh = info.width * info.height
+            val o = info.frameOffsets.head
+            var sy = 0L
+            var j = 0
+            while (j < wh) { sy += r.payload(o + j) & 0xff; j += 1 }
+            MixedMediaFeatures(r.doc_id, r.format, r.n_bytes,
+              info.width.toLong, info.height.toLong, info.nFrames.toLong,
+              sy.toDouble / wh)
+          case other => throw new IllegalArgumentException(
+            s"unknown media format '$other' for doc ${r.doc_id} — refusing to " +
+              "guess a decoder; register the format's container parser here")
+        }
       }
     }.toDF()
   }

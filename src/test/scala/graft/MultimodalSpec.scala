@@ -3,9 +3,9 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: binary payload + metadata struct schema, the
-  * partition-local typed feature pass, and stub shape contracts
-  * (frame count, fixed-size thumb).
+/** Multimodal plumbing: real container decoders (WAV/PPM/Y4M), the
+  * partition-local typed feature pass, and the format-dispatched
+  * mixed-corpus decode (unknown formats fail loudly).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -15,25 +15,43 @@ class MultimodalSpec extends SparkSpec {
     (2L, "tiny", "en", "src1", 4L),
     (3L, "", "en", "src2", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("asMedia: binary column + typed metadata struct") {
-    val m = Multimodal.asMedia(docs)
-    assert(m.schema("payload").dataType.typeName === "binary")
-    assert(m.schema("media_meta").dataType.typeName === "struct")
-    val meta = m.filter($"doc_id" === 1L).select("media_meta.n_bytes", "media_meta.format")
-      .head()
-    assert(meta.getInt(0) === 45 && meta.getString(1) === "fake/utf8")
+  test("asMixedMedia + extractMediaFeatures: format-dispatched REAL decode of a mixed corpus") {
+    // doc_id mod 3 routes 3→wav, 1→ppm, 2→y4m
+    val f = Multimodal.extractMediaFeatures(Multimodal.asMixedMedia(docs))
+      .orderBy("doc_id").collect()
+    // doc 1 (45 text bytes) → P6 PPM 16×3: header 29 + len("3") + 48·3
+    assert(f(0).getAs[String]("format") === "image/x-portable-pixmap")
+    assert(f(0).getAs[Long]("n_bytes") === 29 + 1 + 48 * 3)
+    assert((f(0).getAs[Long]("width"), f(0).getAs[Long]("height")) === ((16L, 3L)))
+    assert(f(0).getAs[Long]("n_units") === 48) // pixels
+    val textSum = "hello world this is a binary payload stand-in"
+      .getBytes("UTF-8").map(_ & 0xff).sum
+    assert(math.abs(f(0).getAs[Double]("detail") - textSum / 48.0) < 1e-9) // r_mean
+    // doc 2 (4 text bytes) → Y4M 8×8, one zero-padded frame
+    assert(f(1).getAs[String]("format") === "video/x-yuv4mpeg")
+    assert(f(1).getAs[Long]("n_bytes") === 39 + 102)
+    assert(f(1).getAs[Long]("n_units") === 1) // frames
+    val tinySum = "tiny".getBytes("UTF-8").map(_ & 0xff).sum
+    assert(math.abs(f(1).getAs[Double]("detail") - tinySum / 64.0) < 1e-9) // y_mean
+    // doc 3 (empty) → WAV with zero samples
+    assert(f(2).getAs[String]("format") === "audio/wav")
+    assert(f(2).getAs[Long]("n_bytes") === 56)
+    assert(f(2).getAs[Long]("n_units") === 0) // samples
+    assert(f(2).getAs[Double]("detail") === 0.0) // dur_ms
   }
 
-  test("extractFeatures: frame math + fixed-size thumb via mapPartitions") {
-    val f = Multimodal.extractFeatures(Multimodal.asMedia(docs), frameSize = 16)
-      .orderBy("doc_id").collect()
-    assert(f(0).getAs[Long]("n_frames") === 3) // ceil(46/16)
-    assert(f(0).getAs[Array[Byte]]("frame0").length === 16)
-    assert(f(0).getAs[Array[Byte]]("thumb").length === 8)
-    assert(f(1).getAs[Long]("n_frames") === 1)
-    assert(f(1).getAs[Array[Byte]]("frame0").length === 4)
-    assert(f(2).getAs[Long]("n_frames") === 0) // empty payload
-    assert(f(2).getAs[Array[Byte]]("thumb").length === 0)
+  test("extractMediaFeatures: an unknown format fails loudly, never guesses a decoder") {
+    val weird = Multimodal.asMixedMedia(docs)
+      .withColumn("media_meta",
+        struct(lit("video/h264").as("format"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.origin").as("origin")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractMediaFeatures(weird).collect()
+    }
+    def deepMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage) ++ Iterator("")).mkString(" | ")
+    assert(deepMsg(e).contains("unknown media format"), deepMsg(e))
   }
 
   test("wavEncode/decodeWav: real RIFF chunk walk, odd-size padding, PCM-only guard") {
