@@ -67,57 +67,68 @@ object Urls {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
-  /** Public-suffix rules parsed from the bundled PSL snapshot
-    * (`/graft/public_suffix_snapshot.dat` — see that file's header:
-    * a documented subset of publicsuffix.org, structurally complete:
-    * exact, wildcard and exception rules). Grouped into the shapes
-    * the column matcher needs: exact suffixes by label count,
-    * wildcard PARENTS by label count (rule `*.kobe.jp` → parent
-    * `kobe.jp`), exceptions by label count (rule `!city.kobe.jp`
-    * stored as `city.kobe.jp`; per PSL its public suffix is the rule
-    * minus its leftmost label). 1-label exact entries are redundant
-    * with the implicit default `*` rule and rejected, as is any rule
-    * shape the matcher doesn't cover — a silently unmatchable rule
-    * would mis-group hosts with no error. */
+  /** Public-suffix rules parsed from the bundled FULL PSL snapshot
+    * (`/graft/public_suffix_snapshot.dat` — the complete
+    * publicsuffix.org list, ICANN + private sections; see the
+    * resource header for provenance). Grouped into the shapes the
+    * column matcher needs, keyed by LABEL COUNT with no size cap
+    * (the full list runs to 5-label exact rules and 4-label wildcard
+    * parents): exact suffixes; wildcard PARENTS (rule `*.kobe.jp` →
+    * parent `kobe.jp`); exceptions (rule `!city.kobe.jp` stored as
+    * `city.kobe.jp` — per PSL its public suffix is the rule minus
+    * its leftmost label). Per the PSL spec each line is read up to
+    * the first whitespace. 1-label exact entries (the TLDs
+    * themselves) are dropped as registered-domain-equivalent to the
+    * implicit default `*` rule — both make an n-label host's
+    * registered domain its last 2 labels — which keeps ~1,500
+    * entries out of every generated IN list. Any other rule shape
+    * (embedded `*`, wildcard exceptions) is rejected loudly: a
+    * silently unmatchable rule would mis-group hosts with no error. */
   private[graft] object SuffixRules {
-    val (exact2, exact3, wild1, wild2, exc2, exc3): (Seq[String], Seq[String],
-        Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val (exact, wildParent, exc): (Map[Int, Seq[String]], Map[Int, Seq[String]],
+        Map[Int, Seq[String]]) = {
       val in = Option(getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat"))
         .getOrElse(sys.error("public_suffix_snapshot.dat missing from resources"))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+        .map(_.trim.takeWhile(c => !Character.isWhitespace(c)))
+        .filter(l => l.nonEmpty && !l.startsWith("//")).toList
       finally in.close()
-      def labels(r: String) = r.split("\\.").length
-      val (exc, rest) = lines.partition(_.startsWith("!"))
-      val (wild, exact) = rest.partition(_.startsWith("*."))
-      val excs = exc.map(_.stripPrefix("!"))
+      def labels(r: String) = r.split("\\.", -1).length
+      val (excRules, rest) = lines.partition(_.startsWith("!"))
+      val (wild, exactAll) = rest.partition(_.startsWith("*."))
+      val excs = excRules.map(_.stripPrefix("!"))
       val wildParents = wild.map(_.stripPrefix("*."))
-      def bucket(rs: Seq[String], what: String, allowed: Set[Int]): Map[Int, Seq[String]] = {
-        rs.groupBy(labels).map { case (n, g) =>
-          require(allowed(n), s"PSL snapshot: unsupported $what rule size $n (${g.head})")
-          n -> g
-        }
+      (excs ++ wildParents).foreach { r =>
+        require(!r.contains("*") && r.nonEmpty,
+          s"PSL snapshot: unsupported rule shape '$r' (only leading-* wildcards and plain exceptions)")
       }
-      val e = bucket(exact, "exact", Set(2, 3))
-      val w = bucket(wildParents, "wildcard-parent", Set(1, 2))
-      val x = bucket(excs, "exception", Set(2, 3))
-      (e.getOrElse(2, Nil), e.getOrElse(3, Nil), w.getOrElse(1, Nil),
-        w.getOrElse(2, Nil), x.getOrElse(2, Nil), x.getOrElse(3, Nil))
+      exactAll.foreach(r => require(!r.contains("*"),
+        s"PSL snapshot: unsupported embedded wildcard in '$r'"))
+      excs.foreach(r => require(labels(r) >= 2,
+        s"PSL snapshot: 1-label exception '$r' has no parent suffix"))
+      (exactAll.filter(labels(_) >= 2).groupBy(labels),
+        wildParents.groupBy(labels),
+        excs.groupBy(labels))
     }
+    /** Longest public suffix any exact/wildcard rule can yield. */
+    val maxSuffix: Int =
+      ((exact.keys ++ wildParent.keys.map(_ + 1)) ++ Seq(1)).max
   }
 
   /** Registered domain of the canonical host, by the PSL algorithm
-    * over the bundled snapshot: the prevailing rule is any matching
-    * EXCEPTION, else the LONGEST matching exact/wildcard rule, else
-    * the implicit `*`; the registered domain is the public suffix
-    * plus one label. Hosts that ARE a public suffix (or shorter)
-    * degrade to themselves — the normalizer contract, not an error.
-    * Pure codegen'd expressions (set membership compiles to InSet) —
-    * map-only, no UDF, and the identical rule sets generate the
-    * DuckDB replay (q_domain_health's oracle), so both engines read
-    * ONE resource. The grouping key for per-domain curation rollups
-    * and leakage-safe splits ([[graft.operators.Sampling.assignSplit]]
-    * on this column keeps a domain's pages on one side of the
+    * over the bundled FULL snapshot: the prevailing rule is any
+    * matching EXCEPTION, else the LONGEST matching exact/wildcard
+    * rule, else the implicit `*`; the registered domain is the public
+    * suffix plus one label. Hosts that ARE a public suffix (or
+    * shorter) degrade to themselves — the normalizer contract, not an
+    * error. Pure codegen'd expressions — each rule tier is one set
+    * membership that compiles to an O(1)-lookup InSet over the
+    * thousands of full-list rules — map-only, no UDF, and the
+    * identical rule sets generate the DuckDB replay
+    * (q_domain_health's oracle), so both engines read ONE resource.
+    * The grouping key for per-domain curation rollups and
+    * leakage-safe splits ([[graft.operators.Sampling.assignSplit]] on
+    * this column keeps a domain's pages on one side of the
     * train/eval boundary). */
   def registeredDomain(u: Column): Column = {
     val h = regexp_replace(host(u), ":\\d+$", "")
@@ -128,32 +139,43 @@ object Urls {
     def lastK(k: Int) = array_join(reverse(slice(reverse(labels), 1, k)), ".")
     def inSet(c: Column, s: Seq[String]) = if (s.isEmpty) lit(false) else c.isin(s: _*)
     val r = SuffixRules
-    when(n >= 2 && inSet(lastK(2), r.exc2), lastK(2))
-      .when(n >= 3 && inSet(lastK(3), r.exc3), lastK(3))
-      .when(n >= 3 && (inSet(lastK(3), r.exact3) || inSet(lastK(2), r.wild2)),
-        when(n >= 4, lastK(4)).otherwise(h))
-      .when(n >= 2 && (inSet(lastK(2), r.exact2) || inSet(lastK(1), r.wild1)),
-        when(n >= 3, lastK(3)).otherwise(h))
-      .otherwise(when(n >= 2, lastK(2)).otherwise(h))
+    // exceptions prevail over everything; then suffix tiers longest-first
+    val excWhens = r.exc.keys.toSeq.sorted.reverse.map { k =>
+      (n >= k && inSet(lastK(k), r.exc(k)), lastK(k))
+    }
+    val sufWhens = (r.maxSuffix to 2 by -1).map { k =>
+      val cond = n >= k && (inSet(lastK(k), r.exact.getOrElse(k, Nil)) ||
+        inSet(lastK(k - 1), r.wildParent.getOrElse(k - 1, Nil)))
+      (cond, when(n >= k + 1, lastK(k + 1)).otherwise(h))
+    }
+    val tiers = excWhens ++ sufWhens
+    tiers.tail.foldLeft(when(tiers.head._1, tiers.head._2)) {
+      case (acc, (c, v)) => acc.when(c, v)
+    }.otherwise(when(n >= 2, lastK(2)).otherwise(h))
   }
 
   /** The DuckDB replay of [[registeredDomain]], generated from the
     * SAME parsed rule sets so the two engines cannot drift: given a
     * SQL expression for the port-stripped host, emits the CASE chain
-    * with the snapshot's rules inlined as IN lists. */
+    * with the snapshot's rules inlined as IN lists (large — the full
+    * list — but flat; DuckDB folds each into a hash set). */
   def registeredDomainSql(hostExpr: String): String = {
     val r = SuffixRules
     def ll(k: Int) = s"array_to_string(string_split($hostExpr, '.')[-$k:], '.')"
     val n = s"len(string_split($hostExpr, '.'))"
     def inList(c: String, s: Seq[String]) =
       if (s.isEmpty) "FALSE"
-      else s"$c IN (${s.sorted.map(x => s"'$x'").mkString(",")})"
-    s"""CASE WHEN $n >= 2 AND ${inList(ll(2), r.exc2)} THEN ${ll(2)}
-       |     WHEN $n >= 3 AND ${inList(ll(3), r.exc3)} THEN ${ll(3)}
-       |     WHEN $n >= 3 AND (${inList(ll(3), r.exact3)} OR ${inList(ll(2), r.wild2)})
-       |          THEN CASE WHEN $n >= 4 THEN ${ll(4)} ELSE $hostExpr END
-       |     WHEN $n >= 2 AND (${inList(ll(2), r.exact2)} OR ${inList(ll(1), r.wild1)})
-       |          THEN CASE WHEN $n >= 3 THEN ${ll(3)} ELSE $hostExpr END
-       |     ELSE CASE WHEN $n >= 2 THEN ${ll(2)} ELSE $hostExpr END END""".stripMargin
+      else s"$c IN (${s.sorted.map(x => s"'${x.replace("'", "''")}'").mkString(",")})"
+    val excWhens = r.exc.keys.toSeq.sorted.reverse.map { k =>
+      s"WHEN $n >= $k AND ${inList(ll(k), r.exc(k))} THEN ${ll(k)}"
+    }
+    val sufWhens = (r.maxSuffix to 2 by -1).map { k =>
+      s"""WHEN $n >= $k AND (${inList(ll(k), r.exact.getOrElse(k, Nil))}
+         |          OR ${inList(ll(k - 1), r.wildParent.getOrElse(k - 1, Nil))})
+         |          THEN CASE WHEN $n >= ${k + 1} THEN ${ll(k + 1)} ELSE $hostExpr END""".stripMargin
+    }
+    (Seq("CASE") ++ excWhens ++ sufWhens ++
+      Seq(s"ELSE CASE WHEN $n >= 2 THEN ${ll(2)} ELSE $hostExpr END END"))
+      .mkString("\n     ")
   }
 }

@@ -238,18 +238,40 @@ class FunctionsSpec extends SparkSpec {
       "https://example.bd/" -> "example.bd",
       // !www.ck: registrable directly under the wildcard TLD
       "https://foo.www.ck/" -> "www.ck",
-      "https://a.b.ck/" -> "a.b.ck")
+      "https://a.b.ck/" -> "a.b.ck",
+      // FULL-list depth (r14 verdict #4): prefecture hosts
+      "https://www.pref.aichi.jp/site/x" -> "pref.aichi.jp",
+      // 4-label exact rule schools.nsw.edu.au
+      "https://x.schools.nsw.edu.au/" -> "x.schools.nsw.edu.au",
+      // private-section wildcard *.compute.amazonaws.com
+      "https://ec2-1-2-3-4.compute.amazonaws.com/" -> "ec2-1-2-3-4.compute.amazonaws.com",
+      "https://host.ec2-1-2-3-4.compute.amazonaws.com/" -> "host.ec2-1-2-3-4.compute.amazonaws.com",
+      // private-section 5-label exact rule
+      "https://bkt.s3.dualstack.ap-northeast-1.amazonaws.com/" ->
+        "bkt.s3.dualstack.ap-northeast-1.amazonaws.com",
+      // plain amazonaws.com host: only the .com rule applies
+      "https://x.y.amazonaws.com/" -> "amazonaws.com",
+      // pvt.k12.ma.us: 4-label exact beats the 3-label k12.ma.us
+      "https://school.pvt.k12.ma.us/" -> "school.pvt.k12.ma.us")
     val got = cases.map(_._1).toDF("u")
       .select(Urls.registeredDomain($"u")).as[String].collect().toSeq
     got.zip(cases).foreach { case (g, (in, want)) =>
       assert(g === want, s"registeredDomain($in)")
     }
-    // rule-set sanity: the snapshot parsed into every structural shape
-    assert(Urls.SuffixRules.exact2.contains("co.uk"))
-    assert(Urls.SuffixRules.exact3.contains("k12.ca.us"))
-    assert(Urls.SuffixRules.wild1.contains("bd"))
-    assert(Urls.SuffixRules.wild2.contains("kobe.jp"))
-    assert(Urls.SuffixRules.exc2.contains("www.ck"))
-    assert(Urls.SuffixRules.exc3.contains("city.kobe.jp"))
+    // rule-set sanity: the FULL snapshot parsed into every structural
+    // shape, including the ≥4-label tiers the r14 subset capped out at
+    assert(Urls.SuffixRules.exact(2).contains("co.uk"))
+    assert(Urls.SuffixRules.exact(3).contains("k12.ca.us"))
+    assert(Urls.SuffixRules.exact(4).contains("schools.nsw.edu.au"))
+    assert(Urls.SuffixRules.exact(5).contains("s3.dualstack.ap-northeast-1.amazonaws.com"))
+    assert(Urls.SuffixRules.wildParent(1).contains("bd"))
+    assert(Urls.SuffixRules.wildParent(2).contains("kobe.jp"))
+    assert(Urls.SuffixRules.wildParent(3).contains("compute.amazonaws.com"))
+    assert(Urls.SuffixRules.exc(2).contains("www.ck"))
+    assert(Urls.SuffixRules.exc(3).contains("city.kobe.jp"))
+    assert(Urls.SuffixRules.maxSuffix === 5)
+    // the dropped 1-label exact tier is registered-domain-equivalent
+    // to the implicit * rule, so it must NOT appear in the maps
+    assert(!Urls.SuffixRules.exact.contains(1))
   }
 }
