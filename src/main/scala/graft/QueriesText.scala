@@ -75,15 +75,21 @@ object QueriesText {
   /** Persisted inverted (BM25) index per (JVM, source dir) for
     * q_bm25_indexed — third index family, same production lifecycle as
     * [[lshIndexRoot]]/[[ivfIndexRoot]]: built over 80% of the corpus,
-    * the rest appended, then small-file compaction. The probe must then
-    * reproduce the in-memory [[q_bm25_topk]] scores byte-for-byte. */
+    * the rest folded in through the STREAMING-maintained path
+    * ([[graft.operators.KeywordSearch.ingestIntoInvertedIndex]] — the
+    * anti-join + one-marker commit the foreachBatch sink uses, run
+    * twice so the second call exercises incremental-over-incremental),
+    * then small-file compaction. The probe must then reproduce the
+    * in-memory [[q_bm25_topk]] scores byte-for-byte — streaming
+    * maintenance ≡ batch build, oracle-gated. */
   private def postingsIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     lshCleanupHook
     lshIndexes.computeIfAbsent(s"postings:$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory("graft-postidx").toString
       val docs = Tables.documents(s, dir)
       graft.operators.KeywordSearch.buildInvertedIndex(docs.filter(col("doc_id") % 10 < 8), path)
-      graft.operators.KeywordSearch.updateInvertedIndex(docs.filter(col("doc_id") % 10 >= 8), path)
+      graft.operators.KeywordSearch.ingestIntoInvertedIndex(docs.filter(col("doc_id") % 10 === 8), path)
+      graft.operators.KeywordSearch.ingestIntoInvertedIndex(docs.filter(col("doc_id") % 10 === 9), path)
       graft.operators.KeywordSearch.compactInvertedIndex(s, path)
       path
     })

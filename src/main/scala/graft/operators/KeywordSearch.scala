@@ -110,10 +110,11 @@ object KeywordSearch {
     *
     * Contract: `newDocs` doc_ids must not already be indexed (the
     * same first-wins/backfill contract as the merge sinks — run the
-    * dedup/decontamination steps first). The dfreq/stats overwrite
-    * pair is not atomic under a crash between the two writes; the
-    * production shape wraps this in the staged-promote protocol of
-    * `Sinks.mergeInto` (write aside, rename in). */
+    * dedup/decontamination steps first), and the dfreq/stats
+    * overwrite pair is not atomic under a crash between the two
+    * writes. [[ingestIntoInvertedIndex]] is the crash-safe,
+    * replay-safe form (anti-join + one-marker staged commit) — use it
+    * anywhere a retry can happen, streaming sinks above all. */
   def updateInvertedIndex(newDocs: DataFrame, indexPath: String): Unit = {
     val spark = newDocs.sparkSession
     val stats = spark.read.parquet(s"$indexPath/stats")
@@ -149,22 +150,173 @@ object KeywordSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Marker naming an in-flight ingest commit ([[ingestIntoInvertedIndex]]):
+    * present ⇒ staging is complete and the commit must roll FORWARD
+    * before any read or further write; absent ⇒ postings, dfreq and
+    * stats agree. Same protocol family as Dedup's component-state
+    * commit. */
+  private val IngestMarker = "commit.plan"
+
+  /** Crash-safe, replay-safe incremental indexing — the streaming
+    * sink's form of [[updateInvertedIndex]] (whose docs honestly note
+    * its dfreq/stats overwrite pair is not atomic; this is the
+    * promised staged-promote wrapper). Three guarantees the raw
+    * update lacks, each load-bearing under foreachBatch's
+    * at-least-once replay:
+    *
+    *  1. ANTI-JOIN discipline: already-indexed doc_ids are dropped
+    *     first (id column only — parquet-pruned, same contract as
+    *     [[Similarity.appendToIvfIndex]]), so a crash-retried batch
+    *     never double-counts a document in postings, dfreq OR stats.
+    *  2. ONE-MARKER commit: the postings delta, the merged dfreq and
+    *     the merged stats are all staged aside, then a single
+    *     atomically-renamed marker flips the commit on; per-file
+    *     promotion is idempotent and [[recoverInvertedIndex]] rolls a
+    *     marked commit forward from ANY crash point. Without this, a
+    *     crash after the postings append but before the dfreq write
+    *     would leave the tables disagreeing forever — the retried
+    *     batch's anti-join would skip its docs and never heal them.
+    *  3. Within-batch duplicate doc_ids collapse to a deterministic
+    *     survivor (max text fingerprint), so a replayed batch stages
+    *     byte-identical deltas.
+    *
+    * Work is ∝ the batch (tokenize + delta-sized staging) plus the
+    * vocab-sized dfreq merge — the indexed corpus is never re-read or
+    * rewritten. StreamingSpec pins streaming-maintained ≡ full batch
+    * rebuild row-identically, including stats' exact avgdl. */
+  def ingestIntoInvertedIndex(newDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newDocs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInvertedIndex(spark, indexPath)
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
+    val indexed = spark.read.parquet(s"$indexPath/postings").select(col("doc_id")).distinct()
+    val fresh = newDocs
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("text"), xxhash64(col("doc_id"), col("text"))).as("text"))
+      .join(indexed.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return // full replay (or empty batch): a no-op
+    val toks = fresh
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+      .localCheckpoint()
+    // stage 1/3: the postings delta, partitioned like the live table
+    tf.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings__staged")
+    // stage 2/3: merged dfreq (old ∪ delta, summed — vocab-sized)
+    val deltaDf = tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
+    spark.read.parquet(s"$indexPath/dfreq")
+      .select("term", "tb", "dfr")
+      .unionByName(deltaDf)
+      .groupBy("term", "tb").agg(sum(col("dfr")).as("dfr"))
+      .localCheckpoint(true) // sever lineage from the table being replaced
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq__staged")
+    // stage 3/3: merged stats — reconstruct the exact integer token
+    // total from the stored avgdl (dl sums are integers < 2^53), so
+    // the merged avgdl is bit-identical to a full rebuild's
+    val old = stats.select(col("n_docs"), col("avgdl")).head()
+    val d = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = old.getLong(0) + d.getLong(0)
+    val totalDl = Math.round(old.getLong(0) * old.getDouble(1)) +
+      (if (d.isNullAt(1)) 0L else d.getLong(1))
+    import spark.implicits._
+    Seq((nDocs, totalDl.toDouble / nDocs, termBuckets))
+      .toDF("n_docs", "avgdl", "term_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats__staged")
+    // staging complete → publish the marker atomically, then apply
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("ingest\n".getBytes("UTF-8")) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestMarker")
+    fs.delete(marker, false) // only reachable if a previous apply died pre-promote
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"ingest: could not publish commit marker $marker")
+    applyIngestCommit(spark, indexPath)
+  }
+
+  /** Roll a marked ingest commit FORWARD — callable any number of
+    * times from any crash point at or after marker publication:
+    * remaining staged postings files MOVE into their live partitions
+    * (file rename is atomic, so each file lives on exactly one side;
+    * a name already moved is skipped), then dfreq and stats promote
+    * wholesale (staging gone ⇒ verify the live table exists), then
+    * the marker retires and staging debris is dropped. Marker-less
+    * staging debris (a crash BEFORE publication) needs no cleanup:
+    * the next ingest's mode("overwrite") staging replaces it, and
+    * nothing ever promotes it. */
+  private def applyIngestCommit(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestMarker")
+    if (!fs.exists(marker)) return
+    val stg = new org.apache.hadoop.fs.Path(s"$indexPath/postings__staged")
+    if (fs.exists(stg)) {
+      fs.listStatus(stg).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("tb=")).foreach { part =>
+          val tgtDir = new org.apache.hadoop.fs.Path(s"$indexPath/postings/${part.getPath.getName}")
+          fs.mkdirs(tgtDir)
+          fs.listStatus(part.getPath).filter(_.isFile)
+            .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val tgt = new org.apache.hadoop.fs.Path(tgtDir, f.getPath.getName)
+              if (fs.exists(tgt)) { // already moved by a previous apply
+                if (!fs.delete(f.getPath, false))
+                  throw new java.io.IOException(s"ingest commit: could not drop re-staged ${f.getPath}")
+              } else if (!fs.rename(f.getPath, tgt))
+                throw new java.io.IOException(s"ingest commit: could not move ${f.getPath}")
+            }
+        }
+    }
+    Seq("dfreq", "stats").foreach { table =>
+      val staged = new org.apache.hadoop.fs.Path(s"$indexPath/${table}__staged")
+      val live = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+      if (fs.exists(staged)) {
+        if (fs.exists(live) && !fs.delete(live, true))
+          throw new java.io.IOException(s"ingest commit: could not drop $live for promote")
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"ingest commit: could not promote $staged")
+      } else require(fs.exists(live),
+        s"corrupt ingest commit at $indexPath: $table has neither staging nor live table")
+    }
+    if (!fs.delete(marker, false))
+      throw new java.io.IOException(s"ingest commit: could not retire marker $marker")
+    fs.delete(stg, true)
+  }
+
+  /** Heal the ingest crash windows — runs at every single-writer
+    * entry point ([[ingestIntoInvertedIndex]], [[compactInvertedIndex]]);
+    * the read path ([[bm25TopKIndexed]]) never mutates and instead
+    * fails loudly on a marker, exactly like Dedup's state reads. */
+  private def recoverInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String): Unit =
+    applyIngestCommit(spark, indexPath)
+
   /** Compact the persisted inverted index's small files — operational
     * parity with [[graft.operators.Dedup.compactLshIndex]]: every
-    * [[updateInvertedIndex]] appends new part files into the postings'
-    * term-bucket partitions (and rewrites dfreq at shuffle-partition
-    * granularity), so file count — which dominates scan setup cost at
-    * scale — grows with update cadence. Crash-safe staged rewrite of
-    * both bucketed tables PRESERVING the `tb=` partition layout;
-    * contents are row-identical and `stats` (one coalesced file) is
-    * untouched, so [[bm25TopKIndexed]] scores before and after agree
-    * exactly (KeywordSearchSpec). */
+    * [[updateInvertedIndex]]/[[ingestIntoInvertedIndex]] adds part
+    * files into the postings' term-bucket partitions (and rewrites
+    * dfreq at shuffle-partition granularity), so file count — which
+    * dominates scan setup cost at scale — grows with update cadence.
+    * Rolls any marked ingest commit forward first (single-writer
+    * maintenance entry point). Crash-safe staged rewrite of both
+    * bucketed tables PRESERVING the `tb=` partition layout; contents
+    * are row-identical and `stats` (one coalesced file) is untouched,
+    * so [[bm25TopKIndexed]] scores before and after agree exactly
+    * (KeywordSearchSpec). */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no inverted index at $indexPath — only compact directories built by buildInvertedIndex")
+    recoverInvertedIndex(spark, indexPath)
     graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/postings", "tb", targetFileBytes)
     graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/dfreq", "tb", targetFileBytes)
   }
@@ -177,6 +329,13 @@ object KeywordSearch {
                       terms: Seq[String], k: Int,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
+    // a present ingest marker means postings/dfreq/stats may disagree
+    // mid-promote: fail loudly (the single WRITER rolls it forward —
+    // a reader racing a live ingest must not mutate the index)
+    val mp = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestMarker")
+    require(!mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp),
+      s"inverted index at $indexPath has an unfinished ingest commit — " +
+        "re-run the failed ingestIntoInvertedIndex to roll it forward")
     val stats = spark.read.parquet(s"$indexPath/stats")
     val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
     // bucket ids via the exact expression the writer used (local

@@ -248,6 +248,90 @@ class StreamingSpec extends SparkSpec {
       "replayed sink partition duplicated vector rows")
   }
 
+  test("streaming postings ingest: micro-batches fold into the inverted index ≡ batch rebuild, replay no-op") {
+    import graft.operators.KeywordSearch
+    import graft.streaming.StreamingPostings
+    val root = Files.createTempDirectory("graft-postingest").toString
+    val raw = s"$root/raw"; val idx = s"$root/idx"; val sink = s"$root/docs"
+    new java.io.File(raw).mkdirs()
+    val seed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, "sphinx of black quartz judge my vow"),
+      (3L, ""))
+    KeywordSearch.buildInvertedIndex(seed.toDF("doc_id", "text"), idx, termBuckets = 8)
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def drain(): Unit = {
+      val q = StreamingPostings.docIngest(
+        spark.readStream.schema(docSchema).json(raw), idx, sink, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    // drain 1: 3 docs, one duplicated doc_id within the batch
+    val b1 = Seq((10L, "the fox and the quick cat"), (11L, "judge my dozen dogs"),
+      (12L, "brown quartz jugs"), (12L, "brown quartz jugs"))
+    land("d1.json", b1)
+    drain()
+    // drain 2 is incremental (checkpointed offsets): only the new file
+    val b2 = Seq((20L, "lazy sphinx packs a black box"), (21L, "vow of the quick judge"))
+    land("d2.json", b2)
+    drain()
+    // STREAMING-MAINTAINED ≡ BATCH REBUILD, row-identically, all three
+    // tables — the incremental-equals-rebuild contract of the family
+    val allDocs = (seed ++ b1.distinct ++ b2).toDF("doc_id", "text")
+    val rebuilt = s"$root/rebuilt"
+    KeywordSearch.buildInvertedIndex(allDocs, rebuilt, termBuckets = 8)
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select("doc_id", "dl", "term", "tf", "tb")
+      .as[(Long, Int, String, Long, Int)].collect().toSet
+    def dfreq(p: String) = spark.read.parquet(s"$p/dfreq")
+      .select("term", "tb", "dfr").as[(String, Int, Long)].collect().toSet
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "avgdl", "term_buckets").as[(Long, Double, Int)].collect().head
+    assert(postings(idx) === postings(rebuilt), "postings diverged from a batch rebuild")
+    assert(dfreq(idx) === dfreq(rebuilt), "dfreq diverged from a batch rebuild")
+    assert(stats(idx) === stats(rebuilt), "stats (incl. exact avgdl) diverged")
+    // probe parity off the streamed index
+    val q1 = KeywordSearch.bm25TopKIndexed(spark, idx, Seq("quick", "judge"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val q2 = KeywordSearch.bm25TopKIndexed(spark, rebuilt, Seq("quick", "judge"), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(q1 === q2, "BM25 scores off the streamed index diverged")
+    // replay of batch 1 (foreachBatch is at-least-once): sink partition
+    // overwritten in place, the index fold a no-op
+    StreamingPostings.ingestDocBatch(
+      spark.read.schema(docSchema).json(s"$raw/d1.json"), batchId = 0L, idx, sink)
+    assert(postings(idx) === postings(rebuilt), "replayed batch changed the postings")
+    assert(stats(idx) === stats(rebuilt), "replayed batch changed the stats")
+    assert(spark.read.parquet(sink).count() === 5L,
+      "replayed sink partition duplicated doc rows")
+    // crash window: a marker with complete staging rolls FORWARD on the
+    // next ingest; a reader meanwhile fails loudly instead of serving a
+    // mid-promote mix
+    val b3 = Seq((30L, "a fresh judge vows quartz"))
+    KeywordSearch.ingestIntoInvertedIndex(b3.toDF("doc_id", "text"), idx)
+    // re-stage b3's commit by hand: simulate the crash point where the
+    // marker is live but nothing promoted — recovery must be a no-op
+    // for already-promoted content (idempotent apply), so re-running
+    // an ingest of ALREADY indexed docs with a stale marker present
+    // heals cleanly
+    Files.write(java.nio.file.Paths.get(s"$idx/commit.plan"), "ingest\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      KeywordSearch.bm25TopKIndexed(spark, idx, Seq("quick"), 3).collect()
+    }
+    assert(e.getMessage.contains("unfinished ingest commit"), e.getMessage)
+    KeywordSearch.ingestIntoInvertedIndex(b3.toDF("doc_id", "text"), idx) // recover + no-op
+    val withB3 = s"$root/rebuilt3"
+    KeywordSearch.buildInvertedIndex(allDocs.unionByName(b3.toDF("doc_id", "text")), withB3,
+      termBuckets = 8)
+    assert(postings(idx) === postings(withB3), "post-recovery postings diverged")
+    assert(stats(idx) === stats(withB3), "post-recovery stats diverged")
+  }
+
   test("mapGroupsWithState running EMA carries recursion across micro-batches") {
     import graft.streaming.StatefulIndicators
     import graft.streaming.StatefulIndicators.{EmaOut, Tick}
