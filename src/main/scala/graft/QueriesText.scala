@@ -207,6 +207,27 @@ object QueriesText {
     })
   }
 
+  /** Persisted decontamination-filter artifact per (JVM, source dir):
+    * the benchmark suite's gram-hash table frozen once and probed by
+    * every q_decontaminate_artifact execution — built over roughly half
+    * the bench docs, the rest folded in by
+    * [[graft.operators.Dedup.appendToDecontaminationFilter]] (the
+    * "benchmark suite adopted later" lifecycle), so the probe measures
+    * the post-append artifact. */
+  private def decontamFilterRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"decontam:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+      val bench = Tables.documents(s, dir)
+        .select("doc_id", "text").filter(col("doc_id") < 25)
+      graft.operators.Dedup.saveDecontaminationFilter(
+        bench.filter(col("doc_id") < 13), path, n = 3)
+      graft.operators.Dedup.appendToDecontaminationFilter(
+        bench.filter(col("doc_id") >= 13), path)
+      path
+    })
+  }
+
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
     * emits per-probe recall/MRR/nDCG at cutoff `k` — ONE definition
@@ -1170,6 +1191,169 @@ object QueriesText {
             concat(lit("contaminated sample "), col("text")).as("text")))
       Dedup.decontaminateBloom(train, bench, n = 3, minShared = 5)
         .orderBy("doc_id", "bench_id")
+    }
+
+    // Frozen-artifact decontamination — the LIFECYCLE form of
+    // q_decontaminate: the bench grams are persisted ONCE (built over
+    // half the suite, the rest appended — the "benchmark adopted
+    // later" path), and the batch probes the frozen artifact. The
+    // confirm join is exact, so the result — and the oracle — is
+    // char-for-char q_decontaminate's.
+    register("q_decontaminate_artifact",
+      """WITH bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        |tsrc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         concat('contaminated sample ', text) AS text
+        |  FROM documents WHERE doc_id < 25 AND doc_id % 5 = 0),
+        |tt AS (SELECT doc_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM tsrc),
+        |bt AS (SELECT doc_id AS bench_id,
+        |              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM bsrc),
+        |tsh AS (SELECT doc_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM tt),
+        |bsh AS (SELECT bench_id,
+        |               list_sort(list_distinct(list_transform(
+        |                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                      ELSE list_transform(range(len(toks) - 2),
+        |                                          i -> array_to_string(toks[(i+1):(i+3)], ' ')) END,
+        |                 s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h
+        |        FROM bt),
+        |th AS (SELECT doc_id, unnest(h) AS h FROM tsh),
+        |bh AS (SELECT bench_id, unnest(h) AS h FROM bsh)
+        |SELECT th.doc_id, bh.bench_id, count(*) AS shared
+        |FROM th JOIN bh ON th.h = bh.h
+        |GROUP BY th.doc_id, bh.bench_id
+        |HAVING count(*) >= 5
+        |ORDER BY doc_id, bench_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 25)
+      val train = docs.filter(col("doc_id") >= 25).unionByName(
+        bench.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("contaminated sample "), col("text")).as("text")))
+      Dedup.decontaminateWithFilter(train, decontamFilterRoot(s, dir),
+          n = 3, minShared = 5)
+        .orderBy("doc_id", "bench_id")
+    }
+
+    // Fuzzy (near-dup) decontamination — the Llama-recipe complement
+    // of q_decontaminate: train docs that are APPROXIMATE copies of a
+    // bench doc (verified shingle-Jaccard ≥ 0.7 over MinHash band
+    // candidates). The md5 permutation family, the banding, the
+    // train × bench candidate join AND the verify all replay
+    // value-exactly in DuckDB — same machinery as q_dedup_minhash,
+    // run across two corpora instead of within one.
+    {
+      val coeffs = Dedup.minhashCoeffs(64)
+      val sigEntries = coeffs.map { case (a, b) =>
+        s"list_min(list_transform(h32, x -> (x * $a + $b) % ${Dedup.minhashP}))"
+      }.mkString("[", ",\n           ", "]")
+      def sideCte(src: String, idCol: String) =
+        s"""${src}t AS (
+           |  SELECT $idCol,
+           |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |  FROM ${src}src),
+           |${src}g AS (
+           |  SELECT $idCol,
+           |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |              ELSE list_transform(range(len(toks) - 2),
+           |                                  i -> array_to_string(toks[(i+1):(i+3)], ' ')) END AS grams
+           |  FROM ${src}t),
+           |${src}h AS (
+           |  SELECT $idCol,
+           |         list_distinct(list_transform(grams,
+           |           s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT))) AS h32,
+           |         list_sort(list_distinct(list_transform(grams,
+           |           s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))) AS h60
+           |  FROM ${src}g),
+           |${src}sig AS (
+           |  SELECT $idCol, $sigEntries AS sigs
+           |  FROM ${src}h),
+           |${src}k AS (
+           |  SELECT $idCol,
+           |         unnest(list_transform(range(16),
+           |           t -> concat(t, ':', array_to_string(sigs[(t*4+1):(t*4+4)], ',')))) AS band
+           |  FROM ${src}sig)"""
+      register("q_decontaminate_neardup",
+        s"""WITH bsrc AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 25),
+           |tsrc AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |         concat(text, ' evaluation copy') AS text
+           |  FROM documents WHERE doc_id < 25 AND doc_id % 3 = 0),
+           |${sideCte("t", "doc_id")},
+           |${sideCte("b", "bench_id")},
+           |cand AS (
+           |  SELECT DISTINCT tk.doc_id, bk.bench_id
+           |  FROM tk JOIN bk ON tk.band = bk.band),
+           |j AS (
+           |  SELECT cand.doc_id, cand.bench_id,
+           |         round(CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
+           |               / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))), 4) AS jaccard
+           |  FROM cand
+           |  JOIN th sa ON sa.doc_id = cand.doc_id
+           |  JOIN bh sb ON sb.bench_id = cand.bench_id)
+           |SELECT doc_id, bench_id, jaccard FROM j WHERE jaccard >= 0.7
+           |ORDER BY doc_id, bench_id""") { (s, dir) =>
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") < 25)
+        val train = docs.filter(col("doc_id") >= 25).unionByName(
+          bench.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              concat(col("text"), lit(" evaluation copy")).as("text")))
+        Dedup.decontaminateNearDup(train, bench, threshold = 0.7)
+          .orderBy("doc_id", "bench_id")
+      }
+    }
+
+    // Count-min sketch: depth × width counter matrix over the token
+    // stream, point estimates = min over depth counters. The md5 row
+    // hashes make every counter — and hence every estimate — replay
+    // value-exactly in DuckDB, so the (never-underestimating) est
+    // column is oracle-EXACT next to the true count, not bound-gated.
+    register("q_cms_counts",
+      """WITH t AS (
+        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |rr AS (SELECT unnest(range(4)) AS r),
+        |sk AS (
+        |  SELECT r,
+        |         CAST(concat('0x', substring(md5(concat(r, ':', tok)), 1, 15)) AS BIGINT) % 512 AS c,
+        |         count(*) AS cnt
+        |  FROM tok CROSS JOIN rr
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok
+        |       ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT ex.tok, ex.exact_cnt, rr.r,
+        |         CAST(concat('0x', substring(md5(concat(rr.r, ':', ex.tok)), 1, 15)) AS BIGINT) % 512 AS c
+        |  FROM ex CROSS JOIN rr)
+        |SELECT p.tok, p.exact_cnt, min(coalesce(sk.cnt, 0)) AS est
+        |FROM probe p LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
+        |GROUP BY p.tok, p.exact_cnt
+        |ORDER BY tok""") { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("tok"))
+      val sketch = graft.operators.Profile.countMinSketch(
+        toks, "tok", depth = 4, width = 512)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+      graft.operators.Profile.cmsLookup(sketch, top.select("tok"), "tok",
+          depth = 4, width = 512)
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("exact_cnt"), col("est"))
+        .orderBy("tok")
     }
 
     // Passage-level exact dedup (RefinedWeb-style): 8-token passages,

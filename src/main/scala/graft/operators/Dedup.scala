@@ -430,6 +430,131 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  // ── persisted decontamination-filter artifact ──────────────────────
+
+  /** Persist the benchmark side of [[decontaminate]] ONCE as a frozen
+    * artifact at `path`: the exploded (bench_id, 60-bit gram-hash)
+    * table plus parameter meta. Benchmark suites are fixed and small;
+    * the 100 TB production shape is "tokenize the bench sets once,
+    * freeze the filter, decontaminate every future ingest batch against
+    * the frozen copy" — the bench corpus is never re-scanned per batch.
+    * Same frozen-artifact contract as [[LanguageModel.saveModel]] /
+    * [[ImportanceSampling.saveModel]] / [[BpeTrainer.saveMerges]]:
+    * meta (with the distinct-hash count used for probe-time Bloom
+    * sizing, so probing needs no counting pass) is written LAST, so a
+    * crashed build leaves a meta-less artifact every consumer rejects
+    * loudly. */
+  def saveDecontaminationFilter(bench: DataFrame, path: String, n: Int = 3): Unit = {
+    val spark = bench.sparkSession
+    withShingleHashSet(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grams")
+    val nGrams = spark.read.parquet(s"$path/grams")
+      .agg(count_distinct(col("h"))).head.getLong(0)
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("n" -> n.toLong, "nGrams" -> math.max(1L, nGrams)))
+  }
+
+  /** Fold newly-adopted benchmark suites into a persisted filter —
+    * replay-safe like every index append in this codebase: an
+    * anti-join on (bench_id, h) keeps re-delivered rows out, and the
+    * probe side's dropDuplicates makes the torn rows of a crashed
+    * partial append harmless (replaying the append then completes it —
+    * idempotent roll-forward). The anti-join input is pinned with
+    * localCheckpoint so the append never re-plans over the very table
+    * it is writing ([[appendToLshIndex]] discipline). Meta — with the
+    * refreshed nGrams — is rewritten LAST. */
+  def appendToDecontaminationFilter(bench: DataFrame, path: String): Unit = {
+    val spark = bench.sparkSession
+    val meta = graft.sources.IndexMeta.read(
+      spark, s"$path/meta.json", "decontamination filter")
+    val n = meta.getOrElse("n",
+      sys.error(s"decontamination filter meta at $path lacks n")).toInt
+    val fresh = withShingleHashSet(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+      .join(spark.read.parquet(s"$path/grams"), Seq("bench_id", "h"), "left_anti")
+      .localCheckpoint()
+    fresh.coalesce(1).write.mode("append").parquet(s"$path/grams")
+    val nGrams = spark.read.parquet(s"$path/grams")
+      .agg(count_distinct(col("h"))).head.getLong(0)
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("n" -> n.toLong, "nGrams" -> math.max(1L, nGrams)))
+  }
+
+  /** Decontaminate a batch against the FROZEN filter: Bloom-prune the
+    * batch's gram stream pre-shuffle (filter sized from the artifact's
+    * stored nGrams — no counting job), then the exact confirm join
+    * against the persisted gram table removes the Bloom's false
+    * positives. Output ≡ [[decontaminate]](batch, bench) for the bench
+    * corpus the filter was built + appended from
+    * (DecontaminationFilterSpec pins it, and q_decontaminate_artifact
+    * carries the exact path's value-exact DuckDB oracle), with the
+    * per-batch cost of [[decontaminateBloom]] minus the bench-side
+    * derivation. Meta-checked: probing with an n different from build
+    * time fails loudly. */
+  def decontaminateWithFilter(train: DataFrame, path: String, n: Int = 3,
+                              minShared: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val meta = graft.sources.IndexMeta.check(spark, s"$path/meta.json",
+      "decontamination filter", Seq("n" -> n.toLong))
+    val bh = spark.read.parquet(s"$path/grams")
+      .dropDuplicates("bench_id", "h") // torn-append tolerance (doc above)
+    val bloom = bh.stat.bloomFilter("h",
+      math.max(1L, meta.getOrElse("nGrams", 1L)), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    withShingleHashSet(train, n)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .filter(mightContain(col("h")))
+      .join(bh, Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // ── fuzzy (near-duplicate) decontamination ─────────────────────────
+
+  /** Fuzzy benchmark decontamination — the near-dup complement of
+    * [[decontaminate]]: flag every training doc that is an
+    * APPROXIMATE copy of some benchmark doc (paraphrased or lightly
+    * edited eval material, which shared-n-gram counting under-fires
+    * on), as measured by word-shingle Jaccard ≥ `threshold`. This is
+    * the fuzzy decontamination step of the Llama-class data recipes,
+    * run train-vs-bench instead of train-vs-train.
+    *
+    * Scale shape — identical to [[minhashPairs]], with the pair
+    * explosion structurally capped by the SMALL side: candidates are
+    * generated per MinHash band bucket (train side joins bench side
+    * on the band signature — never doc × doc), and the bench side of
+    * a real run is thousands of docs, so each band bucket holds at
+    * most a handful of bench rows and the join output is
+    * |suspicious train docs|-sized. Verification is one equi-join
+    * back to both sides' gram-hash sets. The train side distributes
+    * freely at 100 TB; nothing scans train × bench.
+    *
+    * Output: (doc_id, bench_id, jaccard) for flagged train docs. */
+  def decontaminateNearDup(train: DataFrame, bench: DataFrame,
+                           shingleK: Int = 3, bands: Int = 16,
+                           rowsPerBand: Int = 4,
+                           threshold: Double = 0.8): DataFrame = {
+    val tb = minhashBanded(train, shingleK, bands, rowsPerBand)
+    val bb = minhashBanded(bench, shingleK, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "bench_id")
+    val candidates = tb.join(bb, Seq("band"))
+      .select("doc_id", "bench_id").distinct()
+    val th = withShingleHashSet(train, shingleK)
+    val bh = withShingleHashSet(bench, shingleK)
+      .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates
+      .join(th.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+      .join(bh, Seq("bench_id"))
+      .withColumn("jaccard",
+        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "bench_id", "jaccard")
+  }
+
   // ── passage-level exact dedup ──────────────────────────────────────
 
   /** Passage-level exact dedup (the RefinedWeb/Falcon recipe, and the

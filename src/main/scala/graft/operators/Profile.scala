@@ -159,4 +159,68 @@ object Profile {
     df.join(broadcast(bounds), groupCol)
       .withColumn("clipped", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
   }
+
+  // ── count-min sketch ───────────────────────────────────────────────
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over `keyCol`:
+    * a depth × width counter matrix where every input row increments
+    * one counter per hash row; the point estimate for a key is the MIN
+    * of its depth counters — never an underestimate, and over by at
+    * most (e/width)·N with probability 1 − 2^−depth. The frequency
+    * complement of the Misra-Gries heavy-hitter aggregate
+    * (q_freq_items): MG names the heavy keys, CMS answers "how often"
+    * for ANY key in O(depth) lookups from state that is
+    * depth × width × 8 bytes REGARDLESS of corpus size — the property
+    * that makes it the 100 TB frequency-telemetry shape.
+    *
+    * Spark shape: one map-side explode of `depth` (row, bucket) pairs
+    * per input row, then ONE hash aggregation on compact int keys —
+    * map-side partial combine collapses each partition to ≤
+    * depth · width rows before the shuffle, so shuffle volume is
+    * sketch-sized per partition, not corpus-sized. Counters are sums,
+    * so sketches are mergeable by construction ([[mergeCms]]) — build
+    * per day/shard/stream-batch, add elementwise, query the union.
+    *
+    * Hashes are the house engine-portable md5 arithmetic (row r of key
+    * k buckets at md5("r:k")'s 60-bit prefix mod width), so a SQL
+    * engine with md5 reproduces every counter exactly — what lets
+    * q_cms_counts carry a value-exact DuckDB oracle rather than a
+    * bound-only gate.
+    *
+    * Output: (r, c, cnt) — sparse (zero counters absent). */
+  def countMinSketch(df: DataFrame, keyCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col(keyCol).cast("string").as("k"))
+      .select(col("r"),
+        (conv(substring(md5(concat_ws(":", col("r"), col("k"))), 1, 15), 16, 10)
+          .cast("long") % width).cast("int").as("c"))
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate `keyCol` of `keys` against a sketch built with the
+    * same (depth, width): est(k) = min over rows of the key's counter,
+    * absent counters read 0. The sketch is depth · width rows at most —
+    * broadcast onto the (small) query-key side; no shuffle. */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    keys.select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c",
+        (conv(substring(md5(concat_ws(":", col("r"), col(keyCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long") % width).cast("int"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Elementwise sum of two sketches with the same (depth, width):
+    * cms(A) ⊕ cms(B) = cms(A ⊎ B) exactly (counters are sums — the
+    * linearity that lets 100 TB build per-shard sketches and fold). */
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
 }

@@ -147,6 +147,55 @@ class DedupSpec extends SparkSpec {
       fpp = 0.0001)) === exact)
   }
 
+  test("decontaminateWithFilter: frozen build+append artifact ≡ fresh decontaminate") {
+    val path = java.nio.file.Files.createTempDirectory("graft-decontam-spec").toString
+    val bench = corpus.filter("doc_id < 10")
+    val train = corpus.filter("doc_id >= 10")
+    def rows(df: DataFrame) = df.as[(Long, Long, Long)].collect().toSet
+    Dedup.saveDecontaminationFilter(bench.filter("doc_id < 5"), path, n = 3)
+    Dedup.appendToDecontaminationFilter(bench.filter("doc_id >= 5"), path)
+    val exact = rows(Dedup.decontaminate(train, bench, n = 3, minShared = 2))
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(rows(Dedup.decontaminateWithFilter(train, path, n = 3, minShared = 2)) === exact)
+    // replayed append (same suite re-delivered) is a no-op: the
+    // anti-join keeps duplicate rows out, the result is unchanged
+    Dedup.appendToDecontaminationFilter(bench.filter("doc_id >= 5"), path)
+    assert(rows(Dedup.decontaminateWithFilter(train, path, n = 3, minShared = 2)) === exact)
+    // probing with an n different from build time fails loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.decontaminateWithFilter(train, path, n = 4, minShared = 2).collect())
+    assert(e.getMessage.contains("n="))
+    // a meta-less (crashed-build) artifact is rejected by every consumer
+    val torn = java.nio.file.Files.createTempDirectory("graft-decontam-torn").toString
+    spark.read.parquet(s"$path/grams").write.parquet(s"$torn/grams")
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateWithFilter(train, torn, n = 3, minShared = 2).collect())
+    intercept[IllegalArgumentException](
+      Dedup.appendToDecontaminationFilter(bench, torn))
+  }
+
+  test("decontaminateNearDup flags approximate bench copies, not exact-gram-only overlap") {
+    val bench = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+      2L -> "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    val train = docs(
+      // lightly edited copy of bench doc 1 → near-dup contamination
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau revised",
+      // shares a 6-gram run with bench 2 but most content differs →
+      // exact decontamination would flag it, FUZZY must not (low Jaccard)
+      101L -> "two three four five six seven eight unrelated tail content goes on and on entirely differently here now",
+      102L -> "totally fresh training content with no benchmark overlap at all in any shingle window of any size")
+    val got = Dedup.decontaminateNearDup(train, bench, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((100L, 1L)), s"flagged ${got.toSeq}")
+    assert(got.head._3 >= 0.7 && got.head._3 < 1.0)
+    // and the exact-gram path does flag 101 — the two modes are
+    // complements, not substitutes
+    val exactFlags = Dedup.decontaminate(train, bench, n = 3, minShared = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(exactFlags.contains((101L, 2L)))
+  }
+
   test("passageDedup removes cross-doc repeated passages, keeps unique prose in order") {
     // passages are 4-token windows here; docs 1 and 2 share their first
     // 4 tokens exactly (a repeated boilerplate passage); doc 3 is unique

@@ -109,4 +109,54 @@ class ProfileSpec extends SparkSpec {
       .filter($"clipped" =!= $"v").count()
     assert(interior === 0L)
   }
+
+  // ── count-min sketch ─────────────────────────────────────────────
+
+  private def cmsKeys(rows: (String, Int)*) =
+    rows.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+
+  test("cms: estimates never underestimate, and are exact when the matrix is wide") {
+    val data = cmsKeys("a" -> 100, "b" -> 50, "c" -> 7, "d" -> 1)
+    val exact = Map("a" -> 100L, "b" -> 50L, "c" -> 7L, "d" -> 1L)
+    // wide sketch: collisions vanish → every estimate is the true count
+    val wide = Profile.countMinSketch(data, "k", depth = 4, width = 4096)
+    val estWide = Profile.cmsLookup(wide, exact.keys.toSeq.toDF("k"), "k",
+        depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(estWide === exact)
+    // cramped sketch (width 4, 4 keys): collisions are forced, but the
+    // min-of-rows estimate must still never fall BELOW the true count
+    val tight = Profile.countMinSketch(data, "k", depth = 4, width = 4)
+    val estTight = Profile.cmsLookup(tight, exact.keys.toSeq.toDF("k"), "k",
+        depth = 4, width = 4)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(estTight(k) >= n, s"underestimate for $k: ${estTight(k)} < $n")
+    }
+    // an unseen key reads 0 unless every row collides (width 4096: none do)
+    val unseen = Profile.cmsLookup(wide, Seq("zzz").toDF("k"), "k",
+        depth = 4, width = 4096)
+      .as[(String, Long)].collect().head._2
+    assert(unseen === 0L)
+  }
+
+  test("cms: sketches merge linearly — cms(A) ⊕ cms(B) ≡ cms(A ⊎ B)") {
+    val a = cmsKeys("a" -> 30, "b" -> 5, "x" -> 2)
+    val b = cmsKeys("a" -> 10, "c" -> 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long)].collect().toSet
+    val merged = Profile.mergeCms(
+      Profile.countMinSketch(a, "k", depth = 3, width = 64),
+      Profile.countMinSketch(b, "k", depth = 3, width = 64))
+    val whole = Profile.countMinSketch(a.unionByName(b), "k", depth = 3, width = 64)
+    assert(rows(merged) === rows(whole))
+  }
+
+  test("cms is identical at any partition layout") {
+    val data = cmsKeys("a" -> 100, "b" -> 50, "c" -> 7)
+    def run(parts: Int) =
+      Profile.countMinSketch(data.repartition(parts), "k", depth = 4, width = 32)
+        .as[(Int, Int, Long)].collect().toSet
+    assert(run(2) === run(11))
+  }
 }
