@@ -89,10 +89,30 @@ object Urls {
         Map[Int, Seq[String]]) = {
       val in = Option(getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat"))
         .getOrElse(sys.error("public_suffix_snapshot.dat missing from resources"))
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      val parsed = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim.takeWhile(c => !Character.isWhitespace(c)))
         .filter(l => l.nonEmpty && !l.startsWith("//")).toList
       finally in.close()
+      // Unicode rules (公司.cn, …) additionally index their punycode
+      // form: the canonical DNS/URL host is the xn-- ASCII encoding,
+      // which a literal compare against the Unicode rule can never
+      // match — without this, every registrant under such a suffix
+      // collapses into one "domain" (r15 review). Both forms stay in
+      // the sets (raw logs may carry either); label counts are
+      // identical, so tiering is unaffected. A rule the IDN codec
+      // rejects keeps its literal form only.
+      def expand(l: String): Seq[String] = {
+        val (prefix, body) =
+          if (l.startsWith("!")) ("!", l.stripPrefix("!"))
+          else if (l.startsWith("*.")) ("*.", l.stripPrefix("*."))
+          else ("", l)
+        val ascii = try {
+          val a = java.net.IDN.toASCII(body)
+          if (a != body) Some(a) else None
+        } catch { case _: Exception => None }
+        Seq(l) ++ ascii.map(prefix + _)
+      }
+      val lines = parsed.flatMap(expand)
       def labels(r: String) = r.split("\\.", -1).length
       val (excRules, rest) = lines.partition(_.startsWith("!"))
       val (wild, exactAll) = rest.partition(_.startsWith("*."))

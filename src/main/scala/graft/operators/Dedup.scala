@@ -902,14 +902,24 @@ object Dedup {
       Seq("stateBuckets" -> stateBuckets.toLong))
   }
 
-  /** The two projections must carry data TOGETHER or not at all: a
-    * state whose `components` holds gb= partitions while
-    * `components_by_doc` holds no db= partitions (a lost/partial
-    * projection) would make [[projectionDf]]'s schema-stable empty
-    * fallback root every merge endpoint to itself — duplicate doc
-    * rows under fresh group ids with no error. Checked by every
-    * projection consumer ([[mergeComponentState]],
-    * [[readComponentStateByDoc]]); heal by rebuilding the state. */
+  /** The two projections must carry data TOGETHER or not at all —
+    * checked in BOTH directions (r15 review: the one-directional form
+    * passed vacuously when `components` itself was the lost side,
+    * after which a merge would relabel against the empty fallback and
+    * rewrite `components` from the batch alone while
+    * `components_by_doc` kept the full history — both directions then
+    * "agree" forever on a permanently diverged state):
+    *  - `components` has gb= partitions, `components_by_doc` has no
+    *    db= partitions → [[projectionDf]]'s schema-stable empty
+    *    fallback would root every merge endpoint to itself —
+    *    duplicate doc rows under fresh group ids with no error;
+    *  - `components_by_doc` has db= partitions, `components` has no
+    *    gb= partitions → [[componentStateDf]]'s empty fallback would
+    *    serve "every doc unique" while the doc projection still
+    *    answers with stale group ids.
+    * Checked by every state consumer ([[readComponentState]],
+    * [[readComponentStateByDoc]], [[mergeComponentState]]); heal by
+    * rebuilding the state. */
   private def requireProjectionConsistent(spark: SparkSession, statePath: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -917,9 +927,13 @@ object Dedup {
       val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
       fs.exists(root) && fs.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
     }
-    require(!hasParts("components", "gb=") || hasParts("components_by_doc", "db="),
-      s"component state at $statePath has data but its doc-keyed projection is " +
-        "empty — the projections have diverged; rebuild the state (buildComponentState)")
+    val byGroup = hasParts("components", "gb=")
+    val byDoc = hasParts("components_by_doc", "db=")
+    require(byGroup == byDoc,
+      s"component state at $statePath has diverged projections (" +
+        s"components ${if (byGroup) "has" else "lost its"} data, " +
+        s"components_by_doc ${if (byDoc) "has" else "lost its"} data) — " +
+        "rebuild the state (buildComponentState)")
   }
 
   /** The current (doc_id, group_id) state. NON-destructive by design:
@@ -945,6 +959,7 @@ object Dedup {
         s"component state at $statePath holds a non-bucket directory " +
           s"${st.getPath.getName} — refusing to read a state with stale debris")
     }
+    requireProjectionConsistent(spark, statePath)
     componentStateDf(spark, statePath).select("doc_id", "group_id")
   }
 

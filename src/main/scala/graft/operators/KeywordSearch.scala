@@ -68,30 +68,62 @@ object KeywordSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** (doc_id, dl, toks) — the tokenized frame every index writer
+    * starts from. */
+  private def docTokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+
+  /** (doc_id, dl, term, tf, tb) — THE term-frequency definition,
+    * shared by [[buildInvertedIndex]] / [[updateInvertedIndex]] /
+    * [[ingestIntoInvertedIndex]] so the streaming-maintained ≡
+    * batch-rebuild row-identity contract can never drift from a
+    * tokenization or bucketing tweak applied to one writer but not
+    * the others (StreamingSpec pins the equivalence; this helper is
+    * what makes it structural). */
+  private def termFrequencies(toks: DataFrame, termBuckets: Int): DataFrame = toks
+    .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    .groupBy(col("doc_id"), col("dl"), col("term"))
+    .agg(count(lit(1)).as("tf"))
+    .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+
+  /** Materialize the doc_id side table of a pre-`docs`-vintage index —
+    * a ONE-time postings scan at adoption, after which every ingest's
+    * anti-join reads the compact id table instead of the
+    * corpus-sized postings (one slim column per doc vs one row per
+    * (doc, term)). */
+  private def ensureDocIdTable(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.read.parquet(s"$indexPath/postings").select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$indexPath/docs")
+  }
+
   /** Persist an inverted index to `indexPath`: the postings list
     * (doc_id, dl, term, tf) PARTITIONED BY a term-hash bucket, the
-    * per-term document frequencies (same bucketing), and a one-row
-    * stats table (n_docs, avgdl, bucket count). Build once (one
-    * tokenize + one shuffle); then each [[bm25TopKIndexed]] query
-    * reads only its terms' bucket partitions — the inverted-index
-    * read-reduction made physical as partition pruning, the same
-    * layout trick as [[Similarity.buildIvfIndex]]. At 100 TB a
-    * 3-term query touches ≤ 3/termBuckets of the postings files,
-    * with the residual `term IN (...)` filter pushed to parquet
-    * row groups. */
+    * per-term document frequencies (same bucketing), a slim doc_id
+    * side table (what incremental ingest anti-joins against), and a
+    * one-row stats table (n_docs, avgdl, bucket count). Build once
+    * (one tokenize + one shuffle); then each [[bm25TopKIndexed]]
+    * query reads only its terms' bucket partitions — the
+    * inverted-index read-reduction made physical as partition
+    * pruning, the same layout trick as [[Similarity.buildIvfIndex]].
+    * At 100 TB a 3-term query touches ≤ 3/termBuckets of the
+    * postings files, with the residual `term IN (...)` filter pushed
+    * to parquet row groups. */
   def buildInvertedIndex(docs: DataFrame, indexPath: String,
                          termBuckets: Int = 64): Unit = {
-    val toks = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+    val toks = docTokens(docs)
+    val tf = termFrequencies(toks, termBuckets)
     tf.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings")
     tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq")
+    // doc_id side table: what ingest's replay anti-join reads — batch
+    // cost must never include a postings scan
+    toks.select("doc_id")
+      .write.mode("overwrite").parquet(s"$indexPath/docs")
     toks.agg(
         count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
@@ -117,17 +149,14 @@ object KeywordSearch {
     * anywhere a retry can happen, streaming sinks above all. */
   def updateInvertedIndex(newDocs: DataFrame, indexPath: String): Unit = {
     val spark = newDocs.sparkSession
+    ensureDocIdTable(spark, indexPath)
     val stats = spark.read.parquet(s"$indexPath/stats")
     val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
-    val toks = newDocs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
+    val toks = docTokens(newDocs)
+    val tf = termFrequencies(toks, termBuckets)
     tf.write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
+    toks.select("doc_id")
+      .write.mode("append").parquet(s"$indexPath/docs")
     // dfreq: old ∪ delta, summed per (term, tb) — vocab-sized
     val deltaDf = tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
     val merged = spark.read.parquet(s"$indexPath/dfreq")
@@ -165,11 +194,12 @@ object KeywordSearch {
     * at-least-once replay:
     *
     *  1. ANTI-JOIN discipline: already-indexed doc_ids are dropped
-    *     first (id column only — parquet-pruned, same contract as
+    *     first (against the slim `docs` id side table — one row per
+    *     document, never the corpus-sized postings; same contract as
     *     [[Similarity.appendToIvfIndex]]), so a crash-retried batch
     *     never double-counts a document in postings, dfreq OR stats.
-    *  2. ONE-MARKER commit: the postings delta, the merged dfreq and
-    *     the merged stats are all staged aside, then a single
+    *  2. ONE-MARKER commit: the postings delta, the doc_id delta, the
+    *     merged dfreq and the merged stats are all staged aside, then a single
     *     atomically-renamed marker flips the commit on; per-file
     *     promotion is idempotent and [[recoverInvertedIndex]] rolls a
     *     marked commit forward from ANY crash point. Without this, a
@@ -189,27 +219,28 @@ object KeywordSearch {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInvertedIndex(spark, indexPath)
+    ensureDocIdTable(spark, indexPath)
     val stats = spark.read.parquet(s"$indexPath/stats")
     val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
-    val indexed = spark.read.parquet(s"$indexPath/postings").select(col("doc_id")).distinct()
+    // replay anti-join reads the slim doc_id side table, NOT the
+    // postings (one row per doc vs one per (doc, term) — the
+    // difference between an id-column scan and a corpus re-read per
+    // micro-batch)
+    val indexed = spark.read.parquet(s"$indexPath/docs").select(col("doc_id"))
     val fresh = newDocs
       .groupBy(col("doc_id"))
       .agg(max_by(col("text"), xxhash64(col("doc_id"), col("text"))).as("text"))
       .join(indexed.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return // full replay (or empty batch): a no-op
-    val toks = fresh
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int"))
-      .localCheckpoint()
-    // stage 1/3: the postings delta, partitioned like the live table
+    val toks = docTokens(fresh)
+    val tf = termFrequencies(toks, termBuckets).localCheckpoint()
+    // stage 1/4: the postings delta, partitioned like the live table
     tf.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings__staged")
-    // stage 2/3: merged dfreq (old ∪ delta, summed — vocab-sized)
+    // stage 2/4: the doc_id delta (same move-in promote as postings)
+    toks.select("doc_id")
+      .write.mode("overwrite").parquet(s"$indexPath/docs__staged")
+    // stage 3/4: merged dfreq (old ∪ delta, summed — vocab-sized)
     val deltaDf = tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
     spark.read.parquet(s"$indexPath/dfreq")
       .select("term", "tb", "dfr")
@@ -217,7 +248,7 @@ object KeywordSearch {
       .groupBy("term", "tb").agg(sum(col("dfr")).as("dfr"))
       .localCheckpoint(true) // sever lineage from the table being replaced
       .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq__staged")
-    // stage 3/3: merged stats — reconstruct the exact integer token
+    // stage 4/4: merged stats — reconstruct the exact integer token
     // total from the stored avgdl (dl sums are integers < 2^53), so
     // the merged avgdl is bit-identical to a full rebuild's
     val old = stats.select(col("n_docs"), col("avgdl")).head()
@@ -256,24 +287,34 @@ object KeywordSearch {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestMarker")
     if (!fs.exists(marker)) return
+    // move-in promotion shared by the append-shaped tables (postings
+    // partitions, the flat docs id table): file rename is atomic, a
+    // name already moved is skipped, so any replay point is safe
+    def moveIn(srcDir: org.apache.hadoop.fs.Path,
+               tgtDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(tgtDir)
+      fs.listStatus(srcDir).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          val tgt = new org.apache.hadoop.fs.Path(tgtDir, f.getPath.getName)
+          if (fs.exists(tgt)) { // already moved by a previous apply
+            if (!fs.delete(f.getPath, false))
+              throw new java.io.IOException(s"ingest commit: could not drop re-staged ${f.getPath}")
+          } else if (!fs.rename(f.getPath, tgt))
+            throw new java.io.IOException(s"ingest commit: could not move ${f.getPath}")
+        }
+    }
     val stg = new org.apache.hadoop.fs.Path(s"$indexPath/postings__staged")
     if (fs.exists(stg)) {
       fs.listStatus(stg).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("tb=")).foreach { part =>
-          val tgtDir = new org.apache.hadoop.fs.Path(s"$indexPath/postings/${part.getPath.getName}")
-          fs.mkdirs(tgtDir)
-          fs.listStatus(part.getPath).filter(_.isFile)
-            .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
-            .foreach { f =>
-              val tgt = new org.apache.hadoop.fs.Path(tgtDir, f.getPath.getName)
-              if (fs.exists(tgt)) { // already moved by a previous apply
-                if (!fs.delete(f.getPath, false))
-                  throw new java.io.IOException(s"ingest commit: could not drop re-staged ${f.getPath}")
-              } else if (!fs.rename(f.getPath, tgt))
-                throw new java.io.IOException(s"ingest commit: could not move ${f.getPath}")
-            }
+          moveIn(part.getPath,
+            new org.apache.hadoop.fs.Path(s"$indexPath/postings/${part.getPath.getName}"))
         }
     }
+    val docsStg = new org.apache.hadoop.fs.Path(s"$indexPath/docs__staged")
+    if (fs.exists(docsStg))
+      moveIn(docsStg, new org.apache.hadoop.fs.Path(s"$indexPath/docs"))
     Seq("dfreq", "stats").foreach { table =>
       val staged = new org.apache.hadoop.fs.Path(s"$indexPath/${table}__staged")
       val live = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
@@ -288,6 +329,7 @@ object KeywordSearch {
     if (!fs.delete(marker, false))
       throw new java.io.IOException(s"ingest commit: could not retire marker $marker")
     fs.delete(stg, true)
+    fs.delete(docsStg, true)
   }
 
   /** Heal the ingest crash windows — runs at every single-writer
@@ -314,11 +356,19 @@ object KeywordSearch {
                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover FIRST: the commit protocol's stats promote has a window
+    // where live stats is deleted and only stats__staged exists — the
+    // existence check before recovery would mistake that exact crash
+    // point (the one this entry is documented to heal) for "not an
+    // index" (r15 review finding)
+    recoverInvertedIndex(spark, indexPath)
     require(fs.exists(p),
       s"no inverted index at $indexPath — only compact directories built by buildInvertedIndex")
-    recoverInvertedIndex(spark, indexPath)
+    ensureDocIdTable(spark, indexPath)
     graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/postings", "tb", targetFileBytes)
     graft.sources.Sinks.compactPartitioned(spark, s"$indexPath/dfreq", "tb", targetFileBytes)
+    // the docs id table accretes one small delta per ingest batch too
+    graft.sources.Sinks.compact(spark, s"$indexPath/docs", targetFileBytes)
   }
 
   /** BM25 top-k against a persisted inverted index. Identical results

@@ -223,4 +223,63 @@ object Profile {
     * linearity that lets 100 TB build per-shard sketches and fold). */
   def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
+  // ── persisted CMS artifact (the streaming-telemetry tier) ──────────
+
+  /** Initialize a persisted CMS artifact at `path`: the parameter meta
+    * that every batch fold is checked against. Contributions land as
+    * per-batch sketches under `parts/b=<batchKey>` and the serving
+    * read folds them by linearity — the artifact form of [[mergeCms]].
+    *
+    * Replay discipline: a COUNTING structure cannot anti-join replays
+    * away the way the id-keyed indexes do (re-adding a delivered batch
+    * doubles its counts with no key to detect it by). Keying each
+    * contribution by its batch id and OVERWRITING that partition in
+    * place makes the fold idempotent instead: an at-least-once replay
+    * lands byte-identically on top of itself, and a crash mid-write is
+    * healed by the retry's overwrite (the [[graft.streaming.StreamingPostings]]
+    * doc-sink convention). Single writer, like every index family. */
+  def initCmsArtifact(spark: org.apache.spark.sql.SparkSession, path: String,
+                      depth: Int = 4, width: Int = 512): Unit = {
+    require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("depth" -> depth.toLong, "width" -> width.toLong))
+  }
+
+  /** Fold one batch's keys into the artifact (meta-checked dims; see
+    * [[initCmsArtifact]] for the idempotence contract). */
+  def cmsIngestBatch(df: DataFrame, keyCol: String, path: String,
+                     batchKey: Long): Unit = {
+    val spark = df.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
+    countMinSketch(df, keyCol, meta("depth").toInt, meta("width").toInt)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/parts/b=$batchKey")
+  }
+
+  /** The artifact's merged sketch: Σ over all batch partitions —
+    * exact by linearity, schema-stable when no batch has landed. */
+  def readCmsArtifact(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parts) &&
+        fs.listStatus(parts).exists(_.getPath.getName.startsWith("b=")))
+      spark.read.parquet(s"$path/parts")
+        .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+    else spark.range(0).select(col("id").cast("int").as("r"),
+      col("id").cast("int").as("c"), col("id").as("cnt"))
+  }
+
+  /** Point estimates against the artifact — dims come from the meta,
+    * so a caller cannot probe with mismatched hashing. */
+  def cmsArtifactLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                        keys: DataFrame, keyCol: String): DataFrame = {
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
+    cmsLookup(readCmsArtifact(spark, path), keys, keyCol,
+      meta("depth").toInt, meta("width").toInt)
+  }
+
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.functions.TextStats
+import graft.operators.Profile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming frequency telemetry — the count-min counterpart of
+  * [[StreamingPostings]]/[[StreamingVectors]]: an unbounded document
+  * stream folds, micro-batch by micro-batch, into the persisted CMS
+  * artifact ([[graft.operators.Profile.initCmsArtifact]] layout), so
+  * "how often has token X appeared so far" is answerable at any time
+  * from depth × width state that never grows with the corpus —
+  * the streaming form of the vocabulary/drift telemetry a 100 TB
+  * ingest pipeline watches (sudden token-frequency shifts = a new
+  * spam campaign, a broken upstream decoder, a language mix change).
+  *
+  * Replay safety is the COUNTING discipline, not the id-keyed one:
+  * counts cannot be anti-joined against "already ingested" (there is
+  * no key), so each micro-batch's own sketch lands keyed by batch id
+  * with overwrite-in-place — an at-least-once redelivery overwrites
+  * itself byte-identically and the serving read's linear fold
+  * ([[graft.operators.Profile.readCmsArtifact]]) counts every batch
+  * exactly once. StreamingSpec pins streamed ≡ one-shot sketch over
+  * the union corpus, replay no-op included.
+  */
+object StreamingSketch {
+
+  /** One micro-batch: tokenize (doc_id, text) rows and fold the token
+    * stream into the artifact under this batch's partition. */
+  def ingestTokenBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    Profile.cmsIngestBatch(
+      batch.select(explode(TextStats.tokens(col("text"))).as("tok")),
+      "tok", path, batchId)
+
+  /** The ingest service as a streaming query: drain the document
+    * stream with AvailableNow, fold each micro-batch. The artifact at
+    * `path` must exist ([[graft.operators.Profile.initCmsArtifact]]
+    * fixes the dimensions every fold is checked against). */
+  def tokenFrequencyIngest(docs: DataFrame, path: String,
+                           checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestTokenBatch(batch, id, path)
+      }
+      .start()
+}

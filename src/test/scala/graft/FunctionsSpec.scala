@@ -252,7 +252,15 @@ class FunctionsSpec extends SparkSpec {
       // plain amazonaws.com host: only the .com rule applies
       "https://x.y.amazonaws.com/" -> "amazonaws.com",
       // pvt.k12.ma.us: 4-label exact beats the 3-label k12.ma.us
-      "https://school.pvt.k12.ma.us/" -> "school.pvt.k12.ma.us")
+      "https://school.pvt.k12.ma.us/" -> "school.pvt.k12.ma.us",
+      // IDN rule 公司.cn in its canonical PUNYCODE host form
+      // (xn--55qx5d.cn): the ASCII expansion of the Unicode rule must
+      // match, or every registrant under the suffix collapses into
+      // one "domain" (r15 review)
+      "https://foo.xn--55qx5d.cn/" -> "foo.xn--55qx5d.cn",
+      "https://a.foo.xn--55qx5d.cn/" -> "foo.xn--55qx5d.cn",
+      // …and in its raw Unicode form (both forms stay indexed)
+      "https://foo.公司.cn/" -> "foo.公司.cn")
     val got = cases.map(_._1).toDF("u")
       .select(Urls.registeredDomain($"u")).as[String].collect().toSeq
     got.zip(cases).foreach { case (g, (in, want)) =>

@@ -257,6 +257,38 @@ class IncrementalCcSpec extends SparkSpec {
     assert(readSorted(dir) === fullCc((80L, 81L), (90L, 91L), (81L, 90L)))
   }
 
+  test("lost group-keyed table: ALL state consumers fail loudly (mirrored divergence)") {
+    // the r15 review's mirror of the lost-projection window: the doc
+    // projection survives but `components` itself is gone. Without a
+    // bidirectional guard, readComponentState serves the schema-stable
+    // EMPTY fallback ("every doc unique") while the doc projection
+    // still answers stale group ids — and a merge rewrites components
+    // from the batch alone, after which BOTH directions agree on a
+    // permanently diverged state.
+    val dir = stateDir()
+    Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
+    readSorted(dir) // healthy
+    def rmTree(p: String): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+    rmTree(s"$dir/components")
+    Seq(
+      () => Dedup.readComponentState(spark, dir).collect(): Unit,
+      () => Dedup.readComponentStateByDoc(spark, dir).collect(): Unit,
+      () => Dedup.mergeComponentState(pairsDf((81L, 90L)), dir)
+    ).foreach { consumer =>
+      val e = intercept[IllegalArgumentException](consumer())
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+    }
+    // heal = rebuild
+    Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
+    Dedup.mergeComponentState(pairsDf((81L, 90L)), dir)
+    assert(readSorted(dir) === fullCc((80L, 81L), (90L, 91L), (81L, 90L)))
+  }
+
   test("rebuild-over-existing-state crash window: meta is invalidated first") {
     // buildComponentState over an EXISTING state deletes meta before
     // the two projection overwrites and re-writes it last, so a crash

@@ -292,9 +292,13 @@ class StreamingSpec extends SparkSpec {
       .select("term", "tb", "dfr").as[(String, Int, Long)].collect().toSet
     def stats(p: String) = spark.read.parquet(s"$p/stats")
       .select("n_docs", "avgdl", "term_buckets").as[(Long, Double, Int)].collect().head
+    def docIds(p: String) = spark.read.parquet(s"$p/docs")
+      .as[Long].collect().sorted.toSeq
     assert(postings(idx) === postings(rebuilt), "postings diverged from a batch rebuild")
     assert(dfreq(idx) === dfreq(rebuilt), "dfreq diverged from a batch rebuild")
     assert(stats(idx) === stats(rebuilt), "stats (incl. exact avgdl) diverged")
+    assert(docIds(idx) === docIds(rebuilt),
+      "doc_id side table (the replay anti-join's read) diverged — no dup ids, none missing")
     // probe parity off the streamed index
     val q1 = KeywordSearch.bm25TopKIndexed(spark, idx, Seq("quick", "judge"), 5)
       .as[(Long, Double)].collect().toSeq
@@ -330,6 +334,53 @@ class StreamingSpec extends SparkSpec {
       termBuckets = 8)
     assert(postings(idx) === postings(withB3), "post-recovery postings diverged")
     assert(stats(idx) === stats(withB3), "post-recovery stats diverged")
+    assert(docIds(idx) === docIds(withB3), "post-recovery doc_id side table diverged")
+  }
+
+  test("streaming CMS ingest: batch folds ≡ one-shot sketch, replay overwrites in place") {
+    import graft.operators.Profile
+    import graft.streaming.StreamingSketch
+    val root = Files.createTempDirectory("graft-cmsingest").toString
+    val raw = s"$root/raw"; val art = s"$root/cms"
+    new java.io.File(raw).mkdirs()
+    Profile.initCmsArtifact(spark, art, depth = 4, width = 1024)
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def drain(): Unit = {
+      val q = StreamingSketch.tokenFrequencyIngest(
+        spark.readStream.schema(docSchema).json(raw), art, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    val b1 = Seq((1L, "the quick brown fox the fox"), (2L, "quick quick jumps"))
+    val b2 = Seq((3L, "fox brown fox over the lazy dog"))
+    land("c1.json", b1); drain()
+    land("c2.json", b2); drain()
+    // streamed artifact ≡ the one-shot sketch over the union corpus
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long)].collect().toSet
+    val allToks = (b1 ++ b2).toDF("doc_id", "text")
+      .select(explode(graft.functions.TextStats.tokens($"text")).as("tok"))
+    val oneShot = Profile.countMinSketch(allToks, "tok", depth = 4, width = 1024)
+    assert(rows(Profile.readCmsArtifact(spark, art)) === rows(oneShot),
+      "streamed artifact diverged from the one-shot sketch")
+    // at-least-once replay: re-delivering batch 0 overwrites its own
+    // partition byte-identically — counts do NOT double
+    StreamingSketch.ingestTokenBatch(b1.toDF("doc_id", "text"), batchId = 0L, art)
+    assert(rows(Profile.readCmsArtifact(spark, art)) === rows(oneShot),
+      "replayed batch changed the artifact")
+    // estimates off the artifact are exact here (width ≫ vocab)
+    val est = Profile.cmsArtifactLookup(spark, art,
+      Seq("fox", "quick", "the", "zzz").toDF("tok"), "tok")
+      .as[(String, Long)].collect().toMap
+    assert(est === Map("fox" -> 4L, "quick" -> 3L, "the" -> 3L, "zzz" -> 0L))
+    // a fold with no meta (uninitialized artifact) fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingSketch.ingestTokenBatch(b1.toDF("doc_id", "text"), 0L, s"$root/nope")
+    }
   }
 
   test("mapGroupsWithState running EMA carries recursion across micro-batches") {
