@@ -228,6 +228,57 @@ object QueriesText {
     })
   }
 
+  /** Persisted CMS artifact per (JVM, source dir): the token-frequency
+    * sketch built the STREAMING-TELEMETRY way — initialized once, the
+    * corpus folded in as two batch contributions
+    * ([[graft.operators.Profile.cmsIngestBatch]] under `parts/b=`),
+    * then batch 0 REPLAYED (the at-least-once redelivery) so the
+    * served artifact proves the overwrite-in-place idempotence
+    * contract, not just the happy path. By counter linearity the fold
+    * equals the one-shot sketch, so q_cms_artifact shares
+    * q_cms_counts' value-exact oracle character for character. */
+  private def cmsArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"cmsart:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-cmsart").toString
+      graft.operators.Profile.initCmsArtifact(s, path, depth = 4, width = 512)
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+      graft.operators.Profile.cmsIngestBatch(
+        toks.filter(col("doc_id") % 2 === 0), "tok", path, batchKey = 0L)
+      graft.operators.Profile.cmsIngestBatch(
+        toks.filter(col("doc_id") % 2 === 1), "tok", path, batchKey = 1L)
+      // redelivered batch 0: overwrites its own partition byte-identically
+      graft.operators.Profile.cmsIngestBatch(
+        toks.filter(col("doc_id") % 2 === 0), "tok", path, batchKey = 0L)
+      path
+    })
+  }
+
+  /** Persisted HLL profile artifact per (JVM, source dir): per-group
+    * distinct-order sketches built shard-by-shard (lineitem split in
+    * two by l_orderkey parity, shard 0 REPLAYED — the at-least-once
+    * redelivery) and served by sketch union. The registered query is
+    * the oracle-exact AUDIT form: exact distincts next to a boolean
+    * gate that the artifact-served estimates sit inside the sketch's
+    * error bound — the q_sketch_check pattern for the ARTIFACT tier. */
+  private def profileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"profart:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-profart").toString
+      graft.operators.Profile.initProfileArtifact(s, path, lgConfigK = 12)
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey")
+      graft.operators.Profile.profileIngestShard(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey", path, 0L)
+      graft.operators.Profile.profileIngestShard(
+        li.filter(col("l_orderkey") % 2 === 1), "l_returnflag", "l_orderkey", path, 1L)
+      // redelivered shard 0: overwrites its own partition in place
+      graft.operators.Profile.profileIngestShard(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey", path, 0L)
+      path
+    })
+  }
+
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
     * emits per-probe recall/MRR/nDCG at cutoff `k` — ONE definition
@@ -1321,7 +1372,7 @@ object QueriesText {
     // hashes make every counter — and hence every estimate — replay
     // value-exactly in DuckDB, so the (never-underestimating) est
     // column is oracle-EXACT next to the true count, not bound-gated.
-    register("q_cms_counts",
+    val cmsCountsSql =
       """WITH t AS (
         |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
@@ -1342,7 +1393,8 @@ object QueriesText {
         |SELECT p.tok, p.exact_cnt, min(coalesce(sk.cnt, 0)) AS est
         |FROM probe p LEFT JOIN sk ON sk.r = p.r AND sk.c = p.c
         |GROUP BY p.tok, p.exact_cnt
-        |ORDER BY tok""") { (s, dir) =>
+        |ORDER BY tok"""
+    register("q_cms_counts", cmsCountsSql) { (s, dir) =>
       val toks = Tables.documents(s, dir)
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
       val sketch = graft.operators.Profile.countMinSketch(
@@ -1354,6 +1406,76 @@ object QueriesText {
         .join(top, Seq("tok"))
         .select(col("tok"), col("exact_cnt"), col("est"))
         .orderBy("tok")
+    }
+
+    // The ARTIFACT lifecycle form of q_cms_counts: the sketch is
+    // served from the persisted parts/b= fold (two batch
+    // contributions + a replayed batch 0 — see cmsArtifactRoot), and
+    // by counter linearity the served estimates are byte-identical to
+    // the one-shot sketch's, so the oracle IS q_cms_counts' SQL. What
+    // this row proves that q_cms_counts doesn't: the artifact's
+    // init → fold → replay → read path serves exact counters too.
+    register("q_cms_artifact", cmsCountsSql) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+      graft.operators.Profile.cmsArtifactLookup(s, cmsArtifactRoot(s, dir),
+          top.select("tok"), "tok")
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("exact_cnt"), col("est"))
+        .orderBy("tok")
+    }
+
+    // PageRank over a deterministic doc-link graph — the link-
+    // authority prior crawl curation ranks sources by (Common Crawl
+    // host-graph ranks). Fixed-point integer arithmetic end to end
+    // (damping, per-edge shares, dangling redistribution), so the
+    // DuckDB oracle unrolls the SAME five sweeps value-exactly —
+    // fp PageRank could never hash-match across engines (partition-
+    // order sums). Edges are synthesized from doc_ids in BOTH engines
+    // (two hash generators mod 1009: multi-edges collapse, self-loops
+    // drop, most hub nodes dangle — the redistribution path is load-
+    // bearing, not decorative).
+    register("q_pagerank",
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |raw AS (SELECT doc_id AS src, (doc_id * 7 + 3) % 1009 AS dst FROM docs
+         |        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % 1009 FROM docs),
+         |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |${graft.operators.Graph.pageRankSql(5)}
+         |SELECT node, r AS rank FROM it5 ORDER BY rank DESC, node LIMIT 100""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val raw = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 1009).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % 1009).as("dst")))
+      graft.operators.Graph.pageRank(raw, iters = 5)
+        .orderBy(desc("rank"), col("node")).limit(100)
+    }
+
+    // HLL profile-artifact audit: the shard-folded, replay-exercised
+    // artifact (profileArtifactRoot) serves per-group approx
+    // distincts; the query outputs the EXACT distincts next to a gate
+    // that each artifact estimate sits within ±6 % of exact (≈3.7σ at
+    // lgConfigK=12, rsd ≈ 1.6 %) — so the oracle is value-exact
+    // (counts + TRUE) while the sketch serving path is what's under
+    // test. The artifact form of q_sketch_check.
+    register("q_profile_artifact",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val served = graft.operators.Profile
+        .readProfileArtifact(s, profileArtifactRoot(s, dir))
+        .select(col("g").as("l_returnflag"), col("approx_distinct"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        .join(broadcast(served), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_distinct") - col("exact_orders"))
+            <= col("exact_orders") * 0.06).as("orders_ok"))
+        .orderBy("l_returnflag")
     }
 
     // Passage-level exact dedup (RefinedWeb-style): 8-token passages,

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. Web-scale training-data
+  * pipelines rank crawl sources by link authority (the Common Crawl
+  * host/domain graph ranks are a standard quality prior next to
+  * per-document quality scores), so the engine carries the canonical
+  * authority measure as a first-class batch operator.
+  *
+  * Determinism contract, same house rules as the sketches: all rank
+  * mass is FIXED-POINT (long units at a configurable scale) and every
+  * step is integer arithmetic (`DIV`), so per-node sums are
+  * order-independent and the whole iteration — damping, per-edge
+  * shares, dangling redistribution — replays value-exactly in any SQL
+  * engine (q_pagerank's DuckDB oracle unrolls the same iterations).
+  * Floating-point PageRank cannot be oracle-exact: the incoming-share
+  * sum folds in partition order. Truncation from integer division
+  * leaks a few units of mass per step; ranks are an ORDERING signal,
+  * and every engine truncates identically.
+  */
+object Graph {
+
+  /** PageRank over `edges` (src, dst), `iters` synchronous sweeps at
+    * damping 0.85. Returns (node, rank) with rank in `scale`-units
+    * (initial mass `scale` split evenly across nodes).
+    *
+    * Semantics per sweep, all integer arithmetic:
+    *   damped(v)   = (rank(v) * 85) DIV 100
+    *   share(u→v)  = damped(u) DIV outdeg(u)
+    *   dangling    = Σ damped(v) over out-degree-0 nodes, DIV n
+    *   rank'(v)    = (scale * 15 DIV 100) DIV n + dangling
+    *                 + Σ share(u→v) over in-edges
+    *
+    * Scale shape: nodes and edges are each ONE distinct/agg pass;
+    * every sweep is edges ⋈ ranks on src (both sides hash-partitioned
+    * by the join key — ranks stay partitioned by node across sweeps,
+    * so only the edge side's dst-sum reshuffles) + a one-row dangling
+    * aggregate broadcast back. Multi-edges are collapsed first
+    * (DISTINCT) and self-loops dropped — a self-loop feeds a node its
+    * own mass and inflates nothing but itself. Lineage is severed
+    * every few sweeps (localCheckpoint) so deep iteration counts
+    * don't compound plan depth — the standard iterative-DataFrame
+    * discipline. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty graph")
+    val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(withDeg, "src").localCheckpoint()
+    val base = (scale * 15L / 100L) / n
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (i <- 1 to iters) {
+      val damped = ranks.select(col("node"), expr("r * 85 DIV 100").as("d"))
+      // dangling mass: damped rank of nodes with no out-edges, pooled
+      // into ONE row and shared DIV n — broadcast, never a shuffle.
+      // shuffle_hash hints keep every key join off the sort-merge
+      // path at any stats estimate (checkpointed sides have none).
+      val dangling = damped
+        .join(withDeg.select(col("src").as("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("d")), lit(0L)).as("dt"))
+        .select(expr(s"dt DIV $n").as("dshare"))
+      val incoming = edgesDeg
+        .join(damped.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), expr("d DIV outdeg").as("share"))
+        .groupBy("node")
+        .agg(sum(col("share")).as("inc"))
+      ranks = nodes
+        .join(incoming.hint("shuffle_hash"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(base) + col("dshare") + coalesce(col("inc"), lit(0L))).as("r"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The DuckDB replay of [[pageRank]]: unrolled iteration CTEs over
+    * WITH-scope relations `edges` (src, dst — already multi-edge-
+    * collapsed and self-loop-free) — emitted from the SAME constants
+    * so the two engines cannot drift. The caller closes the query
+    * over the final `it<iters>` relation. */
+  def pageRankSql(iters: Int, scale: Long = 1000000000000L): String = {
+    val pre =
+      s"""nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |ncnt AS (SELECT count(*) AS n FROM nodes),
+         |odeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |it0 AS (SELECT node, CAST($scale AS BIGINT) // (SELECT n FROM ncnt) AS r FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = s"it${i - 1}"
+      s"""d$i AS (SELECT node, r * 85 // 100 AS d FROM $p),
+         |dang$i AS (
+         |  SELECT coalesce(sum(d), 0) // (SELECT n FROM ncnt) AS dshare
+         |  FROM d$i WHERE node NOT IN (SELECT src FROM odeg)),
+         |inc$i AS (
+         |  SELECT e.dst AS node, sum(dd.d // o.outdeg) AS inc
+         |  FROM edges e JOIN odeg o ON o.src = e.src JOIN d$i dd ON dd.node = e.src
+         |  GROUP BY e.dst),
+         |it$i AS (
+         |  SELECT n.node,
+         |         CAST(($scale * 15 // 100) // (SELECT n FROM ncnt)
+         |           + (SELECT dshare FROM dang$i) + coalesce(i.inc, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN inc$i i USING (node))"""
+    }
+    (Seq(pre) ++ steps).mkString(",\n")
+  }
+}

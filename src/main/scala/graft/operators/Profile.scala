@@ -282,4 +282,64 @@ object Profile {
       meta("depth").toInt, meta("width").toInt)
   }
 
+  // ── persisted HLL profile artifact (mergeable distinct-counts) ─────
+
+  /** Initialize a persisted per-group distinct-count profile at
+    * `path`: Datasketches HLL sketches (Spark's `hll_sketch_agg`
+    * family) keyed by a group column, one binary sketch per
+    * (shard, group). The 100 TB profile shape: each shard/day/stream
+    * batch contributes its own sketches ONCE, and "distinct keys per
+    * group so far" is served by unioning kilobyte-sized binaries —
+    * no re-scan of history, ever. Same artifact discipline as
+    * [[initCmsArtifact]]: dims (lgConfigK) frozen in meta and checked
+    * at every fold; per-shard contributions land under
+    * `parts/s=<shardKey>` with overwrite-in-place replay idempotence
+    * (sketches, like counters, have no row id to anti-join a
+    * redelivery away by — landing byte-identically on your own
+    * partition IS the at-least-once contract). */
+  def initProfileArtifact(spark: org.apache.spark.sql.SparkSession, path: String,
+                          lgConfigK: Int = 12): Unit = {
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"lgConfigK must be in 4..21 (Datasketches HLL bounds), got $lgConfigK")
+    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+      Seq("lgConfigK" -> lgConfigK.toLong))
+  }
+
+  /** Fold one shard's (group, key) pairs into the artifact: one
+    * hash-agg to per-group sketches (map-side partial sketches merge
+    * before the shuffle — shuffle volume is sketch-sized), stored as
+    * (g string, sk binary) under this shard's partition. */
+  def profileIngestShard(df: DataFrame, groupCol: String, keyCol: String,
+                         path: String, shardKey: Long): Unit = {
+    val spark = df.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "profile artifact")
+    df.select(col(groupCol).cast("string").as("g"), col(keyCol).as("k"))
+      .groupBy("g")
+      .agg(hll_sketch_agg(col("k"), lit(meta("lgConfigK").toInt)).as("sk"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/parts/s=$shardKey")
+  }
+
+  /** Serve the artifact: union each group's shard sketches and
+    * estimate — (g, approx_distinct). Union of HLL sketches over
+    * disjoint-or-not shards is the sketch of the union of their
+    * inputs (the mergeability that makes the artifact exact-in-
+    * structure even when shards overlap in keys), so the estimate
+    * carries the configured rsd (~1.04/√2^lgConfigK) regardless of
+    * how the corpus was sharded. Schema-stable empty frame before
+    * any shard lands. */
+  def readProfileArtifact(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "profile artifact")
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parts) &&
+        fs.listStatus(parts).exists(_.getPath.getName.startsWith("s=")))
+      spark.read.parquet(s"$path/parts")
+        .groupBy("g")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_distinct"))
+    else spark.range(0).select(col("id").cast("string").as("g"),
+      col("id").as("approx_distinct"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: hand-computed masses, conservation, edge
+  * hygiene, and the determinism contract (identical at any partition
+  * layout — the property the fixed-point arithmetic exists for). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("one sweep over a→b matches the hand-folded integer arithmetic") {
+    // n=2, r0 = S/2. damped = r0*85 DIV 100. b has no out-edges, so
+    // its damped mass pools and redistributes DIV 2; base = (S*15
+    // DIV 100) DIV 2; a gets base+dshare, b adds a's full share
+    // (outdeg 1).
+    val r0 = S / 2
+    val damped = r0 * 85 / 100
+    val dshare = damped / 2
+    val base = (S * 15 / 100) / 2
+    val got = ranksOf(Seq((1L, 2L)), iters = 1)
+    assert(got === Map(1L -> (base + dshare), 2L -> (base + dshare + damped)))
+  }
+
+  test("star graph: the hub out-ranks every leaf, mass is conserved up to truncation") {
+    // leaves 1..6 all point at hub 0; hub points back at leaf 1
+    val edges = (1L to 6L).map(l => (l, 0L)) :+ (0L, 1L)
+    val got = ranksOf(edges, iters = 5)
+    assert(got.keySet === (0L to 6L).toSet)
+    val hub = got(0L)
+    (2L to 6L).foreach(l => assert(hub > got(l), s"hub must out-rank leaf $l"))
+    // integer division truncates a few units per node per sweep —
+    // never mints mass, never loses more than iters·(nodes+edges+2)
+    val total = got.values.sum
+    assert(total <= S, s"mass minted: $total > $S")
+    assert(total >= S - 5L * (7 + edges.size + 2) * 100, s"mass hemorrhaged: $total")
+  }
+
+  test("multi-edges collapse and self-loops drop") {
+    val clean = ranksOf(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 3)
+    val noisy = ranksOf(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 3L),
+      (3L, 1L), (2L, 2L), (3L, 3L)), iters = 3)
+    assert(noisy === clean)
+  }
+
+  test("ranks are identical at any partition layout") {
+    val edges = (0L until 200L).flatMap(d =>
+      Seq((d, (d * 7 + 3) % 97), (d, (d * 13 + 5) % 97)))
+    def run(parts: Int): Map[Long, Long] =
+      Graph.pageRank(edges.toDF("src", "dst").repartition(parts), iters = 4)
+        .as[(Long, Long)].collect().toMap
+    assert(run(2) === run(17))
+  }
+
+  test("spark ranks equal the unrolled-SQL semantics on a dangling-heavy fixture") {
+    // replay pageRankSql's arithmetic in Scala over the same edges —
+    // an engine-independent second implementation of the spec
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val d = r.map { case (k, v) => k -> v * 85 / 100 }
+      val dshare = nodes.filterNot(odeg.contains).map(d).sum / n
+      val base = (S * 15 / 100) / n
+      r = nodes.map { v =>
+        val inc = edges.filter(_._2 == v).map { case (u, _) => d(u) / odeg(u) }.sum
+        v -> (base + dshare + inc)
+      }.toMap
+    }
+    assert(ranksOf(edges, iters = 3) === r)
+  }
+}

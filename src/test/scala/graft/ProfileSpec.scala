@@ -159,4 +159,47 @@ class ProfileSpec extends SparkSpec {
         .as[(Int, Int, Long)].collect().toSet
     assert(run(2) === run(11))
   }
+
+  test("hll profile artifact: shard folds serve union estimates, replay and sharding invariant") {
+    // (group, key): group g1 has 400 distinct keys, g2 has 60, g3 has 1
+    val rows = (0 until 400).map(i => ("g1", s"k$i")) ++
+      (0 until 60).map(i => ("g2", s"m$i")) ++ Seq(("g3", "solo"))
+    val df = rows.toDF("g", "k")
+    val root = java.nio.file.Files.createTempDirectory("graft-profart-spec").toString
+    Profile.initProfileArtifact(spark, root, lgConfigK = 12)
+    Profile.profileIngestShard(df.filter($"k".startsWith("k")), "g", "k", root, 0L)
+    Profile.profileIngestShard(df.filter(!$"k".startsWith("k")), "g", "k", root, 1L)
+    def served(path: String): Map[String, Long] =
+      Profile.readProfileArtifact(spark, path).as[(String, Long)].collect().toMap
+    val est = served(root)
+    val exact = Map("g1" -> 400L, "g2" -> 60L, "g3" -> 1L)
+    def inBound(e: Map[String, Long], label: String): Unit =
+      exact.foreach { case (g, n) =>
+        assert(math.abs(e(g) - n) <= math.max(1, (n * 0.06).toLong),
+          s"$label estimate for $g out of bound: ${e(g)} vs $n")
+      }
+    inBound(est, "sharded")
+    // at-least-once REPLAY of a shard key overwrites its partition in
+    // place: the served artifact is EXACTLY unchanged
+    Profile.profileIngestShard(df.filter(!$"k".startsWith("k")), "g", "k", root, 1L)
+    assert(served(root) === est, "replayed shard changed the artifact")
+    // a NEW shard key carrying the whole corpus again: union
+    // semantics, not sum — g2 at 60 distinct would read ~120 if
+    // contributions added; the register max-fold keeps it in bound.
+    // (Exact estimate parity across different shard layouts is NOT
+    // the contract: Datasketches serves merged sketches with the
+    // standard estimator, not direct-update HIP, so layouts agree
+    // within the rsd, not bitwise.)
+    Profile.profileIngestShard(df, "g", "k", root, 2L)
+    inBound(served(root), "overlapping")
+    // one-shot fold is in the same bound
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-profart-one").toString
+    Profile.initProfileArtifact(spark, oneShot, lgConfigK = 12)
+    Profile.profileIngestShard(df, "g", "k", oneShot, 0L)
+    inBound(served(oneShot), "one-shot")
+    // a fold against an uninitialized artifact fails loudly
+    intercept[IllegalArgumentException] {
+      Profile.profileIngestShard(df, "g", "k", s"$root-nope", 0L)
+    }
+  }
 }
