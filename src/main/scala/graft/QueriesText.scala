@@ -1453,6 +1453,80 @@ object QueriesText {
         .orderBy(desc("rank"), col("node")).limit(100)
     }
 
+    // Domain-authority capstone: the full crawl-curation ranking path
+    // composed as ONE oracle-gated plan — messy synthesized URLs
+    // (uppercase, www., per-doc paths) → canonical host (Urls.host) →
+    // PSL registered domain → host link graph (each doc links to doc
+    // (d*31+7) mod n; hosts keyed by the house md5-60bit ids) →
+    // fixed-point PageRank → top-50 hosts with their domains. The
+    // oracle derives the CLEAN host independently (implicitly
+    // re-verifying canonicalization), replays the PSL CASE chain and
+    // the unrolled integer sweeps from the same constants. Three host
+    // families exercise three PSL shapes: a default-rule .com, a
+    // co.uk exact suffix, and a *.kobe.jp wildcard (every host its
+    // own registered domain).
+    {
+      def hostSql(idExpr: String) =
+        s"'h' || CAST(($idExpr) % 211 AS VARCHAR) || '.' || " +
+          s"CASE CAST(($idExpr) % 3 AS INT) WHEN 0 THEN 'example.com' " +
+          "WHEN 1 THEN 'news.co.uk' ELSE 'shop.kobe.jp' END"
+      def hidSql(hostExpr: String) =
+        s"CAST(concat('0x', substring(md5($hostExpr), 1, 15)) AS BIGINT)"
+      register("q_domain_authority",
+        s"""WITH docs AS (SELECT doc_id FROM documents),
+           |l AS (SELECT doc_id,
+           |             (doc_id * 31 + 7) % (SELECT count(*) FROM docs) AS lnk,
+           |             (doc_id * 17 + 3) % 50 AS hub
+           |      FROM docs),
+           |hh AS (SELECT ${hostSql("doc_id")} AS hs, ${hostSql("lnk")} AS hd FROM l
+           |       UNION ALL
+           |       SELECT ${hostSql("doc_id")}, ${hostSql("hub")} FROM l),
+           |edges AS (SELECT DISTINCT ${hidSql("hs")} AS src, ${hidSql("hd")} AS dst
+           |          FROM hh WHERE hs <> hd),
+           |hmap AS (SELECT host, ${hidSql("host")} AS hid,
+           |""" + graft.functions.Urls.registeredDomainSql("host") +
+          s""" AS domain
+           |  FROM (SELECT DISTINCT ${hostSql("doc_id")} AS host FROM docs)),
+           |${graft.operators.Graph.pageRankSql(5)}
+           |SELECT m.host, m.domain, it.r AS rank
+           |FROM it5 it JOIN hmap m ON m.hid = it.node
+           |ORDER BY rank DESC, host LIMIT 50""") { (s, dir) =>
+        def urlOf(id: org.apache.spark.sql.Column) =
+          concat(lit("https://WWW.H"), (id % 211).cast("string"), lit("."),
+            when(id % 3 === 0, lit("Example.COM"))
+              .when(id % 3 === 1, lit("News.CO.UK"))
+              .otherwise(lit("Shop.Kobe.JP")),
+            lit("/p/"), id.cast("string"))
+        def hid(h: org.apache.spark.sql.Column) =
+          conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val cnt = docs.agg(count(lit(1)).as("n"))
+        // two generators: a breadth link across the whole id space and
+        // a HUB link into ids 0..49 — the skewed in-degree that makes
+        // authority an actual signal (a single affine generator mod n
+        // yields a near-regular graph whose ranks all tie)
+        val l = docs.crossJoin(broadcast(cnt))
+          .select(col("doc_id"), ((col("doc_id") * 31 + 7) % col("n")).as("lnk"),
+            ((col("doc_id") * 17 + 3) % 50).as("hub"))
+        val edges = l
+          .select(col("doc_id"), col("lnk").as("to"))
+          .unionByName(l.select(col("doc_id"), col("hub").as("to")))
+          .select(graft.functions.Urls.host(urlOf(col("doc_id"))).as("hs"),
+            graft.functions.Urls.host(urlOf(col("to"))).as("hd"))
+          .select(hid(col("hs")).as("src"), hid(col("hd")).as("dst"))
+        val hosts = docs
+          .select(graft.functions.Urls.host(urlOf(col("doc_id"))).as("host"))
+          .distinct()
+          .select(col("host"),
+            graft.functions.Urls.registeredDomain(col("host")).as("domain"),
+            hid(col("host")).as("hid"))
+        graft.operators.Graph.pageRank(edges, iters = 5)
+          .join(broadcast(hosts), col("node") === col("hid"))
+          .select(col("host"), col("domain"), col("rank"))
+          .orderBy(desc("rank"), col("host")).limit(50)
+      }
+    }
+
     // HLL profile-artifact audit: the shard-folded, replay-exercised
     // artifact (profileArtifactRoot) serves per-group approx
     // distincts; the query outputs the EXACT distincts next to a gate

@@ -47,4 +47,23 @@ object StreamingSketch {
         ingestTokenBatch(batch, id, path)
       }
       .start()
+
+  /** The distinct-count counterpart: each micro-batch's (group, key)
+    * rows land as that batch's HLL sketches in the persisted profile
+    * artifact ([[graft.operators.Profile.profileIngestShard]] keyed by
+    * batch id — overwrite-in-place, so an at-least-once redelivery is
+    * exactly idempotent), and "distinct keys per group so far" serves
+    * from a union of kilobyte sketches at any moment. Unlike the CMS
+    * fold this is also SAFE under overlap by construction: HLL
+    * registers max-fold, so even a key delivered in many batches
+    * counts once. */
+  def distinctProfileIngest(rows: DataFrame, groupCol: String, keyCol: String,
+                            path: String, checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Profile.profileIngestShard(batch, groupCol, keyCol, path, id)
+      }
+      .start()
 }
