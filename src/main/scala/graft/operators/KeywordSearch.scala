@@ -91,14 +91,23 @@ object KeywordSearch {
     * a ONE-time postings scan at adoption, after which every ingest's
     * anti-join reads the compact id table instead of the
     * corpus-sized postings (one slim column per doc vs one row per
-    * (doc, term)). */
+    * (doc, term)). Crash-safe (r15 review): the heal writes to a
+    * scratch dir and promotes it with ONE atomic directory rename —
+    * a crash mid-write leaves `docs` absent (so the next single-
+    * writer entry re-heals over the debris) instead of leaving a
+    * partial table that the existence check would mistake for healed,
+    * silently desynchronizing the replay anti-join forever. */
   private def ensureDocIdTable(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.read.parquet(s"$indexPath/postings").select("doc_id").distinct()
-        .write.mode("overwrite").parquet(s"$indexPath/docs")
+    if (fs.exists(p)) return
+    val healing = new org.apache.hadoop.fs.Path(s"$indexPath/docs__healing")
+    spark.read.parquet(s"$indexPath/postings").select("doc_id").distinct()
+      .write.mode("overwrite").parquet(healing.toString)
+    if (!fs.rename(healing, p))
+      throw new java.io.IOException(
+        s"vintage heal: could not promote $healing to $p")
   }
 
   /** Persist an inverted index to `indexPath`: the postings list
@@ -132,52 +141,22 @@ object KeywordSearch {
   }
 
   /** Incrementally add documents to a persisted inverted index —
-    * corpus growth without the full rebuild. Postings APPEND (new
-    * files into the existing term-bucket partitions: one delta-sized
-    * write, the indexed corpus is never re-read or rewritten); the
-    * document-frequency table and the one-row stats merge the delta
-    * into their existing values and overwrite — both are vocab-sized
-    * or smaller, never corpus-sized. At 100 TB the cost of an update
-    * is the cost of tokenizing the NEW documents.
+    * corpus growth without the full rebuild. At 100 TB the cost of an
+    * update is the cost of tokenizing the NEW documents: postings and
+    * the doc_id table take delta-sized appends, dfreq/stats merge at
+    * vocab size or smaller.
     *
-    * Contract: `newDocs` doc_ids must not already be indexed (the
-    * same first-wins/backfill contract as the merge sinks — run the
-    * dedup/decontamination steps first), and the dfreq/stats
-    * overwrite pair is not atomic under a crash between the two
-    * writes. [[ingestIntoInvertedIndex]] is the crash-safe,
-    * replay-safe form (anti-join + one-marker staged commit) — use it
-    * anywhere a retry can happen, streaming sinks above all. */
-  def updateInvertedIndex(newDocs: DataFrame, indexPath: String): Unit = {
-    val spark = newDocs.sparkSession
-    ensureDocIdTable(spark, indexPath)
-    val stats = spark.read.parquet(s"$indexPath/stats")
-    val termBuckets = stats.select(col("term_buckets")).head().getInt(0)
-    val toks = docTokens(newDocs)
-    val tf = termFrequencies(toks, termBuckets)
-    tf.write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
-    toks.select("doc_id")
-      .write.mode("append").parquet(s"$indexPath/docs")
-    // dfreq: old ∪ delta, summed per (term, tb) — vocab-sized
-    val deltaDf = tf.groupBy("term", "tb").agg(count(lit(1)).as("dfr"))
-    val merged = spark.read.parquet(s"$indexPath/dfreq")
-      .select("term", "tb", "dfr")
-      .unionByName(deltaDf)
-      .groupBy("term", "tb").agg(sum(col("dfr")).as("dfr"))
-      .localCheckpoint(true) // sever lineage from the files being overwritten
-    merged.write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/dfreq")
-    // stats: fold the delta into the old totals (1 row each)
-    val old = stats.select(col("n_docs"), col("avgdl")).head()
-    val d = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    val nDocs = old.getLong(0) + d.getLong(0)
-    // reconstruct the integer token total exactly (dl sums are integers
-    // < 2^53, so rounding undoes the stored avgdl division) — the new
-    // avgdl is then bit-identical to what a full rebuild computes
-    val totalDl = Math.round(old.getLong(0) * old.getDouble(1)) + d.getLong(1)
-    import spark.implicits._
-    Seq((nDocs, totalDl.toDouble / nDocs, termBuckets))
-      .toDF("n_docs", "avgdl", "term_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
-  }
+    * Since the r15 review this IS [[ingestIntoInvertedIndex]]: the
+    * earlier raw-append form could crash between its postings and
+    * docs appends and leave the two permanently divergent — and the
+    * docs table is exactly what the crash-safe path's replay
+    * anti-join trusts, so the divergence would silently re-add
+    * indexed documents later. Routing through the staged one-marker
+    * commit removes that window (and the already-indexed-id
+    * anti-join turns a contract-violating batch into a skip instead
+    * of silent duplicate postings). */
+  def updateInvertedIndex(newDocs: DataFrame, indexPath: String): Unit =
+    ingestIntoInvertedIndex(newDocs, indexPath)
 
   /** Marker naming an in-flight ingest commit ([[ingestIntoInvertedIndex]]):
     * present ⇒ staging is complete and the commit must roll FORWARD
@@ -186,12 +165,10 @@ object KeywordSearch {
     * commit. */
   private val IngestMarker = "commit.plan"
 
-  /** Crash-safe, replay-safe incremental indexing — the streaming
-    * sink's form of [[updateInvertedIndex]] (whose docs honestly note
-    * its dfreq/stats overwrite pair is not atomic; this is the
-    * promised staged-promote wrapper). Three guarantees the raw
-    * update lacks, each load-bearing under foreachBatch's
-    * at-least-once replay:
+  /** Crash-safe, replay-safe incremental indexing — the ONE
+    * incremental write path ([[updateInvertedIndex]] routes here
+    * too). Three guarantees a raw append pair could not give, each
+    * load-bearing under foreachBatch's at-least-once replay:
     *
     *  1. ANTI-JOIN discipline: already-indexed doc_ids are dropped
     *     first (against the slim `docs` id side table — one row per

@@ -226,6 +226,89 @@ object Profile {
 
   // ── persisted CMS artifact (the streaming-telemetry tier) ──────────
 
+  /** Shared init for the batch-folded artifacts: write the dimension
+    * meta ONCE. Re-running init is a no-op when the dims match and a
+    * LOUD failure when they differ (r15 review) — silently rewriting
+    * the meta would leave existing `parts/` sketches hashed with the
+    * OLD geometry under a meta claiming the new one, and every
+    * estimate after that reads mixed-geometry counters (for CMS that
+    * breaks even the never-underestimate guarantee, with no error).
+    * Parts without a meta are likewise refused, not adopted. */
+  private def initArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String, what: String,
+                           fields: Seq[(String, Long)]): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) {
+      val existing = graft.sources.IndexMeta.read(spark, s"$path/meta.json", what)
+      require(fields.forall { case (k, v) => existing.get(k).contains(v) },
+        s"$what at $path is already initialized with different dimensions " +
+          s"(${existing.toSeq.sorted.mkString(", ")} vs ${fields.mkString(", ")}) — " +
+          "re-initializing would silently mix hash geometries; delete the artifact to rebuild")
+    } else {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts")),
+        s"$what at $path has batch parts but no meta — refusing to adopt state " +
+          "of unknown geometry; delete the artifact to rebuild")
+      graft.sources.IndexMeta.write(spark, s"$path/meta.json", fields)
+    }
+  }
+
+  /** Land one batch contribution under `parts/<part>`, guarded by a
+    * content fingerprint (r15 review): an at-least-once redelivery
+    * carries the SAME payload and is skipped (the overwrite would be
+    * byte-identical anyway); a DIFFERENT payload under an already-
+    * used batch key — a reset checkpoint restarting batch ids at 0,
+    * or a second stream sharing the artifact path — fails loudly
+    * instead of silently destroying the earlier contribution, the
+    * failure the id-keyed sinks catch via their anti-joins but a
+    * keyless counting fold cannot. The fingerprint (order-independent
+    * overflow-free XOR of per-row hashes over `fpRow` — callers whose
+    * payload bytes are not recomputation-deterministic fingerprint a
+    * deterministic VIEW of the row instead; rows here are unique per
+    * part, so XOR's pair-cancellation cannot trigger) is written
+    * AFTER the data, so a crash mid-land leaves no fingerprint and
+    * the retry takes the plain overwrite path. */
+  private def landBatchPart(contribution: DataFrame, path: String,
+                            part: String, what: String,
+                            fpRow: DataFrame => org.apache.spark.sql.Column =
+                              d => xxhash64(d.columns.map(col): _*)): Unit = {
+    val spark = contribution.sparkSession
+    val df = contribution.localCheckpoint() // one computation for fp + write
+    val fp = df
+      .select(fpRow(df).as("__h"))
+      .agg(coalesce(expr("bit_xor(__h)"), lit(0L)))
+      .head().getLong(0)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/parts/$part")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpFile = new org.apache.hadoop.fs.Path(dir, "_fp")
+    if (fs.exists(fpFile)) {
+      val in = fs.open(fpFile)
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(old == fp.toString,
+        s"$what part $part already holds a DIFFERENT contribution " +
+          s"(fingerprint $old vs $fp) — a redelivered batch must be identical; " +
+          "this looks like a reset checkpoint or a second writer sharing the artifact")
+      return // identical redelivery: nothing to do
+    }
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val out = fs.create(fpFile, true)
+    try out.write(fp.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fold scaffolding shared by the artifact readers: meta-free —
+    * public readers check the meta themselves (once). */
+  private def foldParts(spark: org.apache.spark.sql.SparkSession, path: String,
+                        prefix: String)(fold: DataFrame => DataFrame,
+                                        empty: => DataFrame): DataFrame = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parts) &&
+        fs.listStatus(parts).exists(_.getPath.getName.startsWith(prefix)))
+      fold(spark.read.parquet(s"$path/parts"))
+    else empty
+  }
+
   /** Initialize a persisted CMS artifact at `path`: the parameter meta
     * that every batch fold is checked against. Contributions land as
     * per-batch sketches under `parts/b=<batchKey>` and the serving
@@ -234,16 +317,17 @@ object Profile {
     * Replay discipline: a COUNTING structure cannot anti-join replays
     * away the way the id-keyed indexes do (re-adding a delivered batch
     * doubles its counts with no key to detect it by). Keying each
-    * contribution by its batch id and OVERWRITING that partition in
-    * place makes the fold idempotent instead: an at-least-once replay
-    * lands byte-identically on top of itself, and a crash mid-write is
-    * healed by the retry's overwrite (the [[graft.streaming.StreamingPostings]]
-    * doc-sink convention). Single writer, like every index family. */
+    * contribution by its batch id with fingerprint-guarded overwrite-
+    * in-place ([[landBatchPart]]) makes the fold idempotent instead:
+    * an identical redelivery is a no-op, a crash mid-write is healed
+    * by the retry, and a COLLIDING batch key (reset checkpoint /
+    * second writer) fails loudly. Single writer, like every index
+    * family. */
   def initCmsArtifact(spark: org.apache.spark.sql.SparkSession, path: String,
                       depth: Int = 4, width: Int = 512): Unit = {
     require(depth >= 1 && depth <= 16, s"depth must be in 1..16, got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+    initArtifact(spark, path, "CMS artifact",
       Seq("depth" -> depth.toLong, "width" -> width.toLong))
   }
 
@@ -253,9 +337,9 @@ object Profile {
                      batchKey: Long): Unit = {
     val spark = df.sparkSession
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
-    countMinSketch(df, keyCol, meta("depth").toInt, meta("width").toInt)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/parts/b=$batchKey")
+    landBatchPart(
+      countMinSketch(df, keyCol, meta("depth").toInt, meta("width").toInt),
+      path, s"b=$batchKey", "CMS artifact")
   }
 
   /** The artifact's merged sketch: Σ over all batch partitions —
@@ -263,22 +347,22 @@ object Profile {
   def readCmsArtifact(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(parts) &&
-        fs.listStatus(parts).exists(_.getPath.getName.startsWith("b=")))
-      spark.read.parquet(s"$path/parts")
-        .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
-    else spark.range(0).select(col("id").cast("int").as("r"),
-      col("id").cast("int").as("c"), col("id").as("cnt"))
+    cmsFold(spark, path)
   }
 
-  /** Point estimates against the artifact — dims come from the meta,
-    * so a caller cannot probe with mismatched hashing. */
+  private def cmsFold(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    foldParts(spark, path, "b=")(
+      _.groupBy("r", "c").agg(sum(col("cnt")).as("cnt")),
+      spark.range(0).select(col("id").cast("int").as("r"),
+        col("id").cast("int").as("c"), col("id").as("cnt")))
+
+  /** Point estimates against the artifact — dims come from the meta
+    * (read once), so a caller cannot probe with mismatched hashing. */
   def cmsArtifactLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                         keys: DataFrame, keyCol: String): DataFrame = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "CMS artifact")
-    cmsLookup(readCmsArtifact(spark, path), keys, keyCol,
+    cmsLookup(cmsFold(spark, path), keys, keyCol,
       meta("depth").toInt, meta("width").toInt)
   }
 
@@ -293,15 +377,16 @@ object Profile {
     * no re-scan of history, ever. Same artifact discipline as
     * [[initCmsArtifact]]: dims (lgConfigK) frozen in meta and checked
     * at every fold; per-shard contributions land under
-    * `parts/s=<shardKey>` with overwrite-in-place replay idempotence
-    * (sketches, like counters, have no row id to anti-join a
-    * redelivery away by — landing byte-identically on your own
-    * partition IS the at-least-once contract). */
+    * `parts/s=<shardKey>` with the same fingerprint-guarded
+    * overwrite-in-place replay discipline ([[landBatchPart]]:
+    * identical redelivery skips, colliding shard keys fail loudly —
+    * sketches, like counters, have no row id to anti-join a
+    * redelivery away by). */
   def initProfileArtifact(spark: org.apache.spark.sql.SparkSession, path: String,
                           lgConfigK: Int = 12): Unit = {
     require(lgConfigK >= 4 && lgConfigK <= 21,
       s"lgConfigK must be in 4..21 (Datasketches HLL bounds), got $lgConfigK")
-    graft.sources.IndexMeta.write(spark, s"$path/meta.json",
+    initArtifact(spark, path, "profile artifact",
       Seq("lgConfigK" -> lgConfigK.toLong))
   }
 
@@ -313,11 +398,15 @@ object Profile {
                          path: String, shardKey: Long): Unit = {
     val spark = df.sparkSession
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "profile artifact")
-    df.select(col(groupCol).cast("string").as("g"), col(keyCol).as("k"))
-      .groupBy("g")
-      .agg(hll_sketch_agg(col("k"), lit(meta("lgConfigK").toInt)).as("sk"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/parts/s=$shardKey")
+    landBatchPart(
+      df.select(col(groupCol).cast("string").as("g"), col(keyCol).as("k"))
+        .groupBy("g")
+        .agg(hll_sketch_agg(col("k"), lit(meta("lgConfigK").toInt)).as("sk")),
+      path, s"s=$shardKey", "profile artifact",
+      // HLL sketch BYTES are not recomputation-deterministic (set-mode
+      // serialization depends on hash-table layout); register STATE
+      // and hence the estimate are — fingerprint that
+      fpRow = _ => xxhash64(col("g"), hll_sketch_estimate(col("sk"))))
   }
 
   /** Serve the artifact: union each group's shard sketches and
@@ -331,15 +420,11 @@ object Profile {
   def readProfileArtifact(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "profile artifact")
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(parts) &&
-        fs.listStatus(parts).exists(_.getPath.getName.startsWith("s=")))
-      spark.read.parquet(s"$path/parts")
-        .groupBy("g")
+    foldParts(spark, path, "s=")(
+      _.groupBy("g")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("approx_distinct"))
-    else spark.range(0).select(col("id").cast("string").as("g"),
-      col("id").as("approx_distinct"))
+          .as("approx_distinct")),
+      spark.range(0).select(col("id").cast("string").as("g"),
+        col("id").as("approx_distinct")))
   }
 }

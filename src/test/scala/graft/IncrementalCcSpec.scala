@@ -236,12 +236,6 @@ class IncrementalCcSpec extends SparkSpec {
     val dir = stateDir()
     Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
     readSorted(dir) // healthy
-    def rmTree(p: String): Unit = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally s.close()
-    }
     rmTree(s"$dir/components_by_doc")
     val em = intercept[IllegalArgumentException] {
       Dedup.mergeComponentState(pairsDf((81L, 90L)), dir)
@@ -268,12 +262,6 @@ class IncrementalCcSpec extends SparkSpec {
     val dir = stateDir()
     Dedup.buildComponentState(pairsDf((80L, 81L), (90L, 91L)), dir, stateBuckets = 8)
     readSorted(dir) // healthy
-    def rmTree(p: String): Unit = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally s.close()
-    }
     rmTree(s"$dir/components")
     Seq(
       () => Dedup.readComponentState(spark, dir).collect(): Unit,

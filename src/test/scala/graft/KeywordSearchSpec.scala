@@ -180,12 +180,6 @@ class KeywordSearchSpec extends SparkSpec {
     assert(docIds === (base :+ 500L).sorted, "ingest must append exactly once")
     // pre-docs-vintage index (id table absent): the next single-writer
     // entry materializes it from postings once, then ingest proceeds
-    def rmTree(p: String): Unit = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally s.close()
-    }
     rmTree(s"$dir/docs")
     KeywordSearch.ingestIntoInvertedIndex(
       Seq((501L, "engine anew again")).toDF("doc_id", "text"), dir)

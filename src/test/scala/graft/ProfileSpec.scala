@@ -202,4 +202,48 @@ class ProfileSpec extends SparkSpec {
       Profile.profileIngestShard(df, "g", "k", s"$root-nope", 0L)
     }
   }
+
+  test("artifact guards: re-init dim mismatch, batch-key collision, orphan parts all fail loudly") {
+    // CMS: same-dim re-init is a no-op; a different geometry refuses
+    // (silently rewriting the meta would mix hash geometries under
+    // the old parts and break even never-underestimate)
+    val cms = java.nio.file.Files.createTempDirectory("graft-cmsguard").toString
+    Profile.initCmsArtifact(spark, cms, depth = 4, width = 512)
+    Profile.initCmsArtifact(spark, cms, depth = 4, width = 512)
+    val eInit = intercept[IllegalArgumentException] {
+      Profile.initCmsArtifact(spark, cms, depth = 4, width = 1024)
+    }
+    assert(eInit.getMessage.contains("different dimensions"), eInit.getMessage)
+    // identical redelivery under a used batch key: no-op; a DIFFERENT
+    // payload (reset checkpoint / second writer) fails loudly
+    val a = cmsKeys("a" -> 5, "b" -> 2)
+    Profile.cmsIngestBatch(a, "k", cms, 0L)
+    Profile.cmsIngestBatch(a, "k", cms, 0L)
+    val base = Profile.readCmsArtifact(spark, cms).as[(Int, Int, Long)].collect().toSet
+    val eCol = intercept[IllegalArgumentException] {
+      Profile.cmsIngestBatch(cmsKeys("zz" -> 9), "k", cms, 0L)
+    }
+    assert(eCol.getMessage.contains("DIFFERENT contribution"), eCol.getMessage)
+    assert(Profile.readCmsArtifact(spark, cms).as[(Int, Int, Long)].collect().toSet === base,
+      "a refused collision must leave the artifact untouched")
+    // HLL twin: same guards (fingerprint over the deterministic
+    // (group, estimate) view — sketch bytes are not recomputation-stable)
+    val hll = java.nio.file.Files.createTempDirectory("graft-hllguard").toString
+    Profile.initProfileArtifact(spark, hll, lgConfigK = 12)
+    intercept[IllegalArgumentException] {
+      Profile.initProfileArtifact(spark, hll, lgConfigK = 13)
+    }
+    val rows = Seq(("g", "x"), ("g", "y")).toDF("g", "k")
+    Profile.profileIngestShard(rows, "g", "k", hll, 0L)
+    Profile.profileIngestShard(rows.repartition(3), "g", "k", hll, 0L) // replay, any layout
+    intercept[IllegalArgumentException] {
+      Profile.profileIngestShard(Seq(("g", "z")).toDF("g", "k"), "g", "k", hll, 0L)
+    }
+    // parts without a meta: refused at init, not silently adopted
+    val orphan = java.nio.file.Files.createTempDirectory("graft-orphanguard").toString
+    new java.io.File(s"$orphan/parts").mkdirs()
+    intercept[IllegalArgumentException] {
+      Profile.initCmsArtifact(spark, orphan, depth = 4, width = 512)
+    }
+  }
 }

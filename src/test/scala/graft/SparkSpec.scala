@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM, one session). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Recursively delete a fixture directory (crash-window tests). */
+  def rmTree(p: String): Unit = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
+  }
 }
 
 object SparkSpec {
