@@ -279,6 +279,31 @@ object QueriesText {
     })
   }
 
+  /** Persisted log-histogram quantile artifact per (JVM, source dir):
+    * per-group price sketches built batch-by-batch (lineitem split in
+    * two by l_orderkey parity, batch 0 REPLAYED — the at-least-once
+    * redelivery) and served by the linear fold. By counter linearity
+    * the folded sketch is byte-identical to the one-shot build, so
+    * q_quantile_artifact shares q_quantile_sketch's oracle. */
+  private def quantileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"quantart:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-quantart").toString
+      graft.operators.Profile.initQuantileArtifact(s, path, mbits = 6)
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      graft.operators.Profile.quantileIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
+      graft.operators.Profile.quantileIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "g", "v", path, batchKey = 1L)
+      // redelivered batch 0: overwrites its own partition byte-identically
+      graft.operators.Profile.quantileIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
+      path
+    })
+  }
+
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
     * emits per-probe recall/MRR/nDCG at cutoff `k` — ONE definition
@@ -1453,6 +1478,76 @@ object QueriesText {
         .orderBy(desc("rank"), col("node")).limit(100)
     }
 
+    // Personalized PageRank — q_pagerank's graph with the teleport
+    // pinned to a 20-node seed set: rank becomes PROXIMITY TO THE
+    // SEEDS, the seed-expansion primitive that grows a quality corpus
+    // from a vetted kernel. Same fixed-point discipline, same
+    // unrolled-sweep oracle, different mass routing (restart + all
+    // dangling mass DIV |seeds| to seeds; non-seeds start at 0).
+    register("q_ppr_seeds",
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |raw AS (SELECT doc_id AS src, (doc_id * 7 + 3) % 1009 AS dst FROM docs
+         |        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % 1009 FROM docs),
+         |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |seeds AS (SELECT unnest(range(20)) AS node),
+         |${graft.operators.Graph.personalizedPageRankSql(5)}
+         |SELECT node, r AS rank FROM it5 WHERE r > 0
+         |ORDER BY rank DESC, node LIMIT 100""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val raw = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 1009).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % 1009).as("dst")))
+      val seeds = s.range(20).select(col("id").as("node"))
+      graft.operators.Graph.personalizedPageRank(raw, seeds, iters = 5)
+        .filter(col("rank") > 0)
+        .orderBy(desc("rank"), col("node")).limit(100)
+    }
+
+    // Edit-distance (Levenshtein ≤ 2) self-join over document titles —
+    // the fuzzy-string record-linkage staple (typo'd titles, near-
+    // identical names) the set-similarity join can't express. Titles
+    // are the first four house-tokenized words, EXACT-deduped first
+    // (the realistic pipeline order, and it keeps dist-0 pairs from
+    // squaring), then two deterministic typo generators plant known
+    // near-matches. Ed-Join prefix filtering (kq+1 rarest gram
+    // occurrences per string under a shared frequency order) + the
+    // short-string band path + exact levenshtein verify — and every
+    // stage, prefix selection included, replays value-exactly in
+    // DuckDB (FuzzyJoin.editDistanceJoinSql, same constants).
+    register("q_editdist_join",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ttl AS (
+         |  SELECT min(doc_id) AS id, title
+         |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
+         |  GROUP BY title),
+         |aug AS (
+         |  SELECT id, title FROM ttl
+         |  UNION ALL SELECT id + 700000, title || 'x' FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT id + 800000, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |sa AS (SELECT id AS a_id, title AS a_s FROM aug),
+         |sb AS (SELECT id AS b_id, title AS b_s FROM aug),
+         |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
+         |SELECT a_id, b_id, dist FROM ed WHERE a_id < b_id
+         |ORDER BY a_id, b_id""") { (s, dir) =>
+      val ttl = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
+        .groupBy("title").agg(min(col("doc_id")).as("id"))
+        .select("id", "title")
+      val aug = ttl
+        .unionByName(ttl.filter(col("id") % 11 === 0)
+          .select((col("id") + 700000).as("id"), concat(col("title"), lit("x")).as("title")))
+        .unionByName(ttl.filter(col("id") % 13 === 0)
+          .select((col("id") + 800000).as("id"), concat(col("title"), lit(" q")).as("title")))
+      graft.operators.FuzzyJoin.editDistanceJoin(aug, aug, "id", "title", k = 2)
+        .filter(col("a_id") < col("b_id"))
+        .orderBy("a_id", "b_id")
+    }
+
     // Domain-authority capstone: the full crawl-curation ranking path
     // composed as ONE oracle-gated plan — messy synthesized URLs
     // (uppercase, www., per-doc paths) → canonical host (Urls.host) →
@@ -1550,6 +1645,98 @@ object QueriesText {
           (abs(col("approx_distinct") - col("exact_orders"))
             <= col("exact_orders") * 0.06).as("orders_ok"))
         .orderBy("l_returnflag")
+    }
+
+    // Log-histogram quantile sketch (HDR/DDSketch shape, all-integer):
+    // per-group p50/p90/p99 of price cents from mergeable bucket
+    // counters, next to the exact rank-percentile and a within-bound
+    // gate — the quantile member of the sketch/audit pattern
+    // (q_cms_counts, q_profile_artifact). EVERYTHING is value-exact:
+    // bucket index is ⌊log2⌋ via binary-string length + integer
+    // shifts (never libm), the target rank is integer basis-point
+    // arithmetic, and the estimate is the walked bucket's exact lower
+    // bound — so the DuckDB oracle replays every number, not just the
+    // gate. Bound: est ≤ exact < (est+1)·65/64 (2^-6 relative; exact
+    // in the linear regime), checked as pure integer comparisons.
+    val quantileSketchSql =
+      """WITH vals AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |sk AS (
+        |  SELECT g, e, s, count(*) AS cnt
+        |  FROM (
+        |    SELECT g, v, length(bin(v)) - 1 AS e,
+        |           CASE WHEN length(bin(v)) - 1 < 6 THEN v
+        |                ELSE (v >> (length(bin(v)) - 1 - 6)) - 64 END AS s
+        |    FROM vals)
+        |  GROUP BY 1, 2, 3),
+        |walk AS (
+        |  SELECT g, e, s, cnt,
+        |         sum(cnt) OVER (PARTITION BY g ORDER BY e, s) AS cum,
+        |         sum(cnt) OVER (PARTITION BY g) AS n,
+        |         CASE WHEN e < 6 THEN s ELSE (64 + s) << (e - 6) END AS lb
+        |  FROM sk),
+        |qs AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+        |est AS (
+        |  SELECT g, q_bp, min(lb) AS est, min(n) AS n
+        |  FROM walk CROSS JOIN qs
+        |  WHERE cum * 10000 >= CAST(q_bp AS BIGINT) * n
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT g, q_bp, min(v) AS exact_v
+        |  FROM (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |               count(*) OVER (PARTITION BY g) AS n FROM vals)
+        |       CROSS JOIN qs
+        |  WHERE rn * 10000 >= CAST(q_bp AS BIGINT) * n
+        |  GROUP BY 1, 2)
+        |SELECT e.g AS g, e.q_bp, CAST(e.est AS BIGINT) AS est_cents,
+        |       CAST(x.exact_v AS BIGINT) AS exact_cents, CAST(e.n AS BIGINT) AS n,
+        |       (e.est <= x.exact_v AND x.exact_v * 64 < (e.est + 1) * 65) AS within_bound
+        |FROM est e JOIN exact x USING (g, q_bp)
+        |ORDER BY g, q_bp"""
+    val quantileQs = Seq(5000, 9000, 9900)
+    def quantileAudit(s: org.apache.spark.sql.SparkSession,
+                      vals: org.apache.spark.sql.DataFrame,
+                      est: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qdf = quantileQs.toDF("q_bp")
+      val exact = vals
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy("v")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .crossJoin(broadcast(qdf))
+        .filter(col("rn") * 10000 >= col("q_bp").cast("long") * col("n"))
+        .groupBy("g", "q_bp").agg(min(col("v")).as("exact_cents"))
+      est.join(exact, Seq("g", "q_bp"))
+        .select(col("g"), col("q_bp"), col("est").as("est_cents"),
+          col("exact_cents"), col("n"),
+          (col("est") <= col("exact_cents") &&
+            col("exact_cents") * 64 < (col("est") + 1) * 65).as("within_bound"))
+        .orderBy("g", "q_bp")
+    }
+    def priceVals(s: org.apache.spark.sql.SparkSession, dir: String) =
+      Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+    register("q_quantile_sketch", quantileSketchSql) { (s, dir) =>
+      val vals = priceVals(s, dir)
+      val est = graft.operators.Profile.quantileLookup(
+        graft.operators.Profile.logHistogram(vals, "g", "v", mbits = 6),
+        quantileQs, mbits = 6)
+      quantileAudit(s, vals, est)
+    }
+
+    // The ARTIFACT lifecycle form of q_quantile_sketch: the sketch is
+    // served from the persisted parts/b= fold (two batch
+    // contributions + a replayed batch 0 — see quantileArtifactRoot),
+    // and by counter linearity the served buckets are byte-identical
+    // to the one-shot build's, so the oracle IS q_quantile_sketch's
+    // SQL. What this row actually gates: init-once meta, two landed
+    // batches, an idempotent redelivery, and the serving fold+walk.
+    register("q_quantile_artifact", quantileSketchSql) { (s, dir) =>
+      val est = graft.operators.Profile.quantileArtifactLookup(
+        s, quantileArtifactRoot(s, dir), quantileQs)
+      quantileAudit(s, priceVals(s, dir), est)
     }
 
     // Passage-level exact dedup (RefinedWeb-style): 8-token passages,

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity join — the fuzzy-string
+  * complement of [[SetSimilarityJoin]]: find (left, right) pairs with
+  * levenshtein ≤ k without the all-pairs product. Titles, names,
+  * near-identical boilerplate lines — the record-linkage staple.
+  *
+  * Candidate generation is q-gram PREFIX filtering (Ed-Join, Xiao
+  * 2008; the same prefix principle as [[SetSimilarityJoin]]): a pair
+  * within edit distance k shares at least
+  * t = max(|a|,|b|) − q + 1 − k·q of its q-gram OCCURRENCES (each
+  * edit destroys at most q grams — Gravano 2001), so by the prefix
+  * lemma the k·q + 1 globally-RAREST gram occurrences of each string
+  * must already intersect. Only those prefixes are joined — a hot
+  * gram like "e " never fans out unless it is among a string's
+  * rarest, which by construction it is not. Grams are matched as
+  * (gram, occurrence-index) pairs, a true MULTISET intersection
+  * (distinct-set matching would under-count repeats — "aaaa" has
+  * three "aa" occurrences but one distinct gram — and silently drop
+  * true pairs). The global rarity order is computed over BOTH sides'
+  * gram rows, so the two prefixes order consistently.
+  *
+  * Pairs whose bound is non-positive (both strings shorter than
+  * q·(k+1)) can evade the gram filter entirely and go through a
+  * length-banded path instead; the two paths partition the pair
+  * space (the gram path requires max-length ≥ q·(k+1)), so no pair
+  * is emitted twice. Every candidate is verified with an exact
+  * levenshtein — the filters only prune, never decide.
+  *
+  * Scale shape: one gram explode per side (rows ∝ total characters),
+  * one vocabulary-sized frequency aggregate, per-string top-(kq+1)
+  * selection (window over the string's own ≤ |s| grams), an
+  * equi-join of prefix rows on (gram, occ) — never a theta join —
+  * and a hash join back to the strings for the verify (Spark's
+  * thresholded levenshtein exits early past k). The short-string
+  * band path explodes 2k+1 length keys per row over the SHORT subset
+  * only, a sliver for title/name workloads.
+  *
+  * Determinism: gram positions, occurrence indices, frequency ranks
+  * (tie-broken on (gram, occ)) and the final distances are all
+  * integer/string ops that replay verbatim in DuckDB (levenshtein
+  * included) — q_editdist_join is value-exact. */
+object FuzzyJoin {
+
+  /** (id, s, len, g, occ) — grams carry their per-gram occurrence
+    * index so downstream joins intersect MULTISETS. Strings shorter
+    * than q yield no rows (they only pair through the short path). */
+  private def gramRows(df: DataFrame, idCol: String, strCol: String,
+                       q: Int, side: String): DataFrame =
+    df.select(col(idCol).as(s"${side}_id"), col(strCol).as(s"${side}_s"),
+        length(col(strCol)).as(s"${side}_len"))
+      .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+        posexplode(expr(
+          s"CASE WHEN ${side}_len >= $q THEN " +
+            s"transform(sequence(0, ${side}_len - $q), i -> substring(${side}_s, i + 1, $q)) " +
+            "ELSE array() END")).as(Seq("pos", "g")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col(s"${side}_id"), col("g")).orderBy(col("pos"))))
+      .drop("pos")
+
+  /** Keep each string's kq+1 rarest (g, occ) keys under the shared
+    * global order (df asc, g, occ). */
+  private def prefixRows(grams: DataFrame, dfreq: DataFrame,
+                         side: String, prefixLen: Int): DataFrame =
+    grams.join(dfreq.hint("shuffle_hash"), Seq("g", "occ"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(s"${side}_id"))
+          .orderBy(col("df"), col("g"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+        col("g"), col("occ"))
+
+  /** All (a_id, b_id, dist) with levenshtein(a_s, b_s) ≤ k. Inputs
+    * carry (idCol, strCol); ids must be unique per side. Self-join
+    * callers filter `a_id < b_id` afterwards. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       idCol: String, strCol: String,
+                       k: Int, q: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in 1..8, got $k")
+    require(q >= 2 && q <= 4, s"q must be in 2..4, got $q")
+    val minLong = q * (k + 1) // gram bound positive iff max len ≥ this
+    val prefixLen = k * q + 1
+    // pin the inputs: each side feeds its gram explode, the shared
+    // frequency table, the short band path and the verify strings —
+    // without the checkpoint every consumer re-derives the source
+    // subtree (an 18-scan plan on the registry fixture)
+    val lSrc = left.select(col(idCol), col(strCol)).localCheckpoint()
+    val rSrc = if (right eq left) lSrc
+      else right.select(col(idCol), col(strCol)).localCheckpoint()
+    val ga = gramRows(lSrc, idCol, strCol, q, "a")
+    val gb = gramRows(rSrc, idCol, strCol, q, "b")
+    // one shared rarity order over both sides' gram occurrences —
+    // vocab-sized, consumed by both prefix selections
+    val dfreq = ga.select(col("g"), col("occ"))
+      .unionByName(gb.select(col("g"), col("occ")))
+      .groupBy("g", "occ").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val pa = prefixRows(ga, dfreq, "a", prefixLen)
+    val pb = prefixRows(gb, dfreq, "b", prefixLen)
+    val verifyCols = Seq(col("a_id"), col("b_id"),
+      levenshtein(col("a_s"), col("b_s"), k).as("dist"))
+    val gramPairs = pa.join(pb.hint("shuffle_hash"), Seq("g", "occ"))
+      .filter(abs(col("a_len") - col("b_len")) <= k)
+      .filter(greatest(col("a_len"), col("b_len")) >= minLong)
+      .select("a_id", "a_s", "b_id", "b_s").distinct()
+      .select(verifyCols: _*)
+    // short path: BOTH sides under the gram-bound floor — banded
+    // equi-join on candidate length (2k+1 keys per row), never a
+    // cartesian
+    val shortA = lSrc
+      .select(col(idCol).as("a_id"), col(strCol).as("a_s"),
+        length(col(strCol)).as("a_len"))
+      .filter(col("a_len") < minLong)
+      .withColumn("cand_len",
+        explode(sequence(col("a_len") - k, col("a_len") + k)))
+    val shortB = rSrc
+      .select(col(idCol).as("b_id"), col(strCol).as("b_s"),
+        length(col(strCol)).as("cand_len"))
+      .filter(col("cand_len") < minLong)
+    val shortPairs = shortA.join(shortB.hint("shuffle_hash"), Seq("cand_len"))
+      .select(verifyCols: _*)
+    gramPairs.unionByName(shortPairs)
+      .filter(col("dist") >= 0 && col("dist") <= k)
+  }
+
+  /** The DuckDB replay of [[editDistanceJoin]] for WITH-scope
+    * relations `sa` (a_id, a_s) and `sb` (b_id, b_s) — emitted from
+    * the same constants; closes over a relation `ed` (a_id, b_id,
+    * dist). The prefix selection replays exactly: same rarity order,
+    * same tie-breaks, same prefix length. */
+  def editDistanceJoinSql(k: Int, q: Int = 2): String = {
+    val minLong = q * (k + 1)
+    val prefixLen = k * q + 1
+    def gramCte(side: String) =
+      s"""${side}g AS (
+         |  SELECT ${side}_id, ${side}_s, length(${side}_s) AS ${side}_len, g,
+         |         row_number() OVER (PARTITION BY ${side}_id, g ORDER BY pos) AS occ
+         |  FROM (
+         |    SELECT ${side}_id, ${side}_s,
+         |           unnest(list_transform(range(greatest(length(${side}_s) - $q + 1, 0)),
+         |                                 i -> substring(${side}_s, i + 1, $q))) AS g,
+         |           unnest(range(greatest(length(${side}_s) - $q + 1, 0))) AS pos
+         |    FROM s${side}))"""
+    def prefixCte(side: String) =
+      s"""${side}p AS (
+         |  SELECT ${side}_id, ${side}_s, ${side}_len, g, occ
+         |  FROM (
+         |    SELECT ${side}g.*, row_number() OVER (
+         |      PARTITION BY ${side}_id ORDER BY fq.df, g, occ) AS rk
+         |    FROM ${side}g JOIN fq USING (g, occ))
+         |  WHERE rk <= $prefixLen)"""
+    s"""${gramCte("a")},
+       |${gramCte("b")},
+       |fq AS (
+       |  SELECT g, occ, count(*) AS df
+       |  FROM (SELECT g, occ FROM ag UNION ALL SELECT g, occ FROM bg)
+       |  GROUP BY g, occ),
+       |${prefixCte("a")},
+       |${prefixCte("b")},
+       |gcand AS (
+       |  SELECT DISTINCT a_id, a_s, b_id, b_s
+       |  FROM ap JOIN bp USING (g, occ)
+       |  WHERE abs(a_len - b_len) <= $k AND greatest(a_len, b_len) >= $minLong),
+       |scand AS (
+       |  SELECT a.a_id, a.a_s, b.b_id, b.b_s
+       |  FROM sa a JOIN sb b
+       |    ON abs(length(a.a_s) - length(b.b_s)) <= $k
+       |  WHERE length(a.a_s) < $minLong AND length(b.b_s) < $minLong),
+       |ed AS (
+       |  SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS INTEGER) AS dist
+       |  FROM (SELECT * FROM gcand UNION ALL SELECT * FROM scand)
+       |  WHERE levenshtein(a_s, b_s) <= $k)"""
+  }
+}

@@ -58,7 +58,13 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(withDeg, "src").localCheckpoint()
+    // pre-partition the edge table by the per-sweep join key: damped
+    // ranks come out of their agg hash-partitioned by node (= src
+    // after the rename), so with the edge side pinned to the same
+    // key only the dst-sum — the actual rank transport — shuffles
+    // inside a sweep
+    val edgesDeg = e.join(withDeg, "src")
+      .repartition(col("src")).localCheckpoint()
     val base = (scale * 15L / 100L) / n
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (i <- 1 to iters) {
@@ -85,6 +91,103 @@ object Graph {
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  /** Personalized PageRank: teleport mass restarts at the SEED set
+    * instead of uniformly — rank becomes proximity-to-seeds, the
+    * seed-expansion primitive curation pipelines use to grow a
+    * quality corpus from a vetted kernel (rank every source by its
+    * link-proximity to the known-good ones, take the top tier).
+    * Same integer fixed-point contract as [[pageRank]]; the 15 %
+    * restart mass and all dangling mass go to the seeds, split
+    * `DIV |seeds|`; non-seed nodes start at 0. Seeds are a (node)
+    * frame; seeds absent from the graph are ignored (at least one
+    * must be present). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val seedNodes = nodes.join(
+      seeds.select(col("node").cast("long")).distinct().hint("shuffle_hash"),
+      Seq("node"), "left_semi")
+    // one flag column instead of per-sweep seed joins
+    val nodesF = nodes
+      .join(seedNodes.withColumn("is_seed", lit(true)).hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val s = nodesF.filter(col("is_seed")).count()
+    require(s > 0, "personalizedPageRank: no seed is present in the graph")
+    val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(withDeg, "src")
+      .repartition(col("src")).localCheckpoint()
+    val base = (scale * 15L / 100L) / s
+    var ranks = nodesF.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(scale / s)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val damped = ranks.select(col("node"), expr("r * 85 DIV 100").as("d"))
+      val dangling = damped
+        .join(withDeg.select(col("src").as("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("d")), lit(0L)).as("dt"))
+        .select(expr(s"dt DIV $s").as("dshare"))
+      val incoming = edgesDeg
+        .join(damped.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), expr("d DIV outdeg").as("share"))
+        .groupBy("node")
+        .agg(sum(col("share")).as("inc"))
+      ranks = nodesF
+        .join(incoming.hint("shuffle_hash"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base) + col("dshare")).otherwise(lit(0L))
+            + coalesce(col("inc"), lit(0L))).as("r"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The DuckDB replay of [[personalizedPageRank]] over WITH-scope
+    * relations `edges` (src, dst — collapsed, self-loop-free) and
+    * `seeds` (node); closes over `it<iters>`. */
+  def personalizedPageRankSql(iters: Int, scale: Long = 1000000000000L): String = {
+    val pre =
+      s"""nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |seedn AS (SELECT DISTINCT node FROM seeds WHERE node IN (SELECT node FROM nodes)),
+         |scnt AS (SELECT count(*) AS n FROM seedn),
+         |odeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |it0 AS (
+         |  SELECT node,
+         |         CASE WHEN node IN (SELECT node FROM seedn)
+         |              THEN CAST($scale AS BIGINT) // (SELECT n FROM scnt)
+         |              ELSE 0 END AS r
+         |  FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val p = s"it${i - 1}"
+      s"""d$i AS (SELECT node, r * 85 // 100 AS d FROM $p),
+         |dang$i AS (
+         |  SELECT coalesce(sum(d), 0) // (SELECT n FROM scnt) AS dshare
+         |  FROM d$i WHERE node NOT IN (SELECT src FROM odeg)),
+         |inc$i AS (
+         |  SELECT e.dst AS node, sum(dd.d // o.outdeg) AS inc
+         |  FROM edges e JOIN odeg o ON o.src = e.src JOIN d$i dd ON dd.node = e.src
+         |  GROUP BY e.dst),
+         |it$i AS (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN n.node IN (SELECT node FROM seedn)
+         |              THEN ($scale * 15 // 100) // (SELECT n FROM scnt)
+         |                   + (SELECT dshare FROM dang$i)
+         |              ELSE 0 END + coalesce(i.inc, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN inc$i i USING (node))"""
+    }
+    (Seq(pre) ++ steps).mkString(",\n")
   }
 
   /** The DuckDB replay of [[pageRank]]: unrolled iteration CTEs over

@@ -409,6 +409,144 @@ object Profile {
       fpRow = _ => xxhash64(col("g"), hll_sketch_estimate(col("sk"))))
   }
 
+  // ── log-histogram quantile sketch (HDR-histogram / DDSketch shape) ─
+
+  /** Log-scaled histogram of non-negative fixed-point `valueCol`
+    * (long, house cents idiom) per `groupCol` — the mergeable,
+    * RELATIVE-error-bounded quantile sketch (the HdrHistogram /
+    * DDSketch [Masson VLDB 2019] bucketing, in all-integer form):
+    * value v ≥ 2^mbits buckets by (e, s) where e = ⌊log2 v⌋ and s is
+    * the next `mbits` mantissa bits (s = (v >> (e − mbits)) − 2^mbits),
+    * so each bucket spans a 2^−mbits relative slice of the value
+    * axis; values below 2^mbits get an EXACT bucket each (s = v —
+    * the linear regime, where relative buckets would be coarser than
+    * the integers themselves). Bucket lower bounds are strictly
+    * increasing in (e, s) lexicographic order — the property the
+    * quantile walk relies on.
+    *
+    * Why this over GK/KLL/t-digest for the ARTIFACT tier: counters
+    * are sums, so sketches merge EXACTLY under union (per-shard
+    * build + linear fold, the CMS discipline) and the whole
+    * structure — bucket index included — is integer arithmetic that
+    * replays verbatim in any SQL engine (⌊log2⌋ via binary-string
+    * length, never libm, whose last-ulp differences at bucket
+    * boundaries would flip indices between engines). State per group
+    * is ≤ ~(64 − mbits + 1)·2^mbits buckets REGARDLESS of corpus
+    * size; quantile answers carry relative error < 2^−mbits.
+    *
+    * One hash aggregation; map-side partial combine collapses each
+    * partition to sketch-sized rows before the shuffle. Negative
+    * values fail loudly — silently bucketing two's-complement bits
+    * would serve garbage quantiles. Output: (g, e, s, cnt), sparse. */
+  def logHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                   mbits: Int = 6): DataFrame = {
+    require(mbits >= 2 && mbits <= 20, s"mbits must be in 2..20, got $mbits")
+    df.select(col(groupCol).cast("string").as("g"),
+        when(col(valueCol) < 0, raise_error(concat(
+          lit(s"logHistogram: negative $valueCol: "),
+          col(valueCol).cast("string"))).cast("long"))
+          .otherwise(col(valueCol).cast("long")).as("__v"))
+      .withColumn("e", (length(bin(col("__v"))) - 1).cast("int"))
+      .withColumn("s",
+        when(col("e") < mbits, col("__v"))
+          .otherwise(expr(s"shiftright(__v, e - $mbits)") - lit(1L << mbits))
+          .cast("long"))
+      .groupBy("g", "e", "s")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Elementwise sum of two log-histograms built with the same mbits:
+    * sketch(A) ⊕ sketch(B) = sketch(A ⊎ B) exactly (linearity — the
+    * same per-shard-build-then-fold contract as [[mergeCms]]). */
+  def mergeLogHistogram(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "e", "s").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a log-histogram: for each basis-point
+    * rank q ∈ `qsBp` (1..10000 — integer basis points, so the target
+    * rank ⌈q·n/10000⌉ is exact integer arithmetic, no fp rank drift
+    * between engines) return the LOWER BOUND of the bucket holding
+    * the rank-th smallest value. In the linear regime that IS the
+    * exact rank-percentile; in the log regime it undershoots by less
+    * than 2^−mbits relative. Output: (g, q_bp, est, n).
+    *
+    * The walk is a per-group cumulative sum in (e, s) order over
+    * sketch-sized input (never corpus-sized), then min(lower bound)
+    * over qualifying buckets — valid because lower bounds are
+    * monotonic in the walk order. The q_bp spine is values-literal
+    * and broadcast. */
+  def quantileLookup(sketch: DataFrame, qsBp: Seq[Int],
+                     mbits: Int = 6): DataFrame = {
+    require(mbits >= 2 && mbits <= 20, s"mbits must be in 2..20, got $mbits")
+    require(qsBp.nonEmpty && qsBp.forall(q => q >= 1 && q <= 10000),
+      s"q basis points must be in 1..10000, got $qsBp")
+    val spark = sketch.sparkSession
+    import scala.jdk.CollectionConverters._
+    val qdf = spark.createDataFrame(
+      qsBp.distinct.map(q => org.apache.spark.sql.Row(q)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_bp",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val walk = Window.partitionBy("g").orderBy("e", "s")
+    sketch
+      .withColumn("cum", sum(col("cnt")).over(walk))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")))
+      .withColumn("lb",
+        when(col("e") < mbits, col("s"))
+          .otherwise(expr(s"shiftleft(${1L << mbits} + s, e - $mbits)")))
+      .crossJoin(broadcast(qdf))
+      .filter(col("cum") * 10000 >= col("q_bp").cast("long") * col("n"))
+      .groupBy("g", "q_bp")
+      .agg(min(col("lb")).as("est"), min(col("n")).as("n"))
+  }
+
+  /** Initialize a persisted quantile-profile artifact at `path`:
+    * mbits frozen in meta, per-batch log-histograms land under
+    * `parts/b=<batchKey>` with the fingerprint-guarded overwrite-in-
+    * place replay discipline ([[landBatchPart]]), and the serving
+    * read folds by linearity — the quantile member of the CMS/HLL
+    * artifact family (same single-writer, same loud-fail guards). */
+  def initQuantileArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String, mbits: Int = 6): Unit = {
+    require(mbits >= 2 && mbits <= 20, s"mbits must be in 2..20, got $mbits")
+    initArtifact(spark, path, "quantile artifact",
+      Seq("mbits" -> mbits.toLong))
+  }
+
+  /** Fold one batch's (group, value) rows into the artifact
+    * (meta-checked mbits; idempotent under redelivery, loud under a
+    * colliding batch key — see [[initCmsArtifact]]). */
+  def quantileIngestBatch(df: DataFrame, groupCol: String, valueCol: String,
+                          path: String, batchKey: Long): Unit = {
+    val spark = df.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json",
+      "quantile artifact")
+    landBatchPart(
+      logHistogram(df, groupCol, valueCol, meta("mbits").toInt),
+      path, s"b=$batchKey", "quantile artifact")
+  }
+
+  /** The artifact's merged sketch: Σ over all batch partitions —
+    * exact by linearity, schema-stable when no batch has landed. */
+  def readQuantileArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "quantile artifact")
+    foldParts(spark, path, "b=")(
+      _.groupBy("g", "e", "s").agg(sum(col("cnt")).as("cnt")),
+      spark.range(0).select(col("id").cast("string").as("g"),
+        col("id").cast("int").as("e"), col("id").as("s"), col("id").as("cnt")))
+  }
+
+  /** Quantile estimates served from the artifact — mbits comes from
+    * the meta (read once), so a caller cannot walk buckets built
+    * under a different mantissa geometry. */
+  def quantileArtifactLookup(spark: org.apache.spark.sql.SparkSession,
+                             path: String, qsBp: Seq[Int]): DataFrame = {
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json",
+      "quantile artifact")
+    quantileLookup(readQuantileArtifact(spark, path), qsBp,
+      meta("mbits").toInt)
+  }
+
   /** Serve the artifact: union each group's shard sketches and
     * estimate — (g, approx_distinct). Union of HLL sketches over
     * disjoint-or-not shards is the sketch of the union of their

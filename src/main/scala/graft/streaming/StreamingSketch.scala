@@ -66,4 +66,22 @@ object StreamingSketch {
         Profile.profileIngestShard(batch, groupCol, keyCol, path, id)
       }
       .start()
+
+  /** The quantile counterpart: each micro-batch's (group, value)
+    * rows fold into the persisted log-histogram artifact
+    * ([[graft.operators.Profile.quantileIngestBatch]], keyed by batch
+    * id — counters, so the replay discipline is the CMS one:
+    * fingerprint-guarded overwrite-in-place makes an at-least-once
+    * redelivery exactly idempotent), and "p50/p95/p99 of the signal
+    * so far" serves from bucket-count state that never grows with
+    * the corpus — the latency/length/score telemetry shape. */
+  def quantileProfileIngest(rows: DataFrame, groupCol: String, valueCol: String,
+                            path: String, checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Profile.quantileIngestBatch(batch, groupCol, valueCol, path, id)
+      }
+      .start()
 }

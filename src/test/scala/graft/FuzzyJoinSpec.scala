@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.FuzzyJoin
+
+/** Edit-distance join: exact parity with all-pairs levenshtein on a
+  * fixture built to stress every pruning path — repeated-gram strings
+  * (multiset matching), strings under the gram-bound floor (short
+  * band path), empties, and hot shared grams (prefix filtering). */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val names = Seq(
+    "jon smith", "john smith", "jonn smith", "jane smythe", "j smith",
+    "abcd", "abcde", "aaaa", "aaa", "aa", "a", "", "zzzz",
+    "spark engine", "spark engines", "sprak engine", "spark  engine",
+    "entirely different string", "mississippi", "mississippe")
+
+  private def brute(k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex
+      d = lev(a, b) if d <= k
+    } yield (i.toLong, j.toLong, d)).toSet
+
+  test("editDistanceJoin ≡ all-pairs levenshtein at k=2 (repeats, shorts, empties)") {
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = FuzzyJoin.editDistanceJoin(df, df, "id", "s", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute(2))
+  }
+
+  test("k=1 and any partition layout: still exact") {
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    def run(parts: Int) = FuzzyJoin
+      .editDistanceJoin(df.repartition(parts), df, "id", "s", k = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run(2) === brute(1))
+    assert(run(7) === brute(1))
+  }
+
+  test("two-table form: dirty batch against a clean catalog") {
+    val catalog = Seq((1L, "acme holdings"), (2L, "globex corp"),
+      (3L, "initech llc")).toDF("id", "s")
+    val dirty = Seq((10L, "acme holding"), (11L, "globexx corp"),
+      (12L, "completely unrelated"), (13L, "initech lcl")).toDF("id", "s")
+    val got = FuzzyJoin.editDistanceJoin(dirty, catalog, "id", "s", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((10L, 1L, 1), (11L, 2L, 1), (13L, 3L, 2)))
+  }
+}

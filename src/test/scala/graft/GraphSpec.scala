@@ -58,6 +58,43 @@ class GraphSpec extends SparkSpec {
     assert(run(2) === run(17))
   }
 
+  test("personalized PageRank: mass stays with the seed component; Scala replay parity") {
+    // two disconnected components; the seed sits in the first (a
+    // dense 3-clique — bidirectional edges, so the seed's restart
+    // mass reflects back and it is strictly max from sweep 2 on; a
+    // plain directed cycle oscillates for ~50 sweeps) — the second
+    // can receive NOTHING (starts at 0, no teleport, no path)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = Graph.personalizedPageRank(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L).forall(got(_) === 0L),
+      "unreachable component must hold zero mass")
+    assert(got(1L) > got(2L), "the seed holds the restart mass")
+    // engine-independent Scala replay of the SQL semantics
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+    val sSet = Set(1L)
+    val odeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    var r = nodes.map(v => v -> (if (sSet(v)) S else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val d = r.map { case (k, v) => k -> v * 85 / 100 }
+      val dshare = nodes.filterNot(odeg.contains).map(d).sum // DIV 1 seed
+      val base = S * 15 / 100
+      r = nodes.map { v =>
+        val inc = edges.filter(_._2 == v).map { case (u, _) => d(u) / odeg(u) }.sum
+        v -> ((if (sSet(v)) base + dshare else 0L) + inc)
+      }.toMap
+    }
+    assert(got === r)
+    // a seed set absent from the graph is a loud error, not a 0-graph
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq(99L).toDF("node"), iters = 2)
+    }
+  }
+
   test("spark ranks equal the unrolled-SQL semantics on a dangling-heavy fixture") {
     // replay pageRankSql's arithmetic in Scala over the same edges —
     // an engine-independent second implementation of the spec

@@ -423,6 +423,45 @@ class StreamingSpec extends SparkSpec {
     assert(served === est, "replayed batch changed the artifact")
   }
 
+  test("streaming quantile ingest: folded log-histogram ≡ one-shot over the union, replay no-op") {
+    import graft.operators.Profile
+    import graft.streaming.StreamingSketch
+    val root = Files.createTempDirectory("graft-quantingest").toString
+    val raw = s"$root/raw"; val art = s"$root/quant"
+    new java.io.File(raw).mkdirs()
+    Profile.initQuantileArtifact(spark, art, mbits = 6)
+    def land(name: String, rows: Seq[(String, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (g, v) => s"""{"g":"$g","v":$v}""" }
+          .mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    def drain(): Unit = {
+      val q = StreamingSketch.quantileProfileIngest(
+        spark.readStream.schema(schema).json(raw), "g", "v", art, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    val b1 = (1L to 60L).map(i => ("g1", i * 13 % 200)) ++ Seq(("g2", 5L))
+    val b2 = (1L to 40L).map(i => ("g1", 500L + i * 97)) ++ Seq(("g2", 7L))
+    land("c1.json", b1); drain()
+    land("c2.json", b2); drain()
+    def buckets: Seq[(String, Int, Long, Long)] =
+      Profile.readQuantileArtifact(spark, art)
+        .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    val served = buckets
+    val oneShot = Profile.logHistogram(
+        (b1 ++ b2).toDF("g", "v"), "g", "v", mbits = 6)
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    assert(served === oneShot, "streamed fold diverged from one-shot build")
+    // at-least-once replay of batch 0: byte-identical no-op
+    Profile.quantileIngestBatch(b1.toDF("g", "v"), "g", "v", art, 0L)
+    assert(buckets === served, "replayed batch changed the artifact")
+    // a fold against an uninitialized artifact fails loudly
+    intercept[IllegalArgumentException] {
+      Profile.quantileIngestBatch(b1.toDF("g", "v"), "g", "v", s"$root/nope", 0L)
+    }
+  }
+
   test("mapGroupsWithState running EMA carries recursion across micro-batches") {
     import graft.streaming.StatefulIndicators
     import graft.streaming.StatefulIndicators.{EmaOut, Tick}
