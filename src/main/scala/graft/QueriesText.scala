@@ -304,6 +304,30 @@ object QueriesText {
     })
   }
 
+  /** Exact materialized-aggregate artifact per (JVM, source dir):
+    * per-returnflag (count, price-cents sum) maintained by batch
+    * folds (lineitem split by l_orderkey parity, batch 0 REPLAYED).
+    * Additivity makes the served view EXACT, so q_agg_artifact's
+    * oracle is the plain GROUP BY over the whole table. */
+  private def aggArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"aggart:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-aggart").toString
+      graft.operators.Profile.initAggArtifact(s, path, "g", "v")
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      graft.operators.Profile.aggIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
+      graft.operators.Profile.aggIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "g", "v", path, batchKey = 1L)
+      // redelivered batch 0: overwrites its own partition byte-identically
+      graft.operators.Profile.aggIngestBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
+      path
+    })
+  }
+
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
     * emits per-probe recall/MRR/nDCG at cutoff `k` — ONE definition
@@ -1440,6 +1464,67 @@ object QueriesText {
     // the one-shot sketch's, so the oracle IS q_cms_counts' SQL. What
     // this row proves that q_cms_counts doesn't: the artifact's
     // init → fold → replay → read path serves exact counters too.
+    // CMS inner-product join-size estimate (Cormode & Muthukrishnan
+    // 2005 §4.2): |orders ⋈ lineitem| from two depth×width counter
+    // sketches — min over rows of the per-row dot product. The
+    // planning stat a 100 TB engine consults before choosing
+    // broadcast vs shuffle vs salting, answerable from kilobytes of
+    // standing state without scanning either table. Same md5
+    // bucketing as q_cms_counts, so the ESTIMATE itself (not just
+    // the gates) replays value-exactly in DuckDB, next to the exact
+    // join count (the audit side) and the two analytic guarantees:
+    // never-under, and over by ≤ 3·|A|·|B|/width (integer form).
+    register("q_join_size_sketch",
+      """WITH rr AS (SELECT unnest(range(4)) AS r),
+        |ska AS (
+        |  SELECT r,
+        |         CAST(concat('0x', substring(md5(concat(r, ':', o_orderkey)), 1, 15)) AS BIGINT) % 65536 AS c,
+        |         count(*) AS cnt
+        |  FROM orders CROSS JOIN rr GROUP BY 1, 2),
+        |skb AS (
+        |  SELECT r,
+        |         CAST(concat('0x', substring(md5(concat(r, ':', l_orderkey)), 1, 15)) AS BIGINT) % 65536 AS c,
+        |         count(*) AS cnt
+        |  FROM lineitem CROSS JOIN rr GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT a.r, sum(a.cnt * b.cnt) AS dot
+        |  FROM ska a JOIN skb b ON a.r = b.r AND a.c = b.c
+        |  GROUP BY a.r),
+        |est AS (SELECT min(dot) AS est FROM ip),
+        |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS na FROM ska WHERE r = 0),
+        |nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM skb WHERE r = 0),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT CAST(e.est AS BIGINT) AS est, x.exact_n, na.na, nb.nb,
+        |       (e.est >= x.exact_n) AS never_under,
+        |       ((e.est - x.exact_n) * 65536 <= 3 * na.na * nb.nb) AS within_bound
+        |FROM est e CROSS JOIN ex x CROSS JOIN na CROSS JOIN nb""") { (s, dir) =>
+      // DENSE path end to end: each side is ONE pushed single-column
+      // scan folded by the native graft_cms aggregate into a single
+      // 4·65536-counter array row (one buffer per partition shipped —
+      // the declarative explode+groupBy form ships partitions ×
+      // cells rows and measured 3+ s/side here); est, |A|, |B| are
+      // then array arithmetic on two rows, zero shuffles. The exact
+      // join is the audit side.
+      val o = Tables.orders(s, dir).select(col("o_orderkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val est = graft.operators.Profile.joinSizeEstimateDense(
+        graft.operators.Profile
+          .countMinSketchDenseRow(o, "o_orderkey", depth = 4, width = 65536),
+        graft.operators.Profile
+          .countMinSketchDenseRow(l, "l_orderkey", depth = 4, width = 65536),
+        depth = 4, width = 65536)
+      val ex = o.join(l.hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      est.crossJoin(broadcast(ex))
+        .select(col("est"), col("exact_n"), col("na"), col("nb"),
+          (col("est") >= col("exact_n")).as("never_under"),
+          ((col("est") - col("exact_n")) * 65536
+            <= lit(3L) * col("na") * col("nb")).as("within_bound"))
+    }
+
     register("q_cms_artifact", cmsCountsSql) { (s, dir) =>
       val toks = Tables.documents(s, dir)
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
@@ -1644,6 +1729,24 @@ object QueriesText {
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx_distinct") - col("exact_orders"))
             <= col("exact_orders") * 0.06).as("orders_ok"))
+        .orderBy("l_returnflag")
+    }
+
+    // Exact materialized aggregate served from the IVM artifact (two
+    // batch folds + a replayed redelivery — see aggArtifactRoot): the
+    // EXACT tier of the artifact family. Count/sum are additive, so
+    // the incrementally-maintained view must equal the plain GROUP BY
+    // over the whole table — which IS the oracle. What this row
+    // gates: the per-batch pre-aggregation, the contract-frozen meta,
+    // the idempotent redelivery, and the serving fold.
+    register("q_agg_artifact",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      graft.operators.Profile.readAggArtifact(s, aggArtifactRoot(s, dir))
+        .select(col("g").as("l_returnflag"), col("cnt"),
+          col("sum").as("sum_cents"))
         .orderBy("l_returnflag")
     }
 

@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EmaAggregate(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAggregate].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_cms(key, depth, width) takes 3 arguments")
+        CmsAggregate(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
       (children: Seq[Expression]) => {

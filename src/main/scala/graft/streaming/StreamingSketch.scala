@@ -84,4 +84,19 @@ object StreamingSketch {
         Profile.quantileIngestBatch(batch, groupCol, valueCol, path, id)
       }
       .start()
+
+  /** The EXACT tier: per-group (count, sum) materialized view folded
+    * batch-by-batch ([[graft.operators.Profile.aggIngestBatch]]) —
+    * incremental view maintenance as a stream sink. Count and sum are
+    * additive, so unlike the sketch folds the served view is exact,
+    * with the same overwrite-in-place replay idempotence. */
+  def additiveAggIngest(rows: DataFrame, groupCol: String, valueCol: String,
+                        path: String, checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Profile.aggIngestBatch(batch, groupCol, valueCol, path, id)
+      }
+      .start()
 }

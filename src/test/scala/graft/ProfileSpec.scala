@@ -152,6 +152,91 @@ class ProfileSpec extends SparkSpec {
     assert(rows(merged) === rows(whole))
   }
 
+  test("agg artifact: batch folds + replay serve the exact GROUP BY; contract guard is loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aggart-spec").toString
+    try {
+      val rows = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 7L), ("c", 1L))
+        .toDF("g", "v")
+      Profile.initAggArtifact(spark, root, "g", "v")
+      Profile.aggIngestBatch(rows.filter($"v" % 2 === 0), "g", "v", root, 0L)
+      Profile.aggIngestBatch(rows.filter($"v" % 2 =!= 0), "g", "v", root, 1L)
+      // at-least-once redelivery: byte-identical no-op
+      Profile.aggIngestBatch(rows.filter($"v" % 2 === 0), "g", "v", root, 0L)
+      val served = Profile.readAggArtifact(spark, root)
+        .as[(String, Long, Long)].collect().toSet
+      assert(served === Set(("a", 2L, 30L), ("b", 2L, 12L), ("c", 1L, 1L)))
+      // a DIFFERENT payload under a used batch key fails loudly
+      val collide = intercept[IllegalArgumentException] {
+        Profile.aggIngestBatch(rows.filter($"v" % 2 =!= 0), "g", "v", root, 0L)
+      }
+      assert(collide.getMessage.contains("DIFFERENT contribution"))
+      // folding under a different (group, value) contract fails loudly
+      val wrong = intercept[IllegalArgumentException] {
+        Profile.aggIngestBatch(rows.withColumnRenamed("v", "w"), "g", "w", root, 2L)
+      }
+      assert(wrong.getMessage.contains("different (group, value) contract"))
+      val reinit = intercept[IllegalArgumentException] {
+        Profile.initAggArtifact(spark, root, "g", "w")
+      }
+      assert(reinit.getMessage.contains("different dimensions"))
+    } finally rmTree(root)
+  }
+
+  test("countMinSketchDense ≡ countMinSketch: identical sparse counters at any width/layout") {
+    val data = cmsKeys("a" -> 100, "b" -> 50, "c" -> 7, "d" -> 1)
+    def sparse(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long)].collect().toSet
+    for ((depth, width) <- Seq((4, 512), (3, 65536), (1, 2))) {
+      val declarative = sparse(Profile.countMinSketch(data, "k", depth, width))
+      val dense = sparse(Profile.countMinSketchDense(data, "k", depth, width))
+      assert(dense === declarative, s"divergence at depth=$depth width=$width")
+      val densePart = sparse(Profile.countMinSketchDense(
+        data.repartition(7), "k", depth, width))
+      assert(densePart === declarative, s"layout-dependence at depth=$depth width=$width")
+    }
+    // nulls are skipped, not hashed as a key — by BOTH forms
+    val withNull = data.unionByName(spark.sql("SELECT CAST(NULL AS STRING) AS k"))
+    assert(sparse(Profile.countMinSketchDense(withNull, "k", 4, 512))
+      === sparse(Profile.countMinSketch(data, "k", 4, 512)))
+    assert(sparse(Profile.countMinSketch(withNull, "k", 4, 512))
+      === sparse(Profile.countMinSketch(data, "k", 4, 512)))
+  }
+
+  test("joinSizeEstimate: exact inner product when wide, never under when cramped") {
+    // true join size = Σ_k f_A(k)·f_B(k) = 30·10 + 5·8 = 340
+    val a = cmsKeys("a" -> 30, "b" -> 5, "x" -> 2)
+    val b = cmsKeys("a" -> 10, "b" -> 8, "y" -> 4)
+    val trueSize = 340L
+    // wide sketches: no colliding cells → the estimate IS the inner product
+    val wide = Profile.joinSizeEstimate(
+        Profile.countMinSketch(a, "k", depth = 4, width = 65536),
+        Profile.countMinSketch(b, "k", depth = 4, width = 65536))
+      .as[Long].collect().head
+    assert(wide === trueSize)
+    // cramped sketches (width 4): collisions add non-negative cross
+    // terms — the min-of-rows estimate must still never undershoot
+    val tight = Profile.joinSizeEstimate(
+        Profile.countMinSketch(a, "k", depth = 4, width = 4),
+        Profile.countMinSketch(b, "k", depth = 4, width = 4))
+      .as[Long].collect().head
+    assert(tight >= trueSize, s"underestimate: $tight < $trueSize")
+    // dense zero-shuffle form: same estimate as the sparse join form
+    // at both widths, and na/nb recover the operand sizes exactly
+    for (w <- Seq(4, 65536)) {
+      val (est, na, nb) = Profile.joinSizeEstimateDense(
+          Profile.countMinSketchDenseRow(a, "k", depth = 4, width = w),
+          Profile.countMinSketchDenseRow(b, "k", depth = 4, width = w),
+          depth = 4, width = w)
+        .as[(Long, Long, Long)].collect().head
+      val sparse = Profile.joinSizeEstimate(
+          Profile.countMinSketch(a, "k", depth = 4, width = w),
+          Profile.countMinSketch(b, "k", depth = 4, width = w))
+        .as[Long].collect().head
+      assert(est === sparse, s"dense/sparse estimate divergence at width $w")
+      assert(na === 37L && nb === 22L, s"operand sizes wrong at width $w: $na, $nb")
+    }
+  }
+
   test("cms is identical at any partition layout") {
     val data = cmsKeys("a" -> 100, "b" -> 50, "c" -> 7)
     def run(parts: Int) =
