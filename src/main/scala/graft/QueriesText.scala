@@ -1829,6 +1829,76 @@ object QueriesText {
       quantileAudit(s, vals, est)
     }
 
+    // PSI drift from STANDING sketch state: at 100 TB, "did this
+    // corpus snapshot shift against the last one" is answered from
+    // two kilobyte log-histogram sketches (the quantile-artifact
+    // frames), never a re-scan. Two comparisons per group: even-vs-
+    // odd orderkey splits of the same distribution (PSI lands in the
+    // <0.1 stable band) and the corpus vs its one-octave price shift
+    // (v*2 — every bucket moves, PSI ≫ 0.25), plus the ordering gate.
+    // Buckets are the all-integer log-histogram cells; the smoothing
+    // universe is the per-group UNION of observed buckets; the term
+    // fold runs in (e, s) bucket order (the q_psi_drift idiom), so
+    // DuckDB replays the doubles to the rounded 6dp exactly.
+    locally {
+      def bkSql(src: String) =
+        s"""(SELECT g, e, s, count(*) AS cnt FROM (
+           |  SELECT g, length(bin(v)) - 1 AS e,
+           |         CASE WHEN length(bin(v)) - 1 < 6 THEN v
+           |              ELSE (v >> (length(bin(v)) - 1 - 6)) - 64 END AS s
+           |  FROM $src) GROUP BY 1, 2, 3)""".stripMargin
+      def psiSql(pfx: String, b: String, c: String, out: String) =
+        s"""u$pfx AS (SELECT g, e, s, sum(n_base) AS n_base, sum(n_cur) AS n_cur FROM (
+           |  SELECT g, e, s, cnt AS n_base, 0 AS n_cur FROM $b
+           |  UNION ALL SELECT g, e, s, 0, cnt FROM $c) GROUP BY 1, 2, 3),
+           |t$pfx AS (SELECT g, sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nbk
+           |          FROM u$pfx GROUP BY g),
+           |terms$pfx AS (
+           |  SELECT u.g, e, s,
+           |         ((n_base + 1.0) / (tb + nbk) - (n_cur + 1.0) / (tc + nbk))
+           |           * ln(((n_base + 1.0) / (tb + nbk)) / ((n_cur + 1.0) / (tc + nbk))) AS term
+           |  FROM u$pfx u JOIN t$pfx t ON u.g = t.g),
+           |psi$pfx AS (
+           |  SELECT g, round(list_sum(list_transform(list(struct_pack(e := e, s := s, term := term)
+           |                                               ORDER BY e, s), x -> x.term)) + 0.0, 6) AS $out
+           |  FROM terms$pfx GROUP BY g)""".stripMargin
+      register("q_quantile_drift",
+        s"""WITH vals AS (SELECT l_returnflag AS g, l_orderkey AS k,
+           |                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+           |bk0 AS ${bkSql("(SELECT g, v FROM vals WHERE k % 2 = 0)")},
+           |bk1 AS ${bkSql("(SELECT g, v FROM vals WHERE k % 2 = 1)")},
+           |bkall AS ${bkSql("(SELECT g, v FROM vals)")},
+           |bksh AS ${bkSql("(SELECT g, v * 2 AS v FROM vals)")},
+           |${psiSql("A", "bk0", "bk1", "psi_same")},
+           |${psiSql("B", "bkall", "bksh", "psi_shift")}
+           |SELECT a.g AS g, a.psi_same, b.psi_shift,
+           |       (b.psi_shift > a.psi_same) AS shift_dominates
+           |FROM psiA a JOIN psiB b USING (g) ORDER BY g""") { (s, dir) =>
+        val vals = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+          col("l_orderkey").as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        def sk(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Profile.logHistogram(df, "g", "v", mbits = 6)
+        def fold(base: org.apache.spark.sql.DataFrame,
+                 cur: org.apache.spark.sql.DataFrame, out: String) =
+          graft.operators.Profile.psiFromLogHistograms(base, cur)
+            .groupBy("g")
+            .agg(sort_array(collect_list(
+              struct(col("e"), col("s"), col("term")))).as("cs"))
+            .select(col("g"),
+              round(aggregate(col("cs"), lit(0.0),
+                (a, x) => a + x.getField("term")) + lit(0.0), 6).as(out))
+        val same = fold(sk(vals.filter(col("k") % 2 === 0)),
+          sk(vals.filter(col("k") % 2 =!= 0)), "psi_same")
+        val shift = fold(sk(vals), sk(vals.select(col("g"), (col("v") * 2).as("v"))),
+          "psi_shift")
+        same.join(shift, Seq("g"))
+          .select(col("g"), col("psi_same"), col("psi_shift"),
+            (col("psi_shift") > col("psi_same")).as("shift_dominates"))
+          .orderBy("g")
+      }
+    }
+
     // The ARTIFACT lifecycle form of q_quantile_sketch: the sketch is
     // served from the persisted parts/b= fold (two batch
     // contributions + a replayed batch 0 — see quantileArtifactRoot),

@@ -91,16 +91,29 @@ object FuzzyJoin {
     val lSrc = left.select(col(idCol), col(strCol)).localCheckpoint()
     val rSrc = if (right eq left) lSrc
       else right.select(col(idCol), col(strCol)).localCheckpoint()
+    val selfJoin = right eq left
     val ga = gramRows(lSrc, idCol, strCol, q, "a")
-    val gb = gramRows(rSrc, idCol, strCol, q, "b")
+    val gb = if (selfJoin) null else gramRows(rSrc, idCol, strCol, q, "b")
     // one shared rarity order over both sides' gram occurrences —
-    // vocab-sized, consumed by both prefix selections
-    val dfreq = ga.select(col("g"), col("occ"))
-      .unionByName(gb.select(col("g"), col("occ")))
+    // vocab-sized, consumed by both prefix selections. Self-join:
+    // count ONE side; the two-side union would exactly double every
+    // count, and the prefix selection depends only on the ORDER
+    // (df asc, g, occ), which a monotone doubling cannot change — so
+    // the selected prefixes, hence the result, are identical (the
+    // oracle keeps the doubled form; both verify to the same pairs)
+    val dfreq = (if (selfJoin) ga.select(col("g"), col("occ"))
+      else ga.select(col("g"), col("occ"))
+        .unionByName(gb.select(col("g"), col("occ"))))
       .groupBy("g", "occ").agg(count(lit(1)).as("df"))
       .localCheckpoint()
-    val pa = prefixRows(ga, dfreq, "a", prefixLen)
-    val pb = prefixRows(gb, dfreq, "b", prefixLen)
+    // self-join: ONE gram explode + ONE prefix window pass, pinned,
+    // then renamed for the b side — halves the dominant stages
+    val pa = if (selfJoin) prefixRows(ga, dfreq, "a", prefixLen).localCheckpoint()
+      else prefixRows(ga, dfreq, "a", prefixLen)
+    val pb = if (selfJoin)
+      pa.select(col("a_id").as("b_id"), col("a_s").as("b_s"),
+        col("a_len").as("b_len"), col("g"), col("occ"))
+      else prefixRows(gb, dfreq, "b", prefixLen)
     val verifyCols = Seq(col("a_id"), col("b_id"),
       levenshtein(col("a_s"), col("b_s"), k).as("dist"))
     val gramPairs = pa.join(pb.hint("shuffle_hash"), Seq("g", "occ"))

@@ -507,6 +507,21 @@ object Profile {
 
   // ── exact materialized aggregate (incremental view maintenance) ────
 
+  /** The fixed-point tiers take LONG values by contract (sums and
+    * bucket indices replay exactly; fp would drift) — reject
+    * fractional input types up front rather than silently truncating
+    * them through `cast("long")` (round(x*100) cents is the caller's
+    * explicit, visible step). */
+  private def requireIntegral(df: DataFrame, valueCol: String, what: String): Unit = {
+    val dt = df.schema(valueCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType
+        || dt == org.apache.spark.sql.types.IntegerType
+        || dt == org.apache.spark.sql.types.ShortType
+        || dt == org.apache.spark.sql.types.ByteType,
+      s"$what: $valueCol must be an integral fixed-point column " +
+        s"(got $dt) — convert explicitly, e.g. round(x * 100).cast(\"long\")")
+  }
+
   /** 60-bit md5 contract id for the additive-agg artifact: re-init
     * with different (group, value) columns must fail the geometry
     * guard the same way mismatched sketch dims do — folding batches
@@ -547,6 +562,7 @@ object Profile {
       s"agg artifact at $path was initialized for a different (group, value) " +
         s"contract — folding ($groupCol, $valueCol) batches into it would serve " +
         "silently wrong aggregates; initialize a separate artifact")
+    requireIntegral(df, valueCol, "aggIngestBatch")
     landBatchPart(
       df.select(col(groupCol).cast("string").as("g"),
           col(valueCol).cast("long").as("__v"))
@@ -600,6 +616,7 @@ object Profile {
   def logHistogram(df: DataFrame, groupCol: String, valueCol: String,
                    mbits: Int = 6): DataFrame = {
     require(mbits >= 2 && mbits <= 20, s"mbits must be in 2..20, got $mbits")
+    requireIntegral(df, valueCol, "logHistogram")
     df.select(col(groupCol).cast("string").as("g"),
         when(col(valueCol) < 0, raise_error(concat(
           lit(s"logHistogram: negative $valueCol: "),
@@ -656,6 +673,38 @@ object Profile {
       .filter(col("cum") * 10000 >= col("q_bp").cast("long") * col("n"))
       .groupBy("g", "q_bp")
       .agg(min(col("lb")).as("est"), min(col("n")).as("n"))
+  }
+
+  /** PSI between two log-histogram sketches with the same mbits —
+    * the drift monitor ([[psi]]) computed from STANDING sketch state
+    * instead of two corpus scans: at 100 TB, "did this week's corpus
+    * shift against last week's" is answered from two kilobyte-scale
+    * artifacts ([[readQuantileArtifact]] / [[logHistogram]] frames),
+    * never a re-read. Per group: the bucket universe is the UNION of
+    * both sketches' observed (e, s) buckets, Laplace smoothing over
+    * that union's size (the log-bucket space is sparse and unbounded,
+    * so the fixed-grid densify of [[psi]] doesn't apply; the union
+    * definition is deterministic given the two sketches — same
+    * smoothing scale in any engine). Returns per-bucket terms
+    * (g, e, s, n_base, n_cur, term); callers fold `term` in (e, s)
+    * bucket order (the q_psi_drift idiom) so the double sum replays
+    * engine-exactly. */
+  def psiFromLogHistograms(base: DataFrame, current: DataFrame): DataFrame = {
+    val u = base.select(col("g"), col("e"), col("s"),
+        col("cnt").as("n_base"), lit(0L).as("n_cur"))
+      .unionByName(current.select(col("g"), col("e"), col("s"),
+        lit(0L).as("n_base"), col("cnt").as("n_cur")))
+      .groupBy("g", "e", "s")
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"))
+    val tot = u.groupBy("g").agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"),
+      count(lit(1)).as("nbk"))
+    u.join(broadcast(tot), Seq("g"))
+      .withColumn("p", (col("n_base") + lit(1.0)) / (col("tb") + col("nbk")))
+      .withColumn("q", (col("n_cur") + lit(1.0)) / (col("tc") + col("nbk")))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .select(col("g"), col("e"), col("s"),
+        col("n_base"), col("n_cur"), col("term"))
   }
 
   /** Initialize a persisted quantile-profile artifact at `path`:

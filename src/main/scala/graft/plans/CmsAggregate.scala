@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
   * expressed as a first-class Catalyst aggregate (ObjectHashAggregate
   * handles the non-mutable buffer).
   *
+  * Scope: designed for GLOBAL aggregation (or a handful of groups) —
+  * the buffer is depth·width·8 bytes PER GROUP, so a high-cardinality
+  * groupBy over this aggregate would allocate corpus-scale state;
+  * per-key frequency questions belong to the sparse form + cmsLookup.
+  *
   * Hash parity is load-bearing: counters must equal the SQL form's
   * exactly (bucket r of key k = first 60 bits of md5("r:k") mod
   * width), so the sparse view of this array is byte-identical to the

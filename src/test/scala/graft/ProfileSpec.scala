@@ -179,6 +179,14 @@ class ProfileSpec extends SparkSpec {
         Profile.initAggArtifact(spark, root, "g", "w")
       }
       assert(reinit.getMessage.contains("different dimensions"))
+      // fractional value columns are rejected, not silently truncated:
+      // the contract hash can't see types, so the fold itself guards
+      Profile.initAggArtifact(spark, s"$root/dbl", "g", "v")
+      val frac = intercept[IllegalArgumentException] {
+        Profile.aggIngestBatch(Seq(("a", 1.5)).toDF("g", "v"), "g", "v",
+          s"$root/dbl", 0L)
+      }
+      assert(frac.getMessage.contains("integral fixed-point"))
     } finally rmTree(root)
   }
 

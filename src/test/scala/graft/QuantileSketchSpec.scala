@@ -72,6 +72,32 @@ class QuantileSketchSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("psiFromLogHistograms: exactly zero on identical sketches, shifted-band positive under an octave shift") {
+    val sk = Profile.logHistogram(df(), "g", "v", mbits = 6)
+    // identical sketches: p = q in every bucket → every term is 0.0
+    // EXACTLY (no smoothing asymmetry, no fp residue)
+    val sameTerms = Profile.psiFromLogHistograms(sk, sk)
+      .select(col("term")).as[Double].collect()
+    assert(sameTerms.nonEmpty && sameTerms.forall(_ === 0.0))
+    // one octave up (v*2): every log bucket moves → PSI far above the
+    // 0.25 "shifted" band in every group
+    val shifted = Profile.logHistogram(
+      df().select(col("g"), (col("v") * 2).as("v")), "g", "v", mbits = 6)
+    val drift = Profile.psiFromLogHistograms(sk, shifted)
+      .groupBy("g").agg(sum(col("term")).as("psi"))
+      .as[(String, Double)].collect().toMap
+    assert(drift.keySet === Set("a", "b"))
+    assert(drift.values.forall(_ > 0.25), s"drift too small: $drift")
+  }
+
+  test("fractional value columns are rejected, not silently truncated") {
+    val dbl = Seq(("a", 5.75)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.logHistogram(dbl, "g", "v", mbits = 6)
+    }
+    assert(e.getMessage.contains("integral fixed-point"))
+  }
+
   test("artifact: fold of two batches + replayed redelivery ≡ one-shot sketch") {
     val root = java.nio.file.Files.createTempDirectory("graft-quant-spec").toString
     try {
