@@ -237,23 +237,35 @@ object QueriesText {
     * contract, not just the happy path. By counter linearity the fold
     * equals the one-shot sketch, so q_cms_artifact shares
     * q_cms_counts' value-exact oracle character for character. */
-  private def cmsArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  /** Shared parity-split artifact lifecycle (r15 review: ONE scaffold
+    * instead of a hand-rolled copy per artifact family): temp root →
+    * `init` → batch 0 (even `parityCol`) → batch 1 (odd) → batch 0
+    * REPLAYED (the at-least-once redelivery every family's registry
+    * row must prove is a no-op) — cached per (family, source dir). */
+  private def parityArtifactRoot(dir: String, family: String,
+      source: => org.apache.spark.sql.DataFrame, parityCol: String)(
+      init: String => Unit)(
+      ingest: (org.apache.spark.sql.DataFrame, String, Long) => Unit): String = {
     lshCleanupHook
-    lshIndexes.computeIfAbsent(s"cmsart:$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-cmsart").toString
-      graft.operators.Profile.initCmsArtifact(s, path, depth = 4, width = 512)
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
-      graft.operators.Profile.cmsIngestBatch(
-        toks.filter(col("doc_id") % 2 === 0), "tok", path, batchKey = 0L)
-      graft.operators.Profile.cmsIngestBatch(
-        toks.filter(col("doc_id") % 2 === 1), "tok", path, batchKey = 1L)
+    lshIndexes.computeIfAbsent(s"$family:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory(s"graft-$family").toString
+      init(path)
+      val src = source
+      ingest(src.filter(col(parityCol) % 2 === 0), path, 0L)
+      ingest(src.filter(col(parityCol) % 2 === 1), path, 1L)
       // redelivered batch 0: overwrites its own partition byte-identically
-      graft.operators.Profile.cmsIngestBatch(
-        toks.filter(col("doc_id") % 2 === 0), "tok", path, batchKey = 0L)
+      ingest(src.filter(col(parityCol) % 2 === 0), path, 0L)
       path
     })
   }
+
+  private def cmsArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    parityArtifactRoot(dir, "cmsart",
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok")),
+      "doc_id")(
+      graft.operators.Profile.initCmsArtifact(s, _, depth = 4, width = 512))(
+      (df, p, b) => graft.operators.Profile.cmsIngestBatch(df, "tok", p, b))
 
   /** Persisted HLL profile artifact per (JVM, source dir): per-group
     * distinct-order sketches built shard-by-shard (lineitem split in
@@ -262,22 +274,13 @@ object QueriesText {
     * the oracle-exact AUDIT form: exact distincts next to a boolean
     * gate that the artifact-served estimates sit inside the sketch's
     * error bound — the q_sketch_check pattern for the ARTIFACT tier. */
-  private def profileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    lshCleanupHook
-    lshIndexes.computeIfAbsent(s"profart:$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-profart").toString
-      graft.operators.Profile.initProfileArtifact(s, path, lgConfigK = 12)
-      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey")
-      graft.operators.Profile.profileIngestShard(
-        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey", path, 0L)
-      graft.operators.Profile.profileIngestShard(
-        li.filter(col("l_orderkey") % 2 === 1), "l_returnflag", "l_orderkey", path, 1L)
-      // redelivered shard 0: overwrites its own partition in place
-      graft.operators.Profile.profileIngestShard(
-        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey", path, 0L)
-      path
-    })
-  }
+  private def profileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    parityArtifactRoot(dir, "profart",
+      Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey"),
+      "l_orderkey")(
+      graft.operators.Profile.initProfileArtifact(s, _, lgConfigK = 12))(
+      (df, p, b) => graft.operators.Profile.profileIngestShard(
+        df, "l_returnflag", "l_orderkey", p, b))
 
   /** Persisted log-histogram quantile artifact per (JVM, source dir):
     * per-group price sketches built batch-by-batch (lineitem split in
@@ -285,48 +288,28 @@ object QueriesText {
     * redelivery) and served by the linear fold. By counter linearity
     * the folded sketch is byte-identical to the one-shot build, so
     * q_quantile_artifact shares q_quantile_sketch's oracle. */
-  private def quantileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    lshCleanupHook
-    lshIndexes.computeIfAbsent(s"quantart:$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-quantart").toString
-      graft.operators.Profile.initQuantileArtifact(s, path, mbits = 6)
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-        col("l_returnflag").as("g"),
-        round(col("l_extendedprice") * 100).cast("long").as("v"))
-      graft.operators.Profile.quantileIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
-      graft.operators.Profile.quantileIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 1), "g", "v", path, batchKey = 1L)
-      // redelivered batch 0: overwrites its own partition byte-identically
-      graft.operators.Profile.quantileIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
-      path
-    })
-  }
+  /** The (g, v) lineitem frame shared by the quantile and additive-agg
+    * artifact fixtures: price cents per returnflag, keyed for the
+    * parity split. */
+  private def priceCentsByFlag(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+
+  private def quantileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    parityArtifactRoot(dir, "quantart", priceCentsByFlag(s, dir), "l_orderkey")(
+      graft.operators.Profile.initQuantileArtifact(s, _, mbits = 6))(
+      (df, p, b) => graft.operators.Profile.quantileIngestBatch(df, "g", "v", p, b))
 
   /** Exact materialized-aggregate artifact per (JVM, source dir):
     * per-returnflag (count, price-cents sum) maintained by batch
     * folds (lineitem split by l_orderkey parity, batch 0 REPLAYED).
     * Additivity makes the served view EXACT, so q_agg_artifact's
     * oracle is the plain GROUP BY over the whole table. */
-  private def aggArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    lshCleanupHook
-    lshIndexes.computeIfAbsent(s"aggart:$dir", { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft-aggart").toString
-      graft.operators.Profile.initAggArtifact(s, path, "g", "v")
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-        col("l_returnflag").as("g"),
-        round(col("l_extendedprice") * 100).cast("long").as("v"))
-      graft.operators.Profile.aggIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
-      graft.operators.Profile.aggIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 1), "g", "v", path, batchKey = 1L)
-      // redelivered batch 0: overwrites its own partition byte-identically
-      graft.operators.Profile.aggIngestBatch(
-        li.filter(col("l_orderkey") % 2 === 0), "g", "v", path, batchKey = 0L)
-      path
-    })
-  }
+  private def aggArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    parityArtifactRoot(dir, "aggart", priceCentsByFlag(s, dir), "l_orderkey")(
+      graft.operators.Profile.initAggArtifact(s, _, "g", "v"))(
+      (df, p, b) => graft.operators.Profile.aggIngestBatch(df, "g", "v", p, b))
 
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
@@ -1490,7 +1473,8 @@ object QueriesText {
         |  SELECT a.r, sum(a.cnt * b.cnt) AS dot
         |  FROM ska a JOIN skb b ON a.r = b.r AND a.c = b.c
         |  GROUP BY a.r),
-        |est AS (SELECT min(dot) AS est FROM ip),
+        |est AS (SELECT coalesce(min(coalesce(ip.dot, 0)), 0) AS est
+        |        FROM rr LEFT JOIN ip USING (r)),
         |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS na FROM ska WHERE r = 0),
         |nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM skb WHERE r = 0),
         |ex AS (

@@ -47,84 +47,47 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
     require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+    val e = prepEdges(edges)
+    val nodes = nodeSet(e)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
-    val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // pre-partition the edge table by the per-sweep join key: damped
-    // ranks come out of their agg hash-partitioned by node (= src
-    // after the rename), so with the edge side pinned to the same
-    // key only the dst-sum — the actual rank transport — shuffles
-    // inside a sweep
-    val edgesDeg = e.join(withDeg, "src")
-      .repartition(col("src")).localCheckpoint()
-    val base = (scale * 15L / 100L) / n
-    var ranks = nodes.withColumn("r", lit(scale / n))
-    for (i <- 1 to iters) {
-      val damped = ranks.select(col("node"), expr("r * 85 DIV 100").as("d"))
-      // dangling mass: damped rank of nodes with no out-edges, pooled
-      // into ONE row and shared DIV n — broadcast, never a shuffle.
-      // shuffle_hash hints keep every key join off the sort-merge
-      // path at any stats estimate (checkpointed sides have none).
-      val dangling = damped
-        .join(withDeg.select(col("src").as("node")).hint("shuffle_hash"),
-          Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("d")), lit(0L)).as("dt"))
-        .select(expr(s"dt DIV $n").as("dshare"))
-      val incoming = edgesDeg
-        .join(damped.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
-        .select(col("dst").as("node"), expr("d DIV outdeg").as("share"))
-        .groupBy("node")
-        .agg(sum(col("share")).as("inc"))
-      ranks = nodes
-        .join(incoming.hint("shuffle_hash"), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(base) + col("dshare") + coalesce(col("inc"), lit(0L))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
-    }
-    ranks.select(col("node"), col("r").as("rank"))
+    // uniform PageRank IS the all-seeds special case: every node gets
+    // the restart + dangling share, so when(is_seed, …) reduces to
+    // the unconditional term — ONE sweep implementation serves both
+    // (it couldn't stay arithmetically identical as two copies)
+    rankSweeps(e, nodes.withColumn("is_seed", lit(true)), n, iters, scale)
   }
 
-  /** Personalized PageRank: teleport mass restarts at the SEED set
-    * instead of uniformly — rank becomes proximity-to-seeds, the
-    * seed-expansion primitive curation pipelines use to grow a
-    * quality corpus from a vetted kernel (rank every source by its
-    * link-proximity to the known-good ones, take the top tier).
-    * Same integer fixed-point contract as [[pageRank]]; the 15 %
-    * restart mass and all dangling mass go to the seeds, split
-    * `DIV |seeds|`; non-seed nodes start at 0. Seeds are a (node)
-    * frame; seeds absent from the graph are ignored (at least one
-    * must be present). */
-  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
-                           scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
-    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+  /** Collapsed, self-loop-free, pinned edge table. */
+  private def prepEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+
+  /** Distinct endpoint set of a prepped edge table, pinned. */
+  private def nodeSet(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-    val seedNodes = nodes.join(
-      seeds.select(col("node").cast("long")).distinct().hint("shuffle_hash"),
-      Seq("node"), "left_semi")
-    // one flag column instead of per-sweep seed joins
-    val nodesF = nodes
-      .join(seedNodes.withColumn("is_seed", lit(true)).hint("shuffle_hash"),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
       .localCheckpoint()
-    val s = nodesF.filter(col("is_seed")).count()
-    require(s > 0, "personalizedPageRank: no seed is present in the graph")
+
+  /** The shared synchronous sweep, all integer arithmetic; `nodesF`
+    * is (node, is_seed) and `s` = seed count. Per sweep:
+    *   damped(v)   = (rank(v) * 85) DIV 100
+    *   share(u→v)  = damped(u) DIV outdeg(u)
+    *   dangling    = Σ damped(v) over out-degree-0 nodes, DIV s
+    *   rank'(v)    = [is_seed] · ((scale * 15 DIV 100) DIV s + dangling)
+    *                 + Σ share(u→v) over in-edges
+    * Scale shape: the edge table is pre-partitioned by the per-sweep
+    * join key (damped ranks come out of their agg hash-partitioned by
+    * node = src after the rename, so only the dst-sum — the actual
+    * rank transport — reshuffles inside a sweep); dangling mass pools
+    * into ONE broadcast row; shuffle_hash hints keep every key join
+    * off the sort-merge path at any stats estimate (checkpointed
+    * sides have none); lineage severed every third sweep. */
+  private def rankSweeps(e: DataFrame, nodesF: DataFrame, s: Long,
+                         iters: Int, scale: Long): DataFrame = {
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e.join(withDeg, "src")
       .repartition(col("src")).localCheckpoint()
@@ -152,6 +115,35 @@ object Graph {
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  /** Personalized PageRank: teleport mass restarts at the SEED set
+    * instead of uniformly — rank becomes proximity-to-seeds, the
+    * seed-expansion primitive curation pipelines use to grow a
+    * quality corpus from a vetted kernel (rank every source by its
+    * link-proximity to the known-good ones, take the top tier).
+    * Same integer fixed-point contract as [[pageRank]]; the 15 %
+    * restart mass and all dangling mass go to the seeds, split
+    * `DIV |seeds|`; non-seed nodes start at 0. Seeds are a (node)
+    * frame; seeds absent from the graph are ignored (at least one
+    * must be present). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    val e = prepEdges(edges)
+    // one flag column from ONE left join (seeds absent from the graph
+    // drop out by construction — the join is FROM the node set), read
+    // by every sweep instead of per-sweep seed joins
+    val nodesF = nodeSet(e)
+      .join(seeds.select(col("node").cast("long")).distinct()
+        .withColumn("is_seed", lit(true)).hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val s = nodesF.filter(col("is_seed")).count()
+    require(s > 0, "personalizedPageRank: no seed is present in the graph")
+    rankSweeps(e, nodesF, s, iters, scale)
   }
 
   /** The DuckDB replay of [[personalizedPageRank]] over WITH-scope

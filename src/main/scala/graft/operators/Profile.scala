@@ -286,14 +286,22 @@ object Profile {
     *
     * The sketch-pair join is sketch-sized (≤ depth·width rows per
     * side), never corpus-sized. Output: one row, (est). */
-  def joinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
-    cmsA.select(col("r"), col("c"), col("cnt").as("cnt_a"))
+  def joinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+    val dots = cmsA.select(col("r"), col("c"), col("cnt").as("cnt_a"))
       .join(cmsB.select(col("r"), col("c"), col("cnt").as("cnt_b"))
         .hint("shuffle_hash"), Seq("r", "c"))
       .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
-      // no overlapping cells at all (either side empty / fully
-      // disjoint hash footprints) → the join is provably empty
-      .agg(coalesce(min(col("dot")), lit(0L)).as("est"))
+    // a hash row with NO overlapping cells has dot = 0 — the best
+    // possible evidence (the join is provably small) — and the inner
+    // join above DROPS it; min over only the surviving rows would
+    // overestimate (r15 review: disjoint key sets at cramped width →
+    // sparse said 200, dense said 0). Re-spine over every row present
+    // in EITHER sketch so zero dots participate in the min; a fully
+    // empty pair of sketches yields 0 (the join is empty).
+    val rows = cmsA.select(col("r")).unionByName(cmsB.select(col("r"))).distinct()
+    rows.join(dots.hint("shuffle_hash"), Seq("r"), "left")
+      .agg(coalesce(min(coalesce(col("dot"), lit(0L))), lit(0L)).as("est"))
+  }
 
   /** [[joinSizeEstimate]] over the DENSE single-row sketches
     * ([[countMinSketchDenseRow]], same depth/width both sides): the
@@ -564,8 +572,13 @@ object Profile {
         "silently wrong aggregates; initialize a separate artifact")
     requireIntegral(df, valueCol, "aggIngestBatch")
     landBatchPart(
+      // a null value would be COUNTED but not SUMMED — cnt and sum
+      // silently disagree about n; fail loudly instead
       df.select(col(groupCol).cast("string").as("g"),
-          col(valueCol).cast("long").as("__v"))
+          when(col(valueCol).isNull, raise_error(
+            lit(s"aggIngestBatch: null $valueCol — cnt would include the " +
+              "row while sum skips it"))).otherwise(col(valueCol))
+            .cast("long").as("__v"))
         .groupBy("g")
         .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("sum")),
       path, s"b=$batchKey", "agg artifact")
@@ -617,10 +630,14 @@ object Profile {
                    mbits: Int = 6): DataFrame = {
     require(mbits >= 2 && mbits <= 20, s"mbits must be in 2..20, got $mbits")
     requireIntegral(df, valueCol, "logHistogram")
+    // nulls fail as loudly as negatives: a null would fall through to
+    // a (null, null) bucket whose counted-but-unrankable mass deflates
+    // every quantile — and Spark walks nulls FIRST while SQL engines
+    // walk them LAST, so it couldn't replay either
     df.select(col(groupCol).cast("string").as("g"),
-        when(col(valueCol) < 0, raise_error(concat(
-          lit(s"logHistogram: negative $valueCol: "),
-          col(valueCol).cast("string"))).cast("long"))
+        when(col(valueCol).isNull || col(valueCol) < 0, raise_error(concat(
+          lit(s"logHistogram: null or negative $valueCol: "),
+          coalesce(col(valueCol).cast("string"), lit("NULL")))).cast("long"))
           .otherwise(col(valueCol).cast("long")).as("__v"))
       .withColumn("e", (length(bin(col("__v"))) - 1).cast("int"))
       .withColumn("s",

@@ -228,6 +228,20 @@ class ProfileSpec extends SparkSpec {
         Profile.countMinSketch(b, "k", depth = 4, width = 4))
       .as[Long].collect().head
     assert(tight >= trueSize, s"underestimate: $tight < $trueSize")
+    // fully disjoint key sets at a cramped width: rows whose cells
+    // happen not to collide carry dot = 0 and MUST participate in the
+    // min (r15 review) — both forms answer 0, the provable truth
+    val disjointSparse = Profile.joinSizeEstimate(
+        Profile.countMinSketch(cmsKeys("x" -> 10), "k", depth = 4, width = 4),
+        Profile.countMinSketch(cmsKeys("y" -> 20), "k", depth = 4, width = 4))
+      .as[Long].collect().head
+    val disjointDense = Profile.joinSizeEstimateDense(
+        Profile.countMinSketchDenseRow(cmsKeys("x" -> 10), "k", depth = 4, width = 4),
+        Profile.countMinSketchDenseRow(cmsKeys("y" -> 20), "k", depth = 4, width = 4),
+        depth = 4, width = 4)
+      .select(col("est")).as[Long].collect().head
+    assert(disjointSparse === disjointDense,
+      s"sparse $disjointSparse vs dense $disjointDense on disjoint keys")
     // dense zero-shuffle form: same estimate as the sparse join form
     // at both widths, and na/nb recover the operand sizes exactly
     for (w <- Seq(4, 65536)) {
