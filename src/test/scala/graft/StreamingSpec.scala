@@ -462,6 +462,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor: first batch silent, identical batch stable, octave-shifted batch alarms, replay no-op") {
+    import graft.operators.Profile
+    import graft.streaming.StreamingDrift
+    val root = Files.createTempDirectory("graft-driftmon").toString
+    val raw = s"$root/raw"; val art = s"$root/quant"; val alarms = s"$root/alarms"
+    new java.io.File(raw).mkdirs()
+    Profile.initQuantileArtifact(spark, art, mbits = 6)
+    def land(name: String, rows: Seq[(String, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (g, v) => s"""{"g":"$g","v":$v}""" }
+          .mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    def drain(): Unit = {
+      val q = StreamingDrift.quantileDriftMonitor(
+        spark.readStream.schema(schema).json(raw), "g", "v",
+        art, alarms, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    val base = (1L to 60L).map(i => ("g1", i * 13 % 200 + 1))
+    land("c1.json", base); drain()          // batch 0: nothing to compare
+    land("c2.json", base); drain()          // batch 1: identical dist
+    land("c3.json", base.map { case (g, v) => (g, v * 16) }); drain() // batch 2: 4 octaves up
+    def alarmRows: Map[Long, (Double, String)] =
+      StreamingDrift.readDriftAlarms(spark, alarms)
+        .as[(Long, String, Double, String)].collect()
+        .map { case (b, _, psi, st) => b -> (psi, st) }.toMap
+    val got = alarmRows
+    assert(!got.contains(0L), "first batch must not alarm — nothing to compare")
+    assert(got(1L)._1 === 0.0 && got(1L)._2 === "stable",
+      s"identical batch must be exactly stable: ${got(1L)}")
+    assert(got(2L)._1 > 0.25 && got(2L)._2 === "shifted",
+      s"octave shift must alarm shifted: ${got(2L)}")
+    // replay of a fully-processed batch: alarm kept verbatim (a
+    // recompute against the now-folded artifact would be WRONG),
+    // artifact fingerprint-skips — both byte-stable
+    val artBefore = Profile.readQuantileArtifact(spark, art)
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    StreamingDrift.processBatch(base.toDF("g", "v"), 1L, "g", "v", art, alarms)
+    assert(alarmRows === got, "replay changed the alarm log")
+    assert(Profile.readQuantileArtifact(spark, art)
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq === artBefore,
+      "replay changed the artifact")
+  }
+
   test("streaming additive agg ingest: the materialized view is EXACT over the union, replay no-op") {
     import graft.operators.Profile
     import graft.streaming.StreamingSketch
