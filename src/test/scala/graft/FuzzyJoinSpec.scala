@@ -46,6 +46,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(7) === brute(1))
   }
 
+  test("randomized parity with brute force: 120 strings over a hot 6-char alphabet, k=1 and k=2") {
+    // small alphabet + spaces → dense near-dup space, extremely hot
+    // grams, many repeats: the adversarial regime for prefix filtering
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde "
+    val strs = (0 until 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(13)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    def bruteAt(k: Int): Set[(Long, Long, Int)] =
+      (for {
+        a <- strs; b <- strs
+        d = lev(a._2, b._2) if d <= k
+      } yield (a._1, b._1, d)).toSet
+    val df = strs.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.editDistanceJoin(df, df, "id", "s", k = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === bruteAt(k), s"parity broke at k=$k")
+    }
+  }
+
   test("two-table form: dirty batch against a clean catalog") {
     val catalog = Seq((1L, "acme holdings"), (2L, "globex corp"),
       (3L, "initech llc")).toDF("id", "s")
