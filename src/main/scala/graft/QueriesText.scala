@@ -1617,6 +1617,45 @@ object QueriesText {
         .orderBy("a_id", "b_id")
     }
 
+    // The TWO-TABLE form of q_editdist_join — dirty batch against a
+    // clean catalog, THE record-linkage deployment shape (typo'd
+    // inbound titles resolved to the canonical list). Same titles,
+    // same typo generators, but the dirty side joins the clean side:
+    // exercises the two-sided frequency order and both independent
+    // prefix passes (the self-join path shares one), each within
+    // dist ≤ 2 of its source title plus whatever true near-matches
+    // the corpus carries. Oracle: the same generated Ed-Join replay
+    // with sa = the dirty batch and sb = the catalog.
+    register("q_editdist_lookup",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |ttl AS (
+         |  SELECT min(doc_id) AS id, title
+         |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
+         |  GROUP BY title),
+         |dirty AS (
+         |  SELECT id + 700000 AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT id + 800000, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |sa AS (SELECT id AS a_id, title AS a_s FROM dirty),
+         |sb AS (SELECT id AS b_id, title AS b_s FROM ttl),
+         |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
+         |SELECT a_id, b_id, dist FROM ed
+         |ORDER BY a_id, b_id""") { (s, dir) =>
+      val ttl = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
+        .groupBy("title").agg(min(col("doc_id")).as("id"))
+        .select("id", "title")
+      val dirty = ttl.filter(col("id") % 11 === 0)
+        .select((col("id") + 700000).as("id"), concat(col("title"), lit("x")).as("title"))
+        .unionByName(ttl.filter(col("id") % 13 === 0)
+          .select((col("id") + 800000).as("id"), concat(col("title"), lit(" q")).as("title")))
+      graft.operators.FuzzyJoin.editDistanceJoin(dirty, ttl, "id", "title", k = 2)
+        .orderBy("a_id", "b_id")
+    }
+
     // Domain-authority capstone: the full crawl-curation ranking path
     // composed as ONE oracle-gated plan — messy synthesized URLs
     // (uppercase, www., per-doc paths) → canonical host (Urls.host) →
