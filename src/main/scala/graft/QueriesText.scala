@@ -1643,11 +1643,15 @@ object QueriesText {
          |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
          |SELECT a_id, b_id, dist FROM ed
          |ORDER BY a_id, b_id""") { (s, dir) =>
+      // pinned: the tokenize+agg title derivation is the expensive
+      // stage (~150k full-text tokenizations) and BOTH sides consume
+      // it — without the pin each side's input checkpoint re-derives it
       val ttl = Tables.documents(s, dir)
         .select(col("doc_id"),
           array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
         .groupBy("title").agg(min(col("doc_id")).as("id"))
         .select("id", "title")
+        .localCheckpoint()
       val dirty = ttl.filter(col("id") % 11 === 0)
         .select((col("id") + 700000).as("id"), concat(col("title"), lit("x")).as("title"))
         .unionByName(ttl.filter(col("id") % 13 === 0)
