@@ -1595,8 +1595,8 @@ object QueriesText {
          |  GROUP BY title),
          |aug AS (
          |  SELECT id, title FROM ttl
-         |  UNION ALL SELECT id + 700000, title || 'x' FROM ttl WHERE id % 11 = 0
-         |  UNION ALL SELECT id + 800000, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |  UNION ALL SELECT id * 2 + 700000, title || 'x' FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT id * 2 + 700001, title || ' q' FROM ttl WHERE id % 13 = 0),
          |sa AS (SELECT id AS a_id, title AS a_s FROM aug),
          |sb AS (SELECT id AS b_id, title AS b_s FROM aug),
          |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
@@ -1607,11 +1607,15 @@ object QueriesText {
           array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
         .groupBy("title").agg(min(col("doc_id")).as("id"))
         .select("id", "title")
+      // typo ids are parity-disjoint by construction (2i+700000 vs
+      // 2i+700001 can never meet for ANY catalog ids — the +700000 /
+      // +800000 scheme could collide once ids exceed 100k), keeping
+      // editDistanceJoin's unique-id precondition provable at any SF
       val aug = ttl
         .unionByName(ttl.filter(col("id") % 11 === 0)
-          .select((col("id") + 700000).as("id"), concat(col("title"), lit("x")).as("title")))
+          .select((col("id") * 2 + 700000).as("id"), concat(col("title"), lit("x")).as("title")))
         .unionByName(ttl.filter(col("id") % 13 === 0)
-          .select((col("id") + 800000).as("id"), concat(col("title"), lit(" q")).as("title")))
+          .select((col("id") * 2 + 700001).as("id"), concat(col("title"), lit(" q")).as("title")))
       graft.operators.FuzzyJoin.editDistanceJoin(aug, aug, "id", "title", k = 2)
         .filter(col("a_id") < col("b_id"))
         .orderBy("a_id", "b_id")
@@ -1636,8 +1640,8 @@ object QueriesText {
          |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
          |  GROUP BY title),
          |dirty AS (
-         |  SELECT id + 700000 AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
-         |  UNION ALL SELECT id + 800000, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |  SELECT id * 2 + 700000 AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT id * 2 + 700001, title || ' q' FROM ttl WHERE id % 13 = 0),
          |sa AS (SELECT id AS a_id, title AS a_s FROM dirty),
          |sb AS (SELECT id AS b_id, title AS b_s FROM ttl),
          |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
@@ -1652,10 +1656,11 @@ object QueriesText {
         .groupBy("title").agg(min(col("doc_id")).as("id"))
         .select("id", "title")
         .localCheckpoint()
+      // parity-disjoint typo ids (see q_editdist_join) — unique at any SF
       val dirty = ttl.filter(col("id") % 11 === 0)
-        .select((col("id") + 700000).as("id"), concat(col("title"), lit("x")).as("title"))
+        .select((col("id") * 2 + 700000).as("id"), concat(col("title"), lit("x")).as("title"))
         .unionByName(ttl.filter(col("id") % 13 === 0)
-          .select((col("id") + 800000).as("id"), concat(col("title"), lit(" q")).as("title")))
+          .select((col("id") * 2 + 700001).as("id"), concat(col("title"), lit(" q")).as("title")))
       graft.operators.FuzzyJoin.editDistanceJoin(dirty, ttl, "id", "title", k = 2)
         .orderBy("a_id", "b_id")
     }

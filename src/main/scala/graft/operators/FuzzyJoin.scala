@@ -91,6 +91,22 @@ object FuzzyJoin {
     val lSrc = left.select(col(idCol), col(strCol)).localCheckpoint()
     val rSrc = if (right eq left) lSrc
       else right.select(col(idCol), col(strCol)).localCheckpoint()
+    // duplicate ids don't error downstream — they MERGE two strings'
+    // gram partitions, so each keeps fewer than its kq+1 rarest grams
+    // and true matches are silently pruned before the verify (and the
+    // generated oracle replays the same corruption, so no gate would
+    // catch it). Two cheap aggs over the pinned inputs buy a loud
+    // failure instead.
+    def requireUniqueIds(src: DataFrame, side: String): Unit = {
+      val Array(n, d) = src
+        .agg(count(lit(1)), count_distinct(col(idCol))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d, s"editDistanceJoin: $side ids are not unique " +
+        s"($n rows, $d distinct $idCol) — duplicate ids merge gram " +
+        "partitions and silently drop true matches")
+    }
+    requireUniqueIds(lSrc, "left")
+    if (!(right eq left)) requireUniqueIds(rSrc, "right")
     val selfJoin = right eq left
     val ga = gramRows(lSrc, idCol, strCol, q, "a")
     val gb = if (selfJoin) null else gramRows(rSrc, idCol, strCol, q, "b")

@@ -16,14 +16,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * against everything before it", from standing kilobyte state.
   *
   * Replay protocol (single writer, like every artifact): the alarm
-  * for batch i is written BEFORE the fold, guarded by its own
-  * `b=<id>` existence check. An at-least-once redelivery therefore
-  * finds the alarm already written (skips it — recomputing would be
-  * WRONG: after the fold the artifact includes the batch, so the
-  * replayed PSI would differ) and the fold itself fingerprint-skips.
-  * A crash between alarm write and fold heals on replay: alarm
-  * exists → skipped, fold proceeds. The first batch has nothing to
-  * compare against — no alarm row, by design.
+  * for batch i is written BEFORE the fold, and the alarm compute is
+  * double-gated — skipped when the alarm already COMMITTED (its
+  * `_SUCCESS` marker) or when the batch already FOLDED (its `_fp`
+  * fingerprint), because after the fold the artifact includes the
+  * batch and a recomputed PSI would judge the batch against itself.
+  * Crash windows: mid-alarm-write → neither gate holds, the fold
+  * hasn't run, so the replay recomputes faithfully and the overwrite
+  * heals the debris; between alarm and fold → alarm gate holds, fold
+  * proceeds; after fold → both paths skip. The first batch has
+  * nothing to compare against — no alarm row, by design (and the
+  * fold gate keeps a redelivery from fabricating one). Groups absent
+  * from a batch are not judged — absence is not drift.
   */
 object StreamingDrift {
 
@@ -37,17 +41,34 @@ object StreamingDrift {
     val mbits = meta("mbits").toInt
     val alarmDir = new org.apache.hadoop.fs.Path(s"$alarmPath/b=$batchId")
     val fs = alarmDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // gate on the COMMITTED marker, not bare existence: a crash mid-
-    // alarm-write leaves a partial dir but no _SUCCESS, and the fold
-    // below hasn't run yet, so the replay's recompute is faithful and
-    // the overwrite heals the debris
-    if (!fs.exists(new org.apache.hadoop.fs.Path(alarmDir, "_SUCCESS"))) {
+    // two gates (r15 review). Alarm _SUCCESS: a crash mid-alarm-write
+    // leaves a partial dir but no marker, and since the fold below
+    // hasn't run the replay's recompute is faithful and the overwrite
+    // heals the debris. Fold _fp: a batch that ALREADY folded must
+    // never be re-judged — the artifact now contains it, so the
+    // recomputed PSI would compare the batch against itself (the
+    // first batch would even gain the alarm row it correctly never
+    // had: prior was empty then, non-empty on replay).
+    val alarmCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(alarmDir, "_SUCCESS"))
+    val alreadyFolded = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$artifactPath/parts/b=$batchId/_fp"))
+    if (!alarmCommitted && !alreadyFolded) {
       val prior = Profile.readQuantileArtifact(spark, artifactPath)
         .localCheckpoint() // judged state must not move under the fold below
       if (!prior.isEmpty) {
         val sk = Profile.logHistogram(batch.select(col(groupCol), col(valueCol)),
           groupCol, valueCol, mbits)
-        Profile.psiFromLogHistograms(prior, sk)
+          .localCheckpoint() // feeds the psi AND the group restriction
+        // judge only the GROUP INTERSECTION: a group with no new rows
+        // isn't drifting, it's absent (comparing its prior mass
+        // against nothing fabricates a 'shifted' alarm for every
+        // low-traffic group that skips a micro-batch), and a
+        // first-appearance group has no baseline to be judged
+        // against — its debut batch IS the baseline
+        Profile.psiFromLogHistograms(
+            prior.join(sk.select(col("g")).distinct(), Seq("g"), "left_semi"),
+            sk.join(prior.select(col("g")).distinct(), Seq("g"), "left_semi"))
           .groupBy("g")
           .agg(sort_array(collect_list(
             struct(col("e"), col("s"), col("term")))).as("cs"))
@@ -77,14 +98,22 @@ object StreamingDrift {
       }
       .start()
 
-  /** Every alarm row logged so far: (batch `b`, g, psi, status).
-    * Schema-stable empty frame before any alarm lands. */
+  /** Every COMMITTED alarm row: (batch `b`, g, psi, status). Only
+    * `b=` dirs carrying the `_SUCCESS` marker are read — crash debris
+    * from a mid-write batch (the window [[processBatch]]'s replay
+    * heals) must neither surface as alarm rows nor crash the read.
+    * Schema-stable empty frame before any alarm commits. */
   def readDriftAlarms(spark: SparkSession, alarmPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(alarmPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root) &&
-        fs.listStatus(root).exists(_.getPath.getName.startsWith("b=")))
-      spark.read.parquet(alarmPath)
+    val committed =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.getPath.getName.startsWith("b=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    if (committed.nonEmpty)
+      spark.read.option("basePath", alarmPath).parquet(committed: _*)
         .select(col("b").cast("long").as("b"), col("g"), col("psi"), col("status"))
     else
       spark.range(0).select(col("id").as("b"),

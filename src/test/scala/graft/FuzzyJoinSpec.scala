@@ -68,6 +68,20 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("duplicate ids fail loudly — they would merge gram partitions and silently drop matches") {
+    val dup = Seq((1L, "john smith"), (1L, "jane smythe"), (2L, "jon smith"))
+      .toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(dup, dup, "id", "s", k = 2)
+    }
+    assert(e.getMessage.contains("ids are not unique"))
+    val clean = Seq((1L, "john smith"), (2L, "jon smith")).toDF("id", "s")
+    val e2 = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(clean, dup, "id", "s", k = 2)
+    }
+    assert(e2.getMessage.contains("right ids are not unique"))
+  }
+
   test("two-table form: dirty batch against a clean catalog") {
     val catalog = Seq((1L, "acme holdings"), (2L, "globex corp"),
       (3L, "initech llc")).toDF("id", "s")

@@ -505,6 +505,19 @@ class StreamingSpec extends SparkSpec {
     assert(Profile.readQuantileArtifact(spark, art)
       .as[(String, Int, Long, Long)].collect().sorted.toSeq === artBefore,
       "replay changed the artifact")
+    // replay of batch 0 — which correctly has NO alarm (prior was
+    // empty when it ran) — must not fabricate one now that the
+    // artifact is non-empty: the fold gate skips the re-judgement
+    StreamingDrift.processBatch(base.toDF("g", "v"), 0L, "g", "v", art, alarms)
+    assert(alarmRows === got, "batch-0 replay fabricated an alarm")
+    // a batch missing every group the artifact holds (only a brand-new
+    // group arrives): absence is not drift — g1 gets NO alarm row at
+    // this batch (and the new group has no prior to be judged against)
+    StreamingDrift.processBatch(
+      Seq(("gNew", 7L), ("gNew", 9L)).toDF("g", "v"), 9L, "g", "v", art, alarms)
+    assert(StreamingDrift.readDriftAlarms(spark, alarms)
+      .filter($"b" === 9L).count() === 0L,
+      "absent/new groups fabricated alarm rows")
   }
 
   test("streaming additive agg ingest: the materialized view is EXACT over the union, replay no-op") {
