@@ -1381,12 +1381,13 @@ object QueriesText {
            |  FROM tk JOIN bk ON tk.band = bk.band),
            |j AS (
            |  SELECT cand.doc_id, cand.bench_id,
-           |         round(CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
-           |               / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))), 4) AS jaccard
+           |         CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
+           |         / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))) AS jacc_raw
            |  FROM cand
            |  JOIN th sa ON sa.doc_id = cand.doc_id
            |  JOIN bh sb ON sb.bench_id = cand.bench_id)
-           |SELECT doc_id, bench_id, jaccard FROM j WHERE jaccard >= 0.7
+           |SELECT doc_id, bench_id, round(jacc_raw, 4) AS jaccard
+           |FROM j WHERE jacc_raw >= 0.7
            |ORDER BY doc_id, bench_id""") { (s, dir) =>
         val docs = Tables.documents(s, dir).select("doc_id", "text")
         val bench = docs.filter(col("doc_id") < 25)
@@ -1595,8 +1596,8 @@ object QueriesText {
          |  GROUP BY title),
          |aug AS (
          |  SELECT id, title FROM ttl
-         |  UNION ALL SELECT id * 2 + 700000, title || 'x' FROM ttl WHERE id % 11 = 0
-         |  UNION ALL SELECT id * 2 + 700001, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |  UNION ALL SELECT -(id * 2 + 1), title || 'x' FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT -(id * 2 + 2), title || ' q' FROM ttl WHERE id % 13 = 0),
          |sa AS (SELECT id AS a_id, title AS a_s FROM aug),
          |sb AS (SELECT id AS b_id, title AS b_s FROM aug),
          |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
@@ -1607,15 +1608,18 @@ object QueriesText {
           array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
         .groupBy("title").agg(min(col("doc_id")).as("id"))
         .select("id", "title")
-      // typo ids are parity-disjoint by construction (2i+700000 vs
-      // 2i+700001 can never meet for ANY catalog ids — the +700000 /
-      // +800000 scheme could collide once ids exceed 100k), keeping
-      // editDistanceJoin's unique-id precondition provable at any SF
+      // typo ids are NEGATIVE (doc_ids are non-negative at every SF)
+      // and the two generators take odd/even negatives — provably
+      // disjoint from the catalog AND from each other for ANY id
+      // range, so editDistanceJoin's unique-id precondition holds at
+      // any SF (r15 advice: the old 2i+700000 parity scheme was only
+      // generator-vs-generator disjoint and could collide with
+      // catalog ids >= 700000)
       val aug = ttl
         .unionByName(ttl.filter(col("id") % 11 === 0)
-          .select((col("id") * 2 + 700000).as("id"), concat(col("title"), lit("x")).as("title")))
+          .select((-(col("id") * 2 + 1)).as("id"), concat(col("title"), lit("x")).as("title")))
         .unionByName(ttl.filter(col("id") % 13 === 0)
-          .select((col("id") * 2 + 700001).as("id"), concat(col("title"), lit(" q")).as("title")))
+          .select((-(col("id") * 2 + 2)).as("id"), concat(col("title"), lit(" q")).as("title")))
       graft.operators.FuzzyJoin.editDistanceJoin(aug, aug, "id", "title", k = 2)
         .filter(col("a_id") < col("b_id"))
         .orderBy("a_id", "b_id")
@@ -1640,8 +1644,8 @@ object QueriesText {
          |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
          |  GROUP BY title),
          |dirty AS (
-         |  SELECT id * 2 + 700000 AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
-         |  UNION ALL SELECT id * 2 + 700001, title || ' q' FROM ttl WHERE id % 13 = 0),
+         |  SELECT -(id * 2 + 1) AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
+         |  UNION ALL SELECT -(id * 2 + 2), title || ' q' FROM ttl WHERE id % 13 = 0),
          |sa AS (SELECT id AS a_id, title AS a_s FROM dirty),
          |sb AS (SELECT id AS b_id, title AS b_s FROM ttl),
          |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
@@ -1656,11 +1660,12 @@ object QueriesText {
         .groupBy("title").agg(min(col("doc_id")).as("id"))
         .select("id", "title")
         .localCheckpoint()
-      // parity-disjoint typo ids (see q_editdist_join) — unique at any SF
+      // negative odd/even typo ids (see q_editdist_join) — provably
+      // disjoint from the non-negative catalog ids at any SF
       val dirty = ttl.filter(col("id") % 11 === 0)
-        .select((col("id") * 2 + 700000).as("id"), concat(col("title"), lit("x")).as("title"))
+        .select((-(col("id") * 2 + 1)).as("id"), concat(col("title"), lit("x")).as("title"))
         .unionByName(ttl.filter(col("id") % 13 === 0)
-          .select((col("id") * 2 + 700001).as("id"), concat(col("title"), lit(" q")).as("title")))
+          .select((-(col("id") * 2 + 2)).as("id"), concat(col("title"), lit(" q")).as("title")))
       graft.operators.FuzzyJoin.editDistanceJoin(dirty, ttl, "id", "title", k = 2)
         .orderBy("a_id", "b_id")
     }

@@ -549,10 +549,15 @@ object Dedup {
     candidates
       .join(th.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
       .join(bh, Seq("bench_id"))
-      .withColumn("jaccard",
-        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id", "bench_id", "jaccard")
+      // the contract is Jaccard >= threshold on the TRUE ratio, so the
+      // gate reads the unrounded value (r15 review: rounding first
+      // admitted pairs up to 5e-5 below the line); the projected
+      // column rounds for display/hash stability only
+      .withColumn("jacc_raw",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jacc_raw") >= threshold)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("jacc_raw"), 4).as("jaccard"))
   }
 
   // ── passage-level exact dedup ──────────────────────────────────────

@@ -96,7 +96,16 @@ object KeywordSearch {
     * a crash mid-write leaves `docs` absent (so the next single-
     * writer entry re-heals over the debris) instead of leaving a
     * partial table that the existence check would mistake for healed,
-    * silently desynchronizing the replay anti-join forever. */
+    * silently desynchronizing the replay anti-join forever.
+    *
+    * Completeness guard (r15 review): postings only cover documents
+    * with at least one token, while stats.n_docs counts EVERY indexed
+    * document — so an index that ever ingested a zero-token doc is
+    * unhealable from postings (the healed table would miss that id,
+    * a later re-ingest of it would pass the anti-join, and n_docs /
+    * avgdl would silently double-count). The heal therefore refuses
+    * — loudly, before promoting — whenever the postings doc count
+    * disagrees with stats.n_docs; such an index needs a rebuild. */
   private def ensureDocIdTable(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
@@ -105,6 +114,16 @@ object KeywordSearch {
     val healing = new org.apache.hadoop.fs.Path(s"$indexPath/docs__healing")
     spark.read.parquet(s"$indexPath/postings").select("doc_id").distinct()
       .write.mode("overwrite").parquet(healing.toString)
+    val healed = spark.read.parquet(healing.toString).count()
+    val nDocs = spark.read.parquet(s"$indexPath/stats")
+      .select(col("n_docs")).head().getLong(0)
+    if (healed != nDocs) {
+      fs.delete(healing, true)
+      throw new IllegalStateException(
+        s"vintage heal at $indexPath: postings cover $healed distinct doc_ids " +
+          s"but stats.n_docs = $nDocs — the index holds zero-token documents " +
+          "(or lost postings) and exact stats cannot be healed; rebuild it")
+    }
     if (!fs.rename(healing, p))
       throw new java.io.IOException(
         s"vintage heal: could not promote $healing to $p")

@@ -365,23 +365,29 @@ object Profile {
     * or a second stream sharing the artifact path — fails loudly
     * instead of silently destroying the earlier contribution, the
     * failure the id-keyed sinks catch via their anti-joins but a
-    * keyless counting fold cannot. The fingerprint (order-independent
-    * overflow-free XOR of per-row hashes over `fpRow` — callers whose
-    * payload bytes are not recomputation-deterministic fingerprint a
-    * deterministic VIEW of the row instead; rows here are unique per
-    * part, so XOR's pair-cancellation cannot trigger) is written
-    * AFTER the data, so a crash mid-land leaves no fingerprint and
-    * the retry takes the plain overwrite path. */
+    * keyless counting fold cannot. The fingerprint is the row count
+    * PLUS an order-independent overflow-free XOR of per-row hashes
+    * over `fpRow` (callers whose payload bytes are not
+    * recomputation-deterministic fingerprint a deterministic VIEW of
+    * the row instead; rows here are unique per part, so XOR's
+    * pair-cancellation cannot trigger) — the count costs nothing in
+    * the same aggregate and blocks the cheapest XOR-collision shapes
+    * (any two contributions of different cardinality). This stays a
+    * heuristic guard: two SAME-SIZE contributions whose 64-bit hash
+    * XORs collide would still be treated as one redelivery. It is
+    * written AFTER the data, so a crash mid-land leaves no
+    * fingerprint and the retry takes the plain overwrite path. */
   private def landBatchPart(contribution: DataFrame, path: String,
                             part: String, what: String,
                             fpRow: DataFrame => org.apache.spark.sql.Column =
                               d => xxhash64(d.columns.map(col): _*)): Unit = {
     val spark = contribution.sparkSession
     val df = contribution.localCheckpoint() // one computation for fp + write
-    val fp = df
+    val fpRowVals = df
       .select(fpRow(df).as("__h"))
-      .agg(coalesce(expr("bit_xor(__h)"), lit(0L)))
-      .head().getLong(0)
+      .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
+      .head()
+    val fp = s"${fpRowVals.getLong(0)}x${fpRowVals.getLong(1)}"
     val dir = new org.apache.hadoop.fs.Path(s"$path/parts/$part")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpFile = new org.apache.hadoop.fs.Path(dir, "_fp")
