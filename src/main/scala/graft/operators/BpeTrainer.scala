@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * operates on the census, whose size is the VOCABULARY (tens of
   * millions of rows at web scale), not the corpus. Each merge
   * iteration is one hash aggregation over the census plus a map-only
-  * string rewrite; `localCheckpoint` truncates the iteration lineage
+  * string rewrite; [[Checkpoints.pin]] truncates the iteration lineage
   * so the plan stays flat. The winning pair per iteration is a 1-row
   * collect — the merge DECISION is driver-side by construction
   * (it is a global argmax), the counting never is.
@@ -77,7 +77,7 @@ object BpeTrainer {
   def learn(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
     var census = wordCensus(docs)
       .select(wrap(col("word")).as("wstr"), col("wc"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 1
     var done = false
@@ -91,7 +91,7 @@ object BpeTrainer {
         merges += ((i, lhs, rhs, pc))
         census = census
           .withColumn("wstr", applyMerge(col("wstr"), lhs, rhs))
-          .localCheckpoint(true)
+          .transform(Checkpoints.pin)
         i += 1
       }
     }

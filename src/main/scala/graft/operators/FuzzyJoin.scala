@@ -88,9 +88,9 @@ object FuzzyJoin {
     // frequency table, the short band path and the verify strings —
     // without the checkpoint every consumer re-derives the source
     // subtree (an 18-scan plan on the registry fixture)
-    val lSrc = left.select(col(idCol), col(strCol)).localCheckpoint()
+    val lSrc = Checkpoints.pin(left.select(col(idCol), col(strCol)))
     val rSrc = if (right eq left) lSrc
-      else right.select(col(idCol), col(strCol)).localCheckpoint()
+      else Checkpoints.pin(right.select(col(idCol), col(strCol)))
     // duplicate ids don't error downstream — they MERGE two strings'
     // gram partitions, so each keeps fewer than its kq+1 rarest grams
     // and true matches are silently pruned before the verify (and the
@@ -121,10 +121,10 @@ object FuzzyJoin {
       else ga.select(col("g"), col("occ"))
         .unionByName(gb.select(col("g"), col("occ"))))
       .groupBy("g", "occ").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     // self-join: ONE gram explode + ONE prefix window pass, pinned,
     // then renamed for the b side — halves the dominant stages
-    val pa = if (selfJoin) prefixRows(ga, dfreq, "a", prefixLen).localCheckpoint()
+    val pa = if (selfJoin) Checkpoints.pin(prefixRows(ga, dfreq, "a", prefixLen))
       else prefixRows(ga, dfreq, "a", prefixLen)
     val pb = if (selfJoin)
       pa.select(col("a_id").as("b_id"), col("a_s").as("b_s"),

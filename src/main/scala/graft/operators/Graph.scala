@@ -40,7 +40,10 @@ object Graph {
     * aggregate broadcast back. Multi-edges are collapsed first
     * (DISTINCT) and self-loops dropped — a self-loop feeds a node its
     * own mass and inflates nothing but itself. Lineage is severed
-    * every few sweeps (localCheckpoint) so deep iteration counts
+    * every few sweeps ([[Checkpoints.pin]] — a RELIABLE checkpoint
+    * when the session has a checkpoint dir configured, the
+    * cluster-robust mode; localCheckpoint otherwise) so deep
+    * iteration counts
     * don't compound plan depth — the standard iterative-DataFrame
     * discipline. */
   def pageRank(edges: DataFrame, iters: Int = 5,
@@ -60,17 +63,15 @@ object Graph {
 
   /** Collapsed, self-loop-free, pinned edge table. */
   private def prepEdges(edges: DataFrame): DataFrame =
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
+    Checkpoints.pin(edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
   /** Distinct endpoint set of a prepped edge table, pinned. */
   private def nodeSet(e: DataFrame): DataFrame =
-    e.select(col("src").as("node"))
+    Checkpoints.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
   /** The shared synchronous sweep, all integer arithmetic; `nodesF`
     * is (node, is_seed) and `s` = seed count. Per sweep:
@@ -89,8 +90,8 @@ object Graph {
   private def rankSweeps(e: DataFrame, nodesF: DataFrame, s: Long,
                          iters: Int, scale: Long): DataFrame = {
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(withDeg, "src")
-      .repartition(col("src")).localCheckpoint()
+    val edgesDeg = Checkpoints.pin(e.join(withDeg, "src")
+      .repartition(col("src")))
     val base = (scale * 15L / 100L) / s
     var ranks = nodesF.select(col("node"), col("is_seed"),
       when(col("is_seed"), lit(scale / s)).otherwise(lit(0L)).as("r"))
@@ -112,7 +113,7 @@ object Graph {
         .select(col("node"), col("is_seed"),
           (when(col("is_seed"), lit(base) + col("dshare")).otherwise(lit(0L))
             + coalesce(col("inc"), lit(0L))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iters) ranks = Checkpoints.pin(ranks)
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -140,7 +141,7 @@ object Graph {
         .withColumn("is_seed", lit(true)).hint("shuffle_hash"),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     val s = nodesF.filter(col("is_seed")).count()
     require(s > 0, "personalizedPageRank: no seed is present in the graph")
     rankSweeps(e, nodesF, s, iters, scale)

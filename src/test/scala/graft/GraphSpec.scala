@@ -114,4 +114,30 @@ class GraphSpec extends SparkSpec {
     }
     assert(ranksOf(edges, iters = 3) === r)
   }
+
+  test("reliable-checkpoint mode (checkpoint dir configured) returns identical ranks") {
+    // Checkpoints.pin switches every lineage sever in the sweeps to a
+    // fault-tolerant spark.checkpoint when the context has a
+    // checkpoint dir — the cluster-robust mode (localCheckpoint blocks
+    // die with their executor). Results must be identical either way;
+    // only recovery characteristics differ. iters = 4 crosses the
+    // every-3rd-sweep sever, so the reliable path actually executes.
+    val edges = (0L until 150L).flatMap(d =>
+      Seq((d, (d * 7 + 3) % 89), (d, (d * 11 + 5) % 89)))
+    val local = ranksOf(edges, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      assert(ranksOf(edges, iters = 4) === local)
+      // the reliable path really wrote checkpoint state
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try assert(wrote.count() > 1) finally wrote.close()
+    } finally {
+      // restore the shared session's local mode for every other suite
+      spark.sparkContext.setCheckpointDir(null)
+      rmTree(dir)
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
 }
