@@ -141,16 +141,30 @@ object Urls {
     * rule, else the implicit `*`; the registered domain is the public
     * suffix plus one label. Hosts that ARE a public suffix (or
     * shorter) degrade to themselves — the normalizer contract, not an
-    * error. Pure codegen'd expressions — each rule tier is one set
-    * membership that compiles to an O(1)-lookup InSet over the
-    * thousands of full-list rules — map-only, no UDF, and the
-    * identical rule sets generate the DuckDB replay
-    * (q_domain_health's oracle), so both engines read ONE resource.
-    * The grouping key for per-domain curation rollups and
-    * leakage-safe splits ([[graft.operators.Sampling.assignSplit]] on
-    * this column keeps a domain's pages on one side of the
-    * train/eval boundary). */
-  def registeredDomain(u: Column): Column = {
+    * error. Served by the native `graft_registered_domain` expression
+    * ([[graft.plans.RegisteredDomainLookup]] — ONE plan node probing
+    * rule sets hashed once per JVM): the declarative when-chain twin
+    * below carries ~14k rule literals through analysis/optimization/
+    * codegen on EVERY query that calls it, measured as
+    * q_domain_health's 1.85→2.96 s regression when the full PSL
+    * landed (r15 verdict #4). Both paths consume the same parsed
+    * [[SuffixRules]] and FunctionsSpec pins their equality, and the
+    * same rule sets generate the DuckDB replay (q_domain_health's
+    * oracle), so all THREE readings share one resource. The grouping
+    * key for per-domain curation rollups and leakage-safe splits
+    * ([[graft.operators.Sampling.assignSplit]] on this column keeps a
+    * domain's pages on one side of the train/eval boundary). */
+  def registeredDomain(u: Column): Column =
+    call_function("graft_registered_domain", host(u))
+
+  /** The declarative (built-ins only) twin of [[registeredDomain]] —
+    * runnable on a session WITHOUT the graft extensions installed,
+    * and the structural mirror of the generated SQL replay. Same
+    * result, bigger plan: each rule tier is one set membership over
+    * thousands of full-list literals (O(1) per row once the optimizer
+    * folds it to an InSet, but the literal tree is rebuilt and
+    * codegen'd per query). */
+  def registeredDomainDeclarative(u: Column): Column = {
     val h = regexp_replace(host(u), ":\\d+$", "")
     val labels = split(h, "\\.")
     val n = size(labels)

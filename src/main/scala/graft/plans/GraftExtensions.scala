@@ -87,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_sentiment(raw_toks) takes 1 argument")
         SentimentCompound(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_registered_domain"),
+      new ExpressionInfo(classOf[RegisteredDomain].getName, "graft_registered_domain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_registered_domain(host) takes 1 argument")
+        RegisteredDomain(children.head)
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

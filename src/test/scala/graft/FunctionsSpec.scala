@@ -282,4 +282,36 @@ class FunctionsSpec extends SparkSpec {
     // to the implicit * rule, so it must NOT appear in the maps
     assert(!Urls.SuffixRules.exact.contains(1))
   }
+
+  test("registeredDomain: native expression ≡ declarative when-chain twin") {
+    import graft.functions.Urls
+    // every structural rule shape, plus the edge shapes the port strip
+    // and label split must agree on: kept non-default ports, bare
+    // colons, empty labels, trailing dots, hosts at/below their
+    // suffix, unicode + punycode, and non-URL garbage (the normalizer
+    // contract — garbage in, deterministic garbage out)
+    val hosts = Seq(
+      "https://news.example.co.uk/x", "https://a.b.site.com/x",
+      "https://localhost/x", "https://sub.x.com.au:8080/",
+      "http://www.gov.uk/", "https://b.a.shop.kobe.jp/",
+      "https://a.b.city.kobe.jp/", "https://kobe.jp/",
+      "https://a.example.bd/", "https://foo.www.ck/",
+      "https://x.schools.nsw.edu.au/",
+      "https://bkt.s3.dualstack.ap-northeast-1.amazonaws.com/",
+      "https://school.pvt.k12.ma.us/", "https://foo.xn--55qx5d.cn/",
+      "https://foo.公司.cn/", "https://site.com:9090/p",
+      "site.com:", "site.com:80x", "a..b.com", ".com", "com.",
+      "x.co.uk.", "", "not a url at all", "http://:8080/",
+      "https://example.com.:443/") ++
+      (0 until 500).map(i => s"https://h$i.sub$i.example${i % 7}.co.uk/p$i")
+    val df = hosts.toDF("u").localCheckpoint()
+    val both = df.select(
+      Urls.registeredDomain($"u").as("native"),
+      Urls.registeredDomainDeclarative($"u").as("decl"))
+      .collect()
+    both.zip(hosts).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1),
+        s"native/declarative mismatch on '$in'")
+    }
+  }
 }
