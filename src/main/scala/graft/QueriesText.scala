@@ -1625,15 +1625,21 @@ object QueriesText {
         .orderBy("a_id", "b_id")
     }
 
-    // The TWO-TABLE form of q_editdist_join — dirty batch against a
+    // The LOOKUP form of q_editdist_join — dirty batch against a
     // clean catalog, THE record-linkage deployment shape (typo'd
-    // inbound titles resolved to the canonical list). Same titles,
-    // same typo generators, but the dirty side joins the clean side:
-    // exercises the two-sided frequency order and both independent
-    // prefix passes (the self-join path shares one), each within
-    // dist ≤ 2 of its source title plus whatever true near-matches
-    // the corpus carries. Oracle: the same generated Ed-Join replay
-    // with sa = the dirty batch and sb = the catalog.
+    // inbound titles resolved to the canonical list). Served by
+    // FuzzyJoin.editDistanceLookup: the rarity order is the CATALOG's
+    // alone (probe grams absent from it rank rarest at df = 0) and
+    // the probe's prefix/short rows BROADCAST onto the catalog's —
+    // the catalog is never reshuffled by a probe-sized join key
+    // (r15 verdict #6: the general two-table form ran 12 shuffles
+    // because both sides rebuilt gram/prefix passes independently).
+    // Oracle: the UNCHANGED generated Ed-Join replay (two-sided union
+    // frequency order) with sa = the dirty batch and sb = the catalog
+    // — deliberately a DIFFERENT candidate scheme than the engine's:
+    // the prefix lemma makes both complete for any shared order and
+    // the exact verify decides every pair, so the hash gate now also
+    // proves the restructure lost no candidates.
     register("q_editdist_lookup",
       s"""WITH toks AS (
          |  SELECT doc_id,
@@ -1666,7 +1672,7 @@ object QueriesText {
         .select((-(col("id") * 2 + 1)).as("id"), concat(col("title"), lit("x")).as("title"))
         .unionByName(ttl.filter(col("id") % 13 === 0)
           .select((-(col("id") * 2 + 2)).as("id"), concat(col("title"), lit(" q")).as("title")))
-      graft.operators.FuzzyJoin.editDistanceJoin(dirty, ttl, "id", "title", k = 2)
+      graft.operators.FuzzyJoin.editDistanceLookup(dirty, ttl, "id", "title", k = 2)
         .orderBy("a_id", "b_id")
     }
 

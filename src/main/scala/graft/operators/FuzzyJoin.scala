@@ -91,22 +91,10 @@ object FuzzyJoin {
     val lSrc = Checkpoints.pin(left.select(col(idCol), col(strCol)))
     val rSrc = if (right eq left) lSrc
       else Checkpoints.pin(right.select(col(idCol), col(strCol)))
-    // duplicate ids don't error downstream — they MERGE two strings'
-    // gram partitions, so each keeps fewer than its kq+1 rarest grams
-    // and true matches are silently pruned before the verify (and the
-    // generated oracle replays the same corruption, so no gate would
-    // catch it). Two cheap aggs over the pinned inputs buy a loud
-    // failure instead.
-    def requireUniqueIds(src: DataFrame, side: String): Unit = {
-      val Array(n, d) = src
-        .agg(count(lit(1)), count_distinct(col(idCol))).head()
-        .toSeq.map(_.asInstanceOf[Long]).toArray
-      require(n == d, s"editDistanceJoin: $side ids are not unique " +
-        s"($n rows, $d distinct $idCol) — duplicate ids merge gram " +
-        "partitions and silently drop true matches")
-    }
-    requireUniqueIds(lSrc, "left")
-    if (!(right eq left)) requireUniqueIds(rSrc, "right")
+    // loud unique-id guard (the generated oracle replays duplicate-id
+    // corruption identically, so no downstream gate would catch it)
+    requireUniqueIds(lSrc, idCol, "left")
+    if (!(right eq left)) requireUniqueIds(rSrc, idCol, "right")
     val selfJoin = right eq left
     val ga = gramRows(lSrc, idCol, strCol, q, "a")
     val gb = if (selfJoin) null else gramRows(rSrc, idCol, strCol, q, "b")
@@ -154,6 +142,97 @@ object FuzzyJoin {
       .select(verifyCols: _*)
     gramPairs.unionByName(shortPairs)
       .filter(col("dist") >= 0 && col("dist") <= k)
+  }
+
+  /** The record-linkage deployment form of [[editDistanceJoin]]: a
+    * SMALL dirty `probe` batch resolved against a large clean
+    * `catalog` — same output contract (all (a_id, b_id, dist) with
+    * levenshtein ≤ k, probe ids on the a side), restructured around
+    * the size asymmetry so the catalog pays its heavy passes ONCE
+    * and nothing probe-sized ever shuffles the catalog:
+    *
+    *  - the rarity order is the CATALOG's gram-occurrence frequency
+    *    alone; probe grams absent from the catalog take df = 0 (the
+    *    rarest possible). The Ed-Join prefix lemma needs only a
+    *    SHARED total order on (gram, occ) keys — df is a fixed
+    *    function of the key, so completeness is untouched; the
+    *    general form's two-sided union order is a constant-factor
+    *    pruning tweak, not a correctness requirement (the verify
+    *    decides every pair either way, and FuzzyJoinSpec pins
+    *    lookup ≡ general ≡ brute force).
+    *  - the probe's prefix rows and its short-path rows BROADCAST
+    *    onto the catalog's — the catalog's prefix table is joined
+    *    where its own window pass left it, never reshuffled by
+    *    (g, occ), and the per-(g, occ) fan-out is bounded by the
+    *    probe's kq+1-row prefixes.
+    *
+    * vs the general form on the registry fixture: 12 shuffles → the
+    * catalog's two window passes + frequency agg + candidate dedup.
+    * Contract: the probe side must be broadcastable (a dirty inbound
+    * batch — thousands of rows, not a corpus); for two corpus-sized
+    * sides use [[editDistanceJoin]]. */
+  def editDistanceLookup(probe: DataFrame, catalog: DataFrame,
+                         idCol: String, strCol: String,
+                         k: Int, q: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in 1..8, got $k")
+    require(q >= 2 && q <= 4, s"q must be in 2..4, got $q")
+    val minLong = q * (k + 1)
+    val prefixLen = k * q + 1
+    val pSrc = Checkpoints.pin(probe.select(col(idCol), col(strCol)))
+    val cSrc = Checkpoints.pin(catalog.select(col(idCol), col(strCol)))
+    requireUniqueIds(pSrc, idCol, "probe")
+    requireUniqueIds(cSrc, idCol, "catalog")
+    val ga = gramRows(pSrc, idCol, strCol, q, "a")
+    val gb = gramRows(cSrc, idCol, strCol, q, "b")
+    // catalog-only rarity order — in production a PERSISTED table
+    // built once with the catalog, not recomputed per inbound batch
+    val dfreq = gb.select(col("g"), col("occ"))
+      .groupBy("g", "occ").agg(count(lit(1)).as("df"))
+      .transform(Checkpoints.pin)
+    // probe prefixes under the catalog's order; absent grams rank
+    // rarest (df = 0), ties broken (g, occ) as everywhere
+    val pa = ga.join(dfreq.hint("shuffle_hash"), Seq("g", "occ"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("df"), col("g"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("a_id"), col("a_s"), col("a_len"), col("g"), col("occ"))
+    val pb = prefixRows(gb, dfreq, "b", prefixLen)
+    val verifyCols = Seq(col("a_id"), col("b_id"),
+      levenshtein(col("a_s"), col("b_s"), k).as("dist"))
+    val gramPairs = broadcast(pa).join(pb, Seq("g", "occ"))
+      .filter(abs(col("a_len") - col("b_len")) <= k)
+      .filter(greatest(col("a_len"), col("b_len")) >= minLong)
+      .select("a_id", "a_s", "b_id", "b_s").distinct()
+      .select(verifyCols: _*)
+    val shortA = pSrc
+      .select(col(idCol).as("a_id"), col(strCol).as("a_s"),
+        length(col(strCol)).as("a_len"))
+      .filter(col("a_len") < minLong)
+      .withColumn("cand_len",
+        explode(sequence(col("a_len") - k, col("a_len") + k)))
+    val shortB = cSrc
+      .select(col(idCol).as("b_id"), col(strCol).as("b_s"),
+        length(col(strCol)).as("cand_len"))
+      .filter(col("cand_len") < minLong)
+    val shortPairs = broadcast(shortA).join(shortB, Seq("cand_len"))
+      .select(verifyCols: _*)
+    gramPairs.unionByName(shortPairs)
+      .filter(col("dist") >= 0 && col("dist") <= k)
+  }
+
+  /** Duplicate ids don't error downstream — they MERGE two strings'
+    * gram partitions, so each keeps fewer than its kq+1 rarest grams
+    * and true matches are silently pruned before the verify. Two
+    * cheap aggs buy a loud failure instead. */
+  private def requireUniqueIds(src: DataFrame, idCol: String, side: String): Unit = {
+    val Array(n, d) = src
+      .agg(count(lit(1)), count_distinct(col(idCol))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d, s"edit-distance join: $side ids are not unique " +
+      s"($n rows, $d distinct $idCol) — duplicate ids merge gram " +
+      "partitions and silently drop true matches")
   }
 
   /** The DuckDB replay of [[editDistanceJoin]] for WITH-scope

@@ -91,4 +91,53 @@ class FuzzyJoinSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((10L, 1L, 1), (11L, 2L, 1), (13L, 3L, 2)))
   }
+
+  test("editDistanceLookup ≡ editDistanceJoin ≡ brute force (catalog-only order is still complete)") {
+    // the lookup form ranks prefixes under the CATALOG's frequency
+    // order, with probe-only grams at df = 0 — a DIFFERENT shared
+    // order than the general form's two-sided union, so this parity
+    // is the prefix-lemma completeness argument made executable.
+    // Probe deliberately carries grams the catalog lacks ('x', 'q'),
+    // strings on both sides of the short-path floor, and empties.
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde "
+    val catalog = (0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(13)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val probe = (0 until 40).map { i =>
+      val base = catalog(rnd.nextInt(catalog.length))._2
+      val mutated = if (base.isEmpty) "xq" else {
+        val p = rnd.nextInt(base.length)
+        base.updated(p, "xqz".charAt(rnd.nextInt(3)))
+      }
+      (1000L + i, mutated)
+    } :+ (2000L, "") :+ (2001L, "xxqqxxqq")
+    val cDf = catalog.toDF("id", "s")
+    val pDf = probe.toDF("id", "s")
+    def bruteAt(k: Int): Set[(Long, Long, Int)] =
+      (for {
+        a <- probe; b <- catalog
+        d = lev(a._2, b._2) if d <= k
+      } yield (a._1, b._1, d)).toSet
+    for (k <- Seq(1, 2)) {
+      val lookup = FuzzyJoin.editDistanceLookup(pDf, cDf, "id", "s", k = k)
+        .as[(Long, Long, Int)].collect().toSet
+      val general = FuzzyJoin.editDistanceJoin(pDf, cDf, "id", "s", k = k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(lookup === bruteAt(k), s"lookup lost candidates at k=$k")
+      assert(general === bruteAt(k), s"general form parity broke at k=$k")
+    }
+  }
+
+  test("editDistanceLookup guards unique ids on both sides") {
+    val dup = Seq((1L, "john smith"), (1L, "jane smythe")).toDF("id", "s")
+    val clean = Seq((2L, "jon smith")).toDF("id", "s")
+    assert(intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceLookup(dup, clean, "id", "s", k = 2)
+    }.getMessage.contains("probe ids are not unique"))
+    assert(intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceLookup(clean, dup, "id", "s", k = 2)
+    }.getMessage.contains("catalog ids are not unique"))
+  }
 }
