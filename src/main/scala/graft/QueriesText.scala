@@ -301,6 +301,35 @@ object QueriesText {
       graft.operators.Profile.initQuantileArtifact(s, _, mbits = 6))(
       (df, p, b) => graft.operators.Profile.quantileIngestBatch(df, "g", "v", p, b))
 
+  /** Drift-monitor lifecycle per (JVM, source dir): a fresh quantile
+    * artifact + alarm log driven through three l_orderkey-mod-3 price
+    * batches — batch 2 shifted one octave (v*2) so the log carries
+    * both alarm bands — then batch 1 REDELIVERED after every fold:
+    * both replay gates hold (committed alarm, fingerprinted part), so
+    * the log and artifact must stay verbatim. q_drift_monitor reads
+    * the alarm log against an oracle that re-derives every alarm from
+    * scratch. */
+  private def driftMonitorRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"driftmon:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-driftmon").toString
+      val art = s"$path/art"
+      val alarms = s"$path/alarms"
+      graft.operators.Profile.initQuantileArtifact(s, art, mbits = 6)
+      def batch(m: Int, shift: Boolean) = {
+        val b = priceCentsByFlag(s, dir).filter(col("l_orderkey") % 3 === m)
+        if (shift) b.select(col("g"), (col("v") * 2).as("v"))
+        else b.select("g", "v")
+      }
+      graft.streaming.StreamingDrift.processBatch(batch(0, false), 0L, "g", "v", art, alarms)
+      graft.streaming.StreamingDrift.processBatch(batch(1, false), 1L, "g", "v", art, alarms)
+      graft.streaming.StreamingDrift.processBatch(batch(2, true), 2L, "g", "v", art, alarms)
+      // at-least-once redelivery AFTER later batches folded
+      graft.streaming.StreamingDrift.processBatch(batch(1, false), 1L, "g", "v", art, alarms)
+      path
+    })
+  }
+
   /** Exact materialized-aggregate artifact per (JVM, source dir):
     * per-returnflag (count, price-cents sum) maintained by batch
     * folds (lineitem split by l_orderkey parity, batch 0 REPLAYED).
@@ -1953,6 +1982,67 @@ object QueriesText {
       val est = graft.operators.Profile.quantileArtifactLookup(
         s, quantileArtifactRoot(s, dir), quantileQs)
       quantileAudit(s, priceVals(s, dir), est)
+    }
+
+    // The streaming drift monitor's alarm-log protocol, oracle-gated
+    // (r15 verdict #8 — it was spec-only): three price batches fold
+    // into a fresh quantile artifact, each judged against the
+    // artifact-so-far BEFORE its fold (batch 0 has no prior → no
+    // alarm; batch 1 is the same distribution → 'stable'; batch 2 is
+    // shifted one octave, v*2, against the 0∪1 fold → 'shifted'),
+    // then batch 1 is REDELIVERED after everything folded — both
+    // replay gates hold (its alarm committed, its part fingerprinted),
+    // so the log must read back verbatim: a recompute-after-fold would
+    // judge the batch against itself and rewrite history. The oracle
+    // re-derives each alarm from scratch — batch i's sketch PSI'd
+    // against the UNION of batches 0..i−1 — with the q_quantile_drift
+    // idiom (bucket-ordered term fold, 6dp round); the status bands
+    // replay on the raw sum (both fixtures sit orders of magnitude
+    // from the 0.1/0.25 edges).
+    locally {
+      def bkSql(src: String) =
+        s"""(SELECT g, e, s, count(*) AS cnt FROM (
+           |  SELECT g, length(bin(v)) - 1 AS e,
+           |         CASE WHEN length(bin(v)) - 1 < 6 THEN v
+           |              ELSE (v >> (length(bin(v)) - 1 - 6)) - 64 END AS s
+           |  FROM $src) GROUP BY 1, 2, 3)""".stripMargin
+      def psiRawSql(pfx: String, b: String, c: String) =
+        s"""u$pfx AS (SELECT g, e, s, sum(n_base) AS n_base, sum(n_cur) AS n_cur FROM (
+           |  SELECT g, e, s, cnt AS n_base, 0 AS n_cur FROM $b
+           |  UNION ALL SELECT g, e, s, 0, cnt FROM $c) GROUP BY 1, 2, 3),
+           |t$pfx AS (SELECT g, sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nbk
+           |          FROM u$pfx GROUP BY g),
+           |terms$pfx AS (
+           |  SELECT u.g, e, s,
+           |         ((n_base + 1.0) / (tb + nbk) - (n_cur + 1.0) / (tc + nbk))
+           |           * ln(((n_base + 1.0) / (tb + nbk)) / ((n_cur + 1.0) / (tc + nbk))) AS term
+           |  FROM u$pfx u JOIN t$pfx t ON u.g = t.g),
+           |psi$pfx AS (
+           |  SELECT g, list_sum(list_transform(list(struct_pack(e := e, s := s, term := term)
+           |                                         ORDER BY e, s), x -> x.term)) AS psi_raw
+           |  FROM terms$pfx GROUP BY g)""".stripMargin
+      register("q_drift_monitor",
+        s"""WITH vals AS (SELECT l_returnflag AS g, l_orderkey AS k,
+           |                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+           |bk0 AS ${bkSql("(SELECT g, v FROM vals WHERE k % 3 = 0)")},
+           |bk1 AS ${bkSql("(SELECT g, v FROM vals WHERE k % 3 = 1)")},
+           |bk01 AS ${bkSql("(SELECT g, v FROM vals WHERE k % 3 IN (0, 1))")},
+           |bk2 AS ${bkSql("(SELECT g, v * 2 AS v FROM vals WHERE k % 3 = 2)")},
+           |${psiRawSql("A", "bk0", "bk1")},
+           |${psiRawSql("B", "bk01", "bk2")}
+           |SELECT b, g, round(psi_raw + 0.0, 6) AS psi,
+           |       CASE WHEN psi_raw < 0.1 THEN 'stable'
+           |            WHEN psi_raw < 0.25 THEN 'drifting'
+           |            ELSE 'shifted' END AS status
+           |FROM (SELECT CAST(1 AS BIGINT) AS b, g, psi_raw FROM psiA
+           |      UNION ALL SELECT CAST(2 AS BIGINT), g, psi_raw FROM psiB)
+           |ORDER BY b, g""") { (s, dir) =>
+        graft.streaming.StreamingDrift.readDriftAlarms(
+            s, s"${driftMonitorRoot(s, dir)}/alarms")
+          .select(col("b"), col("g"),
+            round(col("psi") + lit(0.0), 6).as("psi"), col("status"))
+          .orderBy("b", "g")
+      }
     }
 
     // Passage-level exact dedup (RefinedWeb-style): 8-token passages,

@@ -190,8 +190,12 @@ object FuzzyJoin {
       .groupBy("g", "occ").agg(count(lit(1)).as("df"))
       .transform(Checkpoints.pin)
     // probe prefixes under the catalog's order; absent grams rank
-    // rarest (df = 0), ties broken (g, occ) as everywhere
-    val pa = ga.join(dfreq.hint("shuffle_hash"), Seq("g", "occ"), "left")
+    // rarest (df = 0), ties broken (g, occ) as everywhere. The df
+    // attach BROADCASTS the frequency table (a GRAM VOCABULARY —
+    // bounded by alphabet^q × repeat count, kilobytes for q=2 titles
+    // at any corpus size, never corpus-proportional) so neither side
+    // is exchanged by (g, occ) for a probe-sized lookup
+    val pa = ga.join(broadcast(dfreq), Seq("g", "occ"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("a_id"))
