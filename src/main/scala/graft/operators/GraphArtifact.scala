@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted, incrementally-fed lifecycle of the link-graph ranks
+  * — the artifact tier [[Graph]] was missing (r15 verdict #2: every
+  * other telemetry family — CMS, HLL profile, quantile sketch, exact
+  * additive aggs — already folds standing state; the host graph was
+  * a one-shot batch recompute). At 100 TB the crawl's host graph
+  * grows per ingest batch, and authority ranks refresh FROM the
+  * standing edge state — deriving edges from raw crawl text is the
+  * corpus-scale cost, and it is paid once per batch here, never again
+  * at refresh time.
+  *
+  * Layout under one meta-checked root:
+  * {{{
+  *   meta.json          iters + scale, written once (loud on mismatch)
+  *   parts/b=<batch>/   per-batch prepped edge sets + _fp replay guard
+  *   ranks/v_<n>/       versioned rank tables, meta.json written LAST
+  *   ranks/CURRENT      atomic serving pointer ([[graft.sources.VersionedRoot]])
+  * }}}
+  *
+  * Contracts, each the established house protocol:
+  *  - ingest lands a batch's COLLAPSED edge set (cast, self-loops
+  *    dropped, within-batch distinct) under `parts/b=<key>` with the
+  *    count+XOR fingerprint guard ([[Profile.landBatchPart]]): an
+  *    at-least-once redelivery is a no-op, a DIFFERENT payload under
+  *    a used batch key fails loudly. Batches may overlap freely —
+  *    the union graph is a SET (refresh re-collapses).
+  *  - refresh re-sweeps [[Graph.pageRank]] over the union of all
+  *    FINGERPRINTED batches (crash debris without `_fp` is invisible
+  *    to the read, unlike a fold that would silently count partial
+  *    files) into a fresh `v_<n>` dir, published behind the atomic
+  *    `CURRENT` swap with served-identity GC — probes mid-refresh
+  *    read the old version to completion. The ranks are BY
+  *    CONSTRUCTION hash-exact equal to a from-scratch recompute over
+  *    the union graph (the fixed-point integer contract is
+  *    scan-order-free), which is exactly what q_pagerank_artifact's
+  *    DuckDB oracle replays.
+  *  - single writer per artifact, readers any time.
+  *
+  * What the artifact SAVES at scale: the per-batch edge derivation
+  * (corpus-sized) happens once; refresh cost is the sweeps over the
+  * standing edge table (edges ⋈ ranks per sweep — the irreducible
+  * fixed-point work, since a warm-started approximation would break
+  * the value-exact contract); serving cost is a parquet read of the
+  * published ranks, no compute at all.
+  */
+object GraphArtifact {
+
+  /** Write the iteration/scale meta once. Re-init: no-op when equal,
+    * loud when different (mixed-parameter rank versions would be
+    * silently incomparable); parts without meta are refused, not
+    * adopted — [[Profile.initArtifact]] semantics. */
+  def initRankArtifact(spark: SparkSession, path: String,
+                       iters: Int = 5, scale: Long = 1000000000000L): Unit = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50, got $iters")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    Profile.initArtifact(spark, path, "rank artifact",
+      Seq("iters" -> iters.toLong, "scale" -> scale))
+  }
+
+  /** Land one batch's edges under `parts/b=<batchKey>`: collapsed to
+    * a set (cast long, self-loops dropped, distinct) then landed
+    * behind the fingerprint replay guard. Cross-batch duplicate edges
+    * are fine — the refresh union re-collapses. */
+  def ingestEdgeBatch(edges: DataFrame, path: String, batchKey: Long): Unit = {
+    val spark = edges.sparkSession
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    val prepped = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    Profile.landBatchPart(prepped, path, s"b=$batchKey", "rank artifact",
+      coalesce1 = false)
+  }
+
+  /** The union edge set of every COMMITTED batch (dirs carrying the
+    * `_fp` marker — mid-crash debris is invisible). */
+  private def committedEdges(spark: SparkSession, path: String): DataFrame = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(parts)) Array.empty[String]
+      else fs.listStatus(parts)
+        .filter(s => s.getPath.getName.startsWith("b=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+        .map(_.getPath.toString)
+    require(committed.nonEmpty,
+      s"rank artifact at $path has no committed edge batches — ingest before refreshing")
+    spark.read.option("basePath", s"$path/parts").parquet(committed: _*)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Re-sweep the ranks over the standing edge state into a fresh
+    * version and swap the serving pointer. Returns the published
+    * version name. */
+  def refreshRanks(spark: SparkSession, path: String): String = {
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    val ranksRoot = s"$path/ranks"
+    val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
+    val next = graft.sources.VersionedRoot.versions(spark, ranksRoot)
+      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
+    val newName = s"v_$next"
+    Graph.pageRank(committedEdges(spark, path),
+        iters = meta("iters").toInt, scale = meta("scale"))
+      .write.mode("overwrite").parquet(s"$ranksRoot/$newName/ranks")
+    // meta LAST: the completeness marker VersionedRoot keys on
+    graft.sources.IndexMeta.write(spark, s"$ranksRoot/$newName/meta.json",
+      Seq("iters" -> meta("iters"), "scale" -> meta("scale")))
+    graft.sources.VersionedRoot.publish(spark, ranksRoot, newName, served)
+    newName
+  }
+
+  /** The served (node, rank) table — a parquet read of the version
+    * `CURRENT` names (or the newest complete one mid-swap), no
+    * compute. Loud when nothing has been published. */
+  def readRanks(spark: SparkSession, path: String): DataFrame = {
+    val res = graft.sources.VersionedRoot.resolve(spark, s"$path/ranks", "rank artifact")
+      .getOrElse(sys.error(
+        s"rank artifact at $path has no published version — run refreshRanks"))
+    spark.read.parquet(s"$res/ranks")
+  }
+}

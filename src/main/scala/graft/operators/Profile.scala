@@ -338,7 +338,7 @@ object Profile {
     * estimate after that reads mixed-geometry counters (for CMS that
     * breaks even the never-underestimate guarantee, with no error).
     * Parts without a meta are likewise refused, not adopted. */
-  private def initArtifact(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def initArtifact(spark: org.apache.spark.sql.SparkSession,
                            path: String, what: String,
                            fields: Seq[(String, Long)]): Unit = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta.json")
@@ -377,10 +377,11 @@ object Profile {
     * XORs collide would still be treated as one redelivery. It is
     * written AFTER the data, so a crash mid-land leaves no
     * fingerprint and the retry takes the plain overwrite path. */
-  private def landBatchPart(contribution: DataFrame, path: String,
+  private[operators] def landBatchPart(contribution: DataFrame, path: String,
                             part: String, what: String,
                             fpRow: DataFrame => org.apache.spark.sql.Column =
-                              d => xxhash64(d.columns.map(col): _*)): Unit = {
+                              d => xxhash64(d.columns.map(col): _*),
+                            coalesce1: Boolean = true): Unit = {
     val spark = contribution.sparkSession
     val df = contribution.localCheckpoint() // one computation for fp + write
     val fpRowVals = df
@@ -401,7 +402,10 @@ object Profile {
           "this looks like a reset checkpoint or a second writer sharing the artifact")
       return // identical redelivery: nothing to do
     }
-    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // sketch-sized contributions compact to one file; edge-batch-sized
+    // ones (GraphArtifact) keep their natural partitioning
+    (if (coalesce1) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(dir.toString)
     val out = fs.create(fpFile, true)
     try out.write(fp.toString.getBytes("UTF-8")) finally out.close()
   }

@@ -115,6 +115,112 @@ class GraphSpec extends SparkSpec {
     assert(ranksOf(edges, iters = 3) === r)
   }
 
+  // ── persisted rank artifact (GraphArtifact) ───────────────────────
+
+  import graft.operators.GraphArtifact
+
+  private def tmpArt(): String =
+    java.nio.file.Files.createTempDirectory("graft-prart-spec").toString
+
+  private val artEdges = (0L until 120L).flatMap(d =>
+    Seq((d, (d * 7 + 3) % 61), (d, (d * 13 + 5) % 61)))
+
+  test("rank artifact: batch fold + re-sweep ≡ from-scratch recompute over the union graph") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 4)
+    GraphArtifact.ingestEdgeBatch(
+      artEdges.filter(_._1 % 2 == 0).toDF("src", "dst"), path, 0L)
+    GraphArtifact.refreshRanks(spark, path) // partial-graph version
+    GraphArtifact.ingestEdgeBatch(
+      artEdges.filter(_._1 % 2 == 1).toDF("src", "dst"), path, 1L)
+    // redelivered batch 0 AND an overlapping slice re-sent under a new
+    // key: the union graph is a SET, so neither may change the ranks
+    GraphArtifact.ingestEdgeBatch(
+      artEdges.filter(_._1 % 2 == 0).toDF("src", "dst"), path, 0L)
+    GraphArtifact.ingestEdgeBatch(
+      artEdges.filter(_._1 % 4 == 1).toDF("src", "dst"), path, 2L)
+    GraphArtifact.refreshRanks(spark, path)
+    val served = GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Graph.pageRank(artEdges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(served === scratch)
+    rmTree(path)
+  }
+
+  test("rank artifact: a DIFFERENT payload under a used batch key fails loudly") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), path, 0L)
+    val e = intercept[IllegalArgumentException] {
+      GraphArtifact.ingestEdgeBatch(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), path, 0L)
+    }
+    assert(e.getMessage.contains("DIFFERENT contribution"))
+    rmTree(path)
+  }
+
+  test("rank artifact: crash debris without _fp is invisible, and the retry heals it") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), path, 0L)
+    // crash mid-land: parquet bytes present, no fingerprint committed
+    Seq((7L, 8L)).toDF("src", "dst")
+      .write.parquet(s"$path/parts/b=9")
+    GraphArtifact.refreshRanks(spark, path)
+    val withoutDebris = GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(!withoutDebris.contains(7L), "uncommitted batch must not rank")
+    // the retry overwrites the debris and commits; now it counts
+    GraphArtifact.ingestEdgeBatch(Seq((7L, 8L)).toDF("src", "dst"), path, 9L)
+    GraphArtifact.refreshRanks(spark, path)
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap.contains(7L))
+    rmTree(path)
+  }
+
+  test("rank artifact: incomplete versions are never served; pointer loss falls back") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), path, 0L)
+    GraphArtifact.refreshRanks(spark, path)
+    val good = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    // a crashed refresh left rank bytes but no meta, with a HIGHER
+    // version number — it must be ineligible for serving
+    Seq((99L, 123456L)).toDF("node", "rank")
+      .write.parquet(s"$path/ranks/v_99/ranks")
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === good)
+    // pointer vanishing mid-swap: newest COMPLETE version serves
+    rmTree(s"$path/ranks/CURRENT")
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === good)
+    // the next refresh GCs the incomplete debris and numbers past it
+    val published = GraphArtifact.refreshRanks(spark, path)
+    assert(published === "v_100")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/ranks/v_99")))
+    rmTree(path)
+  }
+
+  test("rank artifact: init/refresh/read guards are loud") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    // same params: no-op; different params: loud
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.initRankArtifact(spark, path, iters = 5)
+    }.getMessage.contains("different dimensions"))
+    // nothing ingested → refresh refuses; nothing published → read refuses
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.refreshRanks(spark, path)
+    }.getMessage.contains("no committed edge batches"))
+    assert(intercept[RuntimeException] {
+      GraphArtifact.readRanks(spark, path)
+    }.getMessage.contains("no published version"))
+    rmTree(path)
+  }
+
   test("reliable-checkpoint mode (checkpoint dir configured) returns identical ranks") {
     // Checkpoints.pin switches every lineage sever in the sweeps to a
     // fault-tolerant spark.checkpoint when the context has a
