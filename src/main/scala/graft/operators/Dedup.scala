@@ -804,7 +804,7 @@ object Dedup {
     * neighbor lists are ever collected, so a hub node with millions of
     * edges streams through the join instead of materializing.
     *
-    * `localCheckpoint` per round truncates the plan lineage — the one
+    * [[Checkpoints.pin]] per round truncates the plan lineage — the one
     * iterative-algorithm place it belongs (analysis time otherwise
     * grows with round count); each round's edge set is tiny relative
     * to the corpus (only docs that have a near-dup at all).
@@ -818,7 +818,7 @@ object Dedup {
     var edges = pairs
       .select(greatest(col(ca), col(cb)).as("u"), least(col(ca), col(cb)).as("v"))
       .where($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.pin)
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxIter) {
@@ -836,7 +836,7 @@ object Dedup {
         .select($"v".as("u"), $"m".as("v"))
         .union(smins.select($"u", $"m".as("v")))
         .where($"u" =!= $"v").distinct()
-        .localCheckpoint(true)
+        .transform(Checkpoints.pin)
       converged = small.count() == edges.count() && small.except(edges).isEmpty
       edges = small
       round += 1

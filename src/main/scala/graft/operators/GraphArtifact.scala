@@ -95,7 +95,9 @@ object GraphArtifact {
 
   /** Re-sweep the ranks over the standing edge state into a fresh
     * version and swap the serving pointer. Returns the published
-    * version name. */
+    * version name. The version meta records `part_rows` — the
+    * committed batch-edge rows the sweep saw — which is what
+    * [[maybeRefreshRanks]] judges growth against. */
   def refreshRanks(spark: SparkSession, path: String): String = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     val ranksRoot = s"$path/ranks"
@@ -103,14 +105,47 @@ object GraphArtifact {
     val next = graft.sources.VersionedRoot.versions(spark, ranksRoot)
       .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
     val newName = s"v_$next"
-    Graph.pageRank(committedEdges(spark, path),
-        iters = meta("iters").toInt, scale = meta("scale"))
+    val edges = committedEdges(spark, path)
+    val partRows = edges.count() // parquet-metadata-cheap
+    Graph.pageRank(edges, iters = meta("iters").toInt, scale = meta("scale"))
       .write.mode("overwrite").parquet(s"$ranksRoot/$newName/ranks")
     // meta LAST: the completeness marker VersionedRoot keys on
     graft.sources.IndexMeta.write(spark, s"$ranksRoot/$newName/meta.json",
-      Seq("iters" -> meta("iters"), "scale" -> meta("scale")))
+      Seq("iters" -> meta("iters"), "scale" -> meta("scale"),
+        "part_rows" -> partRows))
     graft.sources.VersionedRoot.publish(spark, ranksRoot, newName, served)
     newName
+  }
+
+  /** The closed loop over the standing state — the graph twin of
+    * [[Similarity.maybeRebuildIvfIndex]]'s drift trigger: refresh
+    * only when the committed batch-edge rows grew at least
+    * `growthPct` percent past what the served version swept (ranks
+    * are a stable ordering signal; re-sweeping five iterations per
+    * kilobyte-sized crawl batch is wasted work, while never
+    * refreshing serves stale authority). The tick cost is one parquet
+    * METADATA count over the committed parts — no edge scan, no
+    * sweep. Never-published artifacts refresh unconditionally.
+    * Batch-row counts over OVERLAPPING batches overstate true (set)
+    * growth — acceptable for a refresh trigger: it can only refresh
+    * EARLY, never serve staler than the bound promises. Returns the
+    * published version name when a refresh ran. */
+  def maybeRefreshRanks(spark: SparkSession, path: String,
+                        growthPct: Int = 10): Option[String] = {
+    require(growthPct >= 1 && growthPct <= 1000,
+      s"growthPct must be in 1..1000, got $growthPct")
+    val ranksRoot = s"$path/ranks"
+    val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
+    val stale = served match {
+      case None => true
+      case Some(root) =>
+        val sweptRows = graft.sources.IndexMeta
+          .read(spark, s"$root/meta.json", "rank artifact version")
+          .getOrElse("part_rows", 0L) // pre-trigger vintage: always refresh
+        val cur = committedEdges(spark, path).count()
+        (cur - sweptRows) * 100L >= growthPct.toLong * math.max(sweptRows, 1L)
+    }
+    if (stale) Some(refreshRanks(spark, path)) else None
   }
 
   /** The served (node, rank) table — a parquet read of the version

@@ -603,12 +603,12 @@ object Similarity {
     val subDim = 64 / nSub
     val subvecs = pqWithSub(base, nSub)
       .select(col("vec_id"), col("s"), slice(col("emb"), col("s") * subDim + 1, lit(subDim)).as("sv"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     val d2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
     var cents = pqWithSub(pqCodebook(base, nCentroids), nSub)
       .select(col("s"), col("cid"), slice(col("cemb"), col("s") * subDim + 1, lit(subDim)).as("cvec"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     (1 to iters).foreach { _ =>
       val assigned = subvecs.join(broadcast(cents), Seq("s"))
         .withColumn("d2", round(d2(col("sv"), col("cvec")), 6))
@@ -625,7 +625,7 @@ object Similarity {
       cents = cents.select(col("s"), col("cid"), col("cvec").as("prev"))
         .join(means, Seq("s", "cid"), "left")
         .select(col("s"), col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
-        .localCheckpoint()
+        .transform(Checkpoints.pin)
     }
     cents.groupBy(col("cid"))
       .agg(flatten(transform(sort_array(collect_list(struct(col("s"), col("cvec")))),

@@ -203,6 +203,30 @@ class GraphSpec extends SparkSpec {
     rmTree(path)
   }
 
+  test("rank artifact: maybeRefreshRanks refreshes only past the growth bound") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(
+      (0L until 100L).map(d => (d, (d * 7 + 3) % 41)).toDF("src", "dst"), path, 0L)
+    // never published → unconditional refresh
+    assert(GraphArtifact.maybeRefreshRanks(spark, path, growthPct = 10) === Some("v_1"))
+    // no new data → no new version
+    assert(GraphArtifact.maybeRefreshRanks(spark, path, growthPct = 10).isEmpty)
+    // 3 new rows on 100 swept: under the 10% bound → still v_1
+    GraphArtifact.ingestEdgeBatch(
+      Seq((200L, 201L), (201L, 202L), (202L, 200L)).toDF("src", "dst"), path, 1L)
+    assert(GraphArtifact.maybeRefreshRanks(spark, path, growthPct = 10).isEmpty)
+    // ...but a 1% bound trips on the same growth
+    assert(GraphArtifact.maybeRefreshRanks(spark, path, growthPct = 1) === Some("v_2"))
+    // past the bound: refresh runs and the served ranks cover the union
+    GraphArtifact.ingestEdgeBatch(
+      (300L until 330L).map(d => (d, d + 1)).toDF("src", "dst"), path, 2L)
+    assert(GraphArtifact.maybeRefreshRanks(spark, path, growthPct = 10) === Some("v_3"))
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap.contains(300L))
+    rmTree(path)
+  }
+
   test("rank artifact: init/refresh/read guards are loud") {
     val path = tmpArt()
     GraphArtifact.initRankArtifact(spark, path, iters = 3)
