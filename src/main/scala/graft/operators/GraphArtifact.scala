@@ -134,6 +134,10 @@ object GraphArtifact {
                         growthPct: Int = 10): Option[String] = {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
+    val cur = // 0 when nothing (or only empty batches) committed yet
+      try committedEdges(spark, path).count()
+      catch { case _: IllegalArgumentException => 0L }
+    if (cur == 0L) return None // an empty graph has no ranks to publish
     val ranksRoot = s"$path/ranks"
     val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
     val stale = served match {
@@ -142,7 +146,6 @@ object GraphArtifact {
         val sweptRows = graft.sources.IndexMeta
           .read(spark, s"$root/meta.json", "rank artifact version")
           .getOrElse("part_rows", 0L) // pre-trigger vintage: always refresh
-        val cur = committedEdges(spark, path).count()
         (cur - sweptRows) * 100L >= growthPct.toLong * math.max(sweptRows, 1L)
     }
     if (stale) Some(refreshRanks(spark, path)) else None

@@ -880,4 +880,46 @@ class StreamingSpec extends SparkSpec {
     val statsAfter = spark.read.parquet(s"$root/stats").orderBy("ingest_batch").collect().toSeq
     assert(statsAfter === statsBefore, "replayed stats must overwrite, not append")
   }
+
+  test("streaming edge ingest: drained ranks ≡ from-scratch sweep, growth-gated refresh, replay no-op") {
+    import graft.operators.{Graph, GraphArtifact}
+    import graft.streaming.StreamingGraph
+    val root = Files.createTempDirectory("graft-edgeingest").toString
+    val raw = s"$root/raw"; val art = s"$root/prart"
+    new java.io.File(raw).mkdirs()
+    GraphArtifact.initRankArtifact(spark, art, iters = 3)
+    val edgeSchema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    def land(name: String, rows: Seq[(Long, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (s, d) => s"""{"src":$s,"dst":$d}""" }
+          .mkString("\n").getBytes)
+    def drain(): Unit = {
+      val q = StreamingGraph.edgeIngest(
+        spark.readStream.schema(edgeSchema).json(raw), art, s"$root/ckpt",
+        refreshGrowthPct = Some(10))
+      q.awaitTermination()
+    }
+    val b1 = (0L until 80L).map(d => (d, (d * 7 + 3) % 31))
+    val b2 = (0L until 80L).map(d => (d, (d * 13 + 5) % 31))
+    land("e1.json", b1); drain() // first drain: unconditional publish
+    val v1 = GraphArtifact.readRanks(spark, art).as[(Long, Long)].collect().toMap
+    assert(v1 === Graph.pageRank(b1.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap)
+    land("e2.json", b2); drain() // 80 new rows on 80: well past 10%
+    val v2 = GraphArtifact.readRanks(spark, art).as[(Long, Long)].collect().toMap
+    assert(v2 === Graph.pageRank((b1 ++ b2).toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap,
+      "streamed ranks diverged from the from-scratch sweep over the union")
+    // at-least-once redelivery of batch 0's payload: fingerprint no-op
+    StreamingGraph.ingestEdgeBatch(b1.toDF("src", "dst"), 0L, art)
+    assert(GraphArtifact.maybeRefreshRanks(spark, art, growthPct = 10).isEmpty,
+      "replayed batch must not re-trip the growth trigger")
+    assert(GraphArtifact.readRanks(spark, art)
+      .as[(Long, Long)].collect().toMap === v2)
+    // an ingest against an uninitialized artifact fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingGraph.ingestEdgeBatch(b1.toDF("src", "dst"), 0L, s"$root/nope")
+    }
+  }
 }
