@@ -151,6 +151,17 @@ object GraphArtifact {
     if (stale) Some(refreshRanks(spark, path)) else None
   }
 
+  /** The standing (src, dst) edge state — every committed batch's
+    * rows, NOT globally collapsed (consumers prep: [[Graph.pageRank]]
+    * and [[Graph.personalizedPageRank]] both distinct first). This is
+    * the artifact's second serving surface: any graph analytics —
+    * seed-personalized PPR over a fresh seed set in particular — runs
+    * off the standing state without re-deriving edges from raw text. */
+  def standingEdges(spark: SparkSession, path: String): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    committedEdges(spark, path)
+  }
+
   /** The served (node, rank) table — a parquet read of the version
     * `CURRENT` names (or the newest complete one mid-swap), no
     * compute. Loud when nothing has been published. */

@@ -145,6 +145,15 @@ class GraphSpec extends SparkSpec {
     val scratch = Graph.pageRank(artEdges.toDF("src", "dst"), iters = 4)
       .as[(Long, Long)].collect().toMap
     assert(served === scratch)
+    // the second serving surface: PPR over a fresh seed set runs off
+    // the STANDING edge state (no re-derivation), equal to PPR over
+    // the raw union
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    assert(Graph.personalizedPageRank(
+        GraphArtifact.standingEdges(spark, path), seeds, iters = 3)
+        .as[(Long, Long)].collect().toMap ===
+      Graph.personalizedPageRank(artEdges.toDF("src", "dst"), seeds, iters = 3)
+        .as[(Long, Long)].collect().toMap)
     rmTree(path)
   }
 
