@@ -1635,7 +1635,7 @@ object QueriesText {
     // from a vetted kernel. Same fixed-point discipline, same
     // unrolled-sweep oracle, different mass routing (restart + all
     // dangling mass DIV |seeds| to seeds; non-seeds start at 0).
-    register("q_ppr_seeds",
+    val pprOracleSql =
       s"""WITH docs AS (SELECT doc_id FROM documents),
          |raw AS (SELECT doc_id AS src, (doc_id * 7 + 3) % 1009 AS dst FROM docs
          |        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % 1009 FROM docs),
@@ -1643,9 +1643,26 @@ object QueriesText {
          |seeds AS (SELECT unnest(range(20)) AS node),
          |${graft.operators.Graph.personalizedPageRankSql(5)}
          |SELECT node, r AS rank FROM it5 WHERE r > 0
-         |ORDER BY rank DESC, node LIMIT 100""") { (s, dir) =>
+         |ORDER BY rank DESC, node LIMIT 100"""
+    register("q_ppr_seeds", pprOracleSql) { (s, dir) =>
       val seeds = s.range(20).select(col("id").as("node"))
       graft.operators.Graph.personalizedPageRank(docLinkEdges(s, dir), seeds, iters = 5)
+        .filter(col("rank") > 0)
+        .orderBy(desc("rank"), col("node")).limit(100)
+    }
+
+    // PPR off the rank artifact's STANDING EDGE STATE — the second
+    // serving surface oracle-gated (GraphArtifact.standingEdges is
+    // otherwise spec-only): the seed-expansion query a curation
+    // pipeline answers per fresh seed set WITHOUT re-deriving edges
+    // from raw text. The artifact's committed batches union to the
+    // exact doc-link graph, so the oracle IS q_ppr_seeds' SQL — a
+    // lost batch, debris fold, or stale edge state shifts the hash.
+    register("q_ppr_artifact", pprOracleSql) { (s, dir) =>
+      val seeds = s.range(20).select(col("id").as("node"))
+      graft.operators.Graph.personalizedPageRank(
+          graft.operators.GraphArtifact.standingEdges(s, pagerankArtifactRoot(s, dir)),
+          seeds, iters = 5)
         .filter(col("rank") > 0)
         .orderBy(desc("rank"), col("node")).limit(100)
     }
