@@ -77,20 +77,93 @@ object GraphArtifact {
   }
 
   /** The union edge set of every COMMITTED batch (dirs carrying the
-    * `_fp` marker — mid-crash debris is invisible). */
+    * `_fp` marker — mid-crash debris is invisible; the name must be
+    * EXACTLY `b=<key>`, so a crashed compaction's `__old`/`__staged`
+    * twins never fold). */
   private def committedEdges(spark: SparkSession, path: String): DataFrame = {
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed =
       if (!fs.exists(parts)) Array.empty[String]
       else fs.listStatus(parts)
-        .filter(s => s.getPath.getName.startsWith("b=") &&
+        .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
           fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
         .map(_.getPath.toString)
     require(committed.nonEmpty,
       s"rank artifact at $path has no committed edge batches — ingest before refreshing")
     spark.read.option("basePath", s"$path/parts").parquet(committed: _*)
       .select(col("src"), col("dst"))
+  }
+
+  /** Heal any crashed [[compactEdgeBatches]] window: a batch dir
+    * parked aside as `__old` with no promoted twin is restored, and
+    * staging debris is dropped ([[graft.sources.Sinks.recoverMergeTarget]]
+    * per batch). Runs ONLY at single-writer entry points (compaction
+    * and refresh) — the read path never mutates. */
+  private def recoverEdgeBatches(spark: SparkSession, path: String): Unit = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parts)) return
+    fs.listStatus(parts).map(_.getPath.getName)
+      .filter(_.matches("b=-?\\d+__(old|staged)"))
+      .map(_.replaceAll("__(old|staged)$", "")).distinct
+      .foreach(b => graft.sources.Sinks.recoverMergeTarget(fs, s"$path/parts/$b"))
+  }
+
+  /** Small-files maintenance for the edge state: streaming ingest
+    * accretes one uncoalesced parquet dir per micro-batch, and at
+    * 100 TB refresh-scan cost is dominated by file count. Each
+    * committed batch dir above the file-count target is rewritten in
+    * place — the batch's `_fp` travels INSIDE the staged dir, so the
+    * promoted dir is committed-with-marker atomically, and the
+    * rewrite first RE-DERIVES the fingerprint from the rows and
+    * requires it equal the stored one (compaction refuses to
+    * launder a corrupted batch into a freshly-committed one). Crash
+    * windows heal at the next single-writer entry via
+    * [[recoverEdgeBatches]]; replay semantics are untouched — a
+    * redelivered batch still fingerprint-matches the compacted dir. */
+  def compactEdgeBatches(spark: SparkSession, path: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    recoverEdgeBatches(spark, path)
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parts)) return
+    val dirs = fs.listStatus(parts)
+      .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+    dirs.foreach { d =>
+      val dataFiles = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val nTarget = math.max(1, math.ceil(
+        dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+      if (dataFiles.length > nTarget) {
+        val dir = d.getPath.toString
+        val df = spark.read.parquet(dir)
+        val fpRow = df
+          .select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
+          .head()
+        val fpNow = s"${fpRow.getLong(0)}x${fpRow.getLong(1)}"
+        val fpFile = new org.apache.hadoop.fs.Path(s"$dir/_fp")
+        val in = fs.open(fpFile)
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        require(stored == fpNow,
+          s"rank artifact batch at $dir fails its fingerprint ($stored vs $fpNow) — " +
+            "refusing to compact a corrupted batch into a freshly-committed dir")
+        val staged = new org.apache.hadoop.fs.Path(s"${dir}__staged")
+        df.coalesce(nTarget).write.mode("overwrite").parquet(staged.toString)
+        val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_fp"), true)
+        try out.write(stored.getBytes("UTF-8")) finally out.close()
+        val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
+        if (!fs.rename(d.getPath, old))
+          throw new java.io.IOException(s"compact: could not park $dir aside")
+        if (!fs.rename(staged, d.getPath))
+          throw new java.io.IOException(s"compact: could not promote $staged")
+        fs.delete(old, true)
+      }
+    }
   }
 
   /** Re-sweep the ranks over the standing edge state into a fresh
@@ -100,6 +173,7 @@ object GraphArtifact {
     * [[maybeRefreshRanks]] judges growth against. */
   def refreshRanks(spark: SparkSession, path: String): String = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    recoverEdgeBatches(spark, path) // heal a crashed compaction before sweeping
     val ranksRoot = s"$path/ranks"
     val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
     val next = graft.sources.VersionedRoot.versions(spark, ranksRoot)

@@ -212,6 +212,49 @@ class GraphSpec extends SparkSpec {
     rmTree(path)
   }
 
+  test("rank artifact: compaction collapses batch files, keeps fingerprints, replay and ranks identical") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    val b0 = artEdges.filter(_._1 % 2 == 0)
+    // land a deliberately fragmented batch: AQE normally coalesces a
+    // tiny dedup shuffle to one partition, so suspend it for the
+    // fixture ingest (real crawl batches fragment on their own)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try GraphArtifact.ingestEdgeBatch(b0.toDF("src", "dst").repartition(8), path, 0L)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    GraphArtifact.refreshRanks(spark, path)
+    val before = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/parts/b=0"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(files() > 1, "fixture must start fragmented")
+    GraphArtifact.compactEdgeBatches(spark, path)
+    assert(files() === 1, "batch files must collapse")
+    // the _fp traveled: a redelivery of the same payload is still a no-op,
+    // a different one still fails loudly
+    GraphArtifact.ingestEdgeBatch(b0.toDF("src", "dst"), path, 0L)
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.ingestEdgeBatch(Seq((1L, 99L)).toDF("src", "dst"), path, 0L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    // ranks re-swept off the compacted state are identical
+    GraphArtifact.refreshRanks(spark, path)
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === before)
+    // crash windows: a batch parked aside mid-promote is healed at the
+    // next single-writer entry; staging debris is dropped and never read
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/parts/b=0"),
+      new org.apache.hadoop.fs.Path(s"$path/parts/b=0__old"))
+    Seq((100007L, 100008L)).toDF("src", "dst")
+      .write.parquet(s"$path/parts/b=5__staged")
+    GraphArtifact.refreshRanks(spark, path) // entry heals, then sweeps ALL batches
+    val healed = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    assert(healed === before, "healed state must sweep the full batch set")
+    assert(!healed.contains(100007L), "staging debris must never fold")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=5__staged")))
+    rmTree(path)
+  }
+
   test("rank artifact: maybeRefreshRanks refreshes only past the growth bound") {
     val path = tmpArt()
     GraphArtifact.initRankArtifact(spark, path, iters = 3)
