@@ -630,12 +630,13 @@ object QueriesText {
            |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.doc_id < b.doc_id),
            |j AS (
            |  SELECT doc_a, doc_b,
-           |         round(CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
-           |               / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))), 4) AS jaccard
+           |         CAST(len(list_intersect(sa.h60, sb.h60)) AS DOUBLE)
+           |         / (len(sa.h60) + len(sb.h60) - len(list_intersect(sa.h60, sb.h60))) AS jacc_raw
            |  FROM cand
            |  JOIN h sa ON sa.doc_id = cand.doc_a
            |  JOIN h sb ON sb.doc_id = cand.doc_b),
-           |pairs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5)"""
+           |pairs AS (SELECT doc_a, doc_b, round(jacc_raw, 4) AS jaccard
+           |          FROM j WHERE jacc_raw >= 0.5)"""
       register("q_dedup_minhash",
         s"""WITH $pairsCte
            |SELECT doc_a, doc_b, jaccard FROM pairs
@@ -1006,12 +1007,13 @@ object QueriesText {
            |  WHERE b.doc_id % 10 >= 8 AND a.doc_id % 10 < 8),
            |iv AS (
            |  SELECT ic.doc_id, ic.corpus_id,
-           |         round(CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
-           |               / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))), 4) AS jaccard
+           |         CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
+           |         / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))) AS jacc_raw
            |  FROM icand ic
            |  JOIN h hb ON hb.doc_id = ic.doc_id
            |  JOIN h hc ON hc.doc_id = ic.corpus_id)
-           |SELECT doc_id, corpus_id, jaccard FROM iv WHERE jaccard >= 0.5
+           |SELECT doc_id, corpus_id, round(jacc_raw, 4) AS jaccard
+           |FROM iv WHERE jacc_raw >= 0.5
            |ORDER BY doc_id, corpus_id""") { (s, dir) =>
         val docs = Tables.documents(s, dir)
         Dedup.minhashIncremental(
@@ -1037,12 +1039,13 @@ object QueriesText {
            |  WHERE b.doc_id % 10 >= 8 AND a.doc_id % 10 < 8),
            |iv AS (
            |  SELECT ic.doc_id, ic.corpus_id,
-           |         round(CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
-           |               / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))), 4) AS jaccard
+           |         CAST(len(list_intersect(hb.h60, hc.h60)) AS DOUBLE)
+           |         / (len(hb.h60) + len(hc.h60) - len(list_intersect(hb.h60, hc.h60))) AS jacc_raw
            |  FROM icand ic
            |  JOIN h hb ON hb.doc_id = ic.doc_id
            |  JOIN h hc ON hc.doc_id = ic.corpus_id)
-           |SELECT doc_id, corpus_id, jaccard FROM iv WHERE jaccard >= 0.5
+           |SELECT doc_id, corpus_id, round(jacc_raw, 4) AS jaccard
+           |FROM iv WHERE jacc_raw >= 0.5
            |ORDER BY doc_id, corpus_id""") { (s, dir) =>
         val docs = Tables.documents(s, dir)
         Dedup.minhashIncrementalIndexed(
@@ -1230,12 +1233,13 @@ object QueriesText {
         |  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
         |j AS (
         |  SELECT doc_a, doc_b,
-        |         round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
-        |               / (len(sa.h) + len(sb.h) - len(list_intersect(sa.h, sb.h))), 4) AS jaccard
+        |         CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+        |         / (len(sa.h) + len(sb.h) - len(list_intersect(sa.h, sb.h))) AS jacc_raw
         |  FROM cand
         |  JOIN sh sa ON sa.doc_id = cand.doc_a
         |  JOIN sh sb ON sb.doc_id = cand.doc_b)
-        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |SELECT doc_a, doc_b, round(jacc_raw, 4) AS jaccard
+        |FROM j WHERE jacc_raw >= 0.5
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
     }
@@ -1834,7 +1838,7 @@ object QueriesText {
           .select(graft.functions.Urls.host(urlOf(col("doc_id"))).as("host"))
           .distinct()
           .select(col("host"),
-            graft.functions.Urls.registeredDomain(col("host")).as("domain"),
+            graft.functions.Urls.registeredDomain(s, col("host")).as("domain"),
             hid(col("host")).as("hid"))
         graft.operators.Graph.pageRank(edges, iters = 5)
           .join(broadcast(hosts), col("node") === col("hid"))
@@ -2074,13 +2078,16 @@ object QueriesText {
         s"""u$pfx AS (SELECT g, e, s, sum(n_base) AS n_base, sum(n_cur) AS n_cur FROM (
            |  SELECT g, e, s, cnt AS n_base, 0 AS n_cur FROM $b
            |  UNION ALL SELECT g, e, s, 0, cnt FROM $c) GROUP BY 1, 2, 3),
+           |ug$pfx AS (SELECT g FROM u$pfx GROUP BY g
+           |           HAVING sum(n_base) > 0 AND sum(n_cur) > 0),
            |t$pfx AS (SELECT g, sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nbk
            |          FROM u$pfx GROUP BY g),
            |terms$pfx AS (
            |  SELECT u.g, e, s,
            |         ((n_base + 1.0) / (tb + nbk) - (n_cur + 1.0) / (tc + nbk))
            |           * ln(((n_base + 1.0) / (tb + nbk)) / ((n_cur + 1.0) / (tc + nbk))) AS term
-           |  FROM u$pfx u JOIN t$pfx t ON u.g = t.g),
+           |  FROM u$pfx u JOIN t$pfx t ON u.g = t.g
+           |  WHERE u.g IN (SELECT g FROM ug$pfx)),
            |psi$pfx AS (
            |  SELECT g, list_sum(list_transform(list(struct_pack(e := e, s := s, term := term)
            |                                         ORDER BY e, s), x -> x.term)) AS psi_raw
@@ -2368,7 +2375,7 @@ object QueriesText {
       val t = Tables.documents(s, dir).select(id, col("n_chars"),
         graft.functions.Urls.canonicalizeUrl(url).as("curl"),
         graft.functions.Urls.host(url).as("host"),
-        graft.functions.Urls.registeredDomain(url).as("domain"))
+        graft.functions.Urls.registeredDomain(s, url).as("domain"))
       t.groupBy("domain", "host", "curl")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
         .groupBy("domain")

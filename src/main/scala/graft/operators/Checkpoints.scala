@@ -19,6 +19,18 @@ import org.apache.spark.sql.DataFrame
   * sever lineage at the same plan point and replay the same rows
   * (GraphSpec pins the equivalence on the iterative sweeps) — only
   * failure-recovery characteristics differ.
+  *
+  * Storage lifecycle in reliable mode: Spark reclaims reliable
+  * checkpoint files only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * FALSE — files otherwise outlive the application). Cluster
+  * deployments enabling a checkpoint dir for these operators should
+  * set that flag (or point the dir at storage with a TTL policy);
+  * high-iteration loops (BPE's per-merge pins in particular) write
+  * one pinned dataset per round, so an unreclaimed checkpoint volume
+  * fills — this is the deployment's retention decision, not one the
+  * library can make (deleting eagerly here would break the very
+  * executor-loss recovery the mode exists for).
   */
 private[graft] object Checkpoints {
 

@@ -241,10 +241,11 @@ object Dedup {
     candidates
       .join(bh, Seq("doc_id"))
       .join(sketches, Seq("corpus_id"))
-      .withColumn("jaccard",
-        round(inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id", "corpus_id", "jaccard")
+      .withColumn("jacc_raw",
+        inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter))
+      .filter(col("jacc_raw") >= threshold)
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("jacc_raw"), 4).as("jaccard"))
   }
 
   /** Incremental near-dup: which NEW-batch docs duplicate a doc the
@@ -276,10 +277,11 @@ object Dedup {
     candidates
       .join(bh, Seq("doc_id"))
       .join(ch, Seq("corpus_id"))
-      .withColumn("jaccard",
-        round(inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id", "corpus_id", "jaccard")
+      .withColumn("jacc_raw",
+        inter.cast("double") / (size(col("sh")) + size(col("sh_c")) - inter))
+      .filter(col("jacc_raw") >= threshold)
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("jacc_raw"), 4).as("jaccard"))
   }
 
   /** Verify candidate pairs with exact Jaccard over the 60-bit md5
@@ -292,10 +294,13 @@ object Dedup {
     candidates
       .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      // contract is >= threshold on the TRUE ratio (r16, same fix as
+      // decontaminateNearDup): gate raw, round only the projection
+      .withColumn("jacc_raw",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jacc_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jacc_raw"), 4).as("jaccard"))
   }
 
   // ── SimHash ────────────────────────────────────────────────────────

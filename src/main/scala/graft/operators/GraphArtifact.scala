@@ -140,16 +140,12 @@ object GraphArtifact {
       if (dataFiles.length > nTarget) {
         val dir = d.getPath.toString
         val df = spark.read.parquet(dir)
-        val fpRow = df
-          .select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
-          .head()
-        val fpNow = s"${fpRow.getLong(0)}x${fpRow.getLong(1)}"
+        val fpNow = Profile.contentFingerprint(df)
         val fpFile = new org.apache.hadoop.fs.Path(s"$dir/_fp")
         val in = fs.open(fpFile)
         val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        require(stored == fpNow,
+        require(Profile.fingerprintMatches(stored, fpNow),
           s"rank artifact batch at $dir fails its fingerprint ($stored vs $fpNow) — " +
             "refusing to compact a corrupted batch into a freshly-committed dir")
         val staged = new org.apache.hadoop.fs.Path(s"${dir}__staged")

@@ -377,6 +377,30 @@ object Profile {
     * XORs collide would still be treated as one redelivery. It is
     * written AFTER the data, so a crash mid-land leaves no
     * fingerprint and the retry takes the plain overwrite path. */
+  /** The count+XOR content fingerprint of `df` — the ONE definition of
+    * batch-contribution identity, shared by [[landBatchPart]] and
+    * [[GraphArtifact.compactEdgeBatches]] so the formula can never
+    * fork between the writer and the maintenance rewrite (r16 review). */
+  private[operators] def contentFingerprint(df: DataFrame,
+      fpRow: DataFrame => org.apache.spark.sql.Column =
+        d => xxhash64(d.columns.map(col): _*)): String = {
+    val r = df
+      .select(fpRow(df).as("__h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
+      .head()
+    s"${r.getLong(0)}x${r.getLong(1)}"
+  }
+
+  /** Does a STORED fingerprint match a freshly computed one? Accepts
+    * the pre-r16 bare-XOR format (no count prefix) so artifacts
+    * written before the format change keep their no-op replay path —
+    * without this, a byte-identical redelivery against an old
+    * artifact would throw 'DIFFERENT contribution' and crash-loop the
+    * stream on correct data (r16 review). */
+  private[operators] def fingerprintMatches(stored: String, fresh: String): Boolean =
+    stored == fresh ||
+      (!stored.contains("x") && stored == fresh.substring(fresh.indexOf('x') + 1))
+
   private[operators] def landBatchPart(contribution: DataFrame, path: String,
                             part: String, what: String,
                             fpRow: DataFrame => org.apache.spark.sql.Column =
@@ -384,11 +408,7 @@ object Profile {
                             coalesce1: Boolean = true): Unit = {
     val spark = contribution.sparkSession
     val df = contribution.localCheckpoint() // one computation for fp + write
-    val fpRowVals = df
-      .select(fpRow(df).as("__h"))
-      .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L)))
-      .head()
-    val fp = s"${fpRowVals.getLong(0)}x${fpRowVals.getLong(1)}"
+    val fp = contentFingerprint(df, fpRow)
     val dir = new org.apache.hadoop.fs.Path(s"$path/parts/$part")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpFile = new org.apache.hadoop.fs.Path(dir, "_fp")
@@ -396,7 +416,7 @@ object Profile {
       val in = fs.open(fpFile)
       val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      require(old == fp.toString,
+      require(fingerprintMatches(old, fp),
         s"$what part $part already holds a DIFFERENT contribution " +
           s"(fingerprint $old vs $fp) — a redelivered batch must be identical; " +
           "this looks like a reset checkpoint or a second writer sharing the artifact")

@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   *    version arithmetic, because a crashed refresh can leave an
   *    incomplete v_k with a HIGHER number than the serving version;
   *  - single writer, like every persisted artifact in the engine.
+  *
+  * Reader guarantee, stated precisely: a reader that resolved before
+  * a publish finishes against intact files across ONE concurrent
+  * refresh (its version is the kept `servedBefore`); a reader that
+  * holds a resolved version across TWO refresh cycles can lose its
+  * files to the second publish's GC. Operators therefore pace
+  * maintenance refreshes slower than their longest read job — the
+  * same contract as the IVF/IVFPQ rebuilds this generalizes — or
+  * disable GC-by-retention out of band if reads are unbounded.
   */
 object VersionedRoot {
 
