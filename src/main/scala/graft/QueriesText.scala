@@ -2309,10 +2309,14 @@ object QueriesText {
     // and raw forms that only collide after canonicalization. Pure
     // string expressions, map-only — one grouped census, domain-sized
     // aggregates.
-    register("q_domain_health",
-      """WITH d AS (
-        |  SELECT doc_id, n_chars,
-        |         CASE CAST(doc_id % 8 AS INT)
+    // The messy-URL fixture shared by the q_domain_* family — ONE
+    // definition on each engine side so the queries cannot drift:
+    // uppercase schemes/hosts, default + non-default ports, userinfo,
+    // tracking params, fragments, trailing slashes, and three PSL
+    // shapes (a *.kobe.jp wildcard host, its !city.kobe.jp exception,
+    // a 3-label k12.ca.us exact suffix).
+    val syntheticUrlSql =
+      """CASE CAST(doc_id % 8 AS INT)
         |           WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || CAST(doc_id % 4 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
         |           WHEN 1 THEN 'https://News.Example.co.uk/Article/' || CAST(doc_id AS VARCHAR) || '?fbclid=' || CAST(doc_id AS VARCHAR)
         |           WHEN 2 THEN 'https://blog.Other.ORG:443/post/?b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
@@ -2321,7 +2325,25 @@ object QueriesText {
         |           WHEN 5 THEN 'http://www.City.Kobe.JP/ward/' || CAST(doc_id % 2 AS VARCHAR)
         |           WHEN 6 THEN 'https://sub.School.K12.CA.US/class/' || CAST(doc_id % 2 AS VARCHAR)
         |           ELSE 'https://Sub.Site.COM.AU/x/' || CAST(doc_id % 2 AS VARCHAR) || '//'
-        |         END AS url
+        |         END""".stripMargin
+    def syntheticUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(id % 8 === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
+        (id % 4).cast("string"), lit("/?utm_source=x&id="), (id % 3).cast("string")))
+      .when(id % 8 === 1, concat(lit("https://News.Example.co.uk/Article/"),
+        id.cast("string"), lit("?fbclid="), id.cast("string")))
+      .when(id % 8 === 2, concat(lit("https://blog.Other.ORG:443/post/?b=2&a="),
+        (id % 7).cast("string")))
+      .when(id % 8 === 3, lit("http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag"))
+      .when(id % 8 === 4, concat(lit("https://b.a.Shop.Kobe.JP/w/"), (id % 3).cast("string")))
+      .when(id % 8 === 5, concat(lit("http://www.City.Kobe.JP/ward/"), (id % 2).cast("string")))
+      .when(id % 8 === 6, concat(lit("https://sub.School.K12.CA.US/class/"), (id % 2).cast("string")))
+      .otherwise(concat(lit("https://Sub.Site.COM.AU/x/"),
+        (id % 2).cast("string"), lit("//")))
+
+    register("q_domain_health",
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         """ + syntheticUrlSql + """ AS url
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, n_chars,
@@ -2357,21 +2379,7 @@ object QueriesText {
         |       round(CAST(sum(sc) AS DOUBLE) / sum(n), 2) AS avg_chars
         |FROM cc GROUP BY domain ORDER BY domain""") { (s, dir) =>
       val id = col("doc_id")
-      val url =
-        when(id % 8 === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
-          (id % 4).cast("string"), lit("/?utm_source=x&id="), (id % 3).cast("string")))
-        .when(id % 8 === 1, concat(lit("https://News.Example.co.uk/Article/"),
-          id.cast("string"), lit("?fbclid="), id.cast("string")))
-        .when(id % 8 === 2, concat(lit("https://blog.Other.ORG:443/post/?b=2&a="),
-          (id % 7).cast("string")))
-        .when(id % 8 === 3, lit("http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag"))
-        // PSL depth: a *.kobe.jp wildcard host, its !city.kobe.jp
-        // exception, and a 3-label k12.ca.us exact suffix
-        .when(id % 8 === 4, concat(lit("https://b.a.Shop.Kobe.JP/w/"), (id % 3).cast("string")))
-        .when(id % 8 === 5, concat(lit("http://www.City.Kobe.JP/ward/"), (id % 2).cast("string")))
-        .when(id % 8 === 6, concat(lit("https://sub.School.K12.CA.US/class/"), (id % 2).cast("string")))
-        .otherwise(concat(lit("https://Sub.Site.COM.AU/x/"),
-          (id % 2).cast("string"), lit("//")))
+      val url = syntheticUrl(id)
       val t = Tables.documents(s, dir).select(id, col("n_chars"),
         graft.functions.Urls.canonicalizeUrl(url).as("curl"),
         graft.functions.Urls.host(url).as("host"),
@@ -2387,6 +2395,58 @@ object QueriesText {
             / sum("n"), 4).as("url_dup_frac"),
           round(sum("sc").cast("double") / sum("n"), 2).as("avg_chars"))
         .orderBy("domain")
+    }
+
+    // Per-domain crawl cap — the anti-domination curation rule: cap
+    // pages per REGISTERED DOMAIN before training so one megasite
+    // cannot dominate the mix (the standard crawl-curation companion
+    // to per-source mixing, which groups by declared source rather
+    // than by link identity). ONE plan composes the PSL
+    // registered-domain derivation with the deterministic md5-rank
+    // cap (Sampling.exactKPerStratum): k = 3 is fixture-small so
+    // every synthesized domain actually truncates at every SF. The
+    // oracle independently replays the host canonicalization, the
+    // PSL CASE chain AND the salted-md5 rank — a wrong domain, a
+    // dropped doc or a shifted rank all shift the hash.
+    register("q_domain_cap",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         """ + syntheticUrlSql + """ AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |         regexp_replace(regexp_replace(trim(url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM d),
+        |h0 AS (
+        |  SELECT doc_id, sch,
+        |         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^[^@]*@', '') AS hp
+        |  FROM p),
+        |h1 AS (
+        |  SELECT doc_id, CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+        |                      WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+        |                      ELSE hp END AS hp2
+        |  FROM h0),
+        |h2 AS (SELECT doc_id,
+        |              regexp_replace(regexp_replace(hp2, '^www\.', ''), ':\d+$', '') AS host_np
+        |       FROM h1),
+        |dom AS (
+        |  SELECT doc_id,
+        |""" + graft.functions.Urls.registeredDomainSql("host_np") + """ AS domain
+        |  FROM h2),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |         row_number() OVER (PARTITION BY domain
+        |                            ORDER BY md5(concat(doc_id, ':42')), doc_id) AS rn
+        |  FROM dom)
+        |SELECT domain, doc_id FROM r WHERE rn <= 3
+        |ORDER BY domain, doc_id""") { (s, dir) =>
+      val url = syntheticUrl(col("doc_id"))
+      val dom = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.Urls.registeredDomain(s, url).as("domain"))
+      graft.operators.Sampling.exactKPerStratum(dom, "domain", "doc_id", k = 3)
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
     }
 
     // Source-scoped boilerplate removal (CCNet/RefinedWeb line-freq
