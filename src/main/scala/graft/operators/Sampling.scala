@@ -83,20 +83,38 @@ object Sampling {
     * probabilistic rate (± binomial noise) isn't acceptable. Survivors
     * are the k smallest md5(key:salt) digests per stratum: layout- and
     * retry-independent, and auditable in any SQL engine (same
-    * row_number the oracle runs). One shuffle on the stratum column;
-    * the per-stratum sort spills fine, but for a stratum that is a
-    * large fraction of 100 TB prefer [[stratified]] with rate k/n (the
-    * sortless form) or pre-filter with an approximate digest-threshold
-    * pass so only ~k rows per stratum reach this exact rank. */
+    * row_number the oracle runs).
+    *
+    * Skew shape (r16 verdict #1): the stratum is often skewed BY THE
+    * OPERATOR'S PURPOSE — a per-domain crawl cap exists precisely
+    * because megasites exist — so a single `row_number` window over
+    * the stratum would sort one megasite's billions of rows in ONE
+    * task. This runs the associative two-phase form instead: the
+    * digest's leading byte salts each stratum into `subparts`
+    * order-preserving subpartitions (md5 is uniform, so each holds
+    * ~n_s/subparts rows), phase 1 keeps the k smallest (digest, key)
+    * per (stratum, subpart), and phase 2 ranks the ≤ subparts·k
+    * survivors per stratum. Top-k under a total order is associative,
+    * so the result is BIT-IDENTICAL to the single-window form — the
+    * oracle replays the plain per-stratum row_number unchanged — while
+    * no task ever sorts more than ~1/subparts of one stratum. */
   def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
-                       k: Int, salt: Int = 42): DataFrame = {
+                       k: Int, salt: Int = 42, subparts: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
+    require(subparts >= 1 && subparts <= 256, "subparts must be in 1..256")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__sub"))
+      .orderBy(col("__h"), col(keyCol))
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", saltedHash(col(keyCol), salt))
+      .withColumn("__sub", prefixBucket(col("__h"), subparts))
+      .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k)
-      .drop("__rn")
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__sub", "__rn")
   }
 
   /** Leakage-safe train/val/test assignment: the split is a hash of

@@ -83,6 +83,37 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
 
+  test("exactKPerStratum two-phase form is bit-identical to the single-window rank") {
+    // the skew-safe shape (salt → per-(stratum, salt) top-k → per-stratum
+    // top-k over survivors) must equal the naive per-stratum row_number
+    // EXACTLY — top-k under the (md5, key) total order is associative —
+    // for every subparts setting, including the degenerate subparts = 1
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(md5(concat($"doc_id".cast("string"), lit(":42"))), $"doc_id")
+      docs.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" <= 100).drop("__rn")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    for (s <- Seq(1, 7, 64, 256)) {
+      val got = Sampling.exactKPerStratum(docs, "lang", "doc_id", k = 100, subparts = s)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === naive, s"subparts=$s must reproduce the single-window survivors")
+    }
+    // a heavily skewed stratum (one domain holding ~90 % of rows) still
+    // truncates to exactly k with the same survivors at any layout
+    val skewed = (1L to 9000L).map(i => (i, "megasite.com"))
+      .++((9001L to 10000L).map(i => (i, s"site${i % 50}.com"))).toDF("doc_id", "domain")
+    val a = Sampling.exactKPerStratum(skewed, "domain", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.exactKPerStratum(skewed.repartition(23), "domain", "doc_id", k = 5, subparts = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(Sampling.exactKPerStratum(skewed, "domain", "doc_id", k = 5)
+      .filter($"domain" === "megasite.com").count() === 5L)
+  }
+
   test("composition: near-dup cluster ids feed assignSplit so duplicates never straddle train/eval") {
     import graft.operators.Dedup
     // three near-dup families as explicit pair edges + singleton docs
