@@ -337,6 +337,74 @@ object QueriesText {
     })
   }
 
+  /** The canonical title catalog shared by the record-linkage lookup
+    * family (q_editdist_lookup / q_editdist_indexed): first four
+    * house-tokenized words per doc, exact-deduped to (id, title) with
+    * id = min(doc_id) — the clean list a dirty batch resolves against. */
+  private def titleCatalog(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
+      .groupBy("title").agg(min(col("doc_id")).as("id"))
+      .select("id", "title")
+
+  /** The deterministic dirty inbound batch over a title catalog:
+    * negative odd/even typo ids (see q_editdist_join) — provably
+    * disjoint from the non-negative catalog ids at any SF. */
+  private def dirtyTitles(ttl: org.apache.spark.sql.DataFrame) =
+    ttl.filter(col("id") % 11 === 0)
+      .select((-(col("id") * 2 + 1)).as("id"), concat(col("title"), lit("x")).as("title"))
+      .unionByName(ttl.filter(col("id") % 13 === 0)
+        .select((-(col("id") * 2 + 2)).as("id"), concat(col("title"), lit(" q")).as("title")))
+
+  /** ONE oracle for both lookup tiers (recompute and indexed): the
+    * UNCHANGED generated Ed-Join replay (two-sided union frequency
+    * order) with sa = the dirty batch and sb = the catalog —
+    * deliberately a DIFFERENT candidate scheme than the engine's:
+    * the prefix lemma makes both complete for any shared order and
+    * the exact verify decides every pair, so the hash gate also
+    * proves neither restructure lost candidates. */
+  private lazy val editDistLookupOracleSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |ttl AS (
+       |  SELECT min(doc_id) AS id, title
+       |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
+       |  GROUP BY title),
+       |dirty AS (
+       |  SELECT -(id * 2 + 1) AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
+       |  UNION ALL SELECT -(id * 2 + 2), title || ' q' FROM ttl WHERE id % 13 = 0),
+       |sa AS (SELECT id AS a_id, title AS a_s FROM dirty),
+       |sb AS (SELECT id AS b_id, title AS b_s FROM ttl),
+       |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
+       |SELECT a_id, b_id, dist FROM ed
+       |ORDER BY a_id, b_id"""
+
+  /** Persisted fuzzy-link index lifecycle per (JVM, source dir): the
+    * title catalog lands in two id-parity batches (batch 0 REPLAYED
+    * after batch 1 — fingerprint no-op), with a refresh after EACH
+    * ingest round so the served version SUPERSEDED an earlier
+    * partial-catalog one behind the atomic CURRENT swap. */
+  private def fuzzyLinkIndexRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"fuzzylink:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-fuzzylink").toString
+      graft.operators.FuzzyLinkIndex.initLinkIndex(s, path, k = 2, q = 2)
+      val ttl = titleCatalog(s, dir).localCheckpoint()
+      def ingest(parity: Int, key: Long): Unit =
+        graft.operators.FuzzyLinkIndex.ingestCatalogBatch(
+          ttl.filter(col("id") % 2 === parity), path, key, "id", "title")
+      ingest(0, 0L)
+      graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path) // v_1: partial catalog
+      ingest(1, 1L)
+      ingest(0, 0L) // at-least-once redelivery of batch 0: fingerprint no-op
+      graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path) // v_2: full catalog
+      path
+    })
+  }
+
   /** Drift-monitor lifecycle per (JVM, source dir): a fresh quantile
     * artifact + alarm log driven through three l_orderkey-mod-3 price
     * batches — batch 2 shifted one octave (v*2) so the log carries
@@ -1737,39 +1805,34 @@ object QueriesText {
     // the prefix lemma makes both complete for any shared order and
     // the exact verify decides every pair, so the hash gate now also
     // proves the restructure lost no candidates.
-    register("q_editdist_lookup",
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
-         |  FROM documents),
-         |ttl AS (
-         |  SELECT min(doc_id) AS id, title
-         |  FROM (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks)
-         |  GROUP BY title),
-         |dirty AS (
-         |  SELECT -(id * 2 + 1) AS id, title || 'x' AS title FROM ttl WHERE id % 11 = 0
-         |  UNION ALL SELECT -(id * 2 + 2), title || ' q' FROM ttl WHERE id % 13 = 0),
-         |sa AS (SELECT id AS a_id, title AS a_s FROM dirty),
-         |sb AS (SELECT id AS b_id, title AS b_s FROM ttl),
-         |${graft.operators.FuzzyJoin.editDistanceJoinSql(2)}
-         |SELECT a_id, b_id, dist FROM ed
-         |ORDER BY a_id, b_id""") { (s, dir) =>
+    register("q_editdist_lookup", editDistLookupOracleSql) { (s, dir) =>
       // pinned: the tokenize+agg title derivation is the expensive
       // stage (~150k full-text tokenizations) and BOTH sides consume
       // it — without the pin each side's input checkpoint re-derives it
-      val ttl = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
-        .groupBy("title").agg(min(col("doc_id")).as("id"))
-        .select("id", "title")
-        .localCheckpoint()
-      // negative odd/even typo ids (see q_editdist_join) — provably
-      // disjoint from the non-negative catalog ids at any SF
-      val dirty = ttl.filter(col("id") % 11 === 0)
-        .select((-(col("id") * 2 + 1)).as("id"), concat(col("title"), lit("x")).as("title"))
-        .unionByName(ttl.filter(col("id") % 13 === 0)
-          .select((-(col("id") * 2 + 2)).as("id"), concat(col("title"), lit(" q")).as("title")))
-      graft.operators.FuzzyJoin.editDistanceLookup(dirty, ttl, "id", "title", k = 2)
+      val ttl = titleCatalog(s, dir).localCheckpoint()
+      graft.operators.FuzzyJoin.editDistanceLookup(
+          dirtyTitles(ttl), ttl, "id", "title", k = 2)
+        .orderBy("a_id", "b_id")
+    }
+
+    // The INDEXED form of q_editdist_lookup — the catalog's gram /
+    // frequency / prefix passes served from the persisted fuzzy-link
+    // index instead of recomputed per inbound batch (r16 verdict #2:
+    // the lookup's own comment conceded production would persist
+    // them; every other serving family already has its artifact
+    // tier). The lifecycle exercised per (JVM, dir): init → ingest
+    // even-id catalog batch → refresh (v_1, partial catalog) →
+    // ingest odd-id batch → REPLAY the even batch (fingerprint
+    // no-op) → refresh (v_2, full catalog, supersedes v_1 behind the
+    // atomic CURRENT swap). The serving derivation is the SAME code
+    // path the recompute form runs (FuzzyJoin.catalogTables /
+    // probeLookup), so the oracle IS q_editdist_lookup's SQL verbatim
+    // — a stale version, lost catalog batch, or fold/replay bug all
+    // shift the hash.
+    register("q_editdist_indexed", editDistLookupOracleSql) { (s, dir) =>
+      val ttl = titleCatalog(s, dir).localCheckpoint()
+      graft.operators.FuzzyLinkIndex.editDistanceLookupIndexed(
+          dirtyTitles(ttl), fuzzyLinkIndexRoot(s, dir), "id", "title")
         .orderBy("a_id", "b_id")
     }
 

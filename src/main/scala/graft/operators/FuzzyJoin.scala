@@ -176,25 +176,58 @@ object FuzzyJoin {
                          k: Int, q: Int = 2): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in 1..8, got $k")
     require(q >= 2 && q <= 4, s"q must be in 2..4, got $q")
-    val minLong = q * (k + 1)
-    val prefixLen = k * q + 1
     val pSrc = Checkpoints.pin(probe.select(col(idCol), col(strCol)))
     val cSrc = Checkpoints.pin(catalog.select(col(idCol), col(strCol)))
     requireUniqueIds(pSrc, idCol, "probe")
     requireUniqueIds(cSrc, idCol, "catalog")
-    val ga = gramRows(pSrc, idCol, strCol, q, "a")
+    val (dfreq, pb, shortB) = catalogTables(cSrc, idCol, strCol, k, q)
+    probeLookup(pSrc, dfreq, pb, shortB, idCol, strCol, k, q)
+  }
+
+  /** The catalog's three derived tables — the heavy half of
+    * [[editDistanceLookup]], factored out so [[FuzzyLinkIndex]] can
+    * PERSIST exactly what the recompute path derives (index ≡
+    * recompute is structural, not re-implemented):
+    *  - `dfreq` (g, occ, df): the catalog-only gram-occurrence rarity
+    *    order (a GRAM VOCABULARY — bounded by alphabet^q × repeat
+    *    count, never corpus-proportional);
+    *  - `prefix` (b_id, b_s, b_len, g, occ): each catalog string's
+    *    kq+1 rarest keys under that order;
+    *  - `short` (b_id, b_s, cand_len): the under-gram-bound strings
+    *    keyed by their exact length for the band path. */
+  private[operators] def catalogTables(cSrc: DataFrame, idCol: String,
+      strCol: String, k: Int, q: Int): (DataFrame, DataFrame, DataFrame) = {
+    val minLong = q * (k + 1)
+    val prefixLen = k * q + 1
     val gb = gramRows(cSrc, idCol, strCol, q, "b")
-    // catalog-only rarity order — in production a PERSISTED table
-    // built once with the catalog, not recomputed per inbound batch
     val dfreq = gb.select(col("g"), col("occ"))
       .groupBy("g", "occ").agg(count(lit(1)).as("df"))
       .transform(Checkpoints.pin)
-    // probe prefixes under the catalog's order; absent grams rank
-    // rarest (df = 0), ties broken (g, occ) as everywhere. The df
-    // attach BROADCASTS the frequency table (a GRAM VOCABULARY —
-    // bounded by alphabet^q × repeat count, kilobytes for q=2 titles
-    // at any corpus size, never corpus-proportional) so neither side
-    // is exchanged by (g, occ) for a probe-sized lookup
+    val pb = prefixRows(gb, dfreq, "b", prefixLen)
+    val shortB = cSrc
+      .select(col(idCol).as("b_id"), col(strCol).as("b_s"),
+        length(col(strCol)).as("cand_len"))
+      .filter(col("cand_len") < minLong)
+    (dfreq, pb, shortB)
+  }
+
+  /** The probe-side serving half of [[editDistanceLookup]]: resolve a
+    * small dirty batch against the catalog's three derived tables
+    * (from [[catalogTables]] live, or read back from a
+    * [[FuzzyLinkIndex]] version — same schemas, same plan). Probe
+    * prefixes rank under the catalog's order; absent grams rank
+    * rarest (df = 0), ties broken (g, occ) as everywhere. The df
+    * attach BROADCASTS the frequency table so neither side is
+    * exchanged by (g, occ) for a probe-sized lookup, and the probe's
+    * prefix/short rows broadcast onto the catalog's — the catalog
+    * tables are joined where they stand, never reshuffled by a
+    * probe-sized key. */
+  private[operators] def probeLookup(pSrc: DataFrame, dfreq: DataFrame,
+      pb: DataFrame, shortB: DataFrame, idCol: String, strCol: String,
+      k: Int, q: Int): DataFrame = {
+    val minLong = q * (k + 1)
+    val prefixLen = k * q + 1
+    val ga = gramRows(pSrc, idCol, strCol, q, "a")
     val pa = ga.join(broadcast(dfreq), Seq("g", "occ"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(
@@ -202,7 +235,6 @@ object FuzzyJoin {
           .orderBy(col("df"), col("g"), col("occ"))))
       .filter(col("rk") <= prefixLen)
       .select(col("a_id"), col("a_s"), col("a_len"), col("g"), col("occ"))
-    val pb = prefixRows(gb, dfreq, "b", prefixLen)
     val verifyCols = Seq(col("a_id"), col("b_id"),
       levenshtein(col("a_s"), col("b_s"), k).as("dist"))
     val gramPairs = broadcast(pa).join(pb, Seq("g", "occ"))
@@ -216,10 +248,6 @@ object FuzzyJoin {
       .filter(col("a_len") < minLong)
       .withColumn("cand_len",
         explode(sequence(col("a_len") - k, col("a_len") + k)))
-    val shortB = cSrc
-      .select(col(idCol).as("b_id"), col(strCol).as("b_s"),
-        length(col(strCol)).as("cand_len"))
-      .filter(col("cand_len") < minLong)
     val shortPairs = broadcast(shortA).join(shortB, Seq("cand_len"))
       .select(verifyCols: _*)
     gramPairs.unionByName(shortPairs)
@@ -230,7 +258,7 @@ object FuzzyJoin {
     * gram partitions, so each keeps fewer than its kq+1 rarest grams
     * and true matches are silently pruned before the verify. Two
     * cheap aggs buy a loud failure instead. */
-  private def requireUniqueIds(src: DataFrame, idCol: String, side: String): Unit = {
+  private[operators] def requireUniqueIds(src: DataFrame, idCol: String, side: String): Unit = {
     val Array(n, d) = src
       .agg(count(lit(1)), count_distinct(col(idCol))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted lifecycle of the record-linkage catalog index — the
+  * artifact tier [[FuzzyJoin.editDistanceLookup]] was missing (r16
+  * verdict #2: the lookup recomputed the catalog's gram / frequency /
+  * prefix passes per inbound batch, and every other serving family —
+  * ANN, postings, sketches, ranks — already has a persisted,
+  * foldable tier). At 100 TB the canonical catalog grows per ingest
+  * batch while dirty probe batches arrive continuously; the catalog's
+  * heavy passes (gram explode ∝ total characters, the vocabulary
+  * aggregate, the per-string prefix window) are paid once per catalog
+  * VERSION here, and a probe lookup reads three parquet tables and
+  * runs only its own probe-sized work.
+  *
+  * Layout under one meta-checked root (the [[GraphArtifact]] shape):
+  * {{{
+  *   meta.json            k + q, written once (loud on mismatch)
+  *   parts/b=<batch>/     per-batch catalog rows (id, s) + _fp replay guard
+  *   index/v_<n>/dfreq/   (g, occ, df)      — the catalog rarity order
+  *   index/v_<n>/prefix/  (b_id, b_s, b_len, g, occ) — kq+1 rarest per string
+  *   index/v_<n>/short/   (b_id, b_s, cand_len) — the band-path strings
+  *   index/v_<n>/meta.json   written LAST (completeness marker)
+  *   index/CURRENT        atomic serving pointer ([[graft.sources.VersionedRoot]])
+  * }}}
+  *
+  * Contracts, each the established house protocol:
+  *  - ingest lands a batch's (id, s) rows (cast long/string,
+  *    within-batch distinct) under the count+XOR fingerprint guard
+  *    ([[Profile.landBatchPart]]): an at-least-once redelivery is a
+  *    no-op, a DIFFERENT payload under a used batch key fails loudly.
+  *    Batches may repeat exact rows across keys (the union
+  *    re-collapses); two batches claiming the SAME id with DIFFERENT
+  *    strings fail the unique-id guard at refresh — a catalog is a
+  *    function id → string, and silently keeping both would merge
+  *    their gram partitions and drop true matches.
+  *  - refresh derives the three tables via the SAME
+  *    [[FuzzyJoin.catalogTables]] the recompute path runs (index ≡
+  *    recompute is structural — the prefix selection depends on the
+  *    GLOBAL frequency order, so growth re-derives, exactly like the
+  *    rank re-sweep) into a fresh `v_<n>` behind the atomic `CURRENT`
+  *    swap with served-identity GC.
+  *  - the growth trigger ([[maybeRefreshLinkIndex]]) costs one
+  *    parquet-metadata count per tick and fails LOUDLY on a missing
+  *    or invalid artifact (r16 advice on [[GraphArtifact
+  *    .maybeRefreshRanks]]: a swallowed bad path must not no-op
+  *    forever) — only the legitimate "no batches yet" state returns
+  *    None.
+  *  - single writer per artifact, readers any time (the serving
+  *    surface is versioned, so maintenance never makes it flicker).
+  */
+object FuzzyLinkIndex {
+
+  /** Write the (k, q) meta once — the constants that shape the prefix
+    * selection; mixed-parameter versions would be silently
+    * incomparable. Re-init: no-op when equal, loud when different. */
+  def initLinkIndex(spark: SparkSession, path: String,
+                    k: Int, q: Int = 2): Unit = {
+    require(k >= 1 && k <= 8, s"k must be in 1..8, got $k")
+    require(q >= 2 && q <= 4, s"q must be in 2..4, got $q")
+    Profile.initArtifact(spark, path, "fuzzy-link index",
+      Seq("k" -> k.toLong, "q" -> q.toLong))
+  }
+
+  /** Land one catalog batch's (id, s) rows under `parts/b=<batchKey>`
+    * behind the fingerprint replay guard. Exact duplicate rows across
+    * batches are fine (the refresh union re-collapses); conflicting
+    * strings under one id fail at refresh. */
+  def ingestCatalogBatch(rows: DataFrame, path: String, batchKey: Long,
+                         idCol: String = "id", strCol: String = "s"): Unit = {
+    val spark = rows.sparkSession
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    val prepped = rows
+      .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .distinct()
+    Profile.landBatchPart(prepped, path, s"b=$batchKey", "fuzzy-link index",
+      coalesce1 = false)
+  }
+
+  /** The collapsed (id, s) catalog over every COMMITTED batch (dirs
+    * carrying `_fp` and named EXACTLY `b=<key>` — crash debris and
+    * maintenance twins are invisible). Loud when nothing committed. */
+  private def committedCatalog(spark: SparkSession, path: String): DataFrame = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(parts)) Array.empty[String]
+      else fs.listStatus(parts)
+        .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+        .map(_.getPath.toString)
+    require(committed.nonEmpty,
+      s"fuzzy-link index at $path has no committed catalog batches — ingest before refreshing")
+    spark.read.option("basePath", s"$path/parts").parquet(committed: _*)
+      .select(col("id"), col("s")).distinct()
+  }
+
+  /** True when at least one committed batch exists — the ONE state
+    * [[maybeRefreshLinkIndex]] may treat as "nothing to do" (checked
+    * explicitly instead of catching [[committedCatalog]]'s require,
+    * so a typo'd path stays loud via the meta read). */
+  private def anyCommitted(spark: SparkSession, path: String): Boolean = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(parts) && fs.listStatus(parts).exists(s =>
+      s.getPath.getName.matches("b=-?\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+  }
+
+  /** Re-derive the catalog tables over the standing batches into a
+    * fresh version and swap the serving pointer. Returns the
+    * published version name. The version meta records `part_rows`
+    * (the collapsed catalog rows the derivation saw) — what
+    * [[maybeRefreshLinkIndex]] judges growth against. */
+  def refreshLinkIndex(spark: SparkSession, path: String): String = {
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    val (k, q) = (meta("k").toInt, meta("q").toInt)
+    val indexRoot = s"$path/index"
+    val served = graft.sources.VersionedRoot.resolve(spark, indexRoot, "fuzzy-link index")
+    val next = graft.sources.VersionedRoot.versions(spark, indexRoot)
+      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
+    val newName = s"v_$next"
+    val cSrc = Checkpoints.pin(committedCatalog(spark, path))
+    // the catalog-is-a-function guard: two batches claiming one id
+    // with different strings would merge gram partitions downstream
+    FuzzyJoin.requireUniqueIds(cSrc, "id", "catalog")
+    val partRows = cSrc.count()
+    val (dfreq, pb, shortB) = FuzzyJoin.catalogTables(cSrc, "id", "s", k, q)
+    dfreq.write.mode("overwrite").parquet(s"$indexRoot/$newName/dfreq")
+    pb.write.mode("overwrite").parquet(s"$indexRoot/$newName/prefix")
+    shortB.write.mode("overwrite").parquet(s"$indexRoot/$newName/short")
+    // meta LAST: the completeness marker VersionedRoot keys on
+    graft.sources.IndexMeta.write(spark, s"$indexRoot/$newName/meta.json",
+      Seq("k" -> meta("k"), "q" -> meta("q"), "part_rows" -> partRows))
+    graft.sources.VersionedRoot.publish(spark, indexRoot, newName, served)
+    newName
+  }
+
+  /** The closed loop over the standing catalog — refresh only when
+    * the collapsed catalog rows grew at least `growthPct` percent
+    * past what the served version derived (re-running the corpus-
+    * proportional gram passes per kilobyte-sized catalog delta is
+    * wasted work; never refreshing serves a stale prefix order that
+    * still RESOLVES correctly for old strings but misses new catalog
+    * entries entirely). Tick cost: the meta read + one
+    * parquet-metadata count. Fails loudly on a missing/invalid
+    * artifact; returns None only for "initialized, nothing ingested
+    * yet" or "fresh enough". */
+  def maybeRefreshLinkIndex(spark: SparkSession, path: String,
+                            growthPct: Int = 10): Option[String] = {
+    require(growthPct >= 1 && growthPct <= 1000,
+      s"growthPct must be in 1..1000, got $growthPct")
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    if (!anyCommitted(spark, path)) return None
+    val cur = committedCatalog(spark, path).count()
+    if (cur == 0L) return None
+    val indexRoot = s"$path/index"
+    val served = graft.sources.VersionedRoot.resolve(spark, indexRoot, "fuzzy-link index")
+    val stale = served match {
+      case None => true
+      case Some(root) =>
+        val derivedRows = graft.sources.IndexMeta
+          .read(spark, s"$root/meta.json", "fuzzy-link index version")
+          .getOrElse("part_rows", 0L)
+        (cur - derivedRows) * 100L >= growthPct.toLong * math.max(derivedRows, 1L)
+    }
+    if (stale) Some(refreshLinkIndex(spark, path)) else None
+  }
+
+  /** Resolve a dirty probe batch against the SERVED catalog index:
+    * three parquet reads + the probe-sized lookup half
+    * ([[FuzzyJoin.probeLookup]] — the same plan the recompute path
+    * runs, so indexed ≡ recompute is structural). Same output
+    * contract as [[FuzzyJoin.editDistanceLookup]]: all (a_id, b_id,
+    * dist) with levenshtein ≤ k, probe ids on the a side. Loud when
+    * nothing has been published. */
+  def editDistanceLookupIndexed(probe: DataFrame, path: String,
+                                idCol: String, strCol: String): DataFrame = {
+    val spark = probe.sparkSession
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    val (k, q) = (meta("k").toInt, meta("q").toInt)
+    val res = graft.sources.VersionedRoot.resolve(spark, s"$path/index", "fuzzy-link index")
+      .getOrElse(sys.error(
+        s"fuzzy-link index at $path has no published version — run refreshLinkIndex"))
+    val pSrc = Checkpoints.pin(probe.select(col(idCol), col(strCol)))
+    FuzzyJoin.requireUniqueIds(pSrc, idCol, "probe")
+    FuzzyJoin.probeLookup(pSrc,
+      spark.read.parquet(s"$res/dfreq"),
+      spark.read.parquet(s"$res/prefix"),
+      spark.read.parquet(s"$res/short"),
+      idCol, strCol, k, q)
+  }
+}

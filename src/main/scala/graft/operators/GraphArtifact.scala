@@ -121,7 +121,18 @@ object GraphArtifact {
     * launder a corrupted batch into a freshly-committed one). Crash
     * windows heal at the next single-writer entry via
     * [[recoverEdgeBatches]]; replay semantics are untouched — a
-    * redelivered batch still fingerprint-matches the compacted dir. */
+    * redelivered batch still fingerprint-matches the compacted dir.
+    *
+    * Concurrency caveat (r16 advice): between parking `b=<k>` aside
+    * and promoting its staged twin, that batch matches neither the
+    * committed pattern nor carries a visible `_fp` — a
+    * [[standingEdges]] read STARTED in that window sees an edge set
+    * missing one committed batch. The versioned RANKS surface is
+    * immune (readers resolve `CURRENT`); the raw standing-edge
+    * surface is not versioned, so compaction extends the single-
+    * writer contract: schedule it when no standing-edge read (e.g.
+    * a PPR serve) is in flight — the same maintenance-pacing rule
+    * the [[graft.sources.VersionedRoot]] GC already imposes. */
   def compactEdgeBatches(spark: SparkSession, path: String,
                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
@@ -204,9 +215,19 @@ object GraphArtifact {
                         growthPct: Int = 10): Option[String] = {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
-    val cur = // 0 when nothing (or only empty batches) committed yet
-      try committedEdges(spark, path).count()
-      catch { case _: IllegalArgumentException => 0L }
+    // validate the artifact FIRST (r16 advice): a typo'd or
+    // uninitialized path must fail loudly here, not silently no-op
+    // every drift tick forever while serving stale ranks
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    // "no committed batches yet" is the ONE legitimate nothing-to-do
+    // state — checked explicitly, never by catching the loud require
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyCommitted = fs.exists(parts) && fs.listStatus(parts).exists(s =>
+      s.getPath.getName.matches("b=-?\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+    if (!anyCommitted) return None
+    val cur = committedEdges(spark, path).count()
     if (cur == 0L) return None // an empty graph has no ranks to publish
     val ranksRoot = s"$path/ranks"
     val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
@@ -226,7 +247,12 @@ object GraphArtifact {
     * and [[Graph.personalizedPageRank]] both distinct first). This is
     * the artifact's second serving surface: any graph analytics —
     * seed-personalized PPR over a fresh seed set in particular — runs
-    * off the standing state without re-deriving edges from raw text. */
+    * off the standing state without re-deriving edges from raw text.
+    *
+    * Safe concurrent with ingest and rank refreshes, NOT with
+    * [[compactEdgeBatches]] (whose park-then-promote window briefly
+    * hides one committed batch — see its scaladoc): pace compaction
+    * outside standing-edge reads. */
   def standingEdges(spark: SparkSession, path: String): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     committedEdges(spark, path)

@@ -140,4 +140,105 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.editDistanceLookup(clean, dup, "id", "s", k = 2)
     }.getMessage.contains("catalog ids are not unique"))
   }
+
+  // ── the persisted catalog-index tier (FuzzyLinkIndex) ──────────────
+
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("indexed lookup ≡ recompute lookup ≡ brute force, incremental ingest + replay") {
+    import graft.operators.FuzzyLinkIndex
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde "
+    val catalog = (0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(13)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val probe = ((0 until 40).map { i =>
+      val base = catalog(rnd.nextInt(catalog.length))._2
+      val mutated = if (base.isEmpty) "xq" else {
+        val p = rnd.nextInt(base.length)
+        base.updated(p, "xqz".charAt(rnd.nextInt(3)))
+      }
+      (1000L + i, mutated)
+    } :+ (2000L, "") :+ (2001L, "xxqqxxqq"))
+    val cDf = catalog.toDF("id", "s")
+    val pDf = probe.toDF("id", "s")
+    val path = tmpRoot("graft-fuzzylink-spec")
+    FuzzyLinkIndex.initLinkIndex(spark, path, k = 2)
+    // incremental: even-id batch → refresh → odd-id batch → REPLAY
+    // batch 0 (fingerprint no-op) → refresh; plus an exact-duplicate
+    // row landed under a THIRD key — the union must re-collapse it
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 2 === 0), path, 0L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 2 === 1), path, 1L)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 2 === 0), path, 0L)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" === 3L), path, 2L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    val indexed = FuzzyLinkIndex.editDistanceLookupIndexed(pDf, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val recompute = FuzzyJoin.editDistanceLookup(pDf, cDf, "id", "s", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      a <- probe; b <- catalog
+      d = lev(a._2, b._2) if d <= 2
+    } yield (a._1, b._1, d)).toSet
+    assert(indexed === recompute, "indexed tier must equal the recompute path")
+    assert(indexed === brute, "indexed tier lost true pairs")
+  }
+
+  test("staleness: growth trigger refreshes only past the bound; a partial index misses new entries") {
+    import graft.operators.FuzzyLinkIndex
+    val path = tmpRoot("graft-fuzzylink-stale")
+    FuzzyLinkIndex.initLinkIndex(spark, path, k = 1)
+    val batch0 = (0L until 100L).map(i => (i, s"name number $i")).toDF("id", "s")
+    FuzzyLinkIndex.ingestCatalogBatch(batch0, path, 0L)
+    // never-published: refreshes unconditionally
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, path, growthPct = 50) === Some("v_1"))
+    // fresh: a tick with no growth is a no-op
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, path, growthPct = 50) === None)
+    // sub-threshold growth (10 % < 50 %): still served stale — and the
+    // STALE version resolves old strings but cannot see the new entry
+    val late = Seq((500L, "zzgh zzgh")).toDF("id", "s")
+    FuzzyLinkIndex.ingestCatalogBatch(late
+      .unionByName((100L until 109L).map(i => (i, s"name number $i")).toDF("id", "s")),
+      path, 1L)
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, path, growthPct = 50) === None)
+    val probe = Seq((9000L, "zzgh zzghx")).toDF("id", "s")
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s").count() === 0L,
+      "a stale version must not see entries ingested after its derivation")
+    // past the bound: refresh publishes v_2 and the entry resolves
+    FuzzyLinkIndex.ingestCatalogBatch(
+      (200L until 260L).map(i => (i, s"name number $i")).toDF("id", "s"), path, 2L)
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, path, growthPct = 50) === Some("v_2"))
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === Set((9000L, 500L, 1)))
+  }
+
+  test("index lifecycle fails loudly: bad path, conflicting id, different payload replay, unpublished read") {
+    import graft.operators.FuzzyLinkIndex
+    // a typo'd/uninitialized path must be loud, not a silent no-op tick
+    intercept[Exception] {
+      FuzzyLinkIndex.maybeRefreshLinkIndex(spark, tmpRoot("graft-fuzzylink-none"))
+    }
+    val path = tmpRoot("graft-fuzzylink-loud")
+    FuzzyLinkIndex.initLinkIndex(spark, path, k = 2)
+    // initialized but nothing ingested: legitimate None, not an error
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, path) === None)
+    // unpublished read is loud
+    assert(intercept[RuntimeException] {
+      FuzzyLinkIndex.editDistanceLookupIndexed(
+        Seq((1L, "a")).toDF("id", "s"), path, "id", "s")
+    }.getMessage.contains("no published version"))
+    FuzzyLinkIndex.ingestCatalogBatch(Seq((1L, "acme co")).toDF("id", "s"), path, 0L)
+    // a DIFFERENT payload under a used batch key is a loud failure
+    assert(intercept[IllegalArgumentException] {
+      FuzzyLinkIndex.ingestCatalogBatch(Seq((1L, "acme corp")).toDF("id", "s"), path, 0L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    // two batches claiming one id with different strings fail at refresh
+    FuzzyLinkIndex.ingestCatalogBatch(Seq((1L, "acme holdings")).toDF("id", "s"), path, 1L)
+    assert(intercept[IllegalArgumentException] {
+      FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    }.getMessage.contains("catalog ids are not unique"))
+  }
 }
