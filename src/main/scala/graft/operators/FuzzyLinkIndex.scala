@@ -79,34 +79,36 @@ object FuzzyLinkIndex {
       coalesce1 = false)
   }
 
-  /** The collapsed (id, s) catalog over every COMMITTED batch (dirs
-    * carrying `_fp` and named EXACTLY `b=<key>` — crash debris and
-    * maintenance twins are invisible). Loud when nothing committed. */
+  /** The collapsed (id, s) catalog over every COMMITTED batch —
+    * singles AND merged dirs carrying `_fp`
+    * ([[Profile.committedPartDirs]]: crash debris, maintenance twins
+    * and merged-away tombstones are invisible). Loud when nothing
+    * committed. */
   private def committedCatalog(spark: SparkSession, path: String): DataFrame = {
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(parts)) Array.empty[String]
-      else fs.listStatus(parts)
-        .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
-        .map(_.getPath.toString)
+    val committed = Profile.committedPartDirs(spark, path)
     require(committed.nonEmpty,
       s"fuzzy-link index at $path has no committed catalog batches — ingest before refreshing")
-    spark.read.option("basePath", s"$path/parts").parquet(committed: _*)
-      .select(col("id"), col("s")).distinct()
+    spark.read.parquet(committed: _*).select(col("id"), col("s")).distinct()
   }
 
-  /** True when at least one committed batch exists — the ONE state
-    * [[maybeRefreshLinkIndex]] may treat as "nothing to do" (checked
-    * explicitly instead of catching [[committedCatalog]]'s require,
-    * so a typo'd path stays loud via the meta read). */
-  private def anyCommitted(spark: SparkSession, path: String): Boolean = {
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(parts) && fs.listStatus(parts).exists(s =>
-      s.getPath.getName.matches("b=-?\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
+  /** Small-files / dir-count maintenance for the standing catalog
+    * batches — the hoisted house protocols ([[Profile
+    * .compactBatchParts]] / [[Profile.mergeBatchParts]]): per-dir
+    * rewrites and batch merges both travel the `_fp` inside the
+    * staged dir, re-derive + refuse on corruption, and keep
+    * redeliveries of merged-away batch keys no-ops via tombstoned
+    * fingerprints. Single-writer maintenance entries, like refresh. */
+  def compactCatalogBatches(spark: SparkSession, path: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    Profile.compactBatchParts(spark, path, "fuzzy-link index",
+      targetFileBytes = targetFileBytes)
+  }
+
+  def mergeCatalogBatches(spark: SparkSession, path: String,
+                          maxDirs: Int = 64): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
+    Profile.mergeBatchParts(spark, path, "fuzzy-link index", maxDirs = maxDirs)
   }
 
   /** Re-derive the catalog tables over the standing batches into a
@@ -122,6 +124,7 @@ object FuzzyLinkIndex {
     val next = graft.sources.VersionedRoot.versions(spark, indexRoot)
       .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
     val newName = s"v_$next"
+    Profile.recoverParts(spark, path) // heal maintenance windows first
     val cSrc = Checkpoints.pin(committedCatalog(spark, path))
     // the catalog-is-a-function guard: two batches claiming one id
     // with different strings would merge gram partitions downstream
@@ -153,7 +156,7 @@ object FuzzyLinkIndex {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
-    if (!anyCommitted(spark, path)) return None
+    if (Profile.committedPartDirs(spark, path).isEmpty) return None
     val cur = committedCatalog(spark, path).count()
     if (cur == 0L) return None
     val indexRoot = s"$path/index"

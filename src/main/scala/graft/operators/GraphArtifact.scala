@@ -76,39 +76,23 @@ object GraphArtifact {
       coalesce1 = false)
   }
 
-  /** The union edge set of every COMMITTED batch (dirs carrying the
-    * `_fp` marker — mid-crash debris is invisible; the name must be
-    * EXACTLY `b=<key>`, so a crashed compaction's `__old`/`__staged`
-    * twins never fold). */
+  /** The union edge set of every COMMITTED batch — singles AND merged
+    * dirs carrying the `_fp` marker ([[Profile.committedPartDirs]]:
+    * mid-crash debris, `__old`/`__staged` maintenance twins and
+    * merged-away tombstones are all invisible). */
   private def committedEdges(spark: SparkSession, path: String): DataFrame = {
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(parts)) Array.empty[String]
-      else fs.listStatus(parts)
-        .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
-        .map(_.getPath.toString)
+    val committed = Profile.committedPartDirs(spark, path)
     require(committed.nonEmpty,
       s"rank artifact at $path has no committed edge batches — ingest before refreshing")
-    spark.read.option("basePath", s"$path/parts").parquet(committed: _*)
-      .select(col("src"), col("dst"))
+    spark.read.parquet(committed: _*).select(col("src"), col("dst"))
   }
 
-  /** Heal any crashed [[compactEdgeBatches]] window: a batch dir
-    * parked aside as `__old` with no promoted twin is restored, and
-    * staging debris is dropped ([[graft.sources.Sinks.recoverMergeTarget]]
-    * per batch). Runs ONLY at single-writer entry points (compaction
-    * and refresh) — the read path never mutates. */
-  private def recoverEdgeBatches(spark: SparkSession, path: String): Unit = {
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(parts)) return
-    fs.listStatus(parts).map(_.getPath.getName)
-      .filter(_.matches("b=-?\\d+__(old|staged)"))
-      .map(_.replaceAll("__(old|staged)$", "")).distinct
-      .foreach(b => graft.sources.Sinks.recoverMergeTarget(fs, s"$path/parts/$b"))
-  }
+  /** Heal any crashed maintenance window — compaction twins and
+    * pending merges ([[Profile.recoverParts]]). Runs ONLY at
+    * single-writer entry points (compaction, merge and refresh) —
+    * the read path never mutates. */
+  private def recoverEdgeBatches(spark: SparkSession, path: String): Unit =
+    Profile.recoverParts(spark, path)
 
   /** Small-files maintenance for the edge state: streaming ingest
     * accretes one uncoalesced parquet dir per micro-batch, and at
@@ -136,41 +120,24 @@ object GraphArtifact {
   def compactEdgeBatches(spark: SparkSession, path: String,
                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
-    recoverEdgeBatches(spark, path)
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(parts)) return
-    val dirs = fs.listStatus(parts)
-      .filter(s => s.getPath.getName.matches("b=-?\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
-    dirs.foreach { d =>
-      val dataFiles = fs.listStatus(d.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      val nTarget = math.max(1, math.ceil(
-        dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-      if (dataFiles.length > nTarget) {
-        val dir = d.getPath.toString
-        val df = spark.read.parquet(dir)
-        val fpNow = Profile.contentFingerprint(df)
-        val fpFile = new org.apache.hadoop.fs.Path(s"$dir/_fp")
-        val in = fs.open(fpFile)
-        val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        require(Profile.fingerprintMatches(stored, fpNow),
-          s"rank artifact batch at $dir fails its fingerprint ($stored vs $fpNow) — " +
-            "refusing to compact a corrupted batch into a freshly-committed dir")
-        val staged = new org.apache.hadoop.fs.Path(s"${dir}__staged")
-        df.coalesce(nTarget).write.mode("overwrite").parquet(staged.toString)
-        val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_fp"), true)
-        try out.write(stored.getBytes("UTF-8")) finally out.close()
-        val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
-        if (!fs.rename(d.getPath, old))
-          throw new java.io.IOException(s"compact: could not park $dir aside")
-        if (!fs.rename(staged, d.getPath))
-          throw new java.io.IOException(s"compact: could not promote $staged")
-        fs.delete(old, true)
-      }
-    }
+    Profile.compactBatchParts(spark, path, "rank artifact",
+      targetFileBytes = targetFileBytes)
+  }
+
+  /** Dir-count maintenance (r16 verdict #7): [[committedEdges]] pays
+    * a flat listing + per-dir `_fp` probe per refresh/serve — at
+    * 10⁵+ micro-batches that is driver-side O(batches) RPCs. Merge
+    * the committed batch dirs into one `b=<lo>_<hi>` dir when they
+    * exceed `maxDirs` ([[Profile.mergeBatchParts]]): count+XOR
+    * fingerprints compose, the union edge multiset is preserved
+    * exactly (refresh re-collapses as always), and a REDELIVERY of a
+    * merged-away batch key still no-ops against its tombstone's
+    * retained `_fp` — with a different payload still loud. Same
+    * concurrent-reader caveat as [[compactEdgeBatches]]. */
+  def mergeEdgeBatches(spark: SparkSession, path: String,
+                       maxDirs: Int = 64): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    Profile.mergeBatchParts(spark, path, "rank artifact", maxDirs = maxDirs)
   }
 
   /** Re-sweep the ranks over the standing edge state into a fresh
@@ -221,12 +188,7 @@ object GraphArtifact {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     // "no committed batches yet" is the ONE legitimate nothing-to-do
     // state — checked explicitly, never by catching the loud require
-    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
-    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyCommitted = fs.exists(parts) && fs.listStatus(parts).exists(s =>
-      s.getPath.getName.matches("b=-?\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")))
-    if (!anyCommitted) return None
+    if (Profile.committedPartDirs(spark, path).isEmpty) return None
     val cur = committedEdges(spark, path).count()
     if (cur == 0L) return None // an empty graph has no ranks to publish
     val ranksRoot = s"$path/ranks"

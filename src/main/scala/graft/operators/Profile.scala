@@ -430,17 +430,277 @@ object Profile {
     try out.write(fp.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  // ── committed-part plumbing shared by every batch-part family ──────
+  // (CMS / quantile / agg / HLL-shard sketches here, rank edges in
+  // [[GraphArtifact]], the fuzzy-link catalog in [[FuzzyLinkIndex]]):
+  // one definition of "committed", one recovery, one per-dir
+  // compaction, one dir-count-bounding merge — so the crash-window
+  // engineering can never fork between families (r16 verdict #4/#7).
+
+  /** The COMMITTED part-dir names under `path/parts` for `prefix`
+    * (e.g. "b="): single batch dirs `<prefix><key>` and merged dirs
+    * `<prefix><lo>_<hi>` carrying the `_fp` marker, excluding
+    * tombstones (dirs with a `_merged` marker — their rows live in a
+    * merged dir; the retained `_fp` keeps the replay guard) and any
+    * `__old`/`__staged` maintenance twin (name match is EXACT). */
+  private[operators] def committedPartDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String = "b="): Seq[String] = {
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = java.util.regex.Pattern.quote(prefix)
+    if (!fs.exists(parts)) Seq.empty
+    else fs.listStatus(parts)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.matches(s"$p-?\\d+(_-?\\d+)?") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_merged"))
+      }
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
   /** Fold scaffolding shared by the artifact readers: meta-free —
-    * public readers check the meta themselves (once). */
+    * public readers check the meta themselves (once). Reads ONLY
+    * committed dirs ([[committedPartDirs]]) — crash debris without
+    * `_fp`, tombstoned merged-away parts, and maintenance twins are
+    * invisible, the [[GraphArtifact]] read discipline generalized. */
   private def foldParts(spark: org.apache.spark.sql.SparkSession, path: String,
                         prefix: String)(fold: DataFrame => DataFrame,
                                         empty: => DataFrame): DataFrame = {
+    val committed = committedPartDirs(spark, path, prefix)
+    if (committed.nonEmpty) fold(spark.read.parquet(committed: _*))
+    else empty
+  }
+
+  /** Read a part dir's stored `_fp`, re-derive the fingerprint from
+    * its rows under the family's `fpRow`, and REFUSE on mismatch —
+    * maintenance must never launder a corrupted part into a
+    * freshly-committed dir. Returns the fresh `count x xor` form. */
+  private def verifiedFingerprint(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, what: String,
+      fpRow: DataFrame => org.apache.spark.sql.Column): String = {
+    val fresh = contentFingerprint(spark.read.parquet(dir), fpRow)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_fp"))
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    require(fingerprintMatches(stored, fresh),
+      s"$what part at $dir fails its fingerprint ($stored vs $fresh) — " +
+        "refusing to rewrite a corrupted part into a freshly-committed dir")
+    fresh
+  }
+
+  /** Heal every maintenance crash window under `path/parts` — runs
+    * ONLY at single-writer entry points (ingest-side maintenance,
+    * refresh); read paths never mutate. Two protocols:
+    *  - a PENDING MERGE (`__staged` dir carrying a `_sources`
+    *    manifest): rolled FORWARD when any evidence of tombstoning
+    *    exists (a listed single already `_merged`, or a listed merged
+    *    source already deleted) — finish tombstoning, promote —
+    *    else rolled back (sources intact, staged is debris);
+    *  - per-dir COMPACTION twins (`__old`/`__staged` without a
+    *    manifest): [[graft.sources.Sinks.recoverMergeTarget]] per
+    *    target, the [[GraphArtifact]] protocol hoisted. */
+  private[operators] def recoverParts(spark: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String = "b="): Unit = {
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(parts) &&
-        fs.listStatus(parts).exists(_.getPath.getName.startsWith(prefix)))
-      fold(spark.read.parquet(s"$path/parts"))
-    else empty
+    if (!fs.exists(parts)) return
+    val p = java.util.regex.Pattern.quote(prefix)
+    val names = fs.listStatus(parts).map(_.getPath.getName)
+    // pending merges first: their __staged must not be mistaken for
+    // compaction debris (a rollback after tombstoning would lose data)
+    names.filter(_.matches(s"$p-?\\d+_-?\\d+__staged")).foreach { n =>
+      val staged = new org.apache.hadoop.fs.Path(parts, n)
+      val manifest = new org.apache.hadoop.fs.Path(staged, "_sources")
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val sources = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.filter(_.nonEmpty) finally in.close()
+        val tombstoned = sources.exists { s =>
+          val d = new org.apache.hadoop.fs.Path(parts, s)
+          !fs.exists(d) || fs.exists(new org.apache.hadoop.fs.Path(d, "_merged"))
+        }
+        if (tombstoned) finishMerge(fs, parts, n.stripSuffix("__staged"), sources)
+        else fs.delete(staged, true) // nothing consumed yet: pure debris
+      } else fs.delete(staged, true) // crashed before the manifest: debris
+    }
+    // then the per-dir compaction twins
+    names.filter(_.matches(s"$p-?\\d+(_-?\\d+)?__(old|staged)"))
+      .map(_.replaceAll("__(old|staged)$", "")).distinct
+      .foreach(b => graft.sources.Sinks.recoverMergeTarget(fs, s"$path/parts/$b"))
+  }
+
+  /** The forward half of a merge — callable from the merge itself or
+    * from [[recoverParts]] at any crash point after tombstoning
+    * began: tombstone every listed single source (write `_merged`,
+    * drop its data files, KEEP `_fp` so a redelivery of that batch
+    * key still no-ops), delete every listed merged source (synthetic
+    * keys never receive redeliveries, and the name must free for
+    * future merges), then promote the staged dir. Every step is
+    * idempotent. */
+  private def finishMerge(fs: org.apache.hadoop.fs.FileSystem,
+      parts: org.apache.hadoop.fs.Path, target: String,
+      sources: Seq[String]): Unit = {
+    sources.foreach { s =>
+      val d = new org.apache.hadoop.fs.Path(parts, s)
+      if (s.contains("_") && s.matches(".*-?\\d+_-?\\d+")) {
+        if (fs.exists(d)) fs.delete(d, true)
+      } else if (fs.exists(d)) {
+        val marker = new org.apache.hadoop.fs.Path(d, "_merged")
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, true)
+          try out.write("merged\n".getBytes("UTF-8")) finally out.close()
+        }
+        fs.listStatus(d).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    }
+    val staged = new org.apache.hadoop.fs.Path(parts, s"${target}__staged")
+    if (fs.exists(staged)) {
+      val tgt = new org.apache.hadoop.fs.Path(parts, target)
+      require(!fs.exists(tgt),
+        s"merge: target $tgt already exists beside its staged twin — " +
+          "refusing to overwrite; inspect the artifact")
+      if (!fs.rename(staged, tgt))
+        throw new java.io.IOException(s"merge: could not promote $staged")
+    }
+  }
+
+  /** Small-files maintenance, hoisted from [[GraphArtifact]] (r16
+    * verdict #4): each committed part dir above the file-count target
+    * is rewritten in place — the `_fp` travels INSIDE the staged dir
+    * so the promoted dir is committed-with-marker atomically, and the
+    * fingerprint is RE-DERIVED from the rows and required equal
+    * first ([[verifiedFingerprint]]). Crash windows heal at the next
+    * single-writer entry via [[recoverParts]]; replay semantics are
+    * untouched. */
+  private[operators] def compactBatchParts(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String, prefix: String = "b=",
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fpRow: DataFrame => org.apache.spark.sql.Column =
+        d => xxhash64(d.columns.map(col): _*)): Unit = {
+    recoverParts(spark, path, prefix)
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedPartDirs(spark, path, prefix).foreach { dir =>
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val dataFiles = fs.listStatus(d).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith("."))
+      val nTarget = math.max(1, math.ceil(
+        dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+      if (dataFiles.length > nTarget) {
+        val stored = verifiedFingerprint(spark, fs, dir, what, fpRow)
+        val staged = new org.apache.hadoop.fs.Path(s"${dir}__staged")
+        spark.read.parquet(dir).coalesce(nTarget)
+          .write.mode("overwrite").parquet(staged.toString)
+        val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_fp"), true)
+        try out.write(stored.getBytes("UTF-8")) finally out.close()
+        val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
+        if (!fs.rename(d, old))
+          throw new java.io.IOException(s"compact: could not park $dir aside")
+        if (!fs.rename(staged, d))
+          throw new java.io.IOException(s"compact: could not promote $staged")
+        fs.delete(old, true)
+      }
+    }
+  }
+
+  /** Dir-count maintenance (r16 verdict #7): when committed part dirs
+    * exceed `maxDirs`, merge ALL of them into ONE
+    * `<prefix><minKey>_<maxKey>` dir holding the concatenation of
+    * their rows — every family's read folds the union of part rows,
+    * so a merge preserves the served result EXACTLY (count+XOR
+    * fingerprints compose by construction: the merged `_fp` is the
+    * sum of counts and XOR of xors of the VERIFIED sources). Bounds
+    * the O(dirs) listing every refresh/serve pays at 10⁵+
+    * micro-batches.
+    *
+    * Replay after a merge: a redelivered single batch key still
+    * no-ops — its tombstone dir keeps the original `_fp` (data files
+    * dropped, `_merged` marker excludes it from reads); a DIFFERENT
+    * payload under that key still fails loudly. Merged dirs use
+    * synthetic `<lo>_<hi>` keys no writer ever lands, and a
+    * merge-of-merged frees the old name first, so names never
+    * collide. Crash windows roll forward/back at [[recoverParts]]
+    * (the `_sources` manifest inside the staged dir is the decision
+    * record). Like per-dir compaction, the window between
+    * tombstoning and promotion briefly hides the merging parts from
+    * a CONCURRENT reader — maintenance extends the single-writer
+    * contract; pace it outside reads. */
+  private[operators] def mergeBatchParts(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String, prefix: String = "b=", maxDirs: Int = 64,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fpRow: DataFrame => org.apache.spark.sql.Column =
+        d => xxhash64(d.columns.map(col): _*)): Unit = {
+    require(maxDirs >= 1, s"maxDirs must be positive, got $maxDirs")
+    recoverParts(spark, path, prefix)
+    val committed = committedPartDirs(spark, path, prefix)
+    if (committed.length <= maxDirs) return
+    val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // verify every source BEFORE consuming any (the integrity refusal)
+    val fps = committed.map(dir => verifiedFingerprint(spark, fs, dir, what, fpRow))
+    val counts = fps.map(f => f.substring(0, f.indexOf('x')).toLong)
+    val xors = fps.map(f => java.lang.Long.parseLong(f.substring(f.indexOf('x') + 1)))
+    val mergedFp = s"${counts.sum}x${xors.foldLeft(0L)(_ ^ _)}"
+    val keys = committed.flatMap { dir =>
+      new org.apache.hadoop.fs.Path(dir).getName.stripPrefix(prefix)
+        .split('_').map(_.toLong)
+    }
+    // the target name may equal an existing MERGED source (a late
+    // batch landed inside an already-merged key span): fine —
+    // finishMerge deletes merged sources before the promote, freeing
+    // the name; staged twins never collide (distinct __staged suffix)
+    val target = s"$prefix${keys.min}_${keys.max}"
+    val sourceNames = committed.map(new org.apache.hadoop.fs.Path(_).getName)
+    val staged = new org.apache.hadoop.fs.Path(parts, s"${target}__staged")
+    val union = spark.read.parquet(committed: _*)
+    val totalBytes = committed.map { dir =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    union.coalesce(nFiles).write.mode("overwrite").parquet(staged.toString)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(staged, "_sources"), true)
+    try mf.write((sourceNames.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally mf.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_fp"), true)
+    try out.write(mergedFp.getBytes("UTF-8")) finally out.close()
+    finishMerge(fs, parts, target, sourceNames)
+  }
+
+  /** Public maintenance pair for the `b=`-keyed sketch artifacts
+    * (CMS / quantile / exact-agg — and any future default-fingerprint
+    * family): per-dir file compaction and the dir-count-bounding
+    * merge. Their parts land coalesced to one file, so the MERGE is
+    * the one that matters at 10⁵ micro-batches — without it every
+    * serve's fold pays an O(batches) listing + footer read. */
+  def compactArtifactParts(spark: org.apache.spark.sql.SparkSession, path: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "batch artifact")
+    compactBatchParts(spark, path, "batch artifact", "b=", targetFileBytes)
+  }
+
+  def mergeArtifactParts(spark: org.apache.spark.sql.SparkSession, path: String,
+                         maxDirs: Int = 64): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "batch artifact")
+    mergeBatchParts(spark, path, "batch artifact", "b=", maxDirs)
+  }
+
+  /** The HLL profile family's merge — `s=` shard keys and the
+    * ESTIMATE-based fingerprint ([[profileIngestShard]]: sketch BYTES
+    * are not recomputation-deterministic, register state is), so the
+    * re-derivation the integrity refusal runs matches what ingest
+    * stored. */
+  def mergeProfileShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                         maxDirs: Int = 64): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "profile artifact")
+    mergeBatchParts(spark, path, "profile artifact", "s=", maxDirs,
+      fpRow = _ => xxhash64(col("g"), hll_sketch_estimate(col("sk"))))
   }
 
   /** Initialize a persisted CMS artifact at `path`: the parameter meta

@@ -279,6 +279,114 @@ class GraphSpec extends SparkSpec {
     rmTree(path)
   }
 
+  test("rank artifact: merge-compaction bounds dir count; replay, ranks and refusal all hold") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    val slices = (0 until 5).map(m => artEdges.filter(_._1 % 5 == m))
+    slices.zipWithIndex.foreach { case (s, k) =>
+      GraphArtifact.ingestEdgeBatch(s.toDF("src", "dst"), path, k.toLong)
+    }
+    GraphArtifact.refreshRanks(spark, path)
+    val before = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partNames() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/parts"))
+      .map(_.getPath.getName).toSet
+    GraphArtifact.mergeEdgeBatches(spark, path, maxDirs = 2)
+    // ONE merged dir serves; the five singles are tombstones (marker +
+    // retained _fp, data gone) — invisible to reads, live for replay
+    assert(partNames().contains("b=0_4"))
+    (0 until 5).foreach { k =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=$k/_merged")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=$k/_fp")))
+    }
+    GraphArtifact.refreshRanks(spark, path)
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === before,
+      "merged state must sweep to identical ranks")
+    // replay of a merged-away key: same payload no-ops, different is loud
+    GraphArtifact.ingestEdgeBatch(slices(1).toDF("src", "dst"), path, 1L)
+    GraphArtifact.refreshRanks(spark, path)
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === before,
+      "a redelivered merged-away batch must stay a no-op")
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.ingestEdgeBatch(Seq((1L, 999L)).toDF("src", "dst"), path, 1L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    // a late batch beside the merged dir; the second merge folds BOTH
+    // (the merged source is deleted — synthetic keys take no replays —
+    // freeing its name range) and the union is still exact
+    GraphArtifact.ingestEdgeBatch(Seq((500L, 501L), (501L, 500L)).toDF("src", "dst"), path, 7L)
+    GraphArtifact.mergeEdgeBatches(spark, path, maxDirs = 1)
+    assert(partNames().contains("b=0_7") && !partNames().contains("b=0_4"))
+    GraphArtifact.refreshRanks(spark, path)
+    val after = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    val scratch = Graph.pageRank(
+      (artEdges ++ Seq((500L, 501L), (501L, 500L))).toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(after === scratch)
+    // integrity refusal: a corrupted committed dir (extra rows smuggled
+    // in) must refuse to merge, not launder into a fresh commit
+    Seq((900L, 901L)).toDF("src", "dst").coalesce(1)
+      .write.mode("append").parquet(s"$path/parts/b=0_7")
+    GraphArtifact.ingestEdgeBatch(Seq((600L, 601L)).toDF("src", "dst"), path, 8L)
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.mergeEdgeBatches(spark, path, maxDirs = 1)
+    }.getMessage.contains("fails its fingerprint"))
+    rmTree(path)
+  }
+
+  test("rank artifact: merge crash windows roll back (untouched sources) or forward (tombstoning began)") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(Seq((1L, 2L)).toDF("src", "dst"), path, 0L)
+    GraphArtifact.ingestEdgeBatch(Seq((2L, 3L)).toDF("src", "dst"), path, 1L)
+    GraphArtifact.refreshRanks(spark, path)
+    val want = GraphArtifact.readRanks(spark, path).as[(Long, Long)].collect().toMap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeFile(p: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    def readFp(b: String): (Long, Long) = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/parts/$b/_fp"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      (s.substring(0, s.indexOf('x')).toLong, s.substring(s.indexOf('x') + 1).toLong)
+    }
+    // ROLLBACK window: staged dir + manifest written, nothing consumed
+    // yet — recovery must drop the staged twin and keep the sources
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .write.parquet(s"$path/parts/b=0_1__staged")
+    writeFile(s"$path/parts/b=0_1__staged/_sources", "b=0\nb=1\n")
+    val (c0, x0) = readFp("b=0"); val (c1, x1) = readFp("b=1")
+    writeFile(s"$path/parts/b=0_1__staged/_fp", s"${c0 + c1}x${x0 ^ x1}")
+    GraphArtifact.refreshRanks(spark, path) // single-writer entry heals
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=0_1")),
+      "an unconsumed staged merge is debris, not a commit")
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === want)
+    // ROLL-FORWARD window: staged complete AND one source already
+    // tombstoned — recovery must finish the merge, losing nothing
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .write.parquet(s"$path/parts/b=0_1__staged")
+    writeFile(s"$path/parts/b=0_1__staged/_sources", "b=0\nb=1\n")
+    writeFile(s"$path/parts/b=0_1__staged/_fp", s"${c0 + c1}x${x0 ^ x1}")
+    writeFile(s"$path/parts/b=0/_merged", "merged\n")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/parts/b=0"))
+      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      .foreach(f => fs.delete(f.getPath, false))
+    GraphArtifact.refreshRanks(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=0_1")),
+      "a merge that began tombstoning must roll forward")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=1/_merged")),
+      "roll-forward must finish tombstoning the remaining sources")
+    assert(GraphArtifact.readRanks(spark, path)
+      .as[(Long, Long)].collect().toMap === want)
+    rmTree(path)
+  }
+
   test("rank artifact: init/refresh/read guards are loud") {
     val path = tmpArt()
     GraphArtifact.initRankArtifact(spark, path, iters = 3)

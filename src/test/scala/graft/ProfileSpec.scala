@@ -310,6 +310,60 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("artifact parts: merge-compaction serves identical folds; debris and tombstones invisible") {
+    // the generalized dir-count maintenance (r16 verdict #4/#7) over
+    // the EXACT additive family — byte-identity is checkable — plus
+    // the estimate-fingerprinted HLL shard family
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-spec").toString
+    try {
+      val rows = (0L until 300L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+      Profile.initAggArtifact(spark, root, "g", "v")
+      (0 until 6).foreach { m =>
+        Profile.aggIngestBatch(rows.filter($"v" % 6 === m), "g", "v", root, m.toLong)
+      }
+      val before = Profile.readAggArtifact(spark, root)
+        .as[(String, Long, Long)].collect().toSet
+      // crash debris without _fp must be invisible to the fold (the
+      // GraphArtifact read discipline, now shared by every family)
+      Seq(("g0", 999999L, 999999L)).toDF("g", "cnt", "sum")
+        .write.parquet(s"$root/parts/b=9")
+      assert(Profile.readAggArtifact(spark, root)
+        .as[(String, Long, Long)].collect().toSet === before)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/parts/b=9"), true)
+      Profile.mergeArtifactParts(spark, root, maxDirs = 2)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/parts/b=0_5/_fp")))
+      assert(Profile.readAggArtifact(spark, root)
+        .as[(String, Long, Long)].collect().toSet === before,
+        "the merged fold must serve byte-identical aggregates")
+      // replay of a merged-away batch key: no-op; different payload loud
+      Profile.aggIngestBatch(rows.filter($"v" % 6 === 2), "g", "v", root, 2L)
+      assert(Profile.readAggArtifact(spark, root)
+        .as[(String, Long, Long)].collect().toSet === before)
+      assert(intercept[IllegalArgumentException] {
+        Profile.aggIngestBatch(rows.filter($"v" % 6 === 3), "g", "v", root, 2L)
+      }.getMessage.contains("DIFFERENT contribution"))
+      // HLL shards: the s=-keyed, estimate-fingerprinted family merges
+      // under its own fpRow and serves the same estimates
+      val hllRows = ((0 until 200).map(i => ("g1", s"k$i")) ++
+        (0 until 40).map(i => ("g2", s"m$i"))).toDF("g", "k")
+      val hroot = s"$root/hll"
+      Profile.initProfileArtifact(spark, hroot, lgConfigK = 12)
+      (0 until 4).foreach { m =>
+        Profile.profileIngestShard(
+          hllRows.filter(pmod(xxhash64($"k"), lit(4)) === m), "g", "k", hroot, m.toLong)
+      }
+      val est = Profile.readProfileArtifact(spark, hroot)
+        .as[(String, Long)].collect().toMap
+      Profile.mergeProfileShards(spark, hroot, maxDirs = 1)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$hroot/parts/s=0_3/_fp")))
+      assert(Profile.readProfileArtifact(spark, hroot)
+        .as[(String, Long)].collect().toMap === est,
+        "merged shards must serve the identical union estimates")
+    } finally rmTree(root)
+  }
+
   test("artifact guards: re-init dim mismatch, batch-key collision, orphan parts all fail loudly") {
     // CMS: same-dim re-init is a no-op; a different geometry refuses
     // (silently rewriting the meta would mix hash geometries under
