@@ -317,22 +317,31 @@ object QueriesText {
     * doc-link edges land in two src-parity batches (batch 0 REPLAYED
     * after batch 1 — fingerprint no-op), with a refresh after EACH
     * ingest round so the final read serves a version that SUPERSEDED
-    * an earlier partial-graph one behind the atomic CURRENT swap. */
+    * an earlier partial-graph one behind the atomic CURRENT swap.
+    * The PPR memo for the 20-seed vetted kernel follows the same
+    * rhythm: swept on the partial graph, then growth-trigger-refreshed
+    * after the full graph lands — so q_ppr_served reads a version
+    * that superseded a stale one, not a happy-path one-shot. */
   private def pagerankArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     lshCleanupHook
     lshIndexes.computeIfAbsent(s"prart:$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory("graft-prart").toString
       graft.operators.GraphArtifact.initRankArtifact(s, path, iters = 5)
       val raw = docLinkEdges(s, dir)
+      val seeds = s.range(20).select(col("id").as("node"))
       graft.operators.GraphArtifact.ingestEdgeBatch(
         raw.filter(col("src") % 2 === 0), path, 0L)
       graft.operators.GraphArtifact.refreshRanks(s, path) // v_1: partial graph
+      // PPR memo v_1 on the partial graph (never-swept → refreshes)
+      graft.operators.GraphArtifact.maybeRefreshPpr(s, path, seeds)
       graft.operators.GraphArtifact.ingestEdgeBatch(
         raw.filter(col("src") % 2 === 1), path, 1L)
       // at-least-once redelivery of batch 0: fingerprint no-op
       graft.operators.GraphArtifact.ingestEdgeBatch(
         raw.filter(col("src") % 2 === 0), path, 0L)
       graft.operators.GraphArtifact.refreshRanks(s, path) // v_2: full graph
+      // edge rows ~doubled → far past the growth bound → PPR memo v_2
+      graft.operators.GraphArtifact.maybeRefreshPpr(s, path, seeds)
       path
     })
   }
@@ -1735,6 +1744,25 @@ object QueriesText {
       graft.operators.Graph.personalizedPageRank(
           graft.operators.GraphArtifact.standingEdges(s, pagerankArtifactRoot(s, dir)),
           seeds, iters = 5)
+        .filter(col("rank") > 0)
+        .orderBy(desc("rank"), col("node")).limit(100)
+    }
+
+    // PPR served from the MEMOIZED per-seed-set version (r16 verdict
+    // #5): the curation loop re-queries the SAME vetted kernel per
+    // crawl batch, and q_ppr_artifact pays the five sweeps per query.
+    // The rank artifact memoizes each seed SET's ranks under
+    // `ppr/<seed-fingerprint>/v_<n>` — the CURRENT-swap protocol
+    // verbatim, refreshed by the same growth trigger — so the repeat
+    // query is a parquet read. The fixture swept the memo on the
+    // PARTIAL graph first, then the growth trigger superseded it
+    // after the full graph landed, so the oracle (q_ppr_seeds' SQL
+    // verbatim, full-graph PPR) passes ONLY if the stale version was
+    // actually replaced and the seed-set identity resolved the right
+    // memo.
+    register("q_ppr_served", pprOracleSql) { (s, dir) =>
+      val seeds = s.range(20).select(col("id").as("node"))
+      graft.operators.GraphArtifact.readPpr(s, pagerankArtifactRoot(s, dir), seeds)
         .filter(col("rank") > 0)
         .orderBy(desc("rank"), col("node")).limit(100)
     }

@@ -229,4 +229,87 @@ object GraphArtifact {
         s"rank artifact at $path has no published version — run refreshRanks"))
     spark.read.parquet(s"$res/ranks")
   }
+
+  // ── memoized per-seed-set PPR versions (r16 verdict #5) ───────────
+  // The curation loop re-queries the SAME vetted seed kernel per crawl
+  // batch; q_ppr_artifact re-ran the five sweeps per query (edges ×
+  // iters at scale). Each seed SET gets its own versioned root under
+  // `ppr/<seedKey>/` — the ranks' CURRENT-swap protocol verbatim —
+  // refreshed by the same growth trigger, so a repeat query is a
+  // parquet read and the sweeps are paid once per (seed set, growth
+  // epoch).
+
+  /** The order- and layout-independent identity of a seed set: the
+    * house count+XOR content fingerprint over the single `node`
+    * column, embedded in the version-root dir name — two textually
+    * different DataFrames with the same seed SET share a memo; any
+    * differing set cannot collide on count. */
+  private def seedKey(seeds: DataFrame): String = {
+    val fp = Profile.contentFingerprint(seeds.select(col("node").cast("long")))
+    s"s${fp.replace('-', 'n')}" // '-' from a negative XOR, dir-name-safe
+  }
+
+  /** Sweep PPR for `seeds` over the standing edge state into a fresh
+    * version under the seed set's own root and swap its pointer.
+    * Returns the published version name. `part_rows` in the version
+    * meta is the growth baseline, exactly as in [[refreshRanks]]. */
+  def refreshPpr(spark: SparkSession, path: String, seeds: DataFrame): String = {
+    val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    recoverEdgeBatches(spark, path)
+    val root = s"$path/ppr/${seedKey(seeds)}"
+    val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
+    val next = graft.sources.VersionedRoot.versions(spark, root)
+      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
+    val newName = s"v_$next"
+    val edges = committedEdges(spark, path)
+    val partRows = edges.count()
+    Graph.personalizedPageRank(edges, seeds.select(col("node").cast("long")),
+        iters = meta("iters").toInt, scale = meta("scale"))
+      .write.mode("overwrite").parquet(s"$root/$newName/ranks")
+    graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
+      Seq("iters" -> meta("iters"), "scale" -> meta("scale"),
+        "part_rows" -> partRows))
+    graft.sources.VersionedRoot.publish(spark, root, newName, served)
+    newName
+  }
+
+  /** The PPR memo's growth loop — [[maybeRefreshRanks]] for one seed
+    * set: loud on a missing/invalid artifact, None only for "no
+    * committed batches yet" or "fresh enough", refresh past
+    * `growthPct` percent edge-row growth (or when this seed set has
+    * never been swept). */
+  def maybeRefreshPpr(spark: SparkSession, path: String, seeds: DataFrame,
+                      growthPct: Int = 10): Option[String] = {
+    require(growthPct >= 1 && growthPct <= 1000,
+      s"growthPct must be in 1..1000, got $growthPct")
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    if (Profile.committedPartDirs(spark, path).isEmpty) return None
+    val cur = committedEdges(spark, path).count()
+    if (cur == 0L) return None
+    val root = s"$path/ppr/${seedKey(seeds)}"
+    val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
+    val stale = served match {
+      case None => true
+      case Some(r) =>
+        val sweptRows = graft.sources.IndexMeta
+          .read(spark, s"$r/meta.json", "PPR memo version")
+          .getOrElse("part_rows", 0L)
+        (cur - sweptRows) * 100L >= growthPct.toLong * math.max(sweptRows, 1L)
+    }
+    if (stale) Some(refreshPpr(spark, path, seeds)) else None
+  }
+
+  /** The served (node, rank) PPR table for `seeds` — a parquet read
+    * of this seed set's published version, no sweeps. Loud when the
+    * seed set has never been refreshed (a silent empty result would
+    * read as "no proximity" — the one answer a curation loop must
+    * never get from a missing memo). */
+  def readPpr(spark: SparkSession, path: String, seeds: DataFrame): DataFrame = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    val root = s"$path/ppr/${seedKey(seeds)}"
+    val res = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
+      .getOrElse(sys.error(
+        s"rank artifact at $path has no published PPR for this seed set — run refreshPpr"))
+    spark.read.parquet(s"$res/ranks")
+  }
 }

@@ -387,6 +387,57 @@ class GraphSpec extends SparkSpec {
     rmTree(path)
   }
 
+  test("PPR memo: seed-set identity, staleness supersession, and loud guards") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(artEdges.filter(_._1 % 2 == 0).toDF("src", "dst"), path, 0L)
+    val seedsA = Seq(0L, 1L, 2L).toDF("node")
+    val seedsB = Seq(40L, 41L).toDF("node")
+    // unswept seed set: read refuses loudly (a silent empty would read
+    // as "no proximity" — the one wrong answer)
+    assert(intercept[RuntimeException] {
+      GraphArtifact.readPpr(spark, path, seedsA)
+    }.getMessage.contains("no published PPR for this seed set"))
+    // never-swept → refresh; fresh → no-op
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, seedsA) === Some("v_1"))
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, seedsA) === None)
+    val partialA = GraphArtifact.readPpr(spark, path, seedsA)
+      .as[(Long, Long)].collect().toMap
+    assert(partialA === Graph.personalizedPageRank(
+      artEdges.filter(_._1 % 2 == 0).toDF("src", "dst"), seedsA, iters = 3)
+      .as[(Long, Long)].collect().toMap)
+    // identity is the seed SET: row order and layout don't matter...
+    assert(GraphArtifact.readPpr(spark, path,
+      Seq(2L, 0L, 1L).toDF("node").repartition(3))
+      .as[(Long, Long)].collect().toMap === partialA)
+    // ...and a DIFFERENT set is a different memo (B unswept, A intact)
+    assert(intercept[RuntimeException] {
+      GraphArtifact.readPpr(spark, path, seedsB)
+    }.getMessage.contains("no published PPR"))
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, seedsB) === Some("v_1"))
+    assert(GraphArtifact.readPpr(spark, path, seedsB)
+      .as[(Long, Long)].collect().toMap !== partialA)
+    assert(GraphArtifact.readPpr(spark, path, seedsA)
+      .as[(Long, Long)].collect().toMap === partialA,
+      "refreshing one seed set must not disturb another's memo")
+    // staleness: the full graph lands (~2× rows) — A's memo is stale
+    // until the growth trigger supersedes it with v_2
+    GraphArtifact.ingestEdgeBatch(artEdges.filter(_._1 % 2 == 1).toDF("src", "dst"), path, 1L)
+    assert(GraphArtifact.readPpr(spark, path, seedsA)
+      .as[(Long, Long)].collect().toMap === partialA, "unrefreshed memo serves the old sweep")
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, seedsA, growthPct = 10) === Some("v_2"))
+    assert(GraphArtifact.readPpr(spark, path, seedsA)
+      .as[(Long, Long)].collect().toMap ===
+      Graph.personalizedPageRank(artEdges.toDF("src", "dst"), seedsA, iters = 3)
+        .as[(Long, Long)].collect().toMap,
+      "superseded memo must equal a fresh full-graph sweep")
+    // a typo'd artifact path is loud, not a silent no-op tick
+    intercept[Exception] {
+      GraphArtifact.maybeRefreshPpr(spark, s"$path-nope", seedsA)
+    }
+    rmTree(path)
+  }
+
   test("rank artifact: init/refresh/read guards are loud") {
     val path = tmpArt()
     GraphArtifact.initRankArtifact(spark, path, iters = 3)
