@@ -414,6 +414,78 @@ object QueriesText {
     })
   }
 
+  // The messy-URL fixture shared by the q_domain_* family AND the
+  // curation capstone's anti-domination stage — ONE definition on
+  // each engine side so the queries cannot drift: uppercase
+  // schemes/hosts, default + non-default ports, userinfo, tracking
+  // params, fragments, trailing slashes, and three PSL shapes (a
+  // *.kobe.jp wildcard host, its !city.kobe.jp exception, a 3-label
+  // k12.ca.us exact suffix).
+  private val syntheticUrlSql =
+    """CASE CAST(doc_id % 8 AS INT)
+      |           WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || CAST(doc_id % 4 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+      |           WHEN 1 THEN 'https://News.Example.co.uk/Article/' || CAST(doc_id AS VARCHAR) || '?fbclid=' || CAST(doc_id AS VARCHAR)
+      |           WHEN 2 THEN 'https://blog.Other.ORG:443/post/?b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
+      |           WHEN 3 THEN 'http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag'
+      |           WHEN 4 THEN 'https://b.a.Shop.Kobe.JP/w/' || CAST(doc_id % 3 AS VARCHAR)
+      |           WHEN 5 THEN 'http://www.City.Kobe.JP/ward/' || CAST(doc_id % 2 AS VARCHAR)
+      |           WHEN 6 THEN 'https://sub.School.K12.CA.US/class/' || CAST(doc_id % 2 AS VARCHAR)
+      |           ELSE 'https://Sub.Site.COM.AU/x/' || CAST(doc_id % 2 AS VARCHAR) || '//'
+      |         END""".stripMargin
+  private def syntheticUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 8 === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
+      (id % 4).cast("string"), lit("/?utm_source=x&id="), (id % 3).cast("string")))
+    .when(id % 8 === 1, concat(lit("https://News.Example.co.uk/Article/"),
+      id.cast("string"), lit("?fbclid="), id.cast("string")))
+    .when(id % 8 === 2, concat(lit("https://blog.Other.ORG:443/post/?b=2&a="),
+      (id % 7).cast("string")))
+    .when(id % 8 === 3, lit("http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag"))
+    .when(id % 8 === 4, concat(lit("https://b.a.Shop.Kobe.JP/w/"), (id % 3).cast("string")))
+    .when(id % 8 === 5, concat(lit("http://www.City.Kobe.JP/ward/"), (id % 2).cast("string")))
+    .when(id % 8 === 6, concat(lit("https://sub.School.K12.CA.US/class/"), (id % 2).cast("string")))
+    .otherwise(concat(lit("https://Sub.Site.COM.AU/x/"),
+      (id % 2).cast("string"), lit("//")))
+
+  /** The synthetic-URL → canonical-host → PSL-registered-domain CTE
+    * chain (doc_id, domain as `<pfx>dom`) — ONE definition shared by
+    * q_domain_cap and the curation capstone's anti-domination stage,
+    * so the host canonicalization and PSL replay cannot drift between
+    * their oracles. `pfx` namespaces the CTEs (the capstone's WITH
+    * scope already uses d/p); `where` restricts the doc set (e.g.
+    * " WHERE doc_id >= 25" for the capstone's corpus split). Built by
+    * placeholder substitution: %P% = prefix (the literal '@' in the
+    * userinfo-strip regex forbids a plain replace on '@'). */
+  private def domainCtesSql(pfx: String, where: String = ""): String =
+    ("""%P%d AS (
+      |  SELECT doc_id,
+      |         URLEXPR AS url
+      |  FROM documentsWHERECLAUSE),
+      |%P%p AS (
+      |  SELECT doc_id,
+      |         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |         regexp_replace(regexp_replace(trim(url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM %P%d),
+      |%P%h0 AS (
+      |  SELECT doc_id, sch,
+      |         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^[^@]*@', '') AS hp
+      |  FROM %P%p),
+      |%P%h1 AS (
+      |  SELECT doc_id, CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |                      WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |                      ELSE hp END AS hp2
+      |  FROM %P%h0),
+      |%P%h2 AS (SELECT doc_id,
+      |              regexp_replace(regexp_replace(hp2, '^www\.', ''), ':\d+$', '') AS host_np
+      |       FROM %P%h1),
+      |%P%dom AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      graft.functions.Urls.registeredDomainSql("host_np") + """ AS domain
+      |  FROM %P%h2)""".stripMargin)
+      .replace("URLEXPR", syntheticUrlSql)
+      .replace("WHERECLAUSE", where)
+      .replace("%P%", pfx)
+
   /** Drift-monitor lifecycle per (JVM, source dir): a fresh quantile
     * artifact + alarm log driven through three l_orderkey-mod-3 price
     * batches — batch 2 shifted one octave (v*2) so the log carries
@@ -1135,11 +1207,15 @@ object QueriesText {
       // gets a single first-match reason — contaminated (≥5 shared
       // trigrams with a benchmark doc) → near_dup (dup-group member
       // that lost survivor selection to a higher-quality copy) →
-      // too_short → repetitive → low_quality → keep. reason = 'keep'
-      // IS the final training corpus; everything else is the audit
-      // trail of why the corpus shrank. The oracle recomposes the
-      // decontamination, components + survivor, and funnel fragments —
-      // each individually verified — over the same corpus split.
+      // too_short → repetitive → low_quality → domain_capped (r16
+      // verdict #6: the per-registered-domain anti-domination cap,
+      // q_domain_cap's PSL + skew-safe md5-rank pipeline applied to
+      // the would-be keepers — a megasite contributes at most k pages
+      // to the FINAL corpus) → keep. reason = 'keep' IS the final
+      // training corpus; everything else is the audit trail of why
+      // the corpus shrank. The oracle recomposes the decontamination,
+      // components + survivor, funnel AND domain-cap fragments — each
+      // individually verified — over the same corpus split.
       {
         val corpusPairsCte = pairsCte.replace(
           "  FROM documents),", "  FROM documents WHERE doc_id >= 25),")
@@ -1195,17 +1271,32 @@ object QueriesText {
              |cx AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
              |mx AS (SELECT doc_id, n, tok, count(*) AS c FROM cx GROUP BY 1, 2, 3),
              |mm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4) AS top_token_frac
-             |       FROM mx GROUP BY doc_id, n)
-             |SELECT q.doc_id, q.n_tokens, q.quality,
-             |       CASE WHEN co.doc_id IS NOT NULL THEN 'contaminated'
-             |            WHEN ns.doc_id IS NOT NULL THEN 'near_dup'
-             |            WHEN q.n_tokens < 20 THEN 'too_short'
-             |            WHEN d.dup3_frac > 0.2 OR mm.top_token_frac > 0.2 THEN 'repetitive'
-             |            WHEN q.quality < 0.30 THEN 'low_quality'
-             |            ELSE 'keep' END AS reason
-             |FROM q JOIN d USING (doc_id) JOIN mm USING (doc_id)
-             |LEFT JOIN contam co USING (doc_id)
-             |LEFT JOIN nonsurv ns USING (doc_id)
+             |       FROM mx GROUP BY doc_id, n),
+             |pre AS (
+             |  SELECT q.doc_id, q.n_tokens, q.quality,
+             |         CASE WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+             |              WHEN ns.doc_id IS NOT NULL THEN 'near_dup'
+             |              WHEN q.n_tokens < 20 THEN 'too_short'
+             |              WHEN d.dup3_frac > 0.2 OR mm.top_token_frac > 0.2 THEN 'repetitive'
+             |              WHEN q.quality < 0.30 THEN 'low_quality'
+             |              ELSE 'keep' END AS reason0
+             |  FROM q JOIN d USING (doc_id) JOIN mm USING (doc_id)
+             |  LEFT JOIN contam co USING (doc_id)
+             |  LEFT JOIN nonsurv ns USING (doc_id)),
+             |""" + domainCtesSql("u", " WHERE doc_id >= 25") + """,
+             |rcap AS (
+             |  SELECT doc_id FROM (
+             |    SELECT p.doc_id,
+             |           row_number() OVER (PARTITION BY u.domain
+             |                              ORDER BY md5(concat(p.doc_id, ':42')), p.doc_id) AS rn
+             |    FROM pre p JOIN udom u USING (doc_id)
+             |    WHERE p.reason0 = 'keep') t
+             |  WHERE rn <= 3)
+             |SELECT pre.doc_id, pre.n_tokens, pre.quality,
+             |       CASE WHEN pre.reason0 <> 'keep' THEN pre.reason0
+             |            WHEN rc.doc_id IS NOT NULL THEN 'keep'
+             |            ELSE 'domain_capped' END AS reason
+             |FROM pre LEFT JOIN rcap rc USING (doc_id)
              |ORDER BY doc_id""") { (s, dir) =>
           val docs = Tables.documents(s, dir)
           val bench = docs.filter(col("doc_id") < 25)
@@ -1239,16 +1330,37 @@ object QueriesText {
             .groupBy("doc_id", "n").agg(max("c").as("maxc"))
             .select(col("doc_id"),
               round(col("maxc").cast("double") / col("n"), 4).as("top_token_frac"))
-          signals.join(quality, Seq("doc_id")).join(top, Seq("doc_id"))
+          val pre = signals.join(quality, Seq("doc_id")).join(top, Seq("doc_id"))
             .join(contaminated, Seq("doc_id"), "left")
             .join(nonSurvivors, Seq("doc_id"), "left")
-            .withColumn("reason",
+            .withColumn("reason0",
               when(col("__contam"), "contaminated")
                 .when(col("__nd"), "near_dup")
                 .when(col("n_tokens") < 20, "too_short")
                 .when(col("dup3_frac") > 0.2 || col("top_token_frac") > 0.2, "repetitive")
                 .when(col("quality") < 0.30, "low_quality")
                 .otherwise("keep"))
+            .localCheckpoint() // feeds the cap stage AND the final join
+          // anti-domination stage (r16 verdict #6): the per-registered-
+          // domain crawl cap applies to the FINAL corpus — docs that
+          // survived every cleaning reason — so one megasite cannot
+          // dominate the kept mix. The q_domain_cap pipeline verbatim
+          // (PSL derivation + the skew-safe two-phase md5-rank cap),
+          // composed over the keepers; survivors past k get their own
+          // audit reason. Corpus-proportional set → shuffle join.
+          val domains = corpus.select(col("doc_id"),
+            graft.functions.Urls.registeredDomain(s, syntheticUrl(col("doc_id"))).as("domain"))
+          val capped = graft.operators.Sampling.exactKPerStratum(
+              pre.filter(col("reason0") === "keep").select("doc_id")
+                .join(domains, Seq("doc_id")),
+              "domain", "doc_id", k = 3)
+            .select(col("doc_id")).withColumn("__cap", lit(true))
+            .hint("shuffle_hash")
+          pre.join(capped, Seq("doc_id"), "left")
+            .withColumn("reason",
+              when(col("reason0") =!= "keep", col("reason0"))
+                .when(col("__cap"), "keep")
+                .otherwise("domain_capped"))
             .select("doc_id", "n_tokens", "quality", "reason")
             .orderBy("doc_id")
         }
@@ -2400,37 +2512,6 @@ object QueriesText {
     // and raw forms that only collide after canonicalization. Pure
     // string expressions, map-only — one grouped census, domain-sized
     // aggregates.
-    // The messy-URL fixture shared by the q_domain_* family — ONE
-    // definition on each engine side so the queries cannot drift:
-    // uppercase schemes/hosts, default + non-default ports, userinfo,
-    // tracking params, fragments, trailing slashes, and three PSL
-    // shapes (a *.kobe.jp wildcard host, its !city.kobe.jp exception,
-    // a 3-label k12.ca.us exact suffix).
-    val syntheticUrlSql =
-      """CASE CAST(doc_id % 8 AS INT)
-        |           WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || CAST(doc_id % 4 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
-        |           WHEN 1 THEN 'https://News.Example.co.uk/Article/' || CAST(doc_id AS VARCHAR) || '?fbclid=' || CAST(doc_id AS VARCHAR)
-        |           WHEN 2 THEN 'https://blog.Other.ORG:443/post/?b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN 3 THEN 'http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag'
-        |           WHEN 4 THEN 'https://b.a.Shop.Kobe.JP/w/' || CAST(doc_id % 3 AS VARCHAR)
-        |           WHEN 5 THEN 'http://www.City.Kobe.JP/ward/' || CAST(doc_id % 2 AS VARCHAR)
-        |           WHEN 6 THEN 'https://sub.School.K12.CA.US/class/' || CAST(doc_id % 2 AS VARCHAR)
-        |           ELSE 'https://Sub.Site.COM.AU/x/' || CAST(doc_id % 2 AS VARCHAR) || '//'
-        |         END""".stripMargin
-    def syntheticUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(id % 8 === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
-        (id % 4).cast("string"), lit("/?utm_source=x&id="), (id % 3).cast("string")))
-      .when(id % 8 === 1, concat(lit("https://News.Example.co.uk/Article/"),
-        id.cast("string"), lit("?fbclid="), id.cast("string")))
-      .when(id % 8 === 2, concat(lit("https://blog.Other.ORG:443/post/?b=2&a="),
-        (id % 7).cast("string")))
-      .when(id % 8 === 3, lit("http://user@example.com/a/0?utm_campaign=z&utm_medium=m#frag"))
-      .when(id % 8 === 4, concat(lit("https://b.a.Shop.Kobe.JP/w/"), (id % 3).cast("string")))
-      .when(id % 8 === 5, concat(lit("http://www.City.Kobe.JP/ward/"), (id % 2).cast("string")))
-      .when(id % 8 === 6, concat(lit("https://sub.School.K12.CA.US/class/"), (id % 2).cast("string")))
-      .otherwise(concat(lit("https://Sub.Site.COM.AU/x/"),
-        (id % 2).cast("string"), lit("//")))
-
     register("q_domain_health",
       """WITH d AS (
         |  SELECT doc_id, n_chars,
@@ -2500,31 +2581,7 @@ object QueriesText {
     // PSL CASE chain AND the salted-md5 rank — a wrong domain, a
     // dropped doc or a shifted rank all shift the hash.
     register("q_domain_cap",
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         """ + syntheticUrlSql + """ AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id,
-        |         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |         regexp_replace(regexp_replace(trim(url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-        |  FROM d),
-        |h0 AS (
-        |  SELECT doc_id, sch,
-        |         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^[^@]*@', '') AS hp
-        |  FROM p),
-        |h1 AS (
-        |  SELECT doc_id, CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-        |                      WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
-        |                      ELSE hp END AS hp2
-        |  FROM h0),
-        |h2 AS (SELECT doc_id,
-        |              regexp_replace(regexp_replace(hp2, '^www\.', ''), ':\d+$', '') AS host_np
-        |       FROM h1),
-        |dom AS (
-        |  SELECT doc_id,
-        |""" + graft.functions.Urls.registeredDomainSql("host_np") + """ AS domain
-        |  FROM h2),
+      "WITH " + domainCtesSql("") + """,
         |r AS (
         |  SELECT domain, doc_id,
         |         row_number() OVER (PARTITION BY domain
