@@ -187,6 +187,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(indexed === brute, "indexed tier lost true pairs")
   }
 
+  test("catalog batch merge-compaction: lookup unchanged, merged-away replay still no-ops") {
+    import graft.operators.FuzzyLinkIndex
+    val path = tmpRoot("graft-fuzzylink-merge")
+    FuzzyLinkIndex.initLinkIndex(spark, path, k = 1)
+    val cat = (0L until 90L).map(i => (i, s"name number $i")).toDF("id", "s")
+    (0 until 3).foreach { m =>
+      FuzzyLinkIndex.ingestCatalogBatch(cat.filter($"id" % 3 === m), path, m.toLong)
+    }
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    val probe = Seq((1000L, "name number 42x")).toDF("id", "s")
+    val before = FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    FuzzyLinkIndex.mergeCatalogBatches(spark, path, maxDirs = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=0_2/_fp")))
+    // a refresh off the merged state derives the identical index
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === before)
+    // replay of a merged-away catalog batch: no-op; different payload loud
+    FuzzyLinkIndex.ingestCatalogBatch(cat.filter($"id" % 3 === 1), path, 1L)
+    assert(intercept[IllegalArgumentException] {
+      FuzzyLinkIndex.ingestCatalogBatch(cat.filter($"id" % 3 === 2), path, 1L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === before)
+  }
+
   test("staleness: growth trigger refreshes only past the bound; a partial index misses new entries") {
     import graft.operators.FuzzyLinkIndex
     val path = tmpRoot("graft-fuzzylink-stale")
