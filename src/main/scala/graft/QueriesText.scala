@@ -245,7 +245,8 @@ object QueriesText {
   private def parityArtifactRoot(dir: String, family: String,
       source: => org.apache.spark.sql.DataFrame, parityCol: String)(
       init: String => Unit)(
-      ingest: (org.apache.spark.sql.DataFrame, String, Long) => Unit): String = {
+      ingest: (org.apache.spark.sql.DataFrame, String, Long) => Unit)(
+      maintain: String => Unit = _ => ()): String = {
     lshCleanupHook
     lshIndexes.computeIfAbsent(s"$family:$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory(s"graft-$family").toString
@@ -255,6 +256,10 @@ object QueriesText {
       ingest(src.filter(col(parityCol) % 2 === 1), path, 1L)
       // redelivered batch 0: overwrites its own partition byte-identically
       ingest(src.filter(col(parityCol) % 2 === 0), path, 0L)
+      // r17: each family's dir-count maintenance runs INSIDE the
+      // served lifecycle, so the registry hash gates also prove the
+      // merge preserved the folded state exactly
+      maintain(path)
       path
     })
   }
@@ -265,7 +270,8 @@ object QueriesText {
         .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok")),
       "doc_id")(
       graft.operators.Profile.initCmsArtifact(s, _, depth = 4, width = 512))(
-      (df, p, b) => graft.operators.Profile.cmsIngestBatch(df, "tok", p, b))
+      (df, p, b) => graft.operators.Profile.cmsIngestBatch(df, "tok", p, b))(
+      graft.operators.Profile.mergeArtifactParts(s, _, maxDirs = 1))
 
   /** Persisted HLL profile artifact per (JVM, source dir): per-group
     * distinct-order sketches built shard-by-shard (lineitem split in
@@ -280,7 +286,8 @@ object QueriesText {
       "l_orderkey")(
       graft.operators.Profile.initProfileArtifact(s, _, lgConfigK = 12))(
       (df, p, b) => graft.operators.Profile.profileIngestShard(
-        df, "l_returnflag", "l_orderkey", p, b))
+        df, "l_returnflag", "l_orderkey", p, b))(
+      graft.operators.Profile.mergeProfileShards(s, _, maxDirs = 1))
 
   /** Persisted log-histogram quantile artifact per (JVM, source dir):
     * per-group price sketches built batch-by-batch (lineitem split in
@@ -299,7 +306,8 @@ object QueriesText {
   private def quantileArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
     parityArtifactRoot(dir, "quantart", priceCentsByFlag(s, dir), "l_orderkey")(
       graft.operators.Profile.initQuantileArtifact(s, _, mbits = 6))(
-      (df, p, b) => graft.operators.Profile.quantileIngestBatch(df, "g", "v", p, b))
+      (df, p, b) => graft.operators.Profile.quantileIngestBatch(df, "g", "v", p, b))(
+      graft.operators.Profile.mergeArtifactParts(s, _, maxDirs = 1))
 
   /** The deterministic doc-link graph shared by the PageRank family
     * (q_pagerank / q_ppr_seeds / q_pagerank_artifact): two hash
@@ -339,6 +347,11 @@ object QueriesText {
       // at-least-once redelivery of batch 0: fingerprint no-op
       graft.operators.GraphArtifact.ingestEdgeBatch(
         raw.filter(col("src") % 2 === 0), path, 0L)
+      // merge-compact the two edge batches into b=0_1 BEFORE the final
+      // refresh — the served ranks sweep MERGED state, so the
+      // q_pagerank_artifact / q_ppr_artifact / q_ppr_served hash
+      // gates also prove the merge preserved the edge multiset
+      graft.operators.GraphArtifact.mergeEdgeBatches(s, path, maxDirs = 1)
       graft.operators.GraphArtifact.refreshRanks(s, path) // v_2: full graph
       // edge rows ~doubled → far past the growth bound → PPR memo v_2
       graft.operators.GraphArtifact.maybeRefreshPpr(s, path, seeds)
@@ -409,6 +422,11 @@ object QueriesText {
       graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path) // v_1: partial catalog
       ingest(1, 1L)
       ingest(0, 0L) // at-least-once redelivery of batch 0: fingerprint no-op
+      // merge-compact the two catalog batches into b=0_1 BEFORE the
+      // final refresh — the served index derives from MERGED state,
+      // so q_editdist_indexed's hash gate also proves the merge
+      // preserved the catalog exactly
+      graft.operators.FuzzyLinkIndex.mergeCatalogBatches(s, path, maxDirs = 1)
       graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path) // v_2: full catalog
       path
     })
@@ -523,7 +541,8 @@ object QueriesText {
   private def aggArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
     parityArtifactRoot(dir, "aggart", priceCentsByFlag(s, dir), "l_orderkey")(
       graft.operators.Profile.initAggArtifact(s, _, "g", "v"))(
-      (df, p, b) => graft.operators.Profile.aggIngestBatch(df, "g", "v", p, b))
+      (df, p, b) => graft.operators.Profile.aggIngestBatch(df, "g", "v", p, b))(
+      graft.operators.Profile.mergeArtifactParts(s, _, maxDirs = 1))
 
   /** Shared IR-metric SQL tail for the q_rank_eval* queries: consumes
     * WITH-scope relations `truth` / `cand` (q_id, n_id, rnk ≤ k) and
