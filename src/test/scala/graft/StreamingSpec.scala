@@ -922,4 +922,47 @@ class StreamingSpec extends SparkSpec {
       StreamingGraph.ingestEdgeBatch(b1.toDF("src", "dst"), 0L, s"$root/nope")
     }
   }
+
+  test("streaming catalog ingest: drained index ≡ recompute lookup, growth-gated re-derive, replay no-op") {
+    import graft.streaming.StreamingLinkIndex
+    import graft.operators.{FuzzyJoin, FuzzyLinkIndex}
+    val root = Files.createTempDirectory("graft-catingest").toString
+    val raw = s"$root/raw"; val art = s"$root/linkidx"
+    new java.io.File(raw).mkdirs()
+    FuzzyLinkIndex.initLinkIndex(spark, art, k = 1)
+    val catSchema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        rows.map { case (i, s) => s"""{"id":$i,"s":"$s"}""" }
+          .mkString("\n").getBytes)
+    def drain(): Unit = {
+      val q = StreamingLinkIndex.catalogIngest(
+        spark.readStream.schema(catSchema).json(raw), art, s"$root/ckpt",
+        refreshGrowthPct = Some(10))
+      q.awaitTermination()
+    }
+    val b1 = (0L until 60L).map(i => (i, s"name number $i"))
+    val b2 = (100L until 160L).map(i => (i, s"name number $i"))
+    val probe = Seq((9000L, "name number 42x"), (9001L, "name number 142x")).toDF("id", "s")
+    land("c1.json", b1); drain() // first drain: unconditional derive
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, art, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === Set((9000L, 42L, 1)),
+      "first drain must serve the partial catalog (142 not yet ingested)")
+    land("c2.json", b2); drain() // 60 new on 60: well past 10%
+    val want = FuzzyJoin.editDistanceLookup(probe, (b1 ++ b2).toDF("id", "s"),
+      "id", "s", k = 1).as[(Long, Long, Int)].collect().toSet
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, art, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === want,
+      "streamed index diverged from the recompute lookup over the union catalog")
+    assert(want === Set((9000L, 42L, 1), (9001L, 142L, 1)))
+    // at-least-once redelivery of batch 0's payload: fingerprint no-op
+    StreamingLinkIndex.ingestCatalogBatch(b1.toDF("id", "s"), 0L, art)
+    assert(FuzzyLinkIndex.maybeRefreshLinkIndex(spark, art, growthPct = 10).isEmpty,
+      "replayed batch must not re-trip the growth trigger")
+    // an ingest against an uninitialized artifact fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingLinkIndex.ingestCatalogBatch(b1.toDF("id", "s"), 0L, s"$root/nope")
+    }
+  }
 }
