@@ -982,13 +982,19 @@ object Queries {
       |FROM b GROUP BY lang, bucket
       |ORDER BY lang, bucket""") { (s, dir) =>
     import graft.functions.TextStats
-    val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    Tables.documents(s, dir)
+    // skew-safe exact rank (one language can be half a web corpus —
+    // a plain per-lang ntile window sorts it in ONE task); ntile is
+    // reconstructed from (rank, n) by the same integer arithmetic
+    // both engines run, so the result is bit-identical to the window
+    // form and the DuckDB ntile oracle is unchanged
+    val scored = Tables.documents(s, dir)
       .withColumn("toks", TextStats.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
-      // cast: Spark ntile is INT, DuckDB's is BIGINT — schema-strict gate
-      .withColumn("bucket", ntile(4).over(w).cast("long"))
+    graft.operators.Sampling.withExactRank(scored, "lang", "quality", "doc_id")
+      // DuckDB's ntile is BIGINT and ntileOfRank emits long — schema-aligned
+      .withColumn("bucket",
+        graft.operators.Sampling.ntileOfRank(col("__rn"), col("__n"), 4))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n"), min("quality").as("min_q"), max("quality").as("max_q"))
       .orderBy("lang", "bucket")
@@ -1345,12 +1351,18 @@ object Queries {
       |       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS pr
       |FROM q ORDER BY doc_id""") { (s, dir) =>
     import graft.functions.TextStats
-    val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    Tables.documents(s, dir)
+    // skew-safe exact rank (see q_ntile_quality): percent_rank is
+    // (rank−1)/(n−1), the identical double division both engines run
+    // over the same total order — bit-identical to the window form
+    val scored = Tables.documents(s, dir)
       .withColumn("toks", TextStats.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
+    graft.operators.Sampling.withExactRank(scored, "lang", "quality", "doc_id")
+      .withColumn("pr", round(
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") / (col("__n") - 1)), 6))
+      .select("doc_id", "lang", "quality", "pr")
       .orderBy("doc_id")
   }
 

@@ -117,6 +117,67 @@ object Sampling {
       .drop("__h", "__sub", "__rn")
   }
 
+  /** Exact per-group rank — row_number in (value, tie) order plus the
+    * group size — computed SKEW-SAFELY: `floor(value·B)` buckets are
+    * order-preserving for any numeric value (monotone), so the global
+    * (value, tie) order within a group equals (bucket, value, tie)
+    * order; per-(group, bucket) counts cumulate through the broadcast
+    * triangle join (the [[shuffleDeterministic]] two-phase pattern)
+    * and the only window is within one (group, bucket). No task ever
+    * sorts more than one bucket of one group — the per-group rank
+    * transforms (percent_rank normalization, ntile banding) stop
+    * serializing a dominant group (one language can be half a web
+    * corpus) onto a single window task. BIT-IDENTICAL to the plain
+    * `row_number over (partition by group order by value, tie)`.
+    *
+    * `buckets` balance is tuned for values in [0, 1] (quality
+    * scores); other ranges stay CORRECT (monotone quantization) but
+    * may concentrate buckets. Adds `__rn` (1-based rank, long) and
+    * `__n` (group size, long). */
+  def withExactRank(df: DataFrame, groupCol: String, valueCol: String,
+                    tieCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets must be in 2..65536")
+    val withB = df.withColumn("__qb",
+      floor(col(valueCol) * buckets).cast("long"))
+    // pinned: (group, bucket)-sized, consumed three times (both sides
+    // of the triangle join + the totals) — without the pin each
+    // consumer re-expands the caller's value derivation, which for
+    // quality scores is a corpus tokenization
+    val counts = Checkpoints.pin(
+      withB.groupBy(groupCol, "__qb").agg(count(lit(1)).as("__bn")))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col(s"a.$groupCol") === col(s"b.$groupCol")
+          && col("b.__qb") < col("a.__qb"), "left")
+      .groupBy(col(s"a.$groupCol").as(groupCol), col("a.__qb").as("__qb"))
+      .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__offset"))
+    val totals = counts.groupBy(groupCol).agg(sum(col("__bn")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__qb"))
+      .orderBy(col(valueCol), col(tieCol))
+    withB.join(broadcast(offsets), Seq(groupCol, "__qb"))
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("__rn", col("__offset") + row_number().over(w))
+      .drop("__qb", "__offset")
+  }
+
+  /** SQL ntile(k) reconstructed from [[withExactRank]]'s (`__rn`,
+    * `__n`): the first n mod k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋
+    * — exact integer arithmetic, identical to Spark's and DuckDB's
+    * ntile over the same total order. */
+  def ntileOfRank(rn: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"k must be positive, got $k")
+    // exact integer floor-div: (a − a % b) is exactly divisible, so
+    // the double division is exact (no ⌊a/b⌋-vs-rounding drift at
+    // 2^40-row groups the way a plain double a/b would risk)
+    def fdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val q = fdiv(n, lit(k.toLong))
+    val rem = n % k
+    val cut = rem * (q + 1) // rows covered by the ⌈n/k⌉-sized tiles
+    when(rn - 1 < cut, fdiv(rn - 1, q + 1) + 1)
+      .otherwise(rem + fdiv(rn - 1 - cut, q) + 1) // q ≥ 1 here: n ≥ k
+  }
+
   /** Leakage-safe train/val/test assignment: the split is a hash of
     * the GROUP key (domain, source, near-dup cluster id...), so every
     * row of a group lands in the SAME split — the property that keeps

@@ -114,6 +114,36 @@ class SamplingSpec extends SparkSpec {
       .filter($"domain" === "megasite.com").count() === 5L)
   }
 
+  test("withExactRank ≡ plain per-group window rank; ntileOfRank ≡ ntile") {
+    // quality-like bounded values with heavy ties + a dominant group
+    val rows = (1L to 5000L).map { i =>
+      (i, if (i % 10 == 0) "de" else "en", // en is 90% of rows — the skew shape
+        math.rint(((i * 37) % 101) / 100.0 * 10000) / 10000.0)
+    }.toDF("doc_id", "lang", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"quality", $"doc_id")
+    val naive = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("tile", ntile(7).over(w).cast("long"))
+      .select("doc_id", "rn", "n", "tile")
+      .as[(Long, Long, Long, Long)].collect().map { case (d, r, n, t) => d -> ((r, n, t)) }.toMap
+    val got = Sampling.withExactRank(rows.repartition(13), "lang", "quality", "doc_id")
+      .withColumn("tile", Sampling.ntileOfRank($"__rn", $"__n", 7))
+      .select("doc_id", "__rn", "__n", "tile")
+      .as[(Long, Long, Long, Long)].collect().map { case (d, r, n, t) => d -> ((r, n, t)) }.toMap
+    assert(got === naive, "two-phase rank must equal the single-window rank")
+    // n < k: every row its own tile prefix, exactly like SQL ntile
+    val tiny = Seq((1L, "x", 0.3), (2L, "x", 0.1), (3L, "x", 0.9)).toDF("doc_id", "lang", "quality")
+    val tinyGot = Sampling.withExactRank(tiny, "lang", "quality", "doc_id")
+      .withColumn("tile", Sampling.ntileOfRank($"__rn", $"__n", 7))
+      .select("doc_id", "tile").as[(Long, Long)].collect().toMap
+    val tinyWant = tiny.withColumn("tile", ntile(7).over(w).cast("long"))
+      .select("doc_id", "tile").as[(Long, Long)].collect().toMap
+    assert(tinyGot === tinyWant)
+  }
+
   test("composition: near-dup cluster ids feed assignSplit so duplicates never straddle train/eval") {
     import graft.operators.Dedup
     // three near-dup families as explicit pair edges + singleton docs
