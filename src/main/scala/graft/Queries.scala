@@ -987,10 +987,14 @@ object Queries {
     // reconstructed from (rank, n) by the same integer arithmetic
     // both engines run, so the result is bit-identical to the window
     // form and the DuckDB ntile oracle is unchanged
+    // pinned: the corpus tokenization feeds the bucket counts AND the
+    // final rank join (the q_editdist_lookup precedent — pin expensive
+    // reused intermediates, re-derive cheap ones)
     val scored = Tables.documents(s, dir)
       .withColumn("toks", TextStats.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+      .localCheckpoint()
     graft.operators.Sampling.withExactRank(scored, "lang", "quality", "doc_id")
       // DuckDB's ntile is BIGINT and ntileOfRank emits long — schema-aligned
       .withColumn("bucket",
@@ -1358,6 +1362,7 @@ object Queries {
       .withColumn("toks", TextStats.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
+      .localCheckpoint() // see q_ntile_quality: one tokenization pass
     graft.operators.Sampling.withExactRank(scored, "lang", "quality", "doc_id")
       .withColumn("pr", round(
         when(col("__n") === 1L, lit(0.0))
