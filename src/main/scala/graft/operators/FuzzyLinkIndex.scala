@@ -79,16 +79,20 @@ object FuzzyLinkIndex {
       coalesce1 = false)
   }
 
-  /** The collapsed (id, s) catalog over every COMMITTED batch —
-    * singles AND merged dirs carrying `_fp`
-    * ([[Profile.committedPartDirs]]: crash debris, maintenance twins
-    * and merged-away tombstones are invisible). Loud when nothing
+  /** The raw (id, s) rows of every COMMITTED batch — singles AND
+    * merged dirs carrying `_fp` ([[Profile.committedPartDirs]]:
+    * crash debris, maintenance twins and merged-away tombstones are
+    * invisible). NOT collapsed — the refresh distincts once, and the
+    * growth trigger counts these raw rows (parquet-metadata-cheap;
+    * duplicate rows across batches overstate true set growth, which
+    * only refreshes EARLY — the [[GraphArtifact.maybeRefreshRanks]]
+    * trade, never a full catalog scan per tick). Loud when nothing
     * committed. */
-  private def committedCatalog(spark: SparkSession, path: String): DataFrame = {
+  private def committedRaw(spark: SparkSession, path: String): DataFrame = {
     val committed = Profile.committedPartDirs(spark, path)
     require(committed.nonEmpty,
       s"fuzzy-link index at $path has no committed catalog batches — ingest before refreshing")
-    spark.read.parquet(committed: _*).select(col("id"), col("s")).distinct()
+    spark.read.parquet(committed: _*).select(col("id"), col("s"))
   }
 
   /** Small-files / dir-count maintenance for the standing catalog
@@ -114,22 +118,22 @@ object FuzzyLinkIndex {
   /** Re-derive the catalog tables over the standing batches into a
     * fresh version and swap the serving pointer. Returns the
     * published version name. The version meta records `part_rows`
-    * (the collapsed catalog rows the derivation saw) — what
+    * (the RAW committed rows the derivation folded — the same
+    * metadata-cheap measure the tick counts) — what
     * [[maybeRefreshLinkIndex]] judges growth against. */
   def refreshLinkIndex(spark: SparkSession, path: String): String = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
     val (k, q) = (meta("k").toInt, meta("q").toInt)
     val indexRoot = s"$path/index"
     val served = graft.sources.VersionedRoot.resolve(spark, indexRoot, "fuzzy-link index")
-    val next = graft.sources.VersionedRoot.versions(spark, indexRoot)
-      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
-    val newName = s"v_$next"
+    val newName = graft.sources.VersionedRoot.nextVersion(spark, indexRoot)
     Profile.recoverParts(spark, path) // heal maintenance windows first
-    val cSrc = Checkpoints.pin(committedCatalog(spark, path))
+    val raw = committedRaw(spark, path)
+    val partRows = raw.count() // metadata-cheap RAW rows: the growth baseline
+    val cSrc = Checkpoints.pin(raw.distinct())
     // the catalog-is-a-function guard: two batches claiming one id
     // with different strings would merge gram partitions downstream
     FuzzyJoin.requireUniqueIds(cSrc, "id", "catalog")
-    val partRows = cSrc.count()
     val (dfreq, pb, shortB) = FuzzyJoin.catalogTables(cSrc, "id", "s", k, q)
     dfreq.write.mode("overwrite").parquet(s"$indexRoot/$newName/dfreq")
     pb.write.mode("overwrite").parquet(s"$indexRoot/$newName/prefix")
@@ -142,22 +146,26 @@ object FuzzyLinkIndex {
   }
 
   /** The closed loop over the standing catalog — refresh only when
-    * the collapsed catalog rows grew at least `growthPct` percent
+    * the RAW committed catalog rows grew at least `growthPct` percent
     * past what the served version derived (re-running the corpus-
     * proportional gram passes per kilobyte-sized catalog delta is
     * wasted work; never refreshing serves a stale prefix order that
     * still RESOLVES correctly for old strings but misses new catalog
     * entries entirely). Tick cost: the meta read + one
-    * parquet-metadata count. Fails loudly on a missing/invalid
-    * artifact; returns None only for "initialized, nothing ingested
-    * yet" or "fresh enough". */
+    * parquet-metadata count — no distinct, no shuffle (duplicate
+    * rows across batches overstate growth, which only refreshes
+    * EARLY). Fails loudly on a missing/invalid artifact; returns
+    * None only for "initialized, nothing ingested yet" or "fresh
+    * enough". */
   def maybeRefreshLinkIndex(spark: SparkSession, path: String,
                             growthPct: Int = 10): Option[String] = {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
-    if (Profile.committedPartDirs(spark, path).isEmpty) return None
-    val cur = committedCatalog(spark, path).count()
+    Profile.recoverParts(spark, path) // single-writer entry: heal first
+    val committed = Profile.committedPartDirs(spark, path)
+    if (committed.isEmpty) return None
+    val cur = spark.read.parquet(committed: _*).count()
     if (cur == 0L) return None
     val indexRoot = s"$path/index"
     val served = graft.sources.VersionedRoot.resolve(spark, indexRoot, "fuzzy-link index")
@@ -167,7 +175,7 @@ object FuzzyLinkIndex {
         val derivedRows = graft.sources.IndexMeta
           .read(spark, s"$root/meta.json", "fuzzy-link index version")
           .getOrElse("part_rows", 0L)
-        (cur - derivedRows) * 100L >= growthPct.toLong * math.max(derivedRows, 1L)
+        graft.sources.VersionedRoot.grewPast(cur, derivedRows, growthPct)
     }
     if (stale) Some(refreshLinkIndex(spark, path)) else None
   }

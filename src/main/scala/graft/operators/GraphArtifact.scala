@@ -128,12 +128,16 @@ object GraphArtifact {
     * a flat listing + per-dir `_fp` probe per refresh/serve — at
     * 10⁵+ micro-batches that is driver-side O(batches) RPCs. Merge
     * the committed batch dirs into one `b=<lo>_<hi>` dir when they
-    * exceed `maxDirs` ([[Profile.mergeBatchParts]]): count+XOR
-    * fingerprints compose, the union edge multiset is preserved
-    * exactly (refresh re-collapses as always), and a REDELIVERY of a
-    * merged-away batch key still no-ops against its tombstone's
-    * retained `_fp` — with a different payload still loud. Same
-    * concurrent-reader caveat as [[compactEdgeBatches]]. */
+    * exceed `maxDirs` ([[Profile.mergeBatchParts]]: new singles fold
+    * into their own merged dir; full consolidations amortize
+    * ~maxDirs ticks apart): count+XOR fingerprints compose, the
+    * union edge multiset is preserved exactly (refresh re-collapses
+    * as always), and a REDELIVERY of a merged-away batch key still
+    * no-ops against its `_fp` in the tombstone LEDGER (one file, so
+    * the listing bound is real) — with a different payload still
+    * loud. Same concurrent-reader caveat as [[compactEdgeBatches]],
+    * except the mid-merge window is LOUD to readers, never a
+    * silently partial fold. */
   def mergeEdgeBatches(spark: SparkSession, path: String,
                        maxDirs: Int = 64): Unit = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
@@ -150,9 +154,7 @@ object GraphArtifact {
     recoverEdgeBatches(spark, path) // heal a crashed compaction before sweeping
     val ranksRoot = s"$path/ranks"
     val served = graft.sources.VersionedRoot.resolve(spark, ranksRoot, "rank artifact")
-    val next = graft.sources.VersionedRoot.versions(spark, ranksRoot)
-      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
-    val newName = s"v_$next"
+    val newName = graft.sources.VersionedRoot.nextVersion(spark, ranksRoot)
     val edges = committedEdges(spark, path)
     val partRows = edges.count() // parquet-metadata-cheap
     Graph.pageRank(edges, iters = meta("iters").toInt, scale = meta("scale"))
@@ -186,6 +188,10 @@ object GraphArtifact {
     // uninitialized path must fail loudly here, not silently no-op
     // every drift tick forever while serving stale ranks
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    // the tick is a single-writer entry: heal any crashed maintenance
+    // window first so a pending merge self-heals instead of tripping
+    // the loud partial-part-set guard forever
+    recoverEdgeBatches(spark, path)
     // "no committed batches yet" is the ONE legitimate nothing-to-do
     // state — checked explicitly, never by catching the loud require
     if (Profile.committedPartDirs(spark, path).isEmpty) return None
@@ -199,7 +205,7 @@ object GraphArtifact {
         val sweptRows = graft.sources.IndexMeta
           .read(spark, s"$root/meta.json", "rank artifact version")
           .getOrElse("part_rows", 0L) // pre-trigger vintage: always refresh
-        (cur - sweptRows) * 100L >= growthPct.toLong * math.max(sweptRows, 1L)
+        graft.sources.VersionedRoot.grewPast(cur, sweptRows, growthPct)
     }
     if (stale) Some(refreshRanks(spark, path)) else None
   }
@@ -240,12 +246,15 @@ object GraphArtifact {
   // epoch).
 
   /** The order- and layout-independent identity of a seed set: the
-    * house count+XOR content fingerprint over the single `node`
-    * column, embedded in the version-root dir name — two textually
-    * different DataFrames with the same seed SET share a memo; any
-    * differing set cannot collide on count. */
+    * house count+XOR content fingerprint over the DISTINCT `node`
+    * column (a duplicate seed row is the same SET —
+    * [[Graph.personalizedPageRank]] distincts seeds itself, so two
+    * inputs differing only by a duplicate are semantically identical
+    * and must resolve the same memo), embedded in the version-root
+    * dir name; differing sets cannot collide on count. */
   private def seedKey(seeds: DataFrame): String = {
-    val fp = Profile.contentFingerprint(seeds.select(col("node").cast("long")))
+    val fp = Profile.contentFingerprint(
+      seeds.select(col("node").cast("long")).distinct())
     s"s${fp.replace('-', 'n')}" // '-' from a negative XOR, dir-name-safe
   }
 
@@ -258,9 +267,7 @@ object GraphArtifact {
     recoverEdgeBatches(spark, path)
     val root = s"$path/ppr/${seedKey(seeds)}"
     val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
-    val next = graft.sources.VersionedRoot.versions(spark, root)
-      .map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1
-    val newName = s"v_$next"
+    val newName = graft.sources.VersionedRoot.nextVersion(spark, root)
     val edges = committedEdges(spark, path)
     val partRows = edges.count()
     Graph.personalizedPageRank(edges, seeds.select(col("node").cast("long")),
@@ -283,6 +290,7 @@ object GraphArtifact {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    recoverEdgeBatches(spark, path) // single-writer entry: heal first
     if (Profile.committedPartDirs(spark, path).isEmpty) return None
     val cur = committedEdges(spark, path).count()
     if (cur == 0L) return None
@@ -294,7 +302,7 @@ object GraphArtifact {
         val sweptRows = graft.sources.IndexMeta
           .read(spark, s"$r/meta.json", "PPR memo version")
           .getOrElse("part_rows", 0L)
-        (cur - sweptRows) * 100L >= growthPct.toLong * math.max(sweptRows, 1L)
+        graft.sources.VersionedRoot.grewPast(cur, sweptRows, growthPct)
     }
     if (stale) Some(refreshPpr(spark, path, seeds)) else None
   }

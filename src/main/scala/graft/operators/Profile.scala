@@ -422,6 +422,19 @@ object Profile {
           "this looks like a reset checkpoint or a second writer sharing the artifact")
       return // identical redelivery: nothing to do
     }
+    // a merged-away batch has no dir — its fingerprint lives in the
+    // tombstone ledger, and the replay contract is identical: same
+    // payload is a no-op (its rows already fold via the merged dir),
+    // a different payload under a retired key is loud
+    readTombstones(fs, dir.getParent).get(part) match {
+      case Some(retired) =>
+        require(fingerprintMatches(retired, fp),
+          s"$what part $part was merged away holding a DIFFERENT contribution " +
+            s"(fingerprint $retired vs $fp) — a redelivered batch must be identical; " +
+            "this looks like a reset checkpoint or a second writer sharing the artifact")
+        return // identical redelivery of a merged-away batch: no-op
+      case None => // fresh batch key: land it below
+    }
     // sketch-sized contributions compact to one file; edge-batch-sized
     // ones (GraphArtifact) keep their natural partitioning
     (if (coalesce1) df.coalesce(1) else df)
@@ -439,24 +452,83 @@ object Profile {
 
   /** The COMMITTED part-dir names under `path/parts` for `prefix`
     * (e.g. "b="): single batch dirs `<prefix><key>` and merged dirs
-    * `<prefix><lo>_<hi>` carrying the `_fp` marker, excluding
-    * tombstones (dirs with a `_merged` marker — their rows live in a
-    * merged dir; the retained `_fp` keeps the replay guard) and any
-    * `__old`/`__staged` maintenance twin (name match is EXACT). */
+    * `<prefix><lo>_<hi>` carrying the `_fp` marker; `__old`/`__staged`
+    * maintenance twins never match (name match is EXACT), and
+    * merged-away batches have no dir at all — their replay
+    * fingerprints live in the `_tombstones` ledger, so the listing
+    * stays O(committed dirs), which the merge policy bounds
+    * (r17 review: per-batch tombstone DIRS would re-grow the
+    * O(batches) listing the merge exists to remove).
+    *
+    * LOUD when a pending merge is visible (a `__staged` twin carrying
+    * a `_sources` manifest): mid-merge the part set is transiently
+    * partial, and a silent read of it would serve wrong folds — the
+    * [[graft.operators.KeywordSearch]] ingest-marker discipline.
+    * Single-writer entries heal first ([[recoverParts]]) and never
+    * see this. */
   private[operators] def committedPartDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, prefix: String = "b="): Seq[String] = {
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = java.util.regex.Pattern.quote(prefix)
     if (!fs.exists(parts)) Seq.empty
-    else fs.listStatus(parts)
-      .filter { s =>
+    else {
+      val listed = fs.listStatus(parts)
+      val pending = listed.filter { s =>
+        s.getPath.getName.matches(s"$p-?\\d+(_-?\\d+)?__staged") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_sources"))
+      }
+      require(pending.isEmpty,
+        s"artifact at $path has a merge in progress or crashed " +
+          s"(${pending.map(_.getPath.getName).mkString(", ")}) — the part set is " +
+          "transiently partial; a single-writer entry (refresh/compact/merge) heals it")
+      listed.filter { s =>
         val n = s.getPath.getName
         n.matches(s"$p-?\\d+(_-?\\d+)?") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp")) &&
-          !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_merged"))
-      }
-      .map(_.getPath.toString).toSeq.sorted
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_fp"))
+      }.map(_.getPath.toString).toSeq.sorted
+    }
+  }
+
+  /** The merged-away batch ledger at `path/parts/_tombstones`: one
+    * line per retired single batch dir — `<name> <fingerprint>` — so
+    * a late at-least-once redelivery of a merged-away batch key still
+    * no-ops (same payload) or fails loudly (different payload)
+    * without keeping one tombstone DIR per batch forever. Written
+    * only by single-writer maintenance ([[finishMerge]]), read by
+    * [[landBatchPart]] on the slow path (dir absent). */
+  private def readTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      parts: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
+    // crash fallback: a delete→rename window can leave only the tmp;
+    // a FULLY-written tmp is the newer superset (the delete happens
+    // strictly after its close), and a PARTIAL tmp coexists with the
+    // intact ledger, which wins here
+    val src = if (fs.exists(ledger)) ledger
+      else new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    if (!fs.exists(src)) Map.empty
+    else {
+      val in = fs.open(src)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf(' ')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  private def writeTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      parts: org.apache.hadoop.fs.Path, entries: Map[String, String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sorted.map { case (k, v) => s"$k $v\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
+    fs.delete(ledger, false) // entries only grow: tmp ⊇ ledger, and
+    if (!fs.rename(tmp, ledger)) // readTombstones falls back to tmp
+      throw new java.io.IOException(s"could not publish tombstone ledger $ledger")
   }
 
   /** Fold scaffolding shared by the artifact readers: meta-free —
@@ -505,6 +577,14 @@ object Profile {
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parts)) return
+    // ledger publish window: a fully-written tmp with no ledger is
+    // the newer superset — promote it (readTombstones already prefers
+    // it; this just retires the window)
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
+    val ledgerTmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    if (!fs.exists(ledger) && fs.exists(ledgerTmp))
+      if (!fs.rename(ledgerTmp, ledger))
+        throw new java.io.IOException(s"could not heal tombstone ledger $ledger")
     val p = java.util.regex.Pattern.quote(prefix)
     val names = fs.listStatus(parts).map(_.getPath.getName)
     // pending merges first: their __staged must not be mistaken for
@@ -516,9 +596,12 @@ object Profile {
         val in = fs.open(manifest)
         val sources = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toList.filter(_.nonEmpty) finally in.close()
+        // tombstoning evidence = any listed source already retired
+        // (dir gone, or its key in the ledger): roll FORWARD; with no
+        // evidence the sources are intact and the staged dir is debris
+        val retired = readTombstones(fs, parts)
         val tombstoned = sources.exists { s =>
-          val d = new org.apache.hadoop.fs.Path(parts, s)
-          !fs.exists(d) || fs.exists(new org.apache.hadoop.fs.Path(d, "_merged"))
+          retired.contains(s) || !fs.exists(new org.apache.hadoop.fs.Path(parts, s))
         }
         if (tombstoned) finishMerge(fs, parts, n.stripSuffix("__staged"), sources)
         else fs.delete(staged, true) // nothing consumed yet: pure debris
@@ -532,29 +615,35 @@ object Profile {
 
   /** The forward half of a merge — callable from the merge itself or
     * from [[recoverParts]] at any crash point after tombstoning
-    * began: tombstone every listed single source (write `_merged`,
-    * drop its data files, KEEP `_fp` so a redelivery of that batch
-    * key still no-ops), delete every listed merged source (synthetic
-    * keys never receive redeliveries, and the name must free for
-    * future merges), then promote the staged dir. Every step is
-    * idempotent. */
+    * began: record every still-present listed SINGLE source in the
+    * `_tombstones` ledger (its `_fp` keeps the replay guard alive
+    * without a per-batch dir — r17 review: tombstone dirs would
+    * re-grow the O(batches) listing), delete the source dirs (merged
+    * sources too — synthetic keys never receive redeliveries, and
+    * the name must free for future merges), then promote the staged
+    * dir. Every step is idempotent: a source already retired has a
+    * ledger entry and no dir. */
   private def finishMerge(fs: org.apache.hadoop.fs.FileSystem,
       parts: org.apache.hadoop.fs.Path, target: String,
       sources: Seq[String]): Unit = {
-    sources.foreach { s =>
-      val d = new org.apache.hadoop.fs.Path(parts, s)
-      if (s.contains("_") && s.matches(".*-?\\d+_-?\\d+")) {
-        if (fs.exists(d)) fs.delete(d, true)
-      } else if (fs.exists(d)) {
-        val marker = new org.apache.hadoop.fs.Path(d, "_merged")
-        if (!fs.exists(marker)) {
-          val out = fs.create(marker, true)
-          try out.write("merged\n".getBytes("UTF-8")) finally out.close()
-        }
-        fs.listStatus(d).filter(_.isFile)
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .foreach(f => fs.delete(f.getPath, false))
+    val (mergedSrcs, singleSrcs) = sources.partition(_.matches(".*-?\\d+_-?\\d+"))
+    // ledger first (one idempotent write covering every still-present
+    // single), dirs second — a crash between leaves dirs whose keys
+    // are ledgered, which the retry just deletes
+    val present = singleSrcs.filter(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(parts, s"$s/_fp")))
+    if (present.nonEmpty) {
+      val old = readTombstones(fs, parts)
+      val fresh = present.filterNot(old.contains).map { s =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(parts, s"$s/_fp"))
+        s -> (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close())
       }
+      if (fresh.nonEmpty) writeTombstones(fs, parts, old ++ fresh)
+    }
+    (singleSrcs ++ mergedSrcs).foreach { s =>
+      val d = new org.apache.hadoop.fs.Path(parts, s)
+      if (fs.exists(d)) fs.delete(d, true)
     }
     val staged = new org.apache.hadoop.fs.Path(parts, s"${target}__staged")
     if (fs.exists(staged)) {
@@ -608,7 +697,7 @@ object Profile {
   }
 
   /** Dir-count maintenance (r16 verdict #7): when committed part dirs
-    * exceed `maxDirs`, merge ALL of them into ONE
+    * exceed `maxDirs`, fold a batch of them into ONE
     * `<prefix><minKey>_<maxKey>` dir holding the concatenation of
     * their rows — every family's read folds the union of part rows,
     * so a merge preserves the served result EXACTLY (count+XOR
@@ -617,18 +706,27 @@ object Profile {
     * the O(dirs) listing every refresh/serve pays at 10⁵+
     * micro-batches.
     *
-    * Replay after a merge: a redelivered single batch key still
-    * no-ops — its tombstone dir keeps the original `_fp` (data files
-    * dropped, `_merged` marker excludes it from reads); a DIFFERENT
-    * payload under that key still fails loudly. Merged dirs use
-    * synthetic `<lo>_<hi>` keys no writer ever lands, and a
-    * merge-of-merged frees the old name first, so names never
-    * collide. Crash windows roll forward/back at [[recoverParts]]
-    * (the `_sources` manifest inside the staged dir is the decision
-    * record). Like per-dir compaction, the window between
-    * tombstoning and promotion briefly hides the merging parts from
-    * a CONCURRENT reader — maintenance extends the single-writer
-    * contract; pace it outside reads. */
+    * Merge policy (r17 review): fold the NEW single batches into
+    * their own merged dir; only when singles alone cannot reduce the
+    * count (≤ 1 single standing) consolidate the merged dirs — so a
+    * routine maintenance tick rewrites the new batches, not the whole
+    * standing artifact, and the full-history consolidations amortize
+    * ~maxDirs ticks apart.
+    *
+    * Replay after a merge: a redelivered merged-away batch key still
+    * no-ops — its original `_fp` moves into the `_tombstones` ledger
+    * (ONE file, not one dir per batch, so the listing bound is real);
+    * a DIFFERENT payload under that key still fails loudly. Merged
+    * dirs use synthetic `<lo>_<hi>` keys no writer ever lands; a
+    * singles-only target cannot collide (its endpoints are
+    * un-retired keys, every existing merged dir's endpoints are
+    * retired ones) and a consolidation frees its sources' names
+    * before the promote. Crash windows roll forward/back at
+    * [[recoverParts]] (the `_sources` manifest inside the staged dir
+    * is the decision record), and the transiently-partial part set
+    * mid-merge is LOUD to readers ([[committedPartDirs]] refuses
+    * while a manifest-carrying staged dir exists) rather than served
+    * as silently-wrong folds. */
   private[operators] def mergeBatchParts(spark: org.apache.spark.sql.SparkSession,
       path: String, what: String, prefix: String = "b=", maxDirs: Int = 64,
       targetFileBytes: Long = 128L * 1024 * 1024,
@@ -640,24 +738,23 @@ object Profile {
     if (committed.length <= maxDirs) return
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val singles = committed.filterNot(d =>
+      new org.apache.hadoop.fs.Path(d).getName.matches(".*-?\\d+_-?\\d+"))
+    val sources = if (singles.length >= 2) singles else committed
     // verify every source BEFORE consuming any (the integrity refusal)
-    val fps = committed.map(dir => verifiedFingerprint(spark, fs, dir, what, fpRow))
+    val fps = sources.map(dir => verifiedFingerprint(spark, fs, dir, what, fpRow))
     val counts = fps.map(f => f.substring(0, f.indexOf('x')).toLong)
     val xors = fps.map(f => java.lang.Long.parseLong(f.substring(f.indexOf('x') + 1)))
     val mergedFp = s"${counts.sum}x${xors.foldLeft(0L)(_ ^ _)}"
-    val keys = committed.flatMap { dir =>
+    val keys = sources.flatMap { dir =>
       new org.apache.hadoop.fs.Path(dir).getName.stripPrefix(prefix)
         .split('_').map(_.toLong)
     }
-    // the target name may equal an existing MERGED source (a late
-    // batch landed inside an already-merged key span): fine —
-    // finishMerge deletes merged sources before the promote, freeing
-    // the name; staged twins never collide (distinct __staged suffix)
     val target = s"$prefix${keys.min}_${keys.max}"
-    val sourceNames = committed.map(new org.apache.hadoop.fs.Path(_).getName)
+    val sourceNames = sources.map(new org.apache.hadoop.fs.Path(_).getName)
     val staged = new org.apache.hadoop.fs.Path(parts, s"${target}__staged")
-    val union = spark.read.parquet(committed: _*)
-    val totalBytes = committed.map { dir =>
+    val union = spark.read.parquet(sources: _*)
+    val totalBytes = sources.map { dir =>
       fs.listStatus(new org.apache.hadoop.fs.Path(dir)).filter(_.isFile)
         .filterNot(f => f.getPath.getName.startsWith("_") ||
           f.getPath.getName.startsWith("."))

@@ -131,14 +131,21 @@ object Sampling {
     * `row_number over (partition by group order by value, tie)`.
     *
     * `buckets` balance is tuned for values in [0, 1] (quality
-    * scores); other ranges stay CORRECT (monotone quantization) but
-    * may concentrate buckets. Adds `__rn` (1-based rank, long) and
-    * `__n` (group size, long). */
+    * scores); other ranges stay CORRECT (monotone quantization; a
+    * double→long saturation collision still sorts right inside its
+    * bucket) but may concentrate buckets. NULL ranks first and NaN
+    * ranks last, exactly like the ascending window (r17 review: a
+    * plain floor would DROP null rows at the bucket equi-join and
+    * misfile NaN into bucket 0) — each gets its own sentinel bucket
+    * aligned with Spark's null-first / NaN-greatest sort order.
+    * Adds `__rn` (1-based rank, long) and `__n` (group size, long). */
   def withExactRank(df: DataFrame, groupCol: String, valueCol: String,
                     tieCol: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= 65536, "buckets must be in 2..65536")
     val withB = df.withColumn("__qb",
-      floor(col(valueCol) * buckets).cast("long"))
+      when(col(valueCol).isNull, lit(Long.MinValue))
+        .when(isnan(col(valueCol).cast("double")), lit(Long.MaxValue))
+        .otherwise(floor(col(valueCol) * buckets).cast("long")))
     // pinned: (group, bucket)-sized, consumed three times (both sides
     // of the triangle join + the totals) — without the pin each
     // consumer re-expands the caller's value derivation, which for

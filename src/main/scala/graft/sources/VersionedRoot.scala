@@ -51,6 +51,21 @@ object VersionedRoot {
       .filter(_.matches("v_\\d+")).toSeq
   }
 
+  /** The next `v_<n>` name to write under `root` — max existing
+    * number (complete or not: a crashed incomplete v_k must not be
+    * re-used) plus one. ONE definition for every refresh
+    * (ranks/PPR/fuzzy-link — r17 review: three hand-rolled copies
+    * would fork numbering semantics on the next change). */
+  def nextVersion(spark: SparkSession, root: String): String =
+    s"v_${versions(spark, root).map(_.stripPrefix("v_").toLong).foldLeft(0L)(math.max) + 1}"
+
+  /** The shared growth-trigger staleness predicate: did `cur` rows
+    * grow at least `pct` percent past the `baseline` a served version
+    * recorded? Integer arithmetic (no overflow below ~9e16 rows at
+    * pct ≤ 1000); baseline 0 (pre-trigger vintage) is always stale. */
+  def grewPast(cur: Long, baseline: Long, pct: Int): Boolean =
+    (cur - baseline) * 100L >= pct.toLong * math.max(baseline, 1L)
+
   /** Resolve the SERVING version dir: the one `CURRENT` names, else
     * (pointer absent or mid-swap) the newest COMPLETE version, else
     * None (never published). A pointer that reads fine but names an

@@ -293,13 +293,19 @@ class GraphSpec extends SparkSpec {
     def partNames() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/parts"))
       .map(_.getPath.getName).toSet
     GraphArtifact.mergeEdgeBatches(spark, path, maxDirs = 2)
-    // ONE merged dir serves; the five singles are tombstones (marker +
-    // retained _fp, data gone) — invisible to reads, live for replay
+    // ONE merged dir serves; the five single dirs are GONE — their
+    // replay fingerprints retired into the tombstone LEDGER (one
+    // file, so the dir listing is actually bounded)
     assert(partNames().contains("b=0_4"))
     (0 until 5).foreach { k =>
-      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=$k/_merged")))
-      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=$k/_fp")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=$k")),
+        s"merged-away single b=$k must not keep a dir")
     }
+    val ledgerIn = fs.open(new org.apache.hadoop.fs.Path(s"$path/parts/_tombstones"))
+    val ledger = try scala.io.Source.fromInputStream(ledgerIn, "UTF-8").mkString
+    finally ledgerIn.close()
+    (0 until 5).foreach(k => assert(ledger.contains(s"b=$k "),
+      s"ledger must retire b=$k's fingerprint"))
     GraphArtifact.refreshRanks(spark, path)
     assert(GraphArtifact.readRanks(spark, path)
       .as[(Long, Long)].collect().toMap === before,
@@ -313,9 +319,10 @@ class GraphSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       GraphArtifact.ingestEdgeBatch(Seq((1L, 999L)).toDF("src", "dst"), path, 1L)
     }.getMessage.contains("DIFFERENT contribution"))
-    // a late batch beside the merged dir; the second merge folds BOTH
-    // (the merged source is deleted — synthetic keys take no replays —
-    // freeing its name range) and the union is still exact
+    // a late batch beside the merged dir; one standing single can't
+    // merge alone, so this tick CONSOLIDATES (merged source deleted —
+    // synthetic keys take no replays — freeing its name range) and
+    // the union is still exact
     GraphArtifact.ingestEdgeBatch(Seq((500L, 501L), (501L, 500L)).toDF("src", "dst"), path, 7L)
     GraphArtifact.mergeEdgeBatches(spark, path, maxDirs = 1)
     assert(partNames().contains("b=0_7") && !partNames().contains("b=0_4"))
@@ -368,22 +375,30 @@ class GraphSpec extends SparkSpec {
     assert(GraphArtifact.readRanks(spark, path)
       .as[(Long, Long)].collect().toMap === want)
     // ROLL-FORWARD window: staged complete AND one source already
-    // tombstoned — recovery must finish the merge, losing nothing
+    // retired (ledger entry written, dir gone) — recovery must finish
+    // the merge, losing nothing
     Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
       .write.parquet(s"$path/parts/b=0_1__staged")
     writeFile(s"$path/parts/b=0_1__staged/_sources", "b=0\nb=1\n")
     writeFile(s"$path/parts/b=0_1__staged/_fp", s"${c0 + c1}x${x0 ^ x1}")
-    writeFile(s"$path/parts/b=0/_merged", "merged\n")
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/parts/b=0"))
-      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
-      .foreach(f => fs.delete(f.getPath, false))
+    writeFile(s"$path/parts/_tombstones", s"b=0 ${c0}x$x0\n")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/parts/b=0"), true)
     GraphArtifact.refreshRanks(spark, path)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=0_1")),
       "a merge that began tombstoning must roll forward")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=1/_merged")),
-      "roll-forward must finish tombstoning the remaining sources")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/parts/b=1")),
+      "roll-forward must finish retiring the remaining sources")
+    val lIn = fs.open(new org.apache.hadoop.fs.Path(s"$path/parts/_tombstones"))
+    val l = try scala.io.Source.fromInputStream(lIn, "UTF-8").mkString finally lIn.close()
+    assert(l.contains("b=1 "), "roll-forward must ledger the remaining single's _fp")
     assert(GraphArtifact.readRanks(spark, path)
       .as[(Long, Long)].collect().toMap === want)
+    // a redelivery of a ledger-retired key is still a no-op, and a
+    // different payload under it is still loud
+    GraphArtifact.ingestEdgeBatch(Seq((1L, 2L)).toDF("src", "dst"), path, 0L)
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.ingestEdgeBatch(Seq((9L, 8L)).toDF("src", "dst"), path, 0L)
+    }.getMessage.contains("DIFFERENT contribution"))
     rmTree(path)
   }
 
@@ -406,9 +421,14 @@ class GraphSpec extends SparkSpec {
     assert(partialA === Graph.personalizedPageRank(
       artEdges.filter(_._1 % 2 == 0).toDF("src", "dst"), seedsA, iters = 3)
       .as[(Long, Long)].collect().toMap)
-    // identity is the seed SET: row order and layout don't matter...
+    // identity is the seed SET: row order, layout AND duplicate rows
+    // don't matter (r17 review: personalizedPageRank distincts seeds
+    // itself, so {0,0,1,2} is the same kernel as {0,1,2})
     assert(GraphArtifact.readPpr(spark, path,
       Seq(2L, 0L, 1L).toDF("node").repartition(3))
+      .as[(Long, Long)].collect().toMap === partialA)
+    assert(GraphArtifact.readPpr(spark, path,
+      Seq(0L, 0L, 1L, 2L, 2L).toDF("node"))
       .as[(Long, Long)].collect().toMap === partialA)
     // ...and a DIFFERENT set is a different memo (B unswept, A intact)
     assert(intercept[RuntimeException] {

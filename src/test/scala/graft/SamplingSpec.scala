@@ -142,6 +142,20 @@ class SamplingSpec extends SparkSpec {
     val tinyWant = tiny.withColumn("tile", ntile(7).over(w).cast("long"))
       .select("doc_id", "tile").as[(Long, Long)].collect().toMap
     assert(tinyGot === tinyWant)
+    // null ranks FIRST and NaN ranks LAST, exactly like the ascending
+    // window — and no row is dropped (r17 review: a plain floor bucket
+    // would lose null rows at the equi-join and misfile NaN)
+    val messy = Seq(
+      (1L, "x", Some(0.5)), (2L, "x", None), (3L, "x", Some(Double.NaN)),
+      (4L, "x", Some(0.1)), (5L, "x", None), (6L, "x", Some(1.0)))
+      .toDF("doc_id", "lang", "quality")
+    val messyNaive = messy
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val messyGot = Sampling.withExactRank(messy.repartition(5), "lang", "quality", "doc_id")
+      .select("doc_id", "__rn").as[(Long, Long)].collect().toMap
+    assert(messyGot === messyNaive,
+      "null/NaN rows must rank exactly like the window form, none dropped")
   }
 
   test("composition: near-dup cluster ids feed assignSplit so duplicates never straddle train/eval") {
