@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
 /** Numeric data profiling for pipeline QA: equi-width histograms and
   * rank-exact winsorization (outlier clipping).
   *
-  * Both are the AUDIT-pass forms — exact answers with fully
-  * deterministic, engine-portable arithmetic (integer bucket indices,
-  * fixed-point cent sums, rank-selected bounds — no interpolated
-  * percentiles whose fp evaluation order could differ between
-  * engines). The 100 TB hot path for the same signals is the
-  * mergeable-sketch profile (`q_sketch_profile`: HLL++ distinct, GK
-  * quantiles); these run on a sampled slice or a single partition the
-  * way `q_sketch_check` audits the sketches.
+  * Both give exact answers with fully deterministic, engine-portable
+  * arithmetic (integer bucket indices, fixed-point cent sums,
+  * rank-selected bounds — no interpolated percentiles whose fp
+  * evaluation order could differ between engines), and since r18 the
+  * rank passes are skew-safe (the two-phase
+  * [[Sampling.withExactRankScaled]] — no task ever sorts more than
+  * one bucket of one group). The ESTIMATE-grade 100 TB hot path for
+  * the same signals remains the mergeable-sketch profile
+  * (`q_sketch_profile`: HLL++ distinct, GK quantiles) — one pass,
+  * mergeable across shards — with these as the exact tier.
   */
 object Profile {
 
@@ -100,22 +102,21 @@ object Profile {
     * a few extreme rows cannot drag.
     *
     * Two rank passes (values, then absolute deviations) + a broadcast
-    * of the per-group statistics — same skew story as [[winsorize]]:
-    * exact ranks per group are the audit form; the mergeable-sketch
-    * form of the same signal is GK quantiles. Returns the input rows
-    * plus `med`, `mad`, `is_outlier`. */
+    * of the per-group statistics. The rank passes run the SKEW-SAFE
+    * two-phase form ([[Sampling.withExactRankScaled]] — r17 verdict
+    * #3: the plain per-group window serialized a dominant group onto
+    * one task; the two-phase rank is bit-identical, so the oracle is
+    * untouched); the mergeable-sketch form of the same signal is GK
+    * quantiles. Returns the input rows plus `med`, `mad`,
+    * `is_outlier`. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      tieCol: String, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     def medianOf(in: DataFrame, vCol: String, outName: String): DataFrame = {
-      val part = Window.partitionBy(groupCol)
-      val w = part.orderBy(col(vCol), col(tieCol))
       // lower and upper middle ranks: equal when n is odd; the exact
       // median is their midpoint (x + y) / 2 — one add, one halving,
       // identical in any IEEE engine
-      val ranked = in
-        .withColumn("__rn", row_number().over(w).cast("long"))
-        .withColumn("__n", count(lit(1)).over(part))
+      val ranked = Sampling.withExactRankScaled(in, groupCol, vCol, tieCol)
       ranked.groupBy(groupCol).agg(
         ((min(when(col("__rn") === ceil(col("__n") / lit(2.0)), col(vCol)))
           + min(when(col("__rn") === floor(col("__n") / lit(2.0)) + lit(1), col(vCol))))
@@ -138,20 +139,18 @@ object Profile {
     * arithmetic to drift between engines). Returns the input rows
     * plus `p_lo`/`p_hi`/`clipped`.
     *
-    * Scale: the rank pass is a per-group window sort, so a group's
-    * rows must sort together — with few, huge groups this is the
-    * skew-prone shape, which is WHY the production form of this
-    * signal is GK-sketch quantiles (mergeable, one pass,
-    * `q_quality_quantiles`); this exact-rank form is the audit pass.
-    * The bounds table is one row per group and broadcast back. */
+    * Scale: the rank pass runs the two-phase skew-safe exact rank
+    * ([[Sampling.withExactRankScaled]] — r17 verdict #3: the plain
+    * per-group window sorted a dominant group in ONE task; the
+    * two-phase form is bit-identical under the same (value, tie)
+    * order, so q_winsorize's oracle replays unchanged), with the
+    * mergeable-sketch form of the same signal being GK quantiles
+    * (one pass, `q_quality_quantiles`). The bounds table is one row
+    * per group and broadcast back. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 tieCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 < pLo && pLo < pHi && pHi <= 1, s"bad percentile bounds ($pLo, $pHi)")
-    val part = Window.partitionBy(groupCol)
-    val byValue = part.orderBy(col(valueCol), col(tieCol))
-    val bounds = df
-      .withColumn("__rn", row_number().over(byValue).cast("long"))
-      .withColumn("__n", count(lit(1)).over(part))
+    val bounds = Sampling.withExactRankScaled(df, groupCol, valueCol, tieCol)
       .groupBy(groupCol)
       .agg(
         min(when(col("__rn") === ceil(lit(pLo) * col("__n")), col(valueCol))).as("p_lo"),
@@ -338,7 +337,7 @@ object Profile {
     * estimate after that reads mixed-geometry counters (for CMS that
     * breaks even the never-underestimate guarantee, with no error).
     * Parts without a meta are likewise refused, not adopted. */
-  private[operators] def initArtifact(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def initArtifact(spark: org.apache.spark.sql.SparkSession,
                            path: String, what: String,
                            fields: Seq[(String, Long)]): Unit = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta.json")
@@ -497,6 +496,57 @@ object Profile {
     * without keeping one tombstone DIR per batch forever. Written
     * only by single-writer maintenance ([[finishMerge]]), read by
     * [[landBatchPart]] on the slow path (dir absent). */
+  /** One `<name> <count-x-xor fingerprint>` ledger line (the bare
+    * pre-r16 XOR form tolerated, like [[fingerprintMatches]]). */
+  private val LedgerLine = "(.+) (-?\\d+(?:x-?\\d+)?)".r
+
+  /** The ledger's terminator record — `#end <entry count>`, written
+    * LAST (r17 verdict #5): a file that carries it is COMPLETE by
+    * construction (writes are sequential), so truncation is decidable
+    * exactly — including the nasty case where the cut lands inside a
+    * fingerprint and the shortened number still parses. Batch dir
+    * names never start with '#'. */
+  private val LedgerEnd = "#end (\\d+)".r
+
+  /** Parse ledger lines (r17 verdict #5 — the first-merge crash must
+    * heal clean):
+    *  - terminator present and last, count matching → every entry;
+    *  - no terminator and every line parses → a complete pre-r18
+    *    ledger: every entry;
+    *  - no terminator, malformed TRAILING line → a crash mid-write of
+    *    the tmp; the lost tail's source dirs were never deleted
+    *    (deletion happens strictly after the writer closes), so
+    *    dropping the partial line is exact roll-back — the merge
+    *    retry re-tombstones from the dirs' own `_fp` files;
+    *  - anything else (malformed interior line, misplaced terminator,
+    *    count mismatch) cannot come from a crash window → loud. */
+  private def parseLedgerLines(lines: List[String],
+      src: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val terminated = lines.lastOption.exists(LedgerEnd.matches)
+    val data = if (terminated) lines.dropRight(1) else lines
+    data.foreach { l =>
+      require(!LedgerEnd.matches(l),
+        s"tombstone ledger $src has a misplaced terminator ('$l') — " +
+          "not a crash shape; refusing to guess at corruption")
+    }
+    if (terminated) {
+      val LedgerEnd(n) = lines.last
+      require(n.toLong == data.length,
+        s"tombstone ledger $src terminator claims $n entries, file has " +
+          s"${data.length} — not a crash shape; refusing to guess at corruption")
+    }
+    data.zipWithIndex.flatMap { case (l, i) =>
+      l match {
+        case LedgerLine(name, fp) => Some(name -> fp)
+        case _ =>
+          require(!terminated && i == data.length - 1,
+            s"tombstone ledger $src line ${i + 1} is malformed ('$l') before " +
+              "intact lines — not a crash tail; refusing to guess at corruption")
+          None // truncated trailing line from a crash mid-write
+      }
+    }.toMap
+  }
+
   private def readTombstones(fs: org.apache.hadoop.fs.FileSystem,
       parts: org.apache.hadoop.fs.Path): Map[String, String] = {
     val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
@@ -511,10 +561,7 @@ object Profile {
       val in = fs.open(src)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      lines.filter(_.nonEmpty).map { l =>
-        val i = l.lastIndexOf(' ')
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap
+      parseLedgerLines(lines.filter(_.nonEmpty), src)
     }
   }
 
@@ -522,8 +569,8 @@ object Profile {
       parts: org.apache.hadoop.fs.Path, entries: Map[String, String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
     val out = fs.create(tmp, true)
-    try out.write(entries.toSeq.sorted.map { case (k, v) => s"$k $v\n" }
-      .mkString.getBytes("UTF-8"))
+    try out.write((entries.toSeq.sorted.map { case (k, v) => s"$k $v\n" }
+      .mkString + s"#end ${entries.size}\n").getBytes("UTF-8"))
     finally out.close()
     val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
     fs.delete(ledger, false) // entries only grow: tmp ⊇ ledger, and
@@ -577,14 +624,23 @@ object Profile {
     val parts = new org.apache.hadoop.fs.Path(s"$path/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parts)) return
-    // ledger publish window: a fully-written tmp with no ledger is
-    // the newer superset — promote it (readTombstones already prefers
-    // it; this just retires the window)
+    // ledger publish window: a tmp with no ledger is either the
+    // delete→rename crash (tmp complete — the newer superset) or a
+    // crash MID-WRITE of the first-ever merge's tmp (tmp truncated).
+    // Heal by PARSING it (r17 verdict #5: a blind rename promoted the
+    // truncated tail, and the next read threw on the partial line) —
+    // a malformed trailing line is dropped (its entries' source dirs
+    // were never deleted, so the merge retry re-tombstones them),
+    // interior corruption stays loud — then republishing the cleaned
+    // entries through the normal tmp→rename writer.
     val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
     val ledgerTmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
-    if (!fs.exists(ledger) && fs.exists(ledgerTmp))
-      if (!fs.rename(ledgerTmp, ledger))
-        throw new java.io.IOException(s"could not heal tombstone ledger $ledger")
+    if (!fs.exists(ledger) && fs.exists(ledgerTmp)) {
+      val in = fs.open(ledgerTmp)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      writeTombstones(fs, parts, parseLedgerLines(lines.filter(_.nonEmpty), ledgerTmp))
+    }
     val p = java.util.regex.Pattern.quote(prefix)
     val names = fs.listStatus(parts).map(_.getPath.getName)
     // pending merges first: their __staged must not be mistaken for
@@ -634,11 +690,15 @@ object Profile {
       fs.exists(new org.apache.hadoop.fs.Path(parts, s"$s/_fp")))
     if (present.nonEmpty) {
       val old = readTombstones(fs, parts)
-      val fresh = present.filterNot(old.contains).map { s =>
+      // UPSERT, not insert-if-absent (r17 verdict #5): while a source
+      // dir still exists, its own `_fp` is ground truth — a retry
+      // after a crash mid-first-write overwrites any entry a
+      // truncated-but-parseable ledger tail mis-recorded
+      val fresh = present.map { s =>
         val in = fs.open(new org.apache.hadoop.fs.Path(parts, s"$s/_fp"))
         s -> (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close())
-      }
+      }.filter { case (s, fp) => !old.get(s).contains(fp) }
       if (fresh.nonEmpty) writeTombstones(fs, parts, old ++ fresh)
     }
     (singleSrcs ++ mergedSrcs).foreach { s =>
@@ -761,7 +821,17 @@ object Profile {
         .map(_.getLen).sum
     }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    union.coalesce(nFiles).write.mode("overwrite").parquet(staged.toString)
+    // singles path: a routine tick folding a handful of small new
+    // batches — coalesce is the cheap no-shuffle narrowing. FULL
+    // consolidation (≤1 single standing, sources = the whole history):
+    // coalesce(nFiles) would CAP the rewrite's upstream parallelism at
+    // nFiles tasks (r17 advice — a near-single-task rewrite of every
+    // row at 10⁵-batch scale); repartition keeps the scan wide and
+    // pays one shuffle for it. Row layout differs, content identical
+    // (the fold is a union; the fingerprint is order-independent).
+    val shaped = if (singles.length >= 2) union.coalesce(nFiles)
+      else union.repartition(nFiles)
+    shaped.write.mode("overwrite").parquet(staged.toString)
     val mf = fs.create(new org.apache.hadoop.fs.Path(staged, "_sources"), true)
     try mf.write((sourceNames.mkString("\n") + "\n").getBytes("UTF-8"))
     finally mf.close()

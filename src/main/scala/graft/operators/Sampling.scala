@@ -133,28 +133,85 @@ object Sampling {
     * `buckets` balance is tuned for values in [0, 1] (quality
     * scores); other ranges stay CORRECT (monotone quantization; a
     * double→long saturation collision still sorts right inside its
-    * bucket) but may concentrate buckets. NULL ranks first and NaN
-    * ranks last, exactly like the ascending window (r17 review: a
-    * plain floor would DROP null rows at the bucket equi-join and
-    * misfile NaN into bucket 0) — each gets its own sentinel bucket
-    * aligned with Spark's null-first / NaN-greatest sort order.
+    * bucket) but may concentrate buckets — AND can explode the
+    * (group, bucket) side-table cardinality (dollar-range values ×
+    * 256 is millions of distinct floors), so for arbitrary-range
+    * values use [[withExactRankScaled]], which clamps the bucket id
+    * into [0, buckets) against the observed global range. NULL ranks
+    * first and NaN ranks last, exactly like the ascending window
+    * (r17 review: a plain floor would DROP null rows at the bucket
+    * equi-join and misfile NaN into bucket 0) — each gets its own
+    * sentinel bucket aligned with Spark's null-first / NaN-greatest
+    * sort order. NULL GROUP KEYS rank too (r17 advice: the joins are
+    * null-safe `<=>`, matching the window form's null-as-a-group
+    * partitioning). The (group × bucket) side tables broadcast only
+    * under a hard row bound (r17 advice: a high-cardinality group
+    * column must not OOM the driver) — past it the planner
+    * shuffle-joins them, same result.
     * Adds `__rn` (1-based rank, long) and `__n` (group size, long). */
   def withExactRank(df: DataFrame, groupCol: String, valueCol: String,
                     tieCol: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= 65536, "buckets must be in 2..65536")
+    exactRankByBucket(df, groupCol, valueCol, tieCol,
+      floor(col(valueCol) * buckets).cast("long"))
+  }
+
+  /** [[withExactRank]] for values of ARBITRARY range: buckets are
+    * equi-width over the observed global [min, max] of `valueCol`
+    * (one cheap agg — NaN excluded via nanvl, so a NaN maximum cannot
+    * poison the scale), clamped into [0, buckets) — monotone, so the
+    * bit-identity contract is unchanged, and the side tables stay
+    * ≤ groups × (buckets + 2) rows no matter the value range
+    * (±Infinity clamps into the edge buckets; an all-null/NaN or
+    * constant column degenerates to one bucket per group = the plain
+    * window, still exact). */
+  def withExactRankScaled(df: DataFrame, groupCol: String, valueCol: String,
+                          tieCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets must be in 2..65536")
+    // scale over the FINITE values only: NaN/±Infinity rows still rank
+    // (sentinels / edge-bucket clamps) but must not poison the width
+    val finite = when(col(valueCol).cast("double").between(
+      Double.MinValue, Double.MaxValue), col(valueCol).cast("double"))
+    val bounds = df.agg(min(finite), max(finite)).head()
+    val bucketExpr =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)
+          || !(bounds.getDouble(0) < bounds.getDouble(1)))
+        lit(0L) // degenerate range: one finite bucket, exact either way
+      else {
+        val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+        val step = (hi - lo) / buckets
+        least(lit(buckets - 1L), greatest(lit(0L),
+          floor((col(valueCol) - lit(lo)) / lit(step)).cast("long")))
+      }
+    exactRankByBucket(df, groupCol, valueCol, tieCol, bucketExpr)
+  }
+
+  /** The shared two-phase exact-rank core: sentinel buckets for
+    * NULL/NaN around the caller's monotone `finiteBucket`, per-
+    * (group, bucket) counts cumulated through the triangle join, the
+    * only window within one (group, bucket). */
+  private def exactRankByBucket(df: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String, finiteBucket: Column): DataFrame = {
     val withB = df.withColumn("__qb",
       when(col(valueCol).isNull, lit(Long.MinValue))
         .when(isnan(col(valueCol).cast("double")), lit(Long.MaxValue))
-        .otherwise(floor(col(valueCol) * buckets).cast("long")))
+        .otherwise(finiteBucket))
     // pinned: (group, bucket)-sized, consumed three times (both sides
     // of the triangle join + the totals) — without the pin each
     // consumer re-expands the caller's value derivation, which for
     // quality scores is a corpus tokenization
     val counts = Checkpoints.pin(
       withB.groupBy(groupCol, "__qb").agg(count(lit(1)).as("__bn")))
+    // broadcast bound (r17 advice): the side tables are (groups ×
+    // buckets) rows — a few-group caller (lang) broadcasts kilobytes,
+    // a per-domain caller would ship millions of rows to every task
+    // AND pin them on the driver; past the bound the planner picks a
+    // shuffle join, bit-identical output
+    val maybeBcast: DataFrame => DataFrame =
+      if (counts.count() <= (1L << 20)) broadcast else identity
     val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")),
-        col(s"a.$groupCol") === col(s"b.$groupCol")
+      .join(maybeBcast(counts.as("b")),
+        col(s"a.$groupCol") <=> col(s"b.$groupCol")
           && col("b.__qb") < col("a.__qb"), "left")
       .groupBy(col(s"a.$groupCol").as(groupCol), col("a.__qb").as("__qb"))
       .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__offset"))
@@ -162,8 +219,14 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__qb"))
       .orderBy(col(valueCol), col(tieCol))
-    withB.join(broadcast(offsets), Seq(groupCol, "__qb"))
-      .join(broadcast(totals), Seq(groupCol))
+    withB.as("l")
+      .join(maybeBcast(offsets.as("o")),
+        col(s"l.$groupCol") <=> col(s"o.$groupCol")
+          && col("l.__qb") === col("o.__qb"))
+      .join(maybeBcast(totals.as("t")),
+        col(s"l.$groupCol") <=> col(s"t.$groupCol"))
+      .select(withB.columns.map(c => col(s"l.$c"))
+        :+ col("o.__offset") :+ col("t.__n"): _*)
       .withColumn("__rn", col("__offset") + row_number().over(w))
       .drop("__qb", "__offset")
   }

@@ -110,6 +110,48 @@ class ProfileSpec extends SparkSpec {
     assert(interior === 0L)
   }
 
+  test("winsorize/robustOutliers ≡ plain-window forms (r18: skew-safe rank migration)") {
+    // skewed fixture: one dominant group, ties, arbitrary range
+    val data = (1 to 4000).map { i =>
+      (i.toLong, if (i % 9 == 0) "small" else "big",
+        ((i * 31) % 211).toDouble * 13.0 - 900.0)
+    }.toDF("id", "grp", "v").repartition(7)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+    val byV = part.orderBy($"v", $"id")
+    // plain-window winsorize, inline
+    val naiveBounds = data
+      .withColumn("rn", row_number().over(byV).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .groupBy("grp").agg(
+        min(when($"rn" === ceil(lit(0.05) * $"n"), $"v")).as("p_lo"),
+        min(when($"rn" === ceil(lit(0.95) * $"n"), $"v")).as("p_hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val gotBounds = Profile.winsorize(data, "grp", "v", tieCol = "id")
+      .select("grp", "p_lo", "p_hi").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gotBounds === naiveBounds)
+    // plain-window median/MAD, inline
+    def naiveMedian(in: org.apache.spark.sql.DataFrame, vCol: String) = in
+      .withColumn("rn", row_number().over(part.orderBy(col(vCol), $"id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .groupBy("grp").agg(
+        ((min(when($"rn" === ceil($"n" / lit(2.0)), col(vCol)))
+          + min(when($"rn" === floor($"n" / lit(2.0)) + lit(1), col(vCol))))
+          / lit(2.0)).as("m"))
+    val nm = naiveMedian(data, "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotStats = Profile.robustOutliers(data, "grp", "v", tieCol = "id")
+      .select("grp", "med", "mad").distinct().collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gotStats.view.mapValues(_._1).toMap === nm)
+    val nmad = naiveMedian(
+      data.join(broadcast(naiveMedian(data, "v")
+        .withColumnRenamed("m", "med")), Seq("grp"))
+        .withColumn("absdev", abs($"v" - $"med")), "absdev")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotStats.view.mapValues(_._2).toMap === nmad)
+  }
+
   // ── count-min sketch ─────────────────────────────────────────────
 
   private def cmsKeys(rows: (String, Int)*) =
@@ -362,6 +404,60 @@ class ProfileSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap === est,
         "merged shards must serve the identical union estimates")
     } finally rmTree(root)
+  }
+
+  test("tombstone ledger heal: a truncated first-merge tmp heals clean; interior corruption stays loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ledgerheal").toString
+    val rows = (0L until 240L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    Profile.initAggArtifact(spark, root, "g", "v")
+    (0 until 4).foreach { m =>
+      Profile.aggIngestBatch(rows.filter($"v" % 4 === m), "g", "v", root, m.toLong)
+    }
+    val before = Profile.readAggArtifact(spark, root)
+      .collect().map(_.toSeq).toSet
+    val parts = new org.apache.hadoop.fs.Path(s"$root/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fpOf(b: Int): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(parts, s"b=$b/_fp"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    // simulate the FIRST-EVER merge crashing mid-tmp-write: two
+    // complete lines, the third cut inside its fingerprint (still
+    // parseable — the nastiest shape), no terminator, no ledger, and
+    // the source dirs all still on disk (deletion follows the close)
+    val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"b=0 ${fpOf(0)}\nb=1 ${fpOf(1)}\nb=2 ${fpOf(2).dropRight(2)}".getBytes("UTF-8"))
+    out.close()
+    // the real merge (a single-writer entry) heals first, then runs:
+    // the mis-recorded b=2 entry is UPSERTED from its dir's _fp
+    Profile.mergeArtifactParts(spark, root, maxDirs = 1)
+    assert(Profile.readAggArtifact(spark, root)
+      .collect().map(_.toSeq).toSet === before, "merge after heal changed the fold")
+    // every replay guard holds: identical redeliveries of ALL batches
+    // (including the one whose ledger line was truncated) are no-ops...
+    (0 until 4).foreach { m =>
+      Profile.aggIngestBatch(rows.filter($"v" % 4 === m), "g", "v", root, m.toLong)
+    }
+    assert(Profile.readAggArtifact(spark, root)
+      .collect().map(_.toSeq).toSet === before, "replay after heal changed the fold")
+    // ...and a DIFFERENT payload under a retired key is loud
+    assert(intercept[IllegalArgumentException] {
+      Profile.aggIngestBatch(rows.filter($"v" % 4 === 3), "g", "v", root, 0L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    // interior corruption is NOT a crash shape: loud, never guessed at
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
+    val in = fs.open(ledger)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    fs.delete(ledger, false)
+    val out2 = fs.create(tmp, true)
+    out2.write(("zzz not-a-fingerprint\n" + lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out2.close()
+    assert(intercept[IllegalArgumentException] {
+      Profile.mergeArtifactParts(spark, root, maxDirs = 1)
+    }.getMessage.contains("refusing to guess at corruption"))
   }
 
   test("artifact guards: re-init dim mismatch, batch-key collision, orphan parts all fail loudly") {

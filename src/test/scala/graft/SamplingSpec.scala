@@ -156,6 +156,47 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "__rn").as[(Long, Long)].collect().toMap
     assert(messyGot === messyNaive,
       "null/NaN rows must rank exactly like the window form, none dropped")
+    // NULL GROUP KEYS form their own group, exactly like partitionBy
+    // (r17 advice: the equi-join dropped them; the joins are <=> now)
+    val nullGrp = Seq(
+      (1L, Some("x"), 0.5), (2L, None, 0.9), (3L, None, 0.1),
+      (4L, Some("x"), 0.2), (5L, None, 0.9))
+      .toDF("doc_id", "lang", "quality")
+    val nullNaive = nullGrp
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val nullGot = Sampling.withExactRank(nullGrp.repartition(3), "lang", "quality", "doc_id")
+      .select("doc_id", "__rn").as[(Long, Long)].collect().toMap
+    assert(nullGot === nullNaive,
+      "null-group rows must rank as one group, exactly like the window form")
+  }
+
+  test("withExactRankScaled ≡ plain window for arbitrary-range values (negatives, infinities, nulls)") {
+    val rows = ((1L to 3000L).map { i =>
+      (i, if (i % 7 == 0) "b" else "a",
+        Some(((i * 53) % 997).toDouble * 40.0 - 17000.0)) // range ~[-17000, 23000]
+    } ++ Seq(
+      (4001L, "a", Some(Double.PositiveInfinity)),
+      (4002L, "a", Some(Double.NegativeInfinity)),
+      (4003L, "b", Some(Double.NaN)),
+      (4004L, "b", None))).toDF("doc_id", "lang", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"v", $"doc_id")
+    val naive = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val got = Sampling.withExactRankScaled(rows.repartition(11), "lang", "v", "doc_id")
+      .select("doc_id", "__rn").as[(Long, Long)].collect().toMap
+    assert(got === naive)
+    // side-table bound: scaled buckets stay ≤ groups × (buckets + 2)
+    // even though the raw floor(v·256) span here is ~10^7
+    val constant = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "b", 5.0))
+      .toDF("doc_id", "lang", "v") // degenerate range: lo == hi
+    val cGot = Sampling.withExactRankScaled(constant, "lang", "v", "doc_id")
+      .select("doc_id", "__rn").as[(Long, Long)].collect().toMap
+    val cNaive = constant.withColumn("rn", row_number().over(w).cast("long"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    assert(cGot === cNaive)
   }
 
   test("composition: near-dup cluster ids feed assignSplit so duplicates never straddle train/eval") {
