@@ -197,12 +197,37 @@ object FuzzyJoin {
     *    keyed by their exact length for the band path. */
   private[operators] def catalogTables(cSrc: DataFrame, idCol: String,
       strCol: String, k: Int, q: Int): (DataFrame, DataFrame, DataFrame) = {
-    val minLong = q * (k + 1)
-    val prefixLen = k * q + 1
-    val gb = gramRows(cSrc, idCol, strCol, q, "b")
+    val gb = catalogGramRows(cSrc, idCol, strCol, q)
     val dfreq = gb.select(col("g"), col("occ"))
       .groupBy("g", "occ").agg(count(lit(1)).as("df"))
       .transform(Checkpoints.pin)
+    catalogTablesFromGrams(cSrc, gb, dfreq, idCol, strCol, k, q)
+  }
+
+  /** The catalog's raw gram tier — [[gramRows]] under the catalog's
+    * "b" side naming: (b_id, b_s, b_len, g, occ). Derivation is
+    * per-string (explode ∝ characters + the per-(id, g) occ window),
+    * which is what lets [[FuzzyLinkIndex]] PERSIST it per version and
+    * pay it only for NEW catalog rows on refresh. */
+  private[operators] def catalogGramRows(cSrc: DataFrame, idCol: String,
+      strCol: String, q: Int): DataFrame =
+    gramRows(cSrc, idCol, strCol, q, "b")
+
+  /** [[catalogTables]]'s selection half, from ALREADY-DERIVED gram
+    * rows and gram frequencies — the path an incremental refresh
+    * takes (persisted grams ∪ new strings' grams; dfreq folded
+    * additively). The prefix selection is deliberately GLOBAL: the
+    * prefix-filter lemma needs one order shared by catalog and probe
+    * (Xiao 2008), and new strings shift gram frequencies, so every
+    * string re-ranks against the NEW order — over persisted gram
+    * rows, never a re-explode. Structurally the same `prefixRows` /
+    * short-path code the from-scratch derivation runs, so
+    * incremental ≡ from-scratch is by construction. */
+  private[operators] def catalogTablesFromGrams(cSrc: DataFrame, gb: DataFrame,
+      dfreq: DataFrame, idCol: String, strCol: String,
+      k: Int, q: Int): (DataFrame, DataFrame, DataFrame) = {
+    val minLong = q * (k + 1)
+    val prefixLen = k * q + 1
     val pb = prefixRows(gb, dfreq, "b", prefixLen)
     val shortB = cSrc
       .select(col(idCol).as("b_id"), col(strCol).as("b_s"),

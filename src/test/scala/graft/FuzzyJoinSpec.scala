@@ -187,6 +187,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(indexed === brute, "indexed tier lost true pairs")
   }
 
+  test("incremental refresh ≡ from-scratch refresh on overlapping batches (r18: per-version gram tier)") {
+    import graft.operators.FuzzyLinkIndex
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd "
+    val catalog = (0 until 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(11)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val cDf = catalog.toDF("id", "s")
+    // A: v_1 on thirds {0}, then overlapping batches {1, and 0..30 again}
+    // → v_2 takes the INCREMENTAL path off v_1's gram tier
+    val pathA = tmpRoot("graft-fuzzylink-inc")
+    FuzzyLinkIndex.initLinkIndex(spark, pathA, k = 2)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 3 === 0), pathA, 0L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, pathA)
+    FuzzyLinkIndex.ingestCatalogBatch(
+      cDf.filter($"id" % 3 === 1 || $"id" <= 30), pathA, 1L)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 3 === 2), pathA, 2L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, pathA)
+    // B: identical union, ONE from-scratch refresh
+    val pathB = tmpRoot("graft-fuzzylink-scratch")
+    FuzzyLinkIndex.initLinkIndex(spark, pathB, k = 2)
+    FuzzyLinkIndex.ingestCatalogBatch(cDf, pathB, 0L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, pathB)
+    def served(path: String): String =
+      graft.sources.VersionedRoot.resolve(spark, s"$path/index", "test").get
+    def tbl(path: String, name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"${served(path)}/$name")
+        .collect().map(_.toSeq).toSet
+    for (t <- Seq("catalog", "grams", "dfreq", "prefix", "short"))
+      assert(tbl(pathA, t) === tbl(pathB, t),
+        s"incremental $t diverged from the from-scratch derivation")
+    // and the serving surface agrees with a plain recompute
+    val probe = Seq((900L, catalog(7)._2 + "x"), (901L, "")).toDF("id", "s")
+    val inc = FuzzyLinkIndex.editDistanceLookupIndexed(probe, pathA, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val rec = FuzzyJoin.editDistanceLookup(probe, cDf, "id", "s", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc === rec)
+  }
+
   test("catalog batch merge-compaction: lookup unchanged, merged-away replay still no-ops") {
     import graft.operators.FuzzyLinkIndex
     val path = tmpRoot("graft-fuzzylink-merge")
