@@ -258,6 +258,22 @@ object GraphArtifact {
     s"s${fp.replace('-', 'n')}" // '-' from a negative XOR, dir-name-safe
   }
 
+  /** A SECOND, independent identity of the seed set — distinct count
+    * + XOR of a differently-salted xxhash64 — stored in each memo
+    * version's meta and re-verified at [[readPpr]] (r17 advice: the
+    * dirname fingerprint alone could, astronomically rarely, collide
+    * between two same-size seed sets, and a collision HERE resolves
+    * the WRONG memo and serves its ranks as correct; requiring two
+    * independent 64-bit XORs plus the count to collide simultaneously
+    * turns that into a loud mismatch instead). */
+  private def seedIdentity(seeds: DataFrame): (Long, Long) = {
+    val r = seeds.select(col("node").cast("long").as("n")).distinct()
+      .agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64('pprseed', n))"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Sweep PPR for `seeds` over the standing edge state into a fresh
     * version under the seed set's own root and swap its pointer.
     * Returns the published version name. `part_rows` in the version
@@ -273,9 +289,11 @@ object GraphArtifact {
     Graph.personalizedPageRank(edges, seeds.select(col("node").cast("long")),
         iters = meta("iters").toInt, scale = meta("scale"))
       .write.mode("overwrite").parquet(s"$root/$newName/ranks")
+    val (seedN, seedAlt) = seedIdentity(seeds)
     graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
       Seq("iters" -> meta("iters"), "scale" -> meta("scale"),
-        "part_rows" -> partRows))
+        "part_rows" -> partRows,
+        "seed_n" -> seedN, "seed_alt" -> seedAlt))
     graft.sources.VersionedRoot.publish(spark, root, newName, served)
     newName
   }
@@ -311,13 +329,70 @@ object GraphArtifact {
     * of this seed set's published version, no sweeps. Loud when the
     * seed set has never been refreshed (a silent empty result would
     * read as "no proximity" — the one answer a curation loop must
-    * never get from a missing memo). */
+    * never get from a missing memo), and loud when the resolved
+    * memo's stored seed identity disagrees with the probe's
+    * ([[seedIdentity]] — a dirname-fingerprint collision serves the
+    * WRONG kernel's ranks otherwise; pre-r18 memos without the
+    * identity fields are accepted as-is). */
   def readPpr(spark: SparkSession, path: String, seeds: DataFrame): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     val root = s"$path/ppr/${seedKey(seeds)}"
     val res = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
       .getOrElse(sys.error(
         s"rank artifact at $path has no published PPR for this seed set — run refreshPpr"))
+    val vmeta = graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")
+    if (vmeta.contains("seed_n")) {
+      val (seedN, seedAlt) = seedIdentity(seeds)
+      require(vmeta("seed_n") == seedN && vmeta.getOrElse("seed_alt", 0L) == seedAlt,
+        s"PPR memo at $root does not match this seed set " +
+          s"(stored identity ${vmeta("seed_n")}/${vmeta.getOrElse("seed_alt", 0L)}, " +
+          s"probe $seedN/$seedAlt) — a seed-fingerprint collision or a " +
+          "tampered memo; refusing to serve another kernel's ranks")
+    }
     spark.read.parquet(s"$res/ranks")
+  }
+
+  /** Drop ONE seed set's memo explicitly — the curation service's
+    * "this kernel is retired" hook. The next [[maybeRefreshPpr]] for
+    * the same seeds re-derives from the standing edges (never-swept →
+    * full sweep); [[readPpr]] in between is loud, never stale. */
+  def dropPpr(spark: SparkSession, path: String, seeds: DataFrame): Unit = {
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    val root = new org.apache.hadoop.fs.Path(s"$path/ppr/${seedKey(seeds)}")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+
+  /** Bound the memo population (r17 verdict #6: versions WITHIN a
+    * memo are GC'd, but memo ROOTS accumulated one per distinct seed
+    * set forever — a service probing many ad-hoc kernels leaks
+    * storage). Keeps the `maxMemos` most-recently-REFRESHED memos
+    * (publication time = the `CURRENT` pointer's mtime — serving
+    * reads leave no trace by design, so refresh recency is the
+    * retention signal) and deletes the rest. An evicted kernel is
+    * LOUD to [[readPpr]] and re-derives fully on its next
+    * [[maybeRefreshPpr]] — eviction can cost a re-sweep, never a
+    * wrong answer. Single-writer maintenance entry, paced like every
+    * other (never concurrent with a refreshPpr). Returns the evicted
+    * memo dir names. */
+  def prunePprMemos(spark: SparkSession, path: String,
+                    maxMemos: Int): Seq[String] = {
+    require(maxMemos >= 1, s"maxMemos must be positive, got $maxMemos")
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
+    val root = new org.apache.hadoop.fs.Path(s"$path/ppr")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val memos = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
+    if (memos.length <= maxMemos) return Seq.empty
+    val stamped = memos.map { m =>
+      val cur = new org.apache.hadoop.fs.Path(m.getPath, "CURRENT")
+      val t = if (fs.exists(cur)) fs.getFileStatus(cur).getModificationTime
+        else m.getModificationTime // never-published debris: oldest bucket
+      (m.getPath, t)
+    }.sortBy { case (p, t) => (t, p.getName) } // total order: mtime ties break by name
+    val evicted = stamped.dropRight(maxMemos)
+    evicted.foreach { case (p, _) => fs.delete(p, true) }
+    evicted.map(_._1.getName).toSeq
   }
 }

@@ -458,6 +458,52 @@ class GraphSpec extends SparkSpec {
     rmTree(path)
   }
 
+  test("PPR memo retention: prune evicts oldest-refreshed, dropPpr is explicit, eviction re-derives") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(artEdges.toDF("src", "dst"), path, 0L)
+    val kernels = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L)).map(_.toDF("node"))
+    kernels.foreach { k =>
+      GraphArtifact.maybeRefreshPpr(spark, path, k)
+      Thread.sleep(15) // distinct CURRENT mtimes: deterministic eviction order
+    }
+    val full = kernels.map(k =>
+      GraphArtifact.readPpr(spark, path, k).as[(Long, Long)].collect().toMap)
+    // prune to 2: the FIRST-refreshed kernel is evicted, the others intact
+    val evicted = GraphArtifact.prunePprMemos(spark, path, maxMemos = 2)
+    assert(evicted.length === 1)
+    assert(GraphArtifact.prunePprMemos(spark, path, maxMemos = 2) === Seq.empty)
+    assert(intercept[RuntimeException] {
+      GraphArtifact.readPpr(spark, path, kernels(0))
+    }.getMessage.contains("no published PPR"), "evicted memo must be loud, never stale")
+    assert(GraphArtifact.readPpr(spark, path, kernels(1))
+      .as[(Long, Long)].collect().toMap === full(1))
+    // the evicted kernel re-derives fully and correctly
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, kernels(0)).nonEmpty)
+    assert(GraphArtifact.readPpr(spark, path, kernels(0))
+      .as[(Long, Long)].collect().toMap === full(0))
+    // explicit retirement
+    GraphArtifact.dropPpr(spark, path, kernels(2))
+    assert(intercept[RuntimeException] {
+      GraphArtifact.readPpr(spark, path, kernels(2))
+    }.getMessage.contains("no published PPR"))
+    // seed-identity guard (r17 advice): a memo whose stored identity
+    // disagrees with the probe's — a dirname collision or tampering —
+    // refuses instead of serving another kernel's ranks
+    val res = graft.sources.VersionedRoot.resolve(
+      spark, s"$path/ppr/" + new java.io.File(s"$path/ppr").list()
+        .filter(_.startsWith("s")).head, "t").get
+    val vm = graft.sources.IndexMeta.read(spark, s"$res/meta.json", "t")
+    graft.sources.IndexMeta.write(spark, s"$res/meta.json",
+      (vm + ("seed_alt" -> (vm("seed_alt") + 1L))).toSeq)
+    val survivor = kernels.zipWithIndex.find { case (k, _) =>
+      try { GraphArtifact.readPpr(spark, path, k); false }
+      catch { case e: Exception => e.getMessage.contains("does not match this seed set") }
+    }
+    assert(survivor.nonEmpty, "tampered identity must be loud for its kernel")
+    rmTree(path)
+  }
+
   test("rank artifact: init/refresh/read guards are loud") {
     val path = tmpArt()
     GraphArtifact.initRankArtifact(spark, path, iters = 3)
