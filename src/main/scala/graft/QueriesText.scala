@@ -432,6 +432,25 @@ object QueriesText {
     })
   }
 
+  /** Persisted model-artifact lifecycle per (JVM, source dir): v_1 is
+    * fitted on a deterministic HALF of the training frame (even
+    * calendar days), then [[graft.ml.ModelArtifact.maybeRefresh]] with
+    * the full frame must trip the growth trigger (~100% ≥ 10%) and
+    * publish the full-frame fit behind the CURRENT swap — q_ml_served
+    * reads a version that SUPERSEDED a stale one. */
+  private def modelArtifactRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    lshCleanupHook
+    lshIndexes.computeIfAbsent(s"mlmodel:$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft-mlmodel").toString
+      graft.ml.ModelArtifact.init(s, path)
+      val feats = graft.ml.PricePredictor.features(s, dir)
+      graft.ml.ModelArtifact.refresh(s, path,
+        feats.filter(dayofmonth(col("d")) % 2 === 0)) // v_1: stale vintage
+      graft.ml.ModelArtifact.maybeRefresh(s, path, feats) // v_2 supersedes
+      path
+    })
+  }
+
   // The messy-URL fixture shared by the q_domain_* family AND the
   // curation capstone's anti-domination stage — ONE definition on
   // each engine side so the queries cannot drift: uppercase
@@ -3592,6 +3611,42 @@ object QueriesText {
         val model = graft.ml.PricePredictor.fitPrimary(feats)
         val m = graft.ml.PricePredictor.evaluate(model, feats)
         Seq((nTrain, m.rmse <= naiveRmse * 1.0001)).toDF("n_train", "model_ok")
+      } finally feats.unpersist()
+    }
+
+    // The persisted model-artifact tier (r17 verdict #1): v_1 is fit
+    // on a STALE vintage (even calendar days only), then the growth
+    // trigger must supersede it with the full-frame fit behind the
+    // atomic CURRENT swap — so the gate below catches a stale or
+    // misresolved version, not just a happy-path one-shot.
+    register("q_ml_served",
+      s"""WITH daily AS (${graft.operators.DailySeries.sql}),
+         |f AS (SELECT user_id, close,
+         |             lag(close) OVER w AS prev_close,
+         |             lead(close) OVER w AS label
+         |      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+         |SELECT count(*) AS n_train, TRUE AS served_ok
+         |FROM f
+         |WHERE prev_close IS NOT NULL AND prev_close <> 0 AND label IS NOT NULL""") { (s, dir) =>
+      import s.implicits._
+      val path = modelArtifactRoot(s, dir)
+      val feats = graft.ml.PricePredictor.features(s, dir).cache()
+      try {
+        val n = feats.count()
+        // staleness witness, exact: the SERVED version must have been
+        // fitted on precisely this frame's rows — the half-frame v_1
+        // carries ~n/2 and would fail here (and hash-fail the oracle)
+        val fitRows = graft.ml.ModelArtifact.servedVersionMeta(s, path)("train_rows")
+        // quality contract, the q_ml_metrics gate run on the SERVED
+        // primary: least squares must beat lag-1 persistence on RMSE
+        val (primary, _) = graft.ml.ModelArtifact.servedModels(s, path)
+        val naiveRmse = feats
+          .agg(sqrt(avg(pow(col("label") - col("close"), 2)))).head().getDouble(0)
+        val m = graft.ml.PricePredictor.evaluate(primary, feats)
+        // serving shape: one corrected next-day row per training row
+        val servedRows = graft.ml.ModelArtifact.scoreServed(feats, path).count()
+        val ok = fitRows == n && servedRows == n && m.rmse <= naiveRmse * 1.0001
+        Seq((n, ok)).toDF("n_train", "served_ok")
       } finally feats.unpersist()
     }
 

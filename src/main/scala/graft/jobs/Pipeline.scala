@@ -29,6 +29,7 @@ object Pipeline {
     val patterns = s"$root/trading_patterns"
     val analysis = s"$root/news_stock_analysis"
     val predictions = s"$root/stock_predictions"
+    val models = s"$root/price_model"
   }
 
   /** Stage 2 — merge the day's series into history (U1 DO-UPDATE). */
@@ -100,10 +101,24 @@ object Pipeline {
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
-  /** Stage 5 — train + next-day predictions (F4/F5), U5 DO-UPDATE. */
+  /** Stage 5 — train + next-day predictions (F4/F5), U5 DO-UPDATE.
+    * Serves from the lake's persisted model artifact (r17 verdict #1):
+    * the first run fits and publishes; a re-run of the same day finds
+    * the training frame unchanged (growth 0%), skips the refit, and
+    * scores with the SERVED model — the reference's own joblib
+    * save/load split (analyze_news_stock_patterns.py:140-156), so
+    * the predict stage stops being the pipeline's dominant fixed cost
+    * on replays. Output is unchanged either way (the served model IS
+    * the one a fresh fit of this frame produces — MlSpec pins
+    * load ≡ fit scoring), so q_e1_pipeline's oracle is untouched. */
   def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
-    val preds = PricePredictor.predictNextDay(spark, sfDir)
-    Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
+    val feats = PricePredictor.features(spark, sfDir).cache()
+    try {
+      graft.ml.ModelArtifact.init(spark, lake.models) // no-op once initialized
+      graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
+      val preds = graft.ml.ModelArtifact.scoreServed(feats, lake.models)
+      Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
+    } finally feats.unpersist()
   }
 
   /** Per-stage wall seconds of the most recent [[run]] in this JVM —

@@ -55,6 +55,42 @@ class MlSpec extends SparkSpec {
     assert(m === m2)
   }
 
+  test("model artifact: loud unpublished read, staleness no-op, growth-triggered supersession") {
+    import graft.ml.ModelArtifact
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-mlart").toString
+    ModelArtifact.init(spark, path)
+    ModelArtifact.init(spark, path) // re-init with equal meta: no-op
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      val e = intercept[RuntimeException] {
+        ModelArtifact.servedModels(spark, path)
+      }
+      assert(e.getMessage.contains("no published version"))
+      val half = feats.filter(dayofmonth(col("d")) % 2 === 0)
+      val (nHalf, nFull) = (half.count(), feats.count())
+      assert(nHalf > 0 && nFull > nHalf, "fixture must have a real half/full split")
+      val v1 = ModelArtifact.refresh(spark, path, half)
+      assert(ModelArtifact.servedVersionMeta(spark, path)("train_rows") === nHalf)
+      // same frame again: fresh enough, no refit
+      assert(ModelArtifact.maybeRefresh(spark, path, half).isEmpty)
+      // the full frame grew past the bound: a new version supersedes
+      val v2 = ModelArtifact.maybeRefresh(spark, path, feats)
+      assert(v2.nonEmpty && v2.get != v1)
+      assert(ModelArtifact.servedVersionMeta(spark, path)("train_rows") === nFull)
+      // serving = load + transform, one corrected row per training row
+      val served = ModelArtifact.scoreServed(feats, path)
+      assert(served.count() === nFull)
+      assert(served.filter(col("predicted_close").isNull).count() === 0)
+      // empty frame: the tick no-ops, a forced refresh is loud
+      assert(ModelArtifact.maybeRefresh(spark, path, feats.filter(lit(false))).isEmpty)
+      val e2 = intercept[IllegalArgumentException] {
+        ModelArtifact.refresh(spark, path, feats.filter(lit(false)))
+      }
+      assert(e2.getMessage.contains("empty training frame"))
+    } finally feats.unpersist()
+  }
+
   test("saved models reload and score identically to the in-memory fit") {
     val feats = PricePredictor.features(spark, dir).cache()
     try {
