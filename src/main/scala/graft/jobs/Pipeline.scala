@@ -112,7 +112,13 @@ object Pipeline {
     * the one a fresh fit of this frame produces — MlSpec pins
     * load ≡ fit scoring), so q_e1_pipeline's oracle is untouched. */
   def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
-    val feats = PricePredictor.features(spark, sfDir).cache()
+    // train from the MERGED history stage 2 just wrote — exactly the
+    // reference, which trains from stock_price_history
+    // (analyze_news_stock_patterns.py:76-111), and one raw-events
+    // aggregation cheaper than re-deriving the daily series; the bars
+    // are value-identical, so the features (and q_e1's oracle) are too
+    val feats = PricePredictor.featuresOf(
+      spark.read.parquet(lake.history).drop("prev_close")).cache()
     try {
       graft.ml.ModelArtifact.init(spark, lake.models) // no-op once initialized
       graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)

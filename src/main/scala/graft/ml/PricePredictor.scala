@@ -29,9 +29,16 @@ object PricePredictor {
   case class Metrics(mae: Double, rmse: Double)
 
   /** Window-feature frame: label = next-day close (W6). */
-  def features(spark: SparkSession, dir: String): DataFrame = {
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(DailySeries(spark, dir))
+
+  /** [[features]] over an ALREADY-DERIVED daily-bar frame (user_id, d,
+    * close, high, low) — what a standing history table or a streaming
+    * fold trains from ([[graft.streaming.StreamingModel]]) instead of
+    * re-aggregating the raw source. */
+  def featuresOf(daily: DataFrame): DataFrame = {
     val w = Indicators.series("user_id", "d")
-    DailySeries(spark, dir)
+    daily
       .withColumn("prev_close", Indicators.prev(col("close"), w))
       .withColumn("pct_change", Indicators.pctChange(col("close"), w))
       .withColumn("vol",

@@ -965,4 +965,61 @@ class StreamingSpec extends SparkSpec {
       StreamingLinkIndex.ingestCatalogBatch(b1.toDF("id", "s"), 0L, s"$root/nope")
     }
   }
+
+  test("streaming bar ingest: history upsert + growth-refreshed model, replay no-op") {
+    import graft.streaming.StreamingModel
+    import graft.ml.{ModelArtifact, PricePredictor}
+    val root = Files.createTempDirectory("graft-mlingest").toString
+    val raw = s"$root/raw"; val hist = s"$root/history"; val art = s"$root/model"
+    new java.io.File(raw).mkdirs()
+    ModelArtifact.init(spark, art)
+    val barSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("d", DateType),
+      StructField("close", DoubleType), StructField("high", DoubleType),
+      StructField("low", DoubleType)))
+    def bars(days: Range): Seq[String] = for {
+      u <- 1L to 4L; day <- days
+    } yield {
+      val c = 50.0 + u * 3 + day + (u * day % 5) * 0.25
+      f"""{"user_id":$u,"d":"2024-01-${day}%02d","close":$c%.2f,"high":${c + 1}%.2f,"low":${c - 1}%.2f}"""
+    }
+    def land(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"), rows.mkString("\n").getBytes)
+    def drain(): Unit = {
+      val q = StreamingModel.barsIngest(
+        spark.readStream.schema(barSchema).json(raw), hist, art, s"$root/ckpt",
+        refreshGrowthPct = Some(10))
+      q.awaitTermination()
+    }
+    land("b1.json", bars(1 to 8)); drain() // first drain: unconditional fit
+    def trainRows: Long =
+      PricePredictor.featuresOf(spark.read.parquet(hist)).count()
+    val rows1 = trainRows
+    assert(rows1 === 4L * 6L, "8 days/user → 6 windowed training rows/user")
+    assert(ModelArtifact.servedVersionMeta(spark, art)("train_rows") === rows1,
+      "first drain must publish a model fitted on the standing history")
+    land("b2.json", bars(9 to 20)); drain() // frame triples: well past 10%
+    val rows2 = trainRows
+    assert(rows2 === 4L * 18L)
+    assert(ModelArtifact.servedVersionMeta(spark, art)("train_rows") === rows2,
+      "growth past the bound must supersede the stale fit")
+    // serving = load + transform over the standing history's features
+    val served = ModelArtifact.scoreServed(
+      PricePredictor.featuresOf(spark.read.parquet(hist)), art)
+    assert(served.count() === rows2)
+    // at-least-once REPLAY of batch 1's bars: the keyed merge upserts
+    // row-identical values (history unchanged) and the trigger stays cold
+    StreamingModel.ingestBars(
+      spark.read.schema(barSchema).json(s"$raw/b1.json"), hist, art)
+    assert(trainRows === rows2, "replayed bars changed the standing history")
+    assert(ModelArtifact.maybeRefresh(spark, art,
+      PricePredictor.featuresOf(spark.read.parquet(hist))).isEmpty,
+      "replay must not re-trip the growth trigger")
+    // an ingest against an uninitialized model artifact fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingModel.ingestBars(
+        spark.read.schema(barSchema).json(s"$raw/b1.json"),
+        s"$root/hist2", s"$root/nope", refreshGrowthPct = Some(10))
+    }
+  }
 }
