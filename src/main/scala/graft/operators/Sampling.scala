@@ -158,8 +158,9 @@ object Sampling {
 
   /** [[withExactRank]] for values of ARBITRARY range: buckets are
     * equi-width over the observed global [min, max] of `valueCol`
-    * (one cheap agg — NaN excluded via nanvl, so a NaN maximum cannot
-    * poison the scale), clamped into [0, buckets) — monotone, so the
+    * (one cheap agg over the FINITE values only, so a NaN or ±Infinity
+    * extreme cannot poison the scale), clamped into [0, buckets) —
+    * monotone, so the
     * bit-identity contract is unchanged, and the side tables stay
     * ≤ groups × (buckets + 2) rows no matter the value range
     * (±Infinity clamps into the edge buckets; an all-null/NaN or
