@@ -3632,11 +3632,17 @@ object QueriesText {
       val path = modelArtifactRoot(s, dir)
       val feats = graft.ml.PricePredictor.features(s, dir).cache()
       try {
-        val n = feats.count()
         // staleness witness, exact: the SERVED version must have been
-        // fitted on precisely this frame's rows — the half-frame v_1
-        // carries ~n/2 and would fail here (and hash-fail the oracle)
-        val fitRows = graft.ml.ModelArtifact.servedVersionMeta(s, path)("train_rows")
+        // fitted on precisely THIS frame — row count AND content
+        // fingerprint (r18 review: equal counts alone don't prove
+        // frame identity under DO-UPDATE sources); the half-frame v_1
+        // fails both here (and hash-fails the oracle)
+        val fp = graft.operators.Profile.contentFingerprint(feats)
+        val cut = fp.indexOf('x')
+        val n = fp.substring(0, cut).toLong
+        val vm = graft.ml.ModelArtifact.servedVersionMeta(s, path)
+        val fitRows = vm("train_rows")
+        val fitFp = vm.get("train_fp").contains(fp.substring(cut + 1).toLong)
         // quality contract, the q_ml_metrics gate run on the SERVED
         // primary: least squares must beat lag-1 persistence on RMSE
         val (primary, _) = graft.ml.ModelArtifact.servedModels(s, path)
@@ -3645,7 +3651,8 @@ object QueriesText {
         val m = graft.ml.PricePredictor.evaluate(primary, feats)
         // serving shape: one corrected next-day row per training row
         val servedRows = graft.ml.ModelArtifact.scoreServed(feats, path).count()
-        val ok = fitRows == n && servedRows == n && m.rmse <= naiveRmse * 1.0001
+        val ok = fitRows == n && fitFp && servedRows == n &&
+          m.rmse <= naiveRmse * 1.0001
         Seq((n, ok)).toDF("n_train", "served_ok")
       } finally feats.unpersist()
     }

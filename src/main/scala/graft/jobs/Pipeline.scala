@@ -108,9 +108,12 @@ object Pipeline {
     * scores with the SERVED model — the reference's own joblib
     * save/load split (analyze_news_stock_patterns.py:140-156), so
     * the predict stage stops being the pipeline's dominant fixed cost
-    * on replays. Output is unchanged either way (the served model IS
-    * the one a fresh fit of this frame produces — MlSpec pins
-    * load ≡ fit scoring), so q_e1_pipeline's oracle is untouched. */
+    * on replays. For an UNCHANGED frame the output is identical (the
+    * served model IS the one a fresh fit produces — MlSpec pins
+    * load ≡ fit scoring); in-place value corrections and shrinks
+    * refit immediately (the fingerprint witness), and pure sub-bound
+    * growth rides at most one growth bound behind — so
+    * q_e1_pipeline's oracle is untouched. */
   def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
     // train from the MERGED history stage 2 just wrote — exactly the
     // reference, which trains from stock_price_history

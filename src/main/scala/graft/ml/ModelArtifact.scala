@@ -49,6 +49,18 @@ object ModelArtifact {
 
   private val What = "model artifact"
 
+  /** The training frame's identity in ONE aggregation: exact row
+    * count plus the house count+XOR content fingerprint's XOR half
+    * (order- and layout-independent). The count alone was the r18
+    * first cut — and a DO-UPDATE history merge can change VALUES
+    * without changing the count, which a count-only witness would
+    * serve a superseded fit against forever (r18 review). */
+  private def frameIdentity(feats: DataFrame): (Long, Long) = {
+    val fp = graft.operators.Profile.contentFingerprint(feats)
+    val i = fp.indexOf('x')
+    (fp.substring(0, i).toLong, fp.substring(i + 1).toLong)
+  }
+
   /** Write the feature-schema version meta once — [[graft.operators
     * .Profile.initArtifact]] semantics: re-init is a no-op when equal,
     * loud when different (a model fitted on one feature recipe must
@@ -69,9 +81,9 @@ object ModelArtifact {
     val root = modelsRoot(path)
     val served = graft.sources.VersionedRoot.resolve(spark, root, What)
     val newName = graft.sources.VersionedRoot.nextVersion(spark, root)
-    // one materialization feeds the count and both fits' passes
+    // one materialization feeds the identity agg and both fits' passes
     val pinned = graft.operators.Checkpoints.pin(feats)
-    val n = pinned.count()
+    val (n, fp) = frameIdentity(pinned)
     require(n > 0,
       s"$What at $path: refusing to fit on an empty training frame")
     val primary = PricePredictor.fitPrimary(pinned)
@@ -79,32 +91,43 @@ object ModelArtifact {
     PricePredictor.saveModels(primary, residual, s"$root/$newName")
     // meta LAST: the completeness marker VersionedRoot keys on
     graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
-      Seq("feat_version" -> 1L, "train_rows" -> n))
+      Seq("feat_version" -> 1L, "train_rows" -> n, "train_fp" -> fp))
     graft.sources.VersionedRoot.publish(spark, root, newName, served)
     newName
   }
 
-  /** The drift loop — refit only when the training frame grew at
-    * least `growthPct` percent past the served version's
-    * `train_rows` (or when nothing has ever been published). Loud on
-    * a missing/invalid artifact; None only for "empty training frame"
-    * or "fresh enough". Tick cost: one count of `feats`. */
+  /** The drift loop — refit when the training frame GREW at least
+    * `growthPct` percent past the served version's `train_rows` (the
+    * standing-state growth trade every artifact family makes), and
+    * ALSO when the frame's content changed WITHOUT net growth (same
+    * or fewer rows, different fingerprint): unlike the other
+    * families' immutable fingerprint-guarded batches, this frame
+    * derives from DO-UPDATE merges that can retract or correct values
+    * in place, and a count-only witness would serve a fit on
+    * superseded values forever (r18 review). The one window that
+    * still rides until the bound: sub-bound NET GROWTH mixed with
+    * in-place updates — the same "at most one growth bound behind"
+    * contract, now stated over content. Loud on a missing/invalid
+    * artifact; None only for "empty training frame" or "fresh
+    * enough". Tick cost: one aggregation of `feats` (count + XOR in
+    * the same pass). */
   def maybeRefresh(spark: SparkSession, path: String, feats: DataFrame,
                    growthPct: Int = 10): Option[String] = {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", What)
-    val cur = feats.count()
+    val (cur, fp) = frameIdentity(feats)
     if (cur == 0L) return None // nothing to fit — never publish from nothing
     val root = modelsRoot(path)
     val served = graft.sources.VersionedRoot.resolve(spark, root, What)
     val stale = served match {
       case None => true
       case Some(r) =>
-        val fitRows = graft.sources.IndexMeta
+        val vmeta = graft.sources.IndexMeta
           .read(spark, s"$r/meta.json", s"$What version")
-          .getOrElse("train_rows", 0L)
-        graft.sources.VersionedRoot.grewPast(cur, fitRows, growthPct)
+        val fitRows = vmeta.getOrElse("train_rows", 0L)
+        graft.sources.VersionedRoot.grewPast(cur, fitRows, growthPct) ||
+          (cur <= fitRows && !vmeta.get("train_fp").contains(fp))
     }
     if (stale) Some(refresh(spark, path, feats)) else None
   }

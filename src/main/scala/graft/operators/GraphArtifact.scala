@@ -252,26 +252,30 @@ object GraphArtifact {
     * inputs differing only by a duplicate are semantically identical
     * and must resolve the same memo), embedded in the version-root
     * dir name; differing sets cannot collide on count. */
-  private def seedKey(seeds: DataFrame): String = {
-    val fp = Profile.contentFingerprint(
-      seeds.select(col("node").cast("long")).distinct())
-    s"s${fp.replace('-', 'n')}" // '-' from a negative XOR, dir-name-safe
-  }
+  private def seedKey(seeds: DataFrame): String = seedSignature(seeds)._1
 
-  /** A SECOND, independent identity of the seed set — distinct count
-    * + XOR of a differently-salted xxhash64 — stored in each memo
-    * version's meta and re-verified at [[readPpr]] (r17 advice: the
-    * dirname fingerprint alone could, astronomically rarely, collide
-    * between two same-size seed sets, and a collision HERE resolves
-    * the WRONG memo and serves its ranks as correct; requiring two
+  /** The seed set's full signature in ONE aggregation (r18 review:
+    * the key and the verify identity each ran their own distinct+agg
+    * job on the hot memoized read path): the dirname key — the house
+    * count+XOR content fingerprint over the DISTINCT nodes, formula-
+    * identical to [[Profile.contentFingerprint]]'s default — plus a
+    * SECOND, independently-salted XOR stored in each memo version's
+    * meta and re-verified at [[readPpr]] (r17 advice: the dirname
+    * fingerprint alone could, astronomically rarely, collide between
+    * two same-size seed sets, and a collision HERE resolves the
+    * WRONG memo and serves its ranks as correct; requiring two
     * independent 64-bit XORs plus the count to collide simultaneously
-    * turns that into a loud mismatch instead). */
-  private def seedIdentity(seeds: DataFrame): (Long, Long) = {
+    * turns that into a loud mismatch instead).
+    * Returns (dirKey, distinctCount, saltedXor). */
+  private def seedSignature(seeds: DataFrame): (String, Long, Long) = {
     val r = seeds.select(col("node").cast("long").as("n")).distinct()
       .agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(n))"), lit(0L)),
         coalesce(expr("bit_xor(xxhash64('pprseed', n))"), lit(0L)))
       .head()
-    (r.getLong(0), r.getLong(1))
+    val fp = s"${r.getLong(0)}x${r.getLong(1)}"
+    // '-' from a negative XOR, dir-name-safe
+    (s"s${fp.replace('-', 'n')}", r.getLong(0), r.getLong(2))
   }
 
   /** Sweep PPR for `seeds` over the standing edge state into a fresh
@@ -281,7 +285,8 @@ object GraphArtifact {
   def refreshPpr(spark: SparkSession, path: String, seeds: DataFrame): String = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     recoverEdgeBatches(spark, path)
-    val root = s"$path/ppr/${seedKey(seeds)}"
+    val (key, seedN, seedAlt) = seedSignature(seeds)
+    val root = s"$path/ppr/$key"
     val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
     val newName = graft.sources.VersionedRoot.nextVersion(spark, root)
     val edges = committedEdges(spark, path)
@@ -289,7 +294,6 @@ object GraphArtifact {
     Graph.personalizedPageRank(edges, seeds.select(col("node").cast("long")),
         iters = meta("iters").toInt, scale = meta("scale"))
       .write.mode("overwrite").parquet(s"$root/$newName/ranks")
-    val (seedN, seedAlt) = seedIdentity(seeds)
     graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
       Seq("iters" -> meta("iters"), "scale" -> meta("scale"),
         "part_rows" -> partRows,
@@ -336,13 +340,13 @@ object GraphArtifact {
     * identity fields are accepted as-is). */
   def readPpr(spark: SparkSession, path: String, seeds: DataFrame): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
-    val root = s"$path/ppr/${seedKey(seeds)}"
+    val (key, seedN, seedAlt) = seedSignature(seeds) // one agg: key + identity
+    val root = s"$path/ppr/$key"
     val res = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
       .getOrElse(sys.error(
         s"rank artifact at $path has no published PPR for this seed set — run refreshPpr"))
     val vmeta = graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")
     if (vmeta.contains("seed_n")) {
-      val (seedN, seedAlt) = seedIdentity(seeds)
       require(vmeta("seed_n") == seedN && vmeta.getOrElse("seed_alt", 0L) == seedAlt,
         s"PPR memo at $root does not match this seed set " +
           s"(stored identity ${vmeta("seed_n")}/${vmeta.getOrElse("seed_alt", 0L)}, " +

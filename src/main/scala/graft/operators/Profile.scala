@@ -380,7 +380,7 @@ object Profile {
     * batch-contribution identity, shared by [[landBatchPart]] and
     * [[GraphArtifact.compactEdgeBatches]] so the formula can never
     * fork between the writer and the maintenance rewrite (r16 review). */
-  private[operators] def contentFingerprint(df: DataFrame,
+  private[graft] def contentFingerprint(df: DataFrame,
       fpRow: DataFrame => org.apache.spark.sql.Column =
         d => xxhash64(d.columns.map(col): _*)): String = {
     val r = df
@@ -531,7 +531,15 @@ object Profile {
     }
     if (terminated) {
       val LedgerEnd(n) = lines.last
-      require(n.toLong == data.length,
+      // a terminator claiming FEWER entries than the complete data
+      // lines above it, in the TMP, is the crash that truncated the
+      // terminator's own digits ('#end 12' cut to '#end 1' — r18
+      // review): writes are sequential, so every data line preceding
+      // it is complete — keep them all, drop the mangled terminator.
+      // The published ledger is a rename of a closed tmp and can
+      // never truncate; anything else is real corruption.
+      require(n.toLong == data.length ||
+          (src.getName.endsWith(".tmp") && n.toLong < data.length),
         s"tombstone ledger $src terminator claims $n entries, file has " +
           s"${data.length} — not a crash shape; refusing to guess at corruption")
     }

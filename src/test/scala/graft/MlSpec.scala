@@ -82,6 +82,15 @@ class MlSpec extends SparkSpec {
       val served = ModelArtifact.scoreServed(feats, path)
       assert(served.count() === nFull)
       assert(served.filter(col("predicted_close").isNull).count() === 0)
+      // in-place VALUE change with the same row count: the fingerprint
+      // witness must refit (r18 review: a count-only witness served a
+      // fit on superseded values forever under DO-UPDATE sources)
+      val corrected = feats.withColumn("label", col("label") + lit(1.0))
+      val v3 = ModelArtifact.maybeRefresh(spark, path, corrected)
+      assert(v3.nonEmpty && v3.get != v2.get,
+        "same-count content change must supersede the served fit")
+      assert(ModelArtifact.maybeRefresh(spark, path, corrected).isEmpty,
+        "the corrected frame is now the fitted one: fresh")
       // empty frame: the tick no-ops, a forced refresh is loud
       assert(ModelArtifact.maybeRefresh(spark, path, feats.filter(lit(false))).isEmpty)
       val e2 = intercept[IllegalArgumentException] {

@@ -460,6 +460,51 @@ class ProfileSpec extends SparkSpec {
     }.getMessage.contains("refusing to guess at corruption"))
   }
 
+  test("tombstone ledger heal: a terminator with truncated DIGITS heals keeping every complete entry") {
+    // the r18 review's brick: 12 entries + '#end 12' crashed to
+    // '#end 1' — a VALID terminator line whose count mismatches; the
+    // heal must recognize the tmp-only truncated-terminator shape
+    // (data lines all complete) instead of refusing forever
+    val root = java.nio.file.Files.createTempDirectory("graft-ledgerterm").toString
+    val rows = (0L until 240L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    Profile.initAggArtifact(spark, root, "g", "v")
+    (0 until 12).foreach { m =>
+      Profile.aggIngestBatch(rows.filter($"v" % 12 === m), "g", "v", root, m.toLong)
+    }
+    Profile.mergeArtifactParts(spark, root, maxDirs = 1)
+    val before = Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet
+    val parts = new org.apache.hadoop.fs.Path(s"$root/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
+    val in = fs.open(ledger)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    assert(lines.last === "#end 12")
+    val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    val out = fs.create(tmp, true)
+    out.write((lines.dropRight(1).mkString("\n") + "\n#end 1").getBytes("UTF-8"))
+    out.close()
+    fs.delete(ledger, false)
+    Profile.compactArtifactParts(spark, root) // single-writer entry: heals
+    assert(Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet === before)
+    // every complete entry survived: replay no-ops, different payload loud
+    Profile.aggIngestBatch(rows.filter($"v" % 12 === 5), "g", "v", root, 5L)
+    assert(Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet === before)
+    assert(intercept[IllegalArgumentException] {
+      Profile.aggIngestBatch(rows.filter($"v" % 12 === 7), "g", "v", root, 5L)
+    }.getMessage.contains("DIFFERENT contribution"))
+    // the PUBLISHED ledger can never truncate: the same shape there is loud
+    val in2 = fs.open(ledger)
+    val healed = try scala.io.Source.fromInputStream(in2, "UTF-8").getLines().toList
+    finally in2.close()
+    val out2 = fs.create(ledger, true)
+    out2.write((healed.dropRight(1).mkString("\n") + "\n#end 1").getBytes("UTF-8"))
+    out2.close()
+    assert(intercept[IllegalArgumentException] {
+      Profile.aggIngestBatch(rows.filter($"v" % 12 === 7), "g", "v", root, 99L)
+    }.getMessage.contains("refusing to guess at corruption"))
+  }
+
   test("artifact guards: re-init dim mismatch, batch-key collision, orphan parts all fail loudly") {
     // CMS: same-dim re-init is a no-op; a different geometry refuses
     // (silently rewriting the meta would mix hash geometries under
