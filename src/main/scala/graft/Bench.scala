@@ -236,10 +236,11 @@ object Bench {
       // q_e1_pipeline ran this JVM): the pipeline is the bench's
       // slowest query, and a stage map localizes a regression to
       // ingest/merge/patterns/news/ML instead of "it got slower"
-      val stages = graft.jobs.Pipeline.lastStageSeconds
-      val stagePart =
+      def stageJson(field: String, stages: Seq[(String, Double)]): String =
         if (stages.isEmpty) ""
-        else s""","e1_stages":${stages.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")}"""
+        else s""","$field":${stages.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")}"""
+      val stagePart = stageJson("e1_stages", graft.jobs.Pipeline.lastStageSeconds) +
+        stageJson("e1_day_stages", graft.jobs.Pipeline.lastDayStageSeconds)
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p,
         s"""{"passes":$pass,"elapsed_sec":${jnum(elapsed)},"budget_s":${jnum(budget)},"canary_q_rollup":${jnum(canary)},"canary_q_rollup_warm":${jnum(canaryEnd)},"queries":$all,"samples":$samp$stagePart}\n""".getBytes("UTF-8"))

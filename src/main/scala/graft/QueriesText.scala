@@ -427,7 +427,13 @@ object QueriesText {
       // so q_editdist_indexed's hash gate also proves the merge
       // preserved the catalog exactly
       graft.operators.FuzzyLinkIndex.mergeCatalogBatches(s, path, maxDirs = 1)
-      graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path) // v_2: full catalog
+      // v_2: full catalog, with the epoch DELIBERATELY pinned to
+      // v_1's half-catalog order (bound 1.0 = never re-rank): the
+      // full-recompute oracle then hash-gates, at all 3 SFs, that a
+      // stale-epoch selection still finds exactly the true pairs —
+      // the completeness half of the r19 epoch split, proven on the
+      // serving surface rather than assumed from the lemma
+      graft.operators.FuzzyLinkIndex.refreshLinkIndex(s, path, orderStaleBound = 1.0)
       path
     })
   }

@@ -214,26 +214,38 @@ object FuzzyJoin {
     gramRows(cSrc, idCol, strCol, q, "b")
 
   /** [[catalogTables]]'s selection half, from ALREADY-DERIVED gram
-    * rows and gram frequencies — the path an incremental refresh
-    * takes (persisted grams ∪ new strings' grams; dfreq folded
-    * additively). The prefix selection is deliberately GLOBAL: the
-    * prefix-filter lemma needs one order shared by catalog and probe
-    * (Xiao 2008), and new strings shift gram frequencies, so every
-    * string re-ranks against the NEW order — over persisted gram
-    * rows, never a re-explode. Structurally the same `prefixRows` /
-    * short-path code the from-scratch derivation runs, so
-    * incremental ≡ from-scratch is by construction. */
+    * rows and a selection ORDER table — the path an incremental
+    * refresh takes (persisted grams ∪ new strings' grams). The
+    * prefix-filter lemma needs one total order on (gram, occ) keys
+    * SHARED by catalog and probe (Xiao 2008) — but ANY fixed order is
+    * complete (the verify decides every candidate); the true
+    * frequency order is only the optimal PRUNING choice. So `order`
+    * may be the fresh folded frequencies (a re-rank epoch) or a
+    * served version's pinned epoch order (r18 verdict #4 — selection
+    * cost ∝ new strings instead of re-ranking the whole catalog per
+    * refresh); grams absent from it rank rarest (df = 0, ties by
+    * (g, occ)), exactly [[probeLookup]]'s rule, so the two sides
+    * can never order a key differently. Structurally the same
+    * selection code the from-scratch derivation runs (for which
+    * `order` covers every gram and the left join degenerates to the
+    * inner), so incremental ≡ from-scratch is by construction. */
   private[operators] def catalogTablesFromGrams(cSrc: DataFrame, gb: DataFrame,
-      dfreq: DataFrame, idCol: String, strCol: String,
+      order: DataFrame, idCol: String, strCol: String,
       k: Int, q: Int): (DataFrame, DataFrame, DataFrame) = {
     val minLong = q * (k + 1)
     val prefixLen = k * q + 1
-    val pb = prefixRows(gb, dfreq, "b", prefixLen)
+    val pb = gb.join(order.hint("shuffle_hash"), Seq("g", "occ"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("df"), col("g"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("b_id"), col("b_s"), col("b_len"), col("g"), col("occ"))
     val shortB = cSrc
       .select(col(idCol).as("b_id"), col(strCol).as("b_s"),
         length(col(strCol)).as("cand_len"))
       .filter(col("cand_len") < minLong)
-    (dfreq, pb, shortB)
+    (order, pb, shortB)
   }
 
   /** The probe-side serving half of [[editDistanceLookup]]: resolve a

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *                                            version derived (r18: the
   *                                            incremental-refresh base)
   *   index/v_<n>/grams/   (b_id, b_s, b_len, g, occ) — the raw gram tier
-  *   index/v_<n>/dfreq/   (g, occ, df)      — the catalog rarity order
+  *   index/v_<n>/dfreq/   (g, occ, df)      — the TRUE folded frequencies
+  *   index/v_<n>/order/   (g, occ, df)      — the SELECTION epoch order the
+  *                                            prefixes were chosen under (may
+  *                                            lag dfreq within the staleness
+  *                                            bound — r18 verdict #4)
   *   index/v_<n>/prefix/  (b_id, b_s, b_len, g, occ) — kq+1 rarest per string
   *   index/v_<n>/short/   (b_id, b_s, cand_len) — the band-path strings
   *   index/v_<n>/meta.json   written LAST (completeness marker)
@@ -40,12 +44,12 @@ import org.apache.spark.sql.functions._
   *    strings fail the unique-id guard at refresh — a catalog is a
   *    function id → string, and silently keeping both would merge
   *    their gram partitions and drop true matches.
-  *  - refresh derives the three tables via the SAME
-  *    [[FuzzyJoin.catalogTables]] the recompute path runs (index ≡
-  *    recompute is structural — the prefix selection depends on the
-  *    GLOBAL frequency order, so growth re-derives, exactly like the
-  *    rank re-sweep) into a fresh `v_<n>` behind the atomic `CURRENT`
-  *    swap with served-identity GC.
+  *  - refresh derives the tables via the SAME selection code the
+  *    recompute path runs ([[FuzzyJoin.catalogTablesFromGrams]] —
+  *    index ≡ recompute is structural) into a fresh `v_<n>` behind
+  *    the atomic `CURRENT` swap with served-identity GC; incremental
+  *    refreshes keep the served EPOCH order and reuse its selections
+  *    (see [[refreshLinkIndex]]).
   *  - the growth trigger ([[maybeRefreshLinkIndex]]) costs one
   *    parquet-metadata count per tick and fails LOUDLY on a missing
   *    or invalid artifact (r16 advice on [[GraphArtifact
@@ -123,35 +127,57 @@ object FuzzyLinkIndex {
     * fresh version and swap the serving pointer. Returns the
     * published version name. The version meta records `part_rows`
     * (the RAW committed rows the derivation folded — the same
-    * metadata-cheap measure the tick counts) — what
-    * [[maybeRefreshLinkIndex]] judges growth against.
+    * metadata-cheap measure the tick counts — what
+    * [[maybeRefreshLinkIndex]] judges growth against) and
+    * `order_epoch` (the version number whose re-rank derived the
+    * currently-served selection order).
     *
-    * INCREMENTAL since r18 (r17 verdict #2): each version also
-    * persists its collapsed `catalog/` (id, s) and its raw `grams/`
-    * tier, so a refresh off a served version derives grams ONLY for
-    * the new catalog rows (anti-join against the served catalog) and
-    * folds the gram document-frequencies additively (old dfreq +
-    * new strings' counts — disjoint string sets, so the fold equals
-    * the from-scratch aggregate exactly). What stays global, and
-    * why: the per-string prefix SELECTION re-ranks every string
-    * against the new frequency order (the prefix lemma needs ONE
-    * order shared by catalog and probe — selections under a stale
-    * order lose completeness), but over the persisted gram rows —
-    * the corpus-proportional explode, occ windows and raw scans are
-    * paid once per NEW batch, never again. The selection runs
-    * through the same [[FuzzyJoin.catalogTablesFromGrams]] code the
-    * from-scratch path uses, so incremental ≡ from-scratch is
-    * structural (and q_editdist_indexed's full-recompute oracle
-    * hash-gates it at all 3 SFs). Versions published before the
-    * gram tier existed (or a standing catalog that LOST rows vs the
-    * served one — parts are the source of truth) fall back to the
-    * from-scratch derivation. */
-  def refreshLinkIndex(spark: SparkSession, path: String): String = {
+    * INCREMENTAL since r18 (r17 verdict #2): each version persists
+    * its collapsed `catalog/` (id, s) and raw `grams/` tier, so a
+    * refresh off a served version derives grams ONLY for the new
+    * catalog rows (anti-join against the served catalog) and folds
+    * the gram document-frequencies additively (old dfreq + new
+    * strings' counts — disjoint string sets, so the fold equals the
+    * from-scratch aggregate exactly).
+    *
+    * EPOCH-PINNED selection since r19 (r18 verdict #4): the prefix
+    * lemma needs ONE total order on (gram, occ) keys shared by
+    * catalog and probe — but ANY fixed order is complete; the true
+    * frequency order is only the optimal pruning choice. So each
+    * version serves an explicit `order/` table, and an incremental
+    * refresh KEEPS the served epoch order: old strings' selections
+    * are unchanged by construction (same grams, same order), so the
+    * served `prefix/` and `short/` rows are REUSED verbatim and only
+    * the NEW strings select (under the epoch order, absent grams
+    * ranking rarest — [[FuzzyJoin.catalogTablesFromGrams]], the same
+    * rule [[FuzzyJoin.probeLookup]] applies on the probe side).
+    * Refresh cost is now ∝ new batch + vocabulary, not catalog. The
+    * epoch re-ranks only when the folded TRUE frequencies have
+    * drifted from the pinned order past `orderStaleBound` — measured
+    * as the normalized Spearman footrule between the two rankings
+    * (within 2× of the Kendall inversion count, Diaconis & Graham
+    * 1977), a vocabulary-sized computation. Drift past the bound
+    * costs one full re-rank over the persisted gram rows and starts
+    * a new epoch; drift below it costs only pruning quality, never
+    * completeness (FuzzyJoinSpec pins lookup ≡ brute force under a
+    * deliberately stale epoch, and q_editdist_indexed's
+    * full-recompute oracle hash-gates the output at all 3 SFs —
+    * the OUTPUT is selection-order-invariant because the exact
+    * levenshtein verify decides every candidate).
+    *
+    * Versions published before the gram tier existed (or a standing
+    * catalog that LOST rows vs the served one — parts are the source
+    * of truth) fall back to the from-scratch derivation. */
+  def refreshLinkIndex(spark: SparkSession, path: String,
+                       orderStaleBound: Double = 0.2): String = {
+    require(orderStaleBound >= 0 && orderStaleBound <= 1,
+      s"orderStaleBound must be in [0, 1], got $orderStaleBound")
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
     val (k, q) = (meta("k").toInt, meta("q").toInt)
     val indexRoot = s"$path/index"
     val served = graft.sources.VersionedRoot.resolve(spark, indexRoot, "fuzzy-link index")
     val newName = graft.sources.VersionedRoot.nextVersion(spark, indexRoot)
+    val newEpoch = newName.stripPrefix("v_").toLong
     Profile.recoverParts(spark, path) // heal maintenance windows first
     val raw = committedRaw(spark, path)
     val partRows = raw.count() // metadata-cheap RAW rows: the growth baseline
@@ -169,36 +195,107 @@ object FuzzyLinkIndex {
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/catalog")) &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$root/grams"))
     }
-    val (gb, dfreq) = incrementalFrom match {
+    // (all grams, true folded dfreq, epoch-reuse: (served root, new
+    // strings' grams, new strings) when the pinned order survives)
+    val (gb, dfreq, reuse) = incrementalFrom match {
       case Some(root) =>
         val oldCat = spark.read.parquet(s"$root/catalog")
         val newRows = Checkpoints.pin(cSrc.join(oldCat, Seq("id", "s"), "left_anti"))
         if (oldCat.count() + newRows.count() == cSrc.count()) {
-          val newGrams = FuzzyJoin.catalogGramRows(newRows, "id", "s", q)
+          val newGrams = Checkpoints.pin(
+            FuzzyJoin.catalogGramRows(newRows, "id", "s", q))
           val folded = Checkpoints.pin(
             spark.read.parquet(s"$root/dfreq")
               .unionByName(newGrams.select(col("g"), col("occ"))
                 .groupBy("g", "occ").agg(count(lit(1)).as("df")))
               .groupBy("g", "occ").agg(sum(col("df")).as("df")))
-          (spark.read.parquet(s"$root/grams").unionByName(newGrams), folded)
-        } else fromScratch(cSrc, q) // served catalog ⊄ standing parts
-      case None => fromScratch(cSrc, q)
+          // bound 1.0 = never re-rank: skip the footrule entirely
+          val stale = orderStaleBound < 1.0 &&
+            orderStaleness(servedOrder(spark, fs, root), folded) > orderStaleBound
+          (spark.read.parquet(s"$root/grams").unionByName(newGrams), folded,
+            if (stale) None else Some((root, newGrams, newRows)))
+        } else {
+          val (g, d) = fromScratch(cSrc, q); (g, d, None)
+        } // served catalog ⊄ standing parts
+      case None =>
+        val (g, d) = fromScratch(cSrc, q); (g, d, None)
     }
     cSrc.write.mode("overwrite").parquet(s"$indexRoot/$newName/catalog")
     gb.write.mode("overwrite").parquet(s"$indexRoot/$newName/grams")
-    // select from the PERSISTED grams: one gram derivation serves the
-    // chain tier and the selection (no double explode)
-    val gbP = spark.read.parquet(s"$indexRoot/$newName/grams")
-    val (dfreqT, pb, shortB) =
-      FuzzyJoin.catalogTablesFromGrams(cSrc, gbP, dfreq, "id", "s", k, q)
-    dfreqT.write.mode("overwrite").parquet(s"$indexRoot/$newName/dfreq")
-    pb.write.mode("overwrite").parquet(s"$indexRoot/$newName/prefix")
-    shortB.write.mode("overwrite").parquet(s"$indexRoot/$newName/short")
+    dfreq.write.mode("overwrite").parquet(s"$indexRoot/$newName/dfreq")
+    val orderEpoch = reuse match {
+      case Some((root, newGrams, newRows)) =>
+        // EPOCH PATH: carry the order, reuse the served selections,
+        // select only the new strings — no catalog-wide window pass
+        val epochOrder = servedOrder(spark, fs, root)
+        epochOrder.write.mode("overwrite").parquet(s"$indexRoot/$newName/order")
+        val orderP = spark.read.parquet(s"$indexRoot/$newName/order")
+        val (_, newPb, newShort) =
+          FuzzyJoin.catalogTablesFromGrams(newRows, newGrams, orderP, "id", "s", k, q)
+        spark.read.parquet(s"$root/prefix").unionByName(newPb)
+          .write.mode("overwrite").parquet(s"$indexRoot/$newName/prefix")
+        spark.read.parquet(s"$root/short").unionByName(newShort)
+          .write.mode("overwrite").parquet(s"$indexRoot/$newName/short")
+        graft.sources.IndexMeta
+          .read(spark, s"$root/meta.json", "fuzzy-link index version")
+          .getOrElse("order_epoch", // pre-r19 served: its own number
+            root.substring(root.lastIndexOf("v_") + 2).toLong)
+      case None =>
+        // RE-RANK PATH (from-scratch, fallback, or drift past the
+        // bound): a fresh epoch — selection of EVERY string under the
+        // folded true frequencies, from the persisted grams (one gram
+        // derivation serves the chain tier and the selection)
+        val gbP = spark.read.parquet(s"$indexRoot/$newName/grams")
+        val dfreqP = spark.read.parquet(s"$indexRoot/$newName/dfreq")
+        dfreqP.write.mode("overwrite").parquet(s"$indexRoot/$newName/order")
+        val orderP = spark.read.parquet(s"$indexRoot/$newName/order")
+        val (_, pb, shortB) =
+          FuzzyJoin.catalogTablesFromGrams(cSrc, gbP, orderP, "id", "s", k, q)
+        pb.write.mode("overwrite").parquet(s"$indexRoot/$newName/prefix")
+        shortB.write.mode("overwrite").parquet(s"$indexRoot/$newName/short")
+        newEpoch
+    }
     // meta LAST: the completeness marker VersionedRoot keys on
     graft.sources.IndexMeta.write(spark, s"$indexRoot/$newName/meta.json",
-      Seq("k" -> meta("k"), "q" -> meta("q"), "part_rows" -> partRows))
+      Seq("k" -> meta("k"), "q" -> meta("q"), "part_rows" -> partRows,
+        "order_epoch" -> orderEpoch))
     graft.sources.VersionedRoot.publish(spark, indexRoot, newName, served)
     newName
+  }
+
+  /** The served version's SELECTION order — the explicit `order/`
+    * tier (r19+), or `dfreq/` for versions published before the two
+    * diverged (its dfreq WAS its selection order). */
+  private def servedOrder(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): DataFrame =
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/order")))
+      spark.read.parquet(s"$root/order")
+    else spark.read.parquet(s"$root/dfreq")
+
+  /** How far the pinned epoch order has drifted from the fresh folded
+    * frequencies: Spearman footrule between the two (df, g, occ)
+    * rankings over the full key set (keys absent from the epoch rank
+    * rarest there, df = 0 — the selection's own rule), normalized by
+    * the maximum ~V²/2. 0 = identical ranking (uniform growth that
+    * scales every count preserves it); 1 = full reversal. Within 2×
+    * of the Kendall inversion count (Diaconis & Graham 1977).
+    * Vocabulary-sized: two single-partition rank sorts + one
+    * aggregate, once per refresh — never corpus-proportional. */
+  private def orderStaleness(epoch: DataFrame, fresh: DataFrame): Double = {
+    val w = org.apache.spark.sql.expressions.Window
+    val joined = fresh.select(col("g"), col("occ"), col("df"))
+      .join(epoch.select(col("g"), col("occ"), col("df").as("df_epoch")),
+        Seq("g", "occ"), "left")
+      .withColumn("df_epoch", coalesce(col("df_epoch"), lit(0L)))
+    val ranked = joined
+      .withColumn("r_new", row_number().over(
+        w.orderBy(col("df"), col("g"), col("occ"))))
+      .withColumn("r_epoch", row_number().over(
+        w.orderBy(col("df_epoch"), col("g"), col("occ"))))
+    val r = ranked.agg(count(lit(1)),
+      coalesce(sum(abs(col("r_new") - col("r_epoch"))), lit(0L))).head()
+    val v = r.getLong(0)
+    if (v <= 1) 0.0 else 2.0 * r.getLong(1) / (v.toDouble * v)
   }
 
   /** The from-scratch gram derivation (first version, pre-r18
@@ -225,7 +322,8 @@ object FuzzyLinkIndex {
     * None only for "initialized, nothing ingested yet" or "fresh
     * enough". */
   def maybeRefreshLinkIndex(spark: SparkSession, path: String,
-                            growthPct: Int = 10): Option[String] = {
+                            growthPct: Int = 10,
+                            orderStaleBound: Double = 0.2): Option[String] = {
     require(growthPct >= 1 && growthPct <= 1000,
       s"growthPct must be in 1..1000, got $growthPct")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "fuzzy-link index")
@@ -244,7 +342,7 @@ object FuzzyLinkIndex {
           .getOrElse("part_rows", 0L)
         graft.sources.VersionedRoot.grewPast(cur, derivedRows, growthPct)
     }
-    if (stale) Some(refreshLinkIndex(spark, path)) else None
+    if (stale) Some(refreshLinkIndex(spark, path, orderStaleBound)) else None
   }
 
   /** Resolve a dirty probe batch against the SERVED catalog index:
@@ -264,8 +362,14 @@ object FuzzyLinkIndex {
         s"fuzzy-link index at $path has no published version — run refreshLinkIndex"))
     val pSrc = Checkpoints.pin(probe.select(col(idCol), col(strCol)))
     FuzzyJoin.requireUniqueIds(pSrc, idCol, "probe")
+    val fs = new org.apache.hadoop.fs.Path(res)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rank the probe under the served SELECTION order (the epoch the
+    // catalog's prefixes were chosen under), never the raw folded
+    // frequencies — the one-shared-order requirement of the prefix
+    // lemma, made explicit by the r19 epoch split
     FuzzyJoin.probeLookup(pSrc,
-      spark.read.parquet(s"$res/dfreq"),
+      servedOrder(spark, fs, res),
       spark.read.parquet(s"$res/prefix"),
       spark.read.parquet(s"$res/short"),
       idCol, strCol, k, q)

@@ -278,14 +278,43 @@ object GraphArtifact {
     (s"s${fp.replace('-', 'n')}", r.getLong(0), r.getLong(2))
   }
 
+  /** The next monotonic publish stamp across ALL of this artifact's
+    * PPR memos — max stored `pub_seq` + 1 (legacy memos without one
+    * count as 0). Retention ranks on this instead of filesystem
+    * mtimes (r18 advice: coarse-granularity or copy-preserved mtimes
+    * tie, and a tie-break by name can evict the most-recently
+    * refreshed kernel). Single-writer maintenance, like every
+    * refresh, so the read-max-increment cannot race itself; the scan
+    * is memo-population-sized (bounded by [[prunePprMemos]]), beside
+    * a full PPR sweep. */
+  private def nextPubSeq(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, pprRoot: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(pprRoot)) return 1L
+    val seqs = fs.listStatus(pprRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
+      .flatMap { m =>
+        scala.util.Try {
+          val res = graft.sources.VersionedRoot
+            .resolve(spark, m.getPath.toString, "PPR memo").get
+          graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
+        }.toOption
+      }
+    (if (seqs.isEmpty) 0L else seqs.max) + 1L
+  }
+
   /** Sweep PPR for `seeds` over the standing edge state into a fresh
     * version under the seed set's own root and swap its pointer.
     * Returns the published version name. `part_rows` in the version
-    * meta is the growth baseline, exactly as in [[refreshRanks]]. */
+    * meta is the growth baseline, exactly as in [[refreshRanks]];
+    * `pub_seq` is the artifact-wide monotonic publish stamp retention
+    * ranks on. */
   def refreshPpr(spark: SparkSession, path: String, seeds: DataFrame): String = {
     val meta = graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     recoverEdgeBatches(spark, path)
     val (key, seedN, seedAlt) = seedSignature(seeds)
+    val pprRoot = new org.apache.hadoop.fs.Path(s"$path/ppr")
+    val fs = pprRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pubSeq = nextPubSeq(spark, fs, pprRoot)
     val root = s"$path/ppr/$key"
     val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
     val newName = graft.sources.VersionedRoot.nextVersion(spark, root)
@@ -296,7 +325,7 @@ object GraphArtifact {
       .write.mode("overwrite").parquet(s"$root/$newName/ranks")
     graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
       Seq("iters" -> meta("iters"), "scale" -> meta("scale"),
-        "part_rows" -> partRows,
+        "part_rows" -> partRows, "pub_seq" -> pubSeq,
         "seed_n" -> seedN, "seed_alt" -> seedAlt))
     graft.sources.VersionedRoot.publish(spark, root, newName, served)
     newName
@@ -316,15 +345,28 @@ object GraphArtifact {
     if (Profile.committedPartDirs(spark, path).isEmpty) return None
     val cur = committedEdges(spark, path).count()
     if (cur == 0L) return None
-    val root = s"$path/ppr/${seedKey(seeds)}"
+    val (key, seedN, seedAlt) = seedSignature(seeds)
+    val root = s"$path/ppr/$key"
     val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
     val stale = served match {
       case None => true
       case Some(r) =>
-        val sweptRows = graft.sources.IndexMeta
+        val vmeta = graft.sources.IndexMeta
           .read(spark, s"$r/meta.json", "PPR memo version")
-          .getOrElse("part_rows", 0L)
-        graft.sources.VersionedRoot.grewPast(cur, sweptRows, growthPct)
+        // legacy-identity backfill (r18 verdict #2): a memo published
+        // before the identity fields existed skips readPpr's collision
+        // refusal until its next refresh — stamp the probe's identity
+        // into a SIDECAR on this touch instead (never the version
+        // meta: it's the completeness marker, and an in-place rewrite
+        // would put a crash window on it). The backfill trusts the
+        // dirname fingerprint once — the same trust every pre-r18
+        // read made — and from then on the memo refuses mismatches.
+        if (!vmeta.contains("seed_n") &&
+            !graft.sources.IndexMeta.exists(spark, s"$r/seed_id.json"))
+          graft.sources.IndexMeta.write(spark, s"$r/seed_id.json",
+            Seq("seed_n" -> seedN, "seed_alt" -> seedAlt))
+        graft.sources.VersionedRoot.grewPast(cur,
+          vmeta.getOrElse("part_rows", 0L), growthPct)
     }
     if (stale) Some(refreshPpr(spark, path, seeds)) else None
   }
@@ -335,9 +377,13 @@ object GraphArtifact {
     * read as "no proximity" — the one answer a curation loop must
     * never get from a missing memo), and loud when the resolved
     * memo's stored seed identity disagrees with the probe's
-    * ([[seedIdentity]] — a dirname-fingerprint collision serves the
-    * WRONG kernel's ranks otherwise; pre-r18 memos without the
-    * identity fields are accepted as-is). */
+    * (a dirname-fingerprint collision serves the WRONG kernel's ranks
+    * otherwise). The identity lives in the version meta (r18+
+    * refreshes) or the `seed_id.json` sidecar a [[maybeRefreshPpr]]
+    * touch backfills onto legacy memos (r18 verdict #2); a memo that
+    * has neither — legacy and never ticked since — is accepted as-is
+    * for one more read, and an unparseable sidecar (crash mid-
+    * backfill) reads as absent until the next tick rewrites it. */
   def readPpr(spark: SparkSession, path: String, seeds: DataFrame): DataFrame = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", "rank artifact")
     val (key, seedN, seedAlt) = seedSignature(seeds) // one agg: key + identity
@@ -346,10 +392,14 @@ object GraphArtifact {
       .getOrElse(sys.error(
         s"rank artifact at $path has no published PPR for this seed set — run refreshPpr"))
     val vmeta = graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")
-    if (vmeta.contains("seed_n")) {
-      require(vmeta("seed_n") == seedN && vmeta.getOrElse("seed_alt", 0L) == seedAlt,
+    val stored =
+      if (vmeta.contains("seed_n")) Some(vmeta)
+      else scala.util.Try(graft.sources.IndexMeta
+        .read(spark, s"$res/seed_id.json", "PPR memo seed identity")).toOption
+    stored.filter(_.contains("seed_n")).foreach { m =>
+      require(m("seed_n") == seedN && m.getOrElse("seed_alt", 0L) == seedAlt,
         s"PPR memo at $root does not match this seed set " +
-          s"(stored identity ${vmeta("seed_n")}/${vmeta.getOrElse("seed_alt", 0L)}, " +
+          s"(stored identity ${m("seed_n")}/${m.getOrElse("seed_alt", 0L)}, " +
           s"probe $seedN/$seedAlt) — a seed-fingerprint collision or a " +
           "tampered memo; refusing to serve another kernel's ranks")
     }
@@ -371,9 +421,10 @@ object GraphArtifact {
     * memo are GC'd, but memo ROOTS accumulated one per distinct seed
     * set forever — a service probing many ad-hoc kernels leaks
     * storage). Keeps the `maxMemos` most-recently-REFRESHED memos
-    * (publication time = the `CURRENT` pointer's mtime — serving
-    * reads leave no trace by design, so refresh recency is the
-    * retention signal) and deletes the rest. An evicted kernel is
+    * (refresh recency = the served version's monotonic `pub_seq`
+    * stamp, falling back to the `CURRENT` pointer's mtime for
+    * pre-stamp memos — serving reads leave no trace by design, so
+    * refresh recency is the retention signal) and deletes the rest. An evicted kernel is
     * LOUD to [[readPpr]] and re-derives fully on its next
     * [[maybeRefreshPpr]] — eviction can cost a re-sweep, never a
     * wrong answer. Single-writer maintenance entry, paced like every
@@ -389,12 +440,26 @@ object GraphArtifact {
     val memos = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
     if (memos.length <= maxMemos) return Seq.empty
+    // refresh recency = the served version's monotonic `pub_seq`
+    // stamp (r18 advice: CURRENT-pointer mtimes tie under coarse
+    // filesystem timestamp granularity, and the name tie-break could
+    // evict the most-recently refreshed kernel). Era-first ordering:
+    // never-published debris evicts before legacy pre-stamp memos,
+    // which evict before any stamped memo — within an era the old
+    // (mtime, name) order still applies, so legacy behavior is
+    // unchanged until memos carry stamps.
     val stamped = memos.map { m =>
       val cur = new org.apache.hadoop.fs.Path(m.getPath, "CURRENT")
+      val seq = scala.util.Try {
+        val res = graft.sources.VersionedRoot
+          .resolve(spark, m.getPath.toString, "PPR memo").get
+        graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
+      }.toOption
+      val era = if (seq.nonEmpty) 2 else if (fs.exists(cur)) 1 else 0
       val t = if (fs.exists(cur)) fs.getFileStatus(cur).getModificationTime
         else m.getModificationTime // never-published debris: oldest bucket
-      (m.getPath, t)
-    }.sortBy { case (p, t) => (t, p.getName) } // total order: mtime ties break by name
+      (m.getPath, (era, seq.getOrElse(t)))
+    }.sortBy { case (p, k) => (k, p.getName) } // total order: ties break by name
     val evicted = stamped.dropRight(maxMemos)
     evicted.foreach { case (p, _) => fs.delete(p, true) }
     evicted.map(_._1.getName).toSeq

@@ -112,20 +112,27 @@ object Profile {
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      tieCol: String, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    def medianOf(in: DataFrame, vCol: String, outName: String): DataFrame = {
+    // pin the caller's frame ONCE — both rank passes, the deviation
+    // join and the output derive from it (r18 verdict #8: each
+    // medianOf pinned its input separately, so the caller's lineage
+    // materialized twice and the second pin re-copied the first)
+    val src = Checkpoints.pin(df)
+    def medianOf(in: DataFrame, vCol: String, outName: String,
+                 pinned: Boolean): DataFrame = {
       // lower and upper middle ranks: equal when n is odd; the exact
       // median is their midpoint (x + y) / 2 — one add, one halving,
       // identical in any IEEE engine
-      val ranked = Sampling.withExactRankScaled(in, groupCol, vCol, tieCol)
+      val ranked = Sampling.withExactRankScaled(in, groupCol, vCol, tieCol,
+        pinned = pinned)
       ranked.groupBy(groupCol).agg(
         ((min(when(col("__rn") === ceil(col("__n") / lit(2.0)), col(vCol)))
           + min(when(col("__rn") === floor(col("__n") / lit(2.0)) + lit(1), col(vCol))))
           / lit(2.0)).as(outName))
     }
-    val med = medianOf(df, valueCol, "med")
-    val withMed = df.join(broadcast(med), groupCol)
+    val med = medianOf(src, valueCol, "med", pinned = true)
+    val withMed = src.join(broadcast(med), groupCol)
       .withColumn("__absdev", abs(col(valueCol) - col("med")))
-    val mad = medianOf(withMed, "__absdev", "mad")
+    val mad = medianOf(withMed, "__absdev", "mad", pinned = false)
     withMed.join(broadcast(mad), groupCol)
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
@@ -150,12 +157,17 @@ object Profile {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 tieCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 < pLo && pLo < pHi && pHi <= 1, s"bad percentile bounds ($pLo, $pHi)")
-    val bounds = Sampling.withExactRankScaled(df, groupCol, valueCol, tieCol)
+    // one pin serves the rank pass AND the output join (r18 verdict
+    // #8: the rank core pinned internally while the output re-derived
+    // the caller's lineage from scratch)
+    val src = Checkpoints.pin(df)
+    val bounds = Sampling.withExactRankScaled(src, groupCol, valueCol, tieCol,
+        pinned = true)
       .groupBy(groupCol)
       .agg(
         min(when(col("__rn") === ceil(lit(pLo) * col("__n")), col(valueCol))).as("p_lo"),
         min(when(col("__rn") === ceil(lit(pHi) * col("__n")), col(valueCol))).as("p_hi"))
-    df.join(broadcast(bounds), groupCol)
+    src.join(broadcast(bounds), groupCol)
       .withColumn("clipped", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
   }
 
@@ -555,6 +567,41 @@ object Profile {
     }.toMap
   }
 
+  /** Is this line set a crash-cut tmp shape — unterminated, or a
+    * terminator whose own digits were truncated? Only meaningful for
+    * a `.tmp` source (the published ledger is a rename of a closed
+    * tmp and can never truncate). */
+  private def isCrashCutTmp(lines: List[String]): Boolean =
+    lines.lastOption match {
+      case None => false
+      case Some(LedgerEnd(n)) => n.toLong < lines.length - 1
+      case Some(_) => true
+    }
+
+  /** Assert the invariant the crash-tail heal CONSUMES (r18 advice):
+    * a no-ledger crash-cut tmp can only be the FIRST-EVER merge (any
+    * later crash-mid-tmp leaves the published ledger intact, and the
+    * delete→rename window leaves a COMPLETE tmp), so every entry it
+    * records — including a trailing line whose truncated fingerprint
+    * still parses ('123x45' cut to '123x4') — references a source dir
+    * that still exists, and [[finishMerge]]'s upsert re-tombstones it
+    * from the dir's own `_fp`, overwriting any mis-recorded value.
+    * This check makes that write-ordering assumption LOUD where it is
+    * relied on: if a future reordering ever deleted source dirs
+    * before the ledger publish, the silent adoption would otherwise
+    * become a permanent 'DIFFERENT contribution' crash-loop on
+    * correct replays. */
+  private def requireCrashTailDirsExist(fs: org.apache.hadoop.fs.FileSystem,
+      parts: org.apache.hadoop.fs.Path, entries: Map[String, String],
+      src: org.apache.hadoop.fs.Path): Unit =
+    entries.keys.foreach { name =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(parts, name)),
+        s"crash-cut tombstone tmp $src records batch '$name' whose source dir " +
+          "is gone — a first-merge crash always leaves its sources (deletion " +
+          "is strictly after ledger publish), so this is corruption or a " +
+          "write-ordering change; refusing to adopt a possibly-truncated entry")
+    }
+
   private def readTombstones(fs: org.apache.hadoop.fs.FileSystem,
       parts: org.apache.hadoop.fs.Path): Map[String, String] = {
     val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
@@ -568,8 +615,11 @@ object Profile {
     else {
       val in = fs.open(src)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      parseLedgerLines(lines.filter(_.nonEmpty), src)
+        .getLines().toList.filter(_.nonEmpty) finally in.close()
+      val entries = parseLedgerLines(lines, src)
+      if (src.getName.endsWith(".tmp") && isCrashCutTmp(lines))
+        requireCrashTailDirsExist(fs, parts, entries, src)
+      entries
     }
   }
 
@@ -643,12 +693,11 @@ object Profile {
     // entries through the normal tmp→rename writer.
     val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
     val ledgerTmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
-    if (!fs.exists(ledger) && fs.exists(ledgerTmp)) {
-      val in = fs.open(ledgerTmp)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      writeTombstones(fs, parts, parseLedgerLines(lines.filter(_.nonEmpty), ledgerTmp))
-    }
+    if (!fs.exists(ledger) && fs.exists(ledgerTmp))
+      // same parse + crash-shape guards as every read (a crash-cut
+      // tmp's entries must all reference still-present dirs before
+      // they are laundered into a published ledger — r18 advice)
+      writeTombstones(fs, parts, readTombstones(fs, parts))
     val p = java.util.regex.Pattern.quote(prefix)
     val names = fs.listStatus(parts).map(_.getPath.getName)
     // pending merges first: their __staged must not be mistaken for

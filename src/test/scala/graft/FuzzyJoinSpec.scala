@@ -205,7 +205,12 @@ class FuzzyJoinSpec extends SparkSpec {
     FuzzyLinkIndex.ingestCatalogBatch(
       cDf.filter($"id" % 3 === 1 || $"id" <= 30), pathA, 1L)
     FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 3 === 2), pathA, 2L)
-    FuzzyLinkIndex.refreshLinkIndex(spark, pathA)
+    // bound 0: any rank drift re-ranks, so the incremental refresh
+    // derives the same selection a from-scratch one would — the
+    // five-tier equality this test pins (the epoch-PINNED path has
+    // its own test below; its prefixes differ from from-scratch by
+    // design while the OUTPUT stays equal)
+    FuzzyLinkIndex.refreshLinkIndex(spark, pathA, orderStaleBound = 0.0)
     // B: identical union, ONE from-scratch refresh
     val pathB = tmpRoot("graft-fuzzylink-scratch")
     FuzzyLinkIndex.initLinkIndex(spark, pathB, k = 2)
@@ -226,6 +231,66 @@ class FuzzyJoinSpec extends SparkSpec {
     val rec = FuzzyJoin.editDistanceLookup(probe, cDf, "id", "s", k = 2)
       .as[(Long, Long, Int)].collect().toSet
     assert(inc === rec)
+  }
+
+  test("epoch-pinned refresh: selection reuse under a deliberately stale order stays complete (r19)") {
+    import graft.operators.FuzzyLinkIndex
+    val rnd = new scala.util.Random(47)
+    val alphabet = "abcd "
+    val catalog = (0 until 140).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val cDf = catalog.toDF("id", "s")
+    val path = tmpRoot("graft-fuzzylink-epoch")
+    FuzzyLinkIndex.initLinkIndex(spark, path, k = 2)
+    // v_1: a QUARTER of the catalog — its frequency order is badly
+    // stale for the full catalog, the worst case the epoch pin rides
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 4 === 0), path, 0L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, path)
+    def served(): String =
+      graft.sources.VersionedRoot.resolve(spark, s"$path/index", "test").get
+    def tbl(res: String, name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$res/$name").collect().map(_.toSeq).toSet
+    val v1 = served()
+    val (v1Order, v1Prefix) = (tbl(v1, "order"), tbl(v1, "prefix"))
+    // v_2: the rest lands, bound 1.0 pins v_1's epoch — never re-rank
+    FuzzyLinkIndex.ingestCatalogBatch(cDf.filter($"id" % 4 =!= 0), path, 1L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, path, orderStaleBound = 1.0)
+    val v2 = served()
+    assert(tbl(v2, "order") === v1Order,
+      "the epoch path must carry the served selection order verbatim")
+    assert(graft.sources.IndexMeta.read(spark, s"$v2/meta.json", "t")("order_epoch") === 1L)
+    assert(v1Prefix.subsetOf(tbl(v2, "prefix")),
+      "old strings' selections must be reused verbatim, never re-ranked")
+    // dfreq is still the TRUE fold (staleness is measured against it)
+    assert(tbl(v2, "dfreq") !== v1Order,
+      "the true frequencies must keep folding while the epoch rides")
+    // completeness under the stale epoch: the indexed lookup still
+    // finds exactly the true pairs (candidates can only widen; the
+    // exact levenshtein verify decides every pair)
+    val probe = ((0 until 30).map { i =>
+      val base = catalog(rnd.nextInt(catalog.length))._2
+      (3000L + i, if (base.isEmpty) "zz" else base.updated(0, 'x'))
+    } :+ (4000L, "")).toDF("id", "s")
+    val indexed = FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      a <- probe.as[(Long, String)].collect(); b <- catalog
+      d = lev(a._2, b._2) if d <= 2
+    } yield (a._1, b._1, d)).toSet
+    assert(indexed === brute, "a pinned stale epoch must never lose a true pair")
+    // past the bound the epoch re-ranks: a third refresh at bound 0
+    // starts a fresh epoch whose order IS the folded frequencies
+    FuzzyLinkIndex.ingestCatalogBatch(
+      Seq((9000L, "xqzv xqzv")).toDF("id", "s"), path, 2L)
+    FuzzyLinkIndex.refreshLinkIndex(spark, path, orderStaleBound = 0.0)
+    val v3 = served()
+    assert(graft.sources.IndexMeta.read(spark, s"$v3/meta.json", "t")("order_epoch") === 3L)
+    assert(tbl(v3, "order") === tbl(v3, "dfreq"),
+      "a re-rank epoch's selection order is the true frequency order")
+    assert(FuzzyLinkIndex.editDistanceLookupIndexed(probe, path, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet === brute)
   }
 
   test("catalog batch merge-compaction: lookup unchanged, merged-away replay still no-ops") {

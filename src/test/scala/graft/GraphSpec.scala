@@ -463,10 +463,10 @@ class GraphSpec extends SparkSpec {
     GraphArtifact.initRankArtifact(spark, path, iters = 3)
     GraphArtifact.ingestEdgeBatch(artEdges.toDF("src", "dst"), path, 0L)
     val kernels = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L)).map(_.toDF("node"))
-    kernels.foreach { k =>
-      GraphArtifact.maybeRefreshPpr(spark, path, k)
-      Thread.sleep(15) // distinct CURRENT mtimes: deterministic eviction order
-    }
+    // no mtime sleep needed: eviction ranks on the monotonic pub_seq
+    // stamp (r18 advice — coarse mtime granularity ties broke by name
+    // and could evict the most-recently refreshed kernel)
+    kernels.foreach(k => GraphArtifact.maybeRefreshPpr(spark, path, k))
     val full = kernels.map(k =>
       GraphArtifact.readPpr(spark, path, k).as[(Long, Long)].collect().toMap)
     // prune to 2: the FIRST-refreshed kernel is evicted, the others intact
@@ -501,6 +501,44 @@ class GraphSpec extends SparkSpec {
       catch { case e: Exception => e.getMessage.contains("does not match this seed set") }
     }
     assert(survivor.nonEmpty, "tampered identity must be loud for its kernel")
+    rmTree(path)
+  }
+
+  test("PPR memo: legacy identity backfill on tick, then loud on mismatch") {
+    val path = tmpArt()
+    GraphArtifact.initRankArtifact(spark, path, iters = 3)
+    GraphArtifact.ingestEdgeBatch(artEdges.toDF("src", "dst"), path, 0L)
+    val seeds = Seq(0L, 1L).toDF("node")
+    GraphArtifact.maybeRefreshPpr(spark, path, seeds)
+    val ranks = GraphArtifact.readPpr(spark, path, seeds)
+      .as[(Long, Long)].collect().toMap
+    // forge a pre-r18 memo: strip identity and stamp from the version
+    // meta (legacy vintages had neither, and no sidecar)
+    val memoRoot = s"$path/ppr/" + new java.io.File(s"$path/ppr").list()
+      .filter(_.startsWith("s")).head
+    val res = graft.sources.VersionedRoot.resolve(spark, memoRoot, "t").get
+    val vm = graft.sources.IndexMeta.read(spark, s"$res/meta.json", "t")
+    graft.sources.IndexMeta.write(spark, s"$res/meta.json",
+      (vm - "seed_n" - "seed_alt" - "pub_seq").toSeq)
+    // legacy acceptance: the read still serves (identity unknowable)
+    assert(GraphArtifact.readPpr(spark, path, seeds)
+      .as[(Long, Long)].collect().toMap === ranks)
+    // one tick backfills the identity sidecar without refreshing
+    assert(GraphArtifact.maybeRefreshPpr(spark, path, seeds) === None)
+    assert(graft.sources.IndexMeta.exists(spark, s"$res/seed_id.json"),
+      "a maybeRefreshPpr touch must backfill the legacy memo's identity")
+    assert(GraphArtifact.readPpr(spark, path, seeds)
+      .as[(Long, Long)].collect().toMap === ranks,
+      "the backfilled identity must verify for the true seed set")
+    // a mismatched probe (tampered sidecar stands in for a dirname
+    // collision) is now loud — the r18 gap: before the backfill, a
+    // legacy memo skipped this refusal forever
+    val sid = graft.sources.IndexMeta.read(spark, s"$res/seed_id.json", "t")
+    graft.sources.IndexMeta.write(spark, s"$res/seed_id.json",
+      (sid + ("seed_alt" -> (sid("seed_alt") + 1L))).toSeq)
+    assert(intercept[IllegalArgumentException] {
+      GraphArtifact.readPpr(spark, path, seeds)
+    }.getMessage.contains("does not match this seed set"))
     rmTree(path)
   }
 

@@ -100,6 +100,53 @@ class MlSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("model artifact drift triggers: PSI covariate shift and in-place change inside the growth window") {
+    import graft.ml.ModelArtifact
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-mldrift").toString
+    ModelArtifact.init(spark, path)
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      val n = feats.count()
+      // fit on a deterministic ~97% vintage so the full frame sits
+      // INSIDE the growth window (sub-bound growth, cur > train_rows)
+      val base = feats.filter(pmod(xxhash64(col("user_id"), col("d")), lit(100)) >= 3)
+      val nBase = base.count()
+      assert(nBase > 0 && nBase < n, "fixture needs a real sub-bound split")
+      assert(n * 100 < nBase * 110, "growth must stay under the 10% bound")
+      ModelArtifact.refresh(spark, path, base)
+      // sub-bound growth, same distribution: every rule silent
+      assert(ModelArtifact.maybeRefresh(spark, path, feats).isEmpty,
+        "sub-bound same-distribution growth must ride")
+      // rule 4 (PSI): sub-bound growth + covariate shift. Growth is
+      // under the bound, cur > train_rows silences the fingerprint
+      // rule, and the count differs from the last tick's — ONLY the
+      // histogram witness can see the moved data.
+      val shifted = feats
+        .filter(pmod(xxhash64(col("user_id"), col("d")), lit(100)) >= 1)
+        .withColumn("close", col("close") * 10)
+      val nShift = shifted.count()
+      assert(nShift > nBase && nShift < n, "PSI fixture must sit mid-window at a fresh count")
+      assert(ModelArtifact.maybeRefresh(spark, path, shifted).nonEmpty,
+        "a planted covariate shift at sub-bound growth must refit (PSI)")
+      assert(ModelArtifact.servedVersionMeta(spark, path)("train_rows") === nShift)
+      // grow sub-bound again on the SAME distribution: rides (and the
+      // tick records this frame's identity)
+      val grown = feats.withColumn("close", col("close") * 10)
+      assert(ModelArtifact.maybeRefresh(spark, path, grown).isEmpty,
+        "sub-bound growth after the PSI refit must ride")
+      // rule 3 (last-tick identity): an in-place correction at the
+      // SAME row count as the previous tick, still inside the growth
+      // window, with a distribution shift far under the PSI bound —
+      // the r18-advice failure shape (unbounded in time before)
+      val corrected = grown.withColumn("vol", col("vol") + 0.001)
+      assert(ModelArtifact.maybeRefresh(spark, path, corrected).nonEmpty,
+        "an in-place change mid-growth-window must refit (tick identity)")
+      assert(ModelArtifact.maybeRefresh(spark, path, corrected).isEmpty,
+        "the corrected frame is now the fitted one: fresh")
+    } finally feats.unpersist()
+  }
+
   test("saved models reload and score identically to the in-memory fit") {
     val feats = PricePredictor.features(spark, dir).cache()
     try {

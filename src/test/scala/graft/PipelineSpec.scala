@@ -43,6 +43,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("runDay: one-day incremental replay converges to the full-replay lake and serves the standing model") {
+    val fullRoot = Files.createTempDirectory("graft-lakeF").toString
+    val dayRoot = Files.createTempDirectory("graft-lakeD").toString
+    val day = Tables.events(spark, sfDir).agg(max(col("event_date"))).head().getDate(0)
+    val full = Pipeline.run(spark, sfDir, fullRoot)
+    // standing lake: everything BEFORE the last day
+    val inc = Pipeline.run(spark, sfDir, dayRoot, before = Some(day))
+    val fitRows = graft.ml.ModelArtifact.servedVersionMeta(spark, inc.models)("train_rows")
+    // replay exactly the last day against standing state
+    Pipeline.runDay(spark, sfDir, dayRoot, day)
+    def rows(p: String): Array[Seq[Any]] = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.mkString("|"))
+    }
+    // the deterministic tables converge EXACTLY (the q_e1_day oracle
+    // pins patterns against DuckDB; this pins the other two)
+    for ((f, i) <- Seq(full.history -> inc.history,
+        full.patterns -> inc.patterns, full.analysis -> inc.analysis)) {
+      val (a, b) = (rows(f), rows(i))
+      assert(a.length === b.length, s"$i row count diverged from full replay")
+      assert(a.sameElements(b), s"$i diverged from the full replay")
+    }
+    // predictions: the day's sub-bound feature growth must NOT refit —
+    // the artifact still serves the standup fit (staleness witness)...
+    val feats = graft.ml.PricePredictor.featuresOf(
+      spark.read.parquet(inc.history).drop("prev_close")).cache()
+    try {
+      val nFull = feats.count()
+      assert(graft.ml.ModelArtifact.servedVersionMeta(spark, inc.models)("train_rows") === fitRows)
+      assert(fitRows < nFull, "the served fit must be the documented one-bound-behind vintage")
+      // ...and the stale-serving VALUES are pinned, not assumed (r18
+      // advice): every prediction row equals the standing model scoring
+      // the full feature frame — keys match the full replay, values
+      // come from the one-day-stale fit
+      val expected = graft.ml.ModelArtifact.scoreServed(feats, inc.models)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val got = rows(inc.predictions)
+      val gotInExpectedOrder = {
+        val df = spark.read.parquet(inc.predictions)
+        df.select("user_id", "d", "previous_close", "predicted_close").collect()
+          .map(_.toSeq).sortBy(_.mkString("|"))
+      }
+      assert(gotInExpectedOrder.length === expected.length)
+      assert(gotInExpectedOrder.sameElements(expected),
+        "incremental predictions must be exactly the standing model's scores")
+      assert(got.length === rows(full.predictions).length,
+        "prediction keys must match the full replay")
+    } finally feats.unpersist()
+  }
+
   test("patterns only contain the four defined categories") {
     val lakeRoot = Files.createTempDirectory("graft-lake2").toString
     val lake = Pipeline.run(spark, sfDir, lakeRoot)

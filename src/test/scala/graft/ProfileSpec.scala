@@ -464,27 +464,30 @@ class ProfileSpec extends SparkSpec {
     // the r18 review's brick: 12 entries + '#end 12' crashed to
     // '#end 1' — a VALID terminator line whose count mismatches; the
     // heal must recognize the tmp-only truncated-terminator shape
-    // (data lines all complete) instead of refusing forever
+    // (data lines all complete) instead of refusing forever. Modeled
+    // at the REACHABLE crash point (r18 advice): the FIRST merge
+    // crashed mid-tmp-write, so there is no published ledger and
+    // every recorded source dir is still on disk — the write-ordering
+    // invariant the heal now asserts loudly instead of assuming.
     val root = java.nio.file.Files.createTempDirectory("graft-ledgerterm").toString
     val rows = (0L until 240L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
     Profile.initAggArtifact(spark, root, "g", "v")
     (0 until 12).foreach { m =>
       Profile.aggIngestBatch(rows.filter($"v" % 12 === m), "g", "v", root, m.toLong)
     }
-    Profile.mergeArtifactParts(spark, root, maxDirs = 1)
     val before = Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet
     val parts = new org.apache.hadoop.fs.Path(s"$root/parts")
     val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
-    val in = fs.open(ledger)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
-    assert(lines.last === "#end 12")
+    def fpOf(b: Int): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(parts, s"b=$b/_fp"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
     val out = fs.create(tmp, true)
-    out.write((lines.dropRight(1).mkString("\n") + "\n#end 1").getBytes("UTF-8"))
+    out.write(((0 until 12).map(m => s"b=$m ${fpOf(m)}").mkString("\n") +
+      "\n#end 1").getBytes("UTF-8"))
     out.close()
-    fs.delete(ledger, false)
     Profile.compactArtifactParts(spark, root) // single-writer entry: heals
     assert(Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet === before)
     // every complete entry survived: replay no-ops, different payload loud
@@ -493,7 +496,11 @@ class ProfileSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Profile.aggIngestBatch(rows.filter($"v" % 12 === 7), "g", "v", root, 5L)
     }.getMessage.contains("DIFFERENT contribution"))
+    // a real merge retires the dirs through the healed ledger cleanly
+    Profile.mergeArtifactParts(spark, root, maxDirs = 1)
+    assert(Profile.readAggArtifact(spark, root).collect().map(_.toSeq).toSet === before)
     // the PUBLISHED ledger can never truncate: the same shape there is loud
+    val ledger = new org.apache.hadoop.fs.Path(parts, "_tombstones")
     val in2 = fs.open(ledger)
     val healed = try scala.io.Source.fromInputStream(in2, "UTF-8").getLines().toList
     finally in2.close()
@@ -503,6 +510,27 @@ class ProfileSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Profile.aggIngestBatch(rows.filter($"v" % 12 === 7), "g", "v", root, 99L)
     }.getMessage.contains("refusing to guess at corruption"))
+  }
+
+  test("tombstone ledger heal: a crash-cut tmp naming a MISSING dir refuses loudly") {
+    // the r18-advice guard itself: a no-ledger crash-cut tmp can only
+    // be the first-ever merge, whose source dirs all still exist — an
+    // entry naming a missing dir means corruption or a write-ordering
+    // change, and adopting its possibly-truncated fingerprint would
+    // crash-loop correct replays later
+    val root = java.nio.file.Files.createTempDirectory("graft-ledgermiss").toString
+    val rows = (0L until 60L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    Profile.initAggArtifact(spark, root, "g", "v")
+    Profile.aggIngestBatch(rows, "g", "v", root, 0L)
+    val parts = new org.apache.hadoop.fs.Path(s"$root/parts")
+    val fs = parts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(parts, "_tombstones.tmp")
+    val out = fs.create(tmp, true)
+    out.write("b=99 123x456".getBytes("UTF-8")) // unterminated = crash shape
+    out.close()
+    assert(intercept[IllegalArgumentException] {
+      Profile.compactArtifactParts(spark, root)
+    }.getMessage.contains("refusing to adopt a possibly-truncated entry"))
   }
 
   test("artifact guards: re-init dim mismatch, batch-key collision, orphan parts all fail loudly") {
