@@ -68,7 +68,13 @@ object Queries {
     e1CleanupHook
     e1Lakes.computeIfAbsent(s"e1day:$dir", { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft-e1day").toString
+      // the standup is a bounded Pipeline.run — restore the full-replay
+      // stage telemetry afterwards so the bench's `e1_stages` can never
+      // be this fixture's standup mislabeled as q_e1_pipeline's run
+      // (r19 review)
+      val saved = graft.jobs.Pipeline.lastStageSeconds
       graft.jobs.Pipeline.run(s, dir, root, before = Some(e1LastDay(s, dir)))
+      graft.jobs.Pipeline.lastStageSeconds = saved
       root
     })
   }

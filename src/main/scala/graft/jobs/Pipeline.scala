@@ -32,12 +32,18 @@ import org.apache.spark.sql.functions._
   *    per day). Each stage derives ONLY the day's rows (event scans
   *    partition-pruned to the day, pattern windows to a bounded
   *    lookback slice) and each merge rewrites ONE date partition;
-  *    the predict stage ticks the model artifact (one aggregation)
-  *    and scores only the feature fringe the new day created unless
-  *    the artifact actually refit. At 100 TB this is the difference
-  *    between a daily cost proportional to the table and one
-  *    proportional to the day (q_e1_day oracle-pins that the
-  *    incremental lake state is hash-identical to a full replay).
+  *    the predict stage ticks the model artifact and scores only the
+  *    feature fringe the new day created unless the artifact
+  *    actually refit. Honest cost split at 100 TB (r19 review): the
+  *    three merge stages and every scan are day/lookback-
+  *    proportional, while the predict stage still pays ONE window +
+  *    ONE aggregation pass over standing history — the model
+  *    artifact's documented tick contract (the full-frame identity
+  *    and PSI witnesses are what make the refit decision sound); a
+  *    deployment that must shed even that pass maintains the feature
+  *    frame incrementally and ticks that table instead. q_e1_day
+  *    oracle-pins that the incremental lake state is hash-identical
+  *    to a full replay.
   */
 object Pipeline {
 
@@ -50,12 +56,20 @@ object Pipeline {
   }
 
   /** Trading-calendar lookback (calendar days) that bounds every
-    * day-scoped history read: windows need at most 19 preceding
-    * TRADING rows per symbol (the MA-20), and a symbol idle longer
-    * than this re-enters as a fresh series — the documented
-    * day-path assumption that buys partition-pruned scans instead of
-    * full-history reads. Generous: ~6 trading weeks per window row. */
-  val DayLookback = 120
+    * day-scoped history read. The windows need at most 19 preceding
+    * TRADING rows per symbol (the MA-20), so the day path is exact
+    * for any symbol with ≥ 20 trading rows inside the lookback — at
+    * 365 days that covers down to roughly fortnightly traders (20
+    * rows × 14 days = 280 < 365), not just the dense calendar (the
+    * first cut said "120 ≈ 6 trading weeks per row"; the real
+    * arithmetic is 6 CALENDAR days per row, which a weekly trader
+    * already breaks — r19 review). A symbol SPARSER than that — or
+    * idle past the whole bound — re-enters as a fresh series: its
+    * day-path MA may average fewer rows than a full replay's, the
+    * documented divergence the bound trades for partition-pruned
+    * scans instead of full-history reads. Callers with stranger
+    * calendars pass their own bound to [[runDay]]. */
+  val DayLookback = 365
 
   /** Stage 2 — merge the day's series into history (U1 DO-UPDATE).
     * `before` (exclusive) bounds the source scan — the standup shape
@@ -77,7 +91,8 @@ object Pipeline {
     * are a dimension), never a full-history window. The merge
     * rewrites exactly one date partition. */
   def mergeHistoryDay(spark: SparkSession, sfDir: String, lake: LakePaths,
-                      day: java.sql.Date): Unit = {
+                      day: java.sql.Date,
+                      lookbackDays: Int = DayLookback): Unit = {
     val dayBars = DailySeries(spark, sfDir).filter(col("d") === lit(day))
     val fs = new org.apache.hadoop.fs.Path(lake.history)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,7 +101,7 @@ object Pipeline {
         dayBars.select(col("user_id"), lit(null).cast("double").as("prev_close"))
           .limit(0)
       else spark.read.parquet(lake.history)
-        .filter(col("d") >= date_sub(lit(day), DayLookback) && col("d") < lit(day))
+        .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
         .groupBy("user_id")
         .agg(max_by(col("close"), col("d")).as("prev_close"))
     val updates = dayBars.join(broadcast(prev), Seq("user_id"), "left")
@@ -143,9 +158,10 @@ object Pipeline {
     * output keeps the day's rows only, and the merge rewrites one
     * partition. */
   def detectPatternsDay(spark: SparkSession, lake: LakePaths,
-                        day: java.sql.Date): Unit = {
+                        day: java.sql.Date,
+                        lookbackDays: Int = DayLookback): Unit = {
     val slice = spark.read.parquet(lake.history)
-      .filter(col("d") >= date_sub(lit(day), DayLookback) && col("d") <= lit(day))
+      .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") <= lit(day))
     val dayRows = patternsOf(slice).filter(col("d") === lit(day))
     Sinks.mergeIntoPartitioned(dayRows, lake.patterns, Seq("user_id", "d", "pattern"), "d", doUpdate = false)
   }
@@ -242,7 +258,8 @@ object Pipeline {
     * amortized cost). The no-refit merge touches only the fringe
     * partitions — one on a dense trading calendar. */
   def predictDay(spark: SparkSession, sfDir: String, lake: LakePaths,
-                 day: java.sql.Date): Unit = {
+                 day: java.sql.Date,
+                 lookbackDays: Int = DayLookback): Unit = {
     val hist = spark.read.parquet(lake.history).drop("prev_close")
     val feats = PricePredictor.featuresOf(hist).cache()
     try {
@@ -252,8 +269,12 @@ object Pipeline {
         case Some(_) => feats
         case None =>
           // per-symbol fringe: the last trading day strictly before
-          // `day` — a symbols-sized aggregate, joined broadcast
-          val fringe = hist.filter(col("d") < lit(day))
+          // `day`, inside the same lookback contract as every other
+          // day-scoped scan (partition-pruned; a symbol sparser than
+          // the bound re-enters as a fresh series) — a symbols-sized
+          // aggregate, joined broadcast
+          val fringe = hist
+            .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
             .groupBy("user_id").agg(max(col("d")).as("__fringe_d"))
           feats.join(broadcast(fringe), Seq("user_id"))
             .filter(col("d") >= col("__fringe_d"))
@@ -303,13 +324,14 @@ object Pipeline {
     * state — the production daily-cron shape. Idempotent like [[run]]:
     * re-running a day converges to the same lake. */
   def runDay(spark: SparkSession, sfDir: String, lakeRoot: String,
-             day: java.sql.Date): LakePaths = {
+             day: java.sql.Date,
+             lookbackDays: Int = DayLookback): LakePaths = {
     val lake = LakePaths(lakeRoot)
     lastDayStageSeconds = timedStages(Seq(
-      "merge_history" -> (() => mergeHistoryDay(spark, sfDir, lake, day)),
-      "detect_patterns" -> (() => detectPatternsDay(spark, lake, day)),
+      "merge_history" -> (() => mergeHistoryDay(spark, sfDir, lake, day, lookbackDays)),
+      "detect_patterns" -> (() => detectPatternsDay(spark, lake, day, lookbackDays)),
       "analyze" -> (() => analyzeDay(spark, sfDir, lake, day)),
-      "predict" -> (() => predictDay(spark, sfDir, lake, day))))
+      "predict" -> (() => predictDay(spark, sfDir, lake, day, lookbackDays))))
     lake
   }
 

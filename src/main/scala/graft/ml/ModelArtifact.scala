@@ -299,16 +299,22 @@ object ModelArtifact {
       Seq("last_n" -> n, "last_fp" -> fp))
 
   /** JVM-level memo of loaded model pairs, keyed by the RESOLVED
-    * version dir: a published `v_<n>` is immutable (supersession
-    * publishes a new name behind the CURRENT swap), so a cached load
-    * can never be stale — and a long-lived scoring service must not
-    * pay Spark ML's many-small-parquet-files load on every request
-    * (measured ~1.8 s/replay on q_e1_pipeline's predict stage, the
-    * bulk of its r18 regression). Bounded: cleared wholesale past a
-    * small cap — models are immutable on disk, a re-load is always
-    * correct. */
+    * version dir PLUS the version meta's fit identity (train_rows,
+    * train_fp): a published `v_<n>` is immutable (supersession
+    * publishes a new name behind the CURRENT swap), but the PATH
+    * alone is reusable — an artifact root deleted and re-stood-up in
+    * the same JVM republishes `v_1` at the identical absolute path
+    * (r19 review), and a path-keyed cache would silently serve the
+    * previous artifact's fit. The identity fields ride the key, so a
+    * recreated root misses the cache (its fingerprint differs) at
+    * the cost of one tiny meta read per serve. The cache exists
+    * because a long-lived scoring service must not pay Spark ML's
+    * many-small-parquet-files load on every request (measured
+    * ~1.8 s/replay on q_e1_pipeline's predict stage, the bulk of its
+    * r18 regression). Bounded: cleared wholesale past a small cap —
+    * models are immutable on disk, a re-load is always correct. */
   private val loadedModels =
-    new java.util.concurrent.ConcurrentHashMap[String, (PipelineModel, PipelineModel)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (PipelineModel, PipelineModel)]()
 
   /** The served (primary, residual) pair — a memoized model load of
     * the version `CURRENT` names, no training. Loud when nothing has
@@ -319,8 +325,11 @@ object ModelArtifact {
     val res = graft.sources.VersionedRoot.resolve(spark, modelsRoot(path), What)
       .getOrElse(sys.error(
         s"$What at $path has no published version — run refresh"))
+    val vmeta = graft.sources.IndexMeta.read(spark, s"$res/meta.json", s"$What version")
     if (loadedModels.size > 16) loadedModels.clear()
-    loadedModels.computeIfAbsent(res, r => PricePredictor.loadModels(r))
+    loadedModels.computeIfAbsent(
+      (res, vmeta.getOrElse("train_rows", 0L), vmeta.getOrElse("train_fp", 0L)),
+      _ => PricePredictor.loadModels(res))
   }
 
   /** The served version's meta (feat_version, train_rows) — what a

@@ -287,18 +287,24 @@ object GraphArtifact {
     * refresh, so the read-max-increment cannot race itself; the scan
     * is memo-population-sized (bounded by [[prunePprMemos]]), beside
     * a full PPR sweep. */
+  /** A memo's served version's `pub_seq` stamp — None for legacy
+    * pre-stamp memos, never-published debris, or an unreadable meta.
+    * The ONE definition both the stamp assignment ([[nextPubSeq]])
+    * and retention ranking ([[prunePprMemos]]) resolve through, so
+    * the two can never rank on different stamps (r19 review). */
+  private def pubSeqOf(spark: SparkSession, memoRoot: String): Option[Long] =
+    scala.util.Try {
+      val res = graft.sources.VersionedRoot
+        .resolve(spark, memoRoot, "PPR memo").get
+      graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
+    }.toOption
+
   private def nextPubSeq(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, pprRoot: org.apache.hadoop.fs.Path): Long = {
     if (!fs.exists(pprRoot)) return 1L
     val seqs = fs.listStatus(pprRoot)
       .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
-      .flatMap { m =>
-        scala.util.Try {
-          val res = graft.sources.VersionedRoot
-            .resolve(spark, m.getPath.toString, "PPR memo").get
-          graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
-        }.toOption
-      }
+      .flatMap(m => pubSeqOf(spark, m.getPath.toString))
     (if (seqs.isEmpty) 0L else seqs.max) + 1L
   }
 
@@ -450,11 +456,7 @@ object GraphArtifact {
     // unchanged until memos carry stamps.
     val stamped = memos.map { m =>
       val cur = new org.apache.hadoop.fs.Path(m.getPath, "CURRENT")
-      val seq = scala.util.Try {
-        val res = graft.sources.VersionedRoot
-          .resolve(spark, m.getPath.toString, "PPR memo").get
-        graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
-      }.toOption
+      val seq = pubSeqOf(spark, m.getPath.toString)
       val era = if (seq.nonEmpty) 2 else if (fs.exists(cur)) 1 else 0
       val t = if (fs.exists(cur)) fs.getFileStatus(cur).getModificationTime
         else m.getModificationTime // never-published debris: oldest bucket

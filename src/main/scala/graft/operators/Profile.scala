@@ -130,9 +130,13 @@ object Profile {
           / lit(2.0)).as(outName))
     }
     val med = medianOf(src, valueCol, "med", pinned = true)
-    val withMed = src.join(broadcast(med), groupCol)
-      .withColumn("__absdev", abs(col(valueCol) - col("med")))
-    val mad = medianOf(withMed, "__absdev", "mad", pinned = false)
+    // pinned too: the mad rank pass AND the output join both consume
+    // it (r19 review: pinning only inside the rank pass left the
+    // output re-deriving the src⋈med projection from lineage — the
+    // same duplication class the winsorize change eliminated)
+    val withMed = Checkpoints.pin(src.join(broadcast(med), groupCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("med"))))
+    val mad = medianOf(withMed, "__absdev", "mad", pinned = true)
     withMed.join(broadcast(mad), groupCol)
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))

@@ -147,6 +147,43 @@ class MlSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("served-model memo: a recreated artifact root at the same path serves the NEW fit") {
+    import graft.ml.ModelArtifact
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-mlmemo").toString
+    def rmTree(p: String): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      ModelArtifact.init(spark, path)
+      ModelArtifact.refresh(spark, path,
+        feats.filter(dayofmonth(col("d")) % 2 === 0))
+      ModelArtifact.scoreServed(feats, path).count() // warm the memo
+      // delete and re-stand-up the SAME absolute path with a different
+      // fit: v_1 republishes at the identical resolved dir, and a
+      // path-keyed memo would silently serve the PREVIOUS artifact's
+      // model (r19 review) — the identity-keyed memo must miss
+      rmTree(path)
+      ModelArtifact.init(spark, path)
+      val shifted = feats.withColumn("label", col("label") * 2.0)
+      ModelArtifact.refresh(spark, path, shifted)
+      val res = graft.sources.VersionedRoot
+        .resolve(spark, s"$path/models", "t").get
+      val (p2, r2) = PricePredictor.loadModels(res) // fresh load, no memo
+      val fresh = PricePredictor.scoreNextDay(feats, p2, r2)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val served = ModelArtifact.scoreServed(feats, path)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(fresh.length > 0)
+      assert(served.sameElements(fresh),
+        "the memo must serve the recreated root's fit, never the stale pair")
+    } finally feats.unpersist()
+  }
+
   test("saved models reload and score identically to the in-memory fit") {
     val feats = PricePredictor.features(spark, dir).cache()
     try {
