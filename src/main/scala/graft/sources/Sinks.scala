@@ -36,6 +36,24 @@ object Sinks {
   def overwriteStaging(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bound a partitioned write's files-per-partition-dir: cluster the
+    * rows by (partition value, a deterministic key-hash bucket in
+    * [0, filesPerPartition)) so each partition dir receives at most
+    * `filesPerPartition` files, whatever `spark.sql.shuffle.partitions`
+    * the merge plan ran at. Without this every merged partition dir
+    * collected one file per shuffle task (32 here), and the standing
+    * table's reads paid ~files × open-latency forever — the classic
+    * lake small-files leak, measured as the dominant fixed cost of the
+    * day-grain pipeline reads (r19). The bucket is a hash of the merge
+    * KEYS (never rand()) so retries and replays lay out identically;
+    * parallelism per partition stays `filesPerPartition` tasks, which
+    * a 100 TB deployment tunes up per its day size. */
+  private def boundedPartitionLayout(df: DataFrame, keys: Seq[String],
+                                     partitionCol: String,
+                                     filesPerPartition: Int): DataFrame =
+    df.repartition(col(partitionCol),
+      pmod(xxhash64(keys.map(col): _*), lit(filesPerPartition)))
+
   /** S8/U* — keyed merge into a partitioned parquet target that only
     * rewrites the partitions the batch touches: read the TOUCHED slice
     * of the target (partition-pruned scan), merge with the batch, write
@@ -43,17 +61,21 @@ object Sinks {
     * neither read nor rewritten — at 100 TB a daily batch costs one
     * day's partition, not the table. Requires every merge key group to
     * live in one partition (true when partitionCol is derived from the
-    * key, as with date-keyed facts). */
+    * key, as with date-keyed facts). Written partitions carry at most
+    * `filesPerPartition` files ([[boundedPartitionLayout]]). */
   def mergeIntoPartitioned(updates: DataFrame, targetPath: String, keys: Seq[String],
-                           partitionCol: String, doUpdate: Boolean): Unit = {
+                           partitionCol: String, doUpdate: Boolean,
+                           filesPerPartition: Int = 4): Unit = {
     require(keys.contains(partitionCol),
       s"partition column $partitionCol must be part of the merge key")
+    require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = updates.sparkSession
     val targetP = new org.apache.hadoop.fs.Path(targetPath)
     val fs = targetP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitionedMergeTarget(fs, targetPath)
     if (!fs.exists(targetP)) {
-      Merge.overwrite(updates, keys).write.mode(SaveMode.Overwrite)
+      boundedPartitionLayout(Merge.overwrite(updates, keys), keys, partitionCol, filesPerPartition)
+        .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(targetPath)
       return
     }
@@ -75,7 +97,8 @@ object Sinks {
     // retry converges.
     val staged = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
     val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__old")
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged.toString)
+    boundedPartitionLayout(merged, keys, partitionCol, filesPerPartition)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged.toString)
     fs.mkdirs(old)
     for (sp <- fs.listStatus(staged) if sp.isDirectory) {
       val name = sp.getPath.getName // hive-style "col=value"
