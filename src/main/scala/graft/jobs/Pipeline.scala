@@ -268,16 +268,27 @@ object Pipeline {
       val toScore = refit match {
         case Some(_) => feats
         case None =>
+          // only the symbols the day touched can have new or changed
+          // feature rows — a one-partition pruned scan
+          val daySymbols = hist.filter(col("d") === lit(day))
+            .select("user_id").distinct()
           // per-symbol fringe: the last trading day strictly before
           // `day`, inside the same lookback contract as every other
-          // day-scoped scan (partition-pruned; a symbol sparser than
-          // the bound re-enters as a fresh series) — a symbols-sized
-          // aggregate, joined broadcast
+          // day-scoped scan (partition-pruned; symbols-sized
+          // aggregates, joined broadcast). A day-trading symbol whose
+          // previous trade predates the lookback has NO fringe row —
+          // it must still score (LEFT join, null fringe keeps every
+          // row: its whole per-symbol frame rescores, identical
+          // values plus the new row), not silently drop its newly
+          // labeled feature row from the predictions table (r19
+          // review: the first cut's inner join lost that row until
+          // some later refit)
           val fringe = hist
             .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
             .groupBy("user_id").agg(max(col("d")).as("__fringe_d"))
-          feats.join(broadcast(fringe), Seq("user_id"))
-            .filter(col("d") >= col("__fringe_d"))
+          feats.join(broadcast(daySymbols), Seq("user_id"))
+            .join(broadcast(fringe), Seq("user_id"), "left")
+            .filter(col("__fringe_d").isNull || col("d") >= col("__fringe_d"))
             .drop("__fringe_d")
       }
       val preds = graft.ml.ModelArtifact.scoreServed(toScore, lake.models)

@@ -278,15 +278,6 @@ object GraphArtifact {
     (s"s${fp.replace('-', 'n')}", r.getLong(0), r.getLong(2))
   }
 
-  /** The next monotonic publish stamp across ALL of this artifact's
-    * PPR memos — max stored `pub_seq` + 1 (legacy memos without one
-    * count as 0). Retention ranks on this instead of filesystem
-    * mtimes (r18 advice: coarse-granularity or copy-preserved mtimes
-    * tie, and a tie-break by name can evict the most-recently
-    * refreshed kernel). Single-writer maintenance, like every
-    * refresh, so the read-max-increment cannot race itself; the scan
-    * is memo-population-sized (bounded by [[prunePprMemos]]), beside
-    * a full PPR sweep. */
   /** A memo's served version's `pub_seq` stamp — None for legacy
     * pre-stamp memos, never-published debris, or an unreadable meta.
     * The ONE definition both the stamp assignment ([[nextPubSeq]])
@@ -299,6 +290,15 @@ object GraphArtifact {
       graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
     }.toOption
 
+  /** The next monotonic publish stamp across ALL of this artifact's
+    * PPR memos — max stored `pub_seq` + 1 (legacy memos without one
+    * count as 0). Retention ranks on this instead of filesystem
+    * mtimes (r18 advice: coarse-granularity or copy-preserved mtimes
+    * tie, and a tie-break by name can evict the most-recently
+    * refreshed kernel). Single-writer maintenance, like every
+    * refresh, so the read-max-increment cannot race itself; the scan
+    * is memo-population-sized (bounded by [[prunePprMemos]]), beside
+    * a full PPR sweep. */
   private def nextPubSeq(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, pprRoot: org.apache.hadoop.fs.Path): Long = {
     if (!fs.exists(pprRoot)) return 1L

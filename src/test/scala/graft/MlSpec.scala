@@ -151,12 +151,6 @@ class MlSpec extends SparkSpec {
     import graft.ml.ModelArtifact
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-mlmemo").toString
-    def rmTree(p: String): Unit = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally s.close()
-    }
     val feats = PricePredictor.features(spark, dir).cache()
     try {
       ModelArtifact.init(spark, path)

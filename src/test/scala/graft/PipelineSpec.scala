@@ -94,6 +94,37 @@ class PipelineSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("predictDay scores a day-trading symbol whose previous trade predates the lookback") {
+    import spark.implicits._
+    val lake = Pipeline.LakePaths(Files.createTempDirectory("graft-lakeIdle").toString)
+    val day = java.sql.Date.valueOf("2024-03-01")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // symbol 1 is idle 20 days (> the 5-day lookback) before trading on
+    // `day`; its feature row at 2024-02-09 gets its label FROM `day`,
+    // so the day replay must score it even though the symbol has no
+    // fringe row inside the lookback (r19 review: an inner fringe join
+    // silently dropped it from the predictions table)
+    val hist = Seq(
+      (1L, d("2024-02-08"), 10.0, 11.0, 9.0),
+      (1L, d("2024-02-09"), 11.0, 12.0, 10.0),
+      (1L, day, 12.0, 13.0, 11.0),
+      (2L, d("2024-02-28"), 19.0, 20.0, 18.0),
+      (2L, d("2024-02-29"), 20.0, 21.0, 19.0),
+      (2L, day, 22.0, 23.0, 21.0)
+    ).toDF("user_id", "d", "close", "high", "low")
+    hist.write.partitionBy("d").parquet(lake.history)
+    graft.ml.ModelArtifact.init(spark, lake.models)
+    graft.ml.ModelArtifact.refresh(spark, lake.models,
+      graft.ml.PricePredictor.featuresOf(spark.read.parquet(lake.history)))
+    Pipeline.predictDay(spark, "unused-src-dir", lake, day, lookbackDays = 5)
+    val preds = spark.read.parquet(lake.predictions)
+      .select("user_id", "d").as[(Long, java.sql.Date)].collect().toSet
+    assert(preds.contains((1L, d("2024-02-10"))),
+      "the idle symbol's newly labeled feature row must produce its prediction")
+    assert(preds.contains((2L, day)),
+      "the dense symbol's fringe row must produce its next-day prediction")
+  }
+
   test("patterns only contain the four defined categories") {
     val lakeRoot = Files.createTempDirectory("graft-lake2").toString
     val lake = Pipeline.run(spark, sfDir, lakeRoot)
