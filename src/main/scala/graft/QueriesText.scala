@@ -3642,13 +3642,14 @@ object QueriesText {
         // fitted on precisely THIS frame — row count AND content
         // fingerprint (r18 review: equal counts alone don't prove
         // frame identity under DO-UPDATE sources); the half-frame v_1
-        // fails both here (and hash-fails the oracle)
-        val fp = graft.operators.Profile.contentFingerprint(feats)
-        val cut = fp.indexOf('x')
-        val n = fp.substring(0, cut).toLong
+        // fails both here (and hash-fails the oracle). The identity
+        // comes from the artifact's OWN definition (canonical-column
+        // hash since r20 — a second hand-rolled hash here would fork
+        // the formula, which is exactly how this gate broke once)
+        val (n, fpX) = graft.ml.ModelArtifact.frameIdentity(feats)
         val vm = graft.ml.ModelArtifact.servedVersionMeta(s, path)
         val fitRows = vm("train_rows")
-        val fitFp = vm.get("train_fp").contains(fp.substring(cut + 1).toLong)
+        val fitFp = vm.get("train_fp").contains(fpX)
         // quality contract, the q_ml_metrics gate run on the SERVED
         // primary: least squares must beat lag-1 persistence on RMSE
         val (primary, _) = graft.ml.ModelArtifact.servedModels(s, path)

@@ -3,9 +3,10 @@ package graft.jobs
 import graft.Tables
 import graft.functions.Indicators
 import graft.ml.PricePredictor
-import graft.operators.DailySeries
+import graft.operators.{Checkpoints, DailySeries}
 import graft.sources.Sinks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E1 — the reference's daily DAG (dags/trading_dashboard.py:47-100) as
@@ -31,19 +32,29 @@ import org.apache.spark.sql.functions._
   *    production daily-cron shape (trading_dashboard.py:56 runs once
   *    per day). Each stage derives ONLY the day's rows (event scans
   *    partition-pruned to the day, pattern windows to a bounded
-  *    lookback slice) and each merge rewrites ONE date partition;
-  *    the predict stage ticks the model artifact and scores only the
-  *    feature fringe the new day created unless the artifact
-  *    actually refit. Honest cost split at 100 TB (r19 review): the
-  *    three merge stages and every scan are day/lookback-
-  *    proportional, while the predict stage still pays ONE window +
-  *    ONE aggregation pass over standing history — the model
-  *    artifact's documented tick contract (the full-frame identity
-  *    and PSI witnesses are what make the refit decision sound); a
-  *    deployment that must shed even that pass maintains the feature
-  *    frame incrementally and ticks that table instead. q_e1_day
-  *    oracle-pins that the incremental lake state is hash-identical
-  *    to a full replay.
+  *    lookback slice read ONCE and shared by every post-merge stage)
+  *    and each merge rewrites ONE date partition; the predict stage
+  *    maintains a standing FEATURE TABLE beside the history (the
+  *    day's fringe feature rows merge in, day-sized), folds the model
+  *    artifact's drift witnesses from exactly that delta (count is
+  *    additive, the XOR fingerprint self-inverse, histogram buckets
+  *    additive under stored edges — [[graft.ml.ModelArtifact
+  *    .maybeRefreshFolded]]), and scores only the fringe unless the
+  *    artifact actually refit. Since r20 every daily pass — scans,
+  *    merges AND the drift tick — is day/lookback-proportional (the
+  *    r19 verdict's last table-proportional pass, the full-frame
+  *    tick, is closed); a refit day still pays its amortized full
+  *    training pass, which is the fit's own cost, not the tick's.
+  *    q_e1_day oracle-pins that the incremental lake state is
+  *    hash-identical to a full replay.
+  *
+  * APPEND-ONLY CONTRACT ([[requireAppendOnly]], loud): [[runDay]]
+  * replays the NEWEST day only — `day` must be ≥ every date already in
+  * standing history. Merging a late-arriving/backfill day behind the
+  * frontier would rewrite only that day's partitions while a full
+  * replay would also change LATER dates' lags, MAs, analysis rows and
+  * labels — the lake would silently diverge from the hash-pinned
+  * full-replay equivalence. Backfills go through [[run]].
   */
 object Pipeline {
 
@@ -53,6 +64,12 @@ object Pipeline {
     val analysis = s"$root/news_stock_analysis"
     val predictions = s"$root/stock_predictions"
     val models = s"$root/price_model"
+    /** The DAY path's standing feature table — [[PricePredictor
+      * .featuresOf]] of the history, maintained incrementally by
+      * [[predictDay]] (bootstrap on first use, day-sized fringe merges
+      * after) and INVALIDATED by a whole-history [[predict]] (which
+      * recomputes everything anyway; the next [[runDay]] re-bootstraps). */
+    val features = s"$root/price_features"
   }
 
   /** Trading-calendar lookback (calendar days) that bounds every
@@ -64,11 +81,17 @@ object Pipeline {
     * first cut said "120 ≈ 6 trading weeks per row"; the real
     * arithmetic is 6 CALENDAR days per row, which a weekly trader
     * already breaks — r19 review). A symbol SPARSER than that — or
-    * idle past the whole bound — re-enters as a fresh series: its
-    * day-path MA may average fewer rows than a full replay's, the
-    * documented divergence the bound trades for partition-pruned
-    * scans instead of full-history reads. Callers with stranger
-    * calendars pass their own bound to [[runDay]]. */
+    * idle past the whole bound — re-enters as a fresh series for the
+    * PATTERN windows: its day-path MA may average fewer rows than a
+    * full replay's, the documented divergence the bound trades for
+    * partition-pruned scans instead of full-history reads. The
+    * prev_close/analysis and feature-fringe paths do NOT share that
+    * divergence: symbols with no (or too little) lookback context
+    * fall back to an unbounded per-symbol read ([[mergeHistoryDay]]'s
+    * orphan max_by, [[dayFeatureDelta]]'s short-context scope) — rare
+    * by construction, loud in neither, exact in both (r19 advice).
+    * Callers with stranger calendars pass their own bound to
+    * [[runDay]]. */
   val DayLookback = 365
 
   /** Stage 2 — merge the day's series into history (U1 DO-UPDATE).
@@ -86,24 +109,45 @@ object Pipeline {
   /** [[mergeHistory]] for ONE day: the day's bars derive from the
     * day's events alone (the filter on the aggregate's grouping key
     * pushes to the scan), and prev_close comes from the STANDING
-    * history's latest prior row per symbol inside [[DayLookback]] —
-    * a partition-pruned, three-column scan joined broadcast (symbols
-    * are a dimension), never a full-history window. The merge
-    * rewrites exactly one date partition. */
+    * history's latest prior row per symbol inside the lookback — a
+    * partition-pruned, three-column scan joined broadcast (symbols
+    * are a dimension), never a full-history window. A day symbol with
+    * NO prior row inside the lookback (idle past the bound) falls
+    * back to an unbounded per-symbol max_by — the full replay's lag
+    * finds its old close regardless of age, and without the fallback
+    * the analysis table's price_change/price_direction would silently
+    * diverge for long-idle symbols (r19 advice). The fallback scan is
+    * symbol-filtered and runs only when such symbols exist at all
+    * (zero extra cost on a dense calendar). The merge rewrites exactly
+    * one date partition. */
   def mergeHistoryDay(spark: SparkSession, sfDir: String, lake: LakePaths,
                       day: java.sql.Date,
                       lookbackDays: Int = DayLookback): Unit = {
-    val dayBars = DailySeries(spark, sfDir).filter(col("d") === lit(day))
+    // pinned: consumed by the orphan anti-join, the updates join and
+    // the merge's touched-partition collect — one source aggregation
+    val dayBars = Checkpoints.pin(
+      DailySeries(spark, sfDir).filter(col("d") === lit(day)))
     val fs = new org.apache.hadoop.fs.Path(lake.history)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev =
       if (!fs.exists(new org.apache.hadoop.fs.Path(lake.history)))
         dayBars.select(col("user_id"), lit(null).cast("double").as("prev_close"))
           .limit(0)
-      else spark.read.parquet(lake.history)
-        .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
-        .groupBy("user_id")
-        .agg(max_by(col("close"), col("d")).as("prev_close"))
+      else {
+        val hist = spark.read.parquet(lake.history)
+        val inLookback = Checkpoints.pin(hist
+          .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
+          .groupBy("user_id")
+          .agg(max_by(col("close"), col("d")).as("prev_close")))
+        val orphans = dayBars.select("user_id").distinct()
+          .join(inLookback.select("user_id"), Seq("user_id"), "left_anti")
+        if (orphans.isEmpty) inLookback
+        else inLookback.unionByName(hist
+          .filter(col("d") < lit(day))
+          .join(broadcast(orphans), Seq("user_id"))
+          .groupBy("user_id")
+          .agg(max_by(col("close"), col("d")).as("prev_close")))
+      }
     val updates = dayBars.join(broadcast(prev), Seq("user_id"), "left")
     Sinks.mergeIntoPartitioned(updates, lake.history, Seq("user_id", "d"), "d", doUpdate = true)
   }
@@ -153,16 +197,17 @@ object Pipeline {
   }
 
   /** [[detectPatterns]] for ONE day: the windows read a partition-
-    * pruned [day − [[DayLookback]], day] history slice (every frame
-    * is backward-looking, so the slice is sufficient context), the
+    * pruned [day − lookback, day] history slice (every frame is
+    * backward-looking, so the slice is sufficient context), the
     * output keeps the day's rows only, and the merge rewrites one
-    * partition. */
+    * partition. `slice` lets [[runDay]] hand in the ONE shared
+    * lookback read all post-merge stages reuse. */
   def detectPatternsDay(spark: SparkSession, lake: LakePaths,
                         day: java.sql.Date,
-                        lookbackDays: Int = DayLookback): Unit = {
-    val slice = spark.read.parquet(lake.history)
-      .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") <= lit(day))
-    val dayRows = patternsOf(slice).filter(col("d") === lit(day))
+                        lookbackDays: Int = DayLookback,
+                        slice: Option[DataFrame] = None): Unit = {
+    val lb = slice.getOrElse(lookbackSlice(spark, lake, day, lookbackDays))
+    val dayRows = patternsOf(lb).filter(col("d") === lit(day))
     Sinks.mergeIntoPartitioned(dayRows, lake.patterns, Seq("user_id", "d", "pattern"), "d", doUpdate = false)
   }
 
@@ -203,11 +248,13 @@ object Pipeline {
   }
 
   /** [[analyze]] for ONE day: the event scan prunes to the day, the
-    * history join reads the day's single partition, the merge
-    * rewrites one partition. */
+    * history join reads the day's rows (from the shared `slice` when
+    * [[runDay]] provides it), the merge rewrites one partition. */
   def analyzeDay(spark: SparkSession, sfDir: String, lake: LakePaths,
-                 day: java.sql.Date): Unit = {
-    val hist = spark.read.parquet(lake.history).filter(col("d") === lit(day))
+                 day: java.sql.Date,
+                 slice: Option[DataFrame] = None): Unit = {
+    val hist = slice.getOrElse(spark.read.parquet(lake.history))
+      .filter(col("d") === lit(day))
     val activity = activityOf(spark, sfDir, col("event_date") === lit(day))
     val joined = analysisOf(hist, activity)
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
@@ -227,7 +274,10 @@ object Pipeline {
     * witnesses), and pure sub-bound same-distribution growth rides at
     * most one growth bound behind (PipelineSpec pins that stale-serving
     * window's predictions explicitly) — so q_e1_pipeline's oracle is
-    * untouched. */
+    * untouched. Invalidates the DAY path's standing feature table:
+    * this whole-history pass recomputes everything the table caches,
+    * and a later [[runDay]] re-bootstraps it (maintaining it here
+    * would tax every full replay for a table only the day path reads). */
   def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
     // train from the MERGED history stage 2 just wrote — exactly the
     // reference, which trains from stock_price_history
@@ -237,6 +287,9 @@ object Pipeline {
     val feats = PricePredictor.featuresOf(
       spark.read.parquet(lake.history).drop("prev_close")).cache()
     try {
+      val fs = new org.apache.hadoop.fs.Path(lake.features)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(lake.features), true)
       graft.ml.ModelArtifact.init(spark, lake.models) // no-op once initialized
       graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
       val preds = graft.ml.ModelArtifact.scoreServed(feats, lake.models)
@@ -244,56 +297,160 @@ object Pipeline {
     } finally feats.unpersist()
   }
 
-  /** [[predict]] for ONE day: tick the artifact's drift loop (one
-    * aggregation over the feature frame — the artifact's own
-    * contract), then score ONLY the feature fringe the new day
-    * created — adding day D materializes exactly each symbol's
-    * feature row at ITS last prior trading day (the label just
-    * arrived; per-symbol, not the global max — a symbol can skip the
-    * market's latest session). When the artifact did NOT refit, every
-    * older prediction is already in the lake and identical (same
-    * model, same features — re-scoring the fringe of an unchanged
-    * symbol upserts the same values); when it DID refit, every
-    * prediction changed and the full frame re-scores (the honest
-    * amortized cost). The no-refit merge touches only the fringe
-    * partitions — one on a dense trading calendar. */
+  /** The feature rows day `day` changed — per touched symbol, exactly
+    * its FRINGE row (the last trading day strictly before `day`: the
+    * label just arrived from `day`'s close; for a re-run of `day`, the
+    * same row re-derives with the corrected label). Under the
+    * append-only contract these are the ONLY rows of the full feature
+    * frame that differ from before the merge: `day` is every touched
+    * symbol's newest row, its own feature row has no label yet, and
+    * no other row's lag/lead window reaches `day`.
+    *
+    * Derivation cost is day-proportional: each symbol needs its last
+    * THREE rows ≤ `day` (fringe−1 feeds the fringe's prev_close/
+    * pct_change, `day` feeds its label). Symbols with ≥3 rows inside
+    * the lookback take them from the shared partition-pruned slice; a
+    * symbol with fewer (idle past the bound, or genuinely new) reads
+    * its last three rows unbounded but symbol-filtered — rare by
+    * construction, and skipped entirely when no such symbol exists.
+    * [[PricePredictor.featuresOf]] over that 3-row context yields
+    * exactly the fringe row with values IDENTICAL to the full frame's
+    * (first row drops on null prev_close, `day`'s drops on null
+    * label), which is what makes the witness fold and the standing
+    * feature table exact, not approximate (PipelineSpec pins both). */
+  private def dayFeatureDelta(spark: SparkSession, lake: LakePaths,
+                              day: java.sql.Date, lookbackDays: Int,
+                              slice: Option[DataFrame]): DataFrame = {
+    val hist = spark.read.parquet(lake.history).drop("prev_close")
+    val lb = slice.map(_.drop("prev_close")).getOrElse(
+      lookbackSlice(spark, lake, day, lookbackDays).drop("prev_close"))
+    val daySymbols = lb.filter(col("d") === lit(day)).select("user_id").distinct()
+    val scope = lb.join(broadcast(daySymbols), Seq("user_id"))
+    // ONE symbols-dimension collect decides the safe/unsafe split —
+    // the same bounded-cardinality trade every broadcast here already
+    // makes, and it saves a pin + an isEmpty probe + a filter join per
+    // day; on the common all-safe day the fast context needs NO join
+    // at all
+    val counts = scope.groupBy("user_id").agg(count(lit(1)).as("__n")).collect()
+    val unsafeSyms = counts.filter(_.getLong(1) < 3).map(_.getLong(0)).toSeq
+    val w = Window.partitionBy("user_id").orderBy(col("d").desc)
+    def lastThree(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3).drop("__rn")
+    val ctx =
+      if (unsafeSyms.isEmpty) lastThree(scope)
+      else lastThree(scope.filter(!col("user_id").isInCollection(unsafeSyms)))
+        .unionByName(lastThree(
+          hist.filter(col("d") <= lit(day))
+            .filter(col("user_id").isInCollection(unsafeSyms))))
+    PricePredictor.featuresOf(ctx)
+  }
+
+  /** The standing feature rows a delta will REPLACE — the old half of
+    * the witness fold (empty for pure inserts). Partition-pruned to
+    * the delta's (few) fringe dates, key-matched broadcast. */
+  private def oldFeatureRows(spark: SparkSession, featPath: String,
+                             delta: DataFrame): DataFrame = {
+    val days = delta.select("d").distinct().collect().map(_.getDate(0)).toSeq
+    if (days.isEmpty) spark.read.parquet(featPath).filter(lit(false))
+    else spark.read.parquet(featPath)
+      .filter(col("d").isInCollection(days))
+      .join(broadcast(delta.select("user_id", "d")), Seq("user_id", "d"), "left_semi")
+  }
+
+  /** [[predict]] for ONE day — every pass day-proportional (r19
+    * verdict #1 closed):
+    *
+    *  1. derive the day's feature DELTA ([[dayFeatureDelta]] — fringe
+    *     rows only, lookback-pruned with a rare unbounded-per-symbol
+    *     escape hatch);
+    *  2. merge it into the standing feature table (one-to-few date
+    *     partitions; bootstrap = one full derivation, first day only);
+    *  3. tick the model artifact by FOLDING the delta into the
+    *     maintained witnesses ([[graft.ml.ModelArtifact
+    *     .maybeRefreshFolded]]) — the decision is identical to a
+    *     full-frame tick because the folded (count, fp, buckets) are
+    *     equal to a full measurement, not approximations;
+    *  4. score ONLY the delta when the artifact did not refit (every
+    *     older prediction is already in the lake and identical — same
+    *     model, same features); a refit re-scores the full standing
+    *     table, the honest amortized cost a refit always was.
+    *
+    * Assumes the [[runDay]] append-only contract (`day` ≥ the standing
+    * frontier) — that is precisely what makes the fringe rows the
+    * complete delta. */
   def predictDay(spark: SparkSession, sfDir: String, lake: LakePaths,
                  day: java.sql.Date,
-                 lookbackDays: Int = DayLookback): Unit = {
-    val hist = spark.read.parquet(lake.history).drop("prev_close")
-    val feats = PricePredictor.featuresOf(hist).cache()
-    try {
-      graft.ml.ModelArtifact.init(spark, lake.models) // no-op once initialized
-      val refit = graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
-      val toScore = refit match {
-        case Some(_) => feats
-        case None =>
-          // only the symbols the day touched can have new or changed
-          // feature rows — a one-partition pruned scan
-          val daySymbols = hist.filter(col("d") === lit(day))
-            .select("user_id").distinct()
-          // per-symbol fringe: the last trading day strictly before
-          // `day`, inside the same lookback contract as every other
-          // day-scoped scan (partition-pruned; symbols-sized
-          // aggregates, joined broadcast). A day-trading symbol whose
-          // previous trade predates the lookback has NO fringe row —
-          // it must still score (LEFT join, null fringe keeps every
-          // row: its whole per-symbol frame rescores, identical
-          // values plus the new row), not silently drop its newly
-          // labeled feature row from the predictions table (r19
-          // review: the first cut's inner join lost that row until
-          // some later refit)
-          val fringe = hist
-            .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
-            .groupBy("user_id").agg(max(col("d")).as("__fringe_d"))
-          feats.join(broadcast(daySymbols), Seq("user_id"))
-            .join(broadcast(fringe), Seq("user_id"), "left")
-            .filter(col("__fringe_d").isNull || col("d") >= col("__fringe_d"))
-            .drop("__fringe_d")
+                 lookbackDays: Int = DayLookback,
+                 slice: Option[DataFrame] = None): Unit = {
+    graft.ml.ModelArtifact.init(spark, lake.models) // no-op once initialized
+    val featP = new org.apache.hadoop.fs.Path(lake.features)
+    val fs = featP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = Checkpoints.pin(
+      dayFeatureDelta(spark, lake, day, lookbackDays, slice))
+    val refit =
+      if (!fs.exists(featP)) {
+        // bootstrap: one full derivation stands the table up and one
+        // full tick bases the witness — every later day folds
+        val feats = PricePredictor.featuresOf(
+          spark.read.parquet(lake.history).drop("prev_close")).cache()
+        try {
+          Sinks.mergeIntoPartitioned(feats, lake.features,
+            Seq("user_id", "d"), "d", doUpdate = true)
+          graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
+        } finally feats.unpersist()
+      } else {
+        // pinned EAGERLY: the merge below rewrites exactly these
+        // partitions, and a lazy plan would read the post-merge files —
+        // folding "old == new" and silently missing every replacement
+        val old = Checkpoints.pin(oldFeatureRows(spark, lake.features, delta))
+        Sinks.mergeIntoPartitioned(delta, lake.features,
+          Seq("user_id", "d"), "d", doUpdate = true)
+        graft.ml.ModelArtifact.maybeRefreshFolded(spark, lake.models,
+          old, delta, () => spark.read.parquet(lake.features))
       }
-      val preds = graft.ml.ModelArtifact.scoreServed(toScore, lake.models)
-      Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
-    } finally feats.unpersist()
+    val toScore = refit match {
+      case Some(_) => spark.read.parquet(lake.features)
+      case None => delta
+    }
+    val preds = graft.ml.ModelArtifact.scoreServed(toScore, lake.models)
+    Sinks.mergeIntoPartitioned(preds, lake.predictions, Seq("user_id", "d"), "d", doUpdate = true)
+  }
+
+  /** The one partition-pruned standing-history read every post-merge
+    * day stage works from: [day − lookback, day]. */
+  private def lookbackSlice(spark: SparkSession, lake: LakePaths,
+                            day: java.sql.Date, lookbackDays: Int): DataFrame =
+    spark.read.parquet(lake.history)
+      .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") <= lit(day))
+
+  /** The [[runDay]] append-only guard: `day` must be ≥ every date
+    * already in standing history (equality = the sanctioned re-run of
+    * the frontier day). A late-arriving day would rewrite only its own
+    * partitions while the full replay it is hash-pinned against would
+    * also change LATER dates' lags/MAs/analysis/labels — silent
+    * divergence, so it fails LOUDLY here instead. Cost: one partition-
+    * directory listing, no data scan. */
+  private def requireAppendOnly(spark: SparkSession, lake: LakePaths,
+                                day: java.sql.Date): Unit = {
+    val p = new org.apache.hadoop.fs.Path(lake.history)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    // hive-style `d=YYYY-MM-DD` dir names: ISO dates compare correctly
+    // as strings, no parse needed
+    val frontier = fs.listStatus(p).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("d=") && !n.endsWith("__HIVE_DEFAULT_PARTITION__"))
+      .map(_.stripPrefix("d="))
+      .foldLeft(Option.empty[String])((m, v) => Some(m.fold(v)(x => if (x >= v) x else v)))
+    frontier.foreach { f =>
+      require(day.toString >= f,
+        s"runDay($day) behind the standing frontier $f: a late-arriving day " +
+          "would rewrite only its own partitions while later dates' lags, MAs, " +
+          "analysis rows and labels already derived WITHOUT it — the lake would " +
+          "silently diverge from the full-replay equivalence. Backfill through " +
+          "Pipeline.run instead")
+    }
   }
 
   /** Per-stage wall seconds of the most recent [[run]] or [[runDay]]
@@ -333,16 +490,31 @@ object Pipeline {
 
   /** Replay ONE day through all five stages against standing lake
     * state — the production daily-cron shape. Idempotent like [[run]]:
-    * re-running a day converges to the same lake. */
+    * re-running a day converges to the same lake. Loud when `day` is
+    * behind the standing frontier ([[requireAppendOnly]]). The merged
+    * lookback slice is read ONCE and shared by every post-merge stage
+    * (r19 verdict #6: three redundant pruned scans per day otherwise);
+    * the cache spills past memory, and the slice never couples stage
+    * failure domains — each stage's merge is its own job with its own
+    * staged promote. */
   def runDay(spark: SparkSession, sfDir: String, lakeRoot: String,
              day: java.sql.Date,
              lookbackDays: Int = DayLookback): LakePaths = {
     val lake = LakePaths(lakeRoot)
-    lastDayStageSeconds = timedStages(Seq(
-      "merge_history" -> (() => mergeHistoryDay(spark, sfDir, lake, day, lookbackDays)),
-      "detect_patterns" -> (() => detectPatternsDay(spark, lake, day, lookbackDays)),
-      "analyze" -> (() => analyzeDay(spark, sfDir, lake, day)),
-      "predict" -> (() => predictDay(spark, sfDir, lake, day, lookbackDays))))
+    requireAppendOnly(spark, lake, day)
+    var slice: DataFrame = null
+    try {
+      lastDayStageSeconds = timedStages(Seq(
+        "merge_history" -> (() => {
+          mergeHistoryDay(spark, sfDir, lake, day, lookbackDays)
+          slice = lookbackSlice(spark, lake, day, lookbackDays).cache()
+        }),
+        "detect_patterns" -> (() =>
+          detectPatternsDay(spark, lake, day, lookbackDays, Some(slice))),
+        "analyze" -> (() => analyzeDay(spark, sfDir, lake, day, Some(slice))),
+        "predict" -> (() =>
+          predictDay(spark, sfDir, lake, day, lookbackDays, Some(slice)))))
+    } finally if (slice != null) slice.unpersist()
     lake
   }
 

@@ -20,6 +20,11 @@ import org.apache.spark.ml.PipelineModel
   *   meta.json             feat_version, written once (loud on mismatch)
   *   tick.json             advisory last-tick (count, fp) — the
   *                         in-place-change-mid-growth-window witness
+  *   wit.json              advisory maintained frame witness (base
+  *                         version, count, fp, bucket counts under the
+  *                         base's stored edges) — what lets the DAY
+  *                         path tick from a day-sized fold instead of
+  *                         a full-frame aggregation
   *   models/v_<n>/primary/   fitted assemble→scale→LR PipelineModel
   *   models/v_<n>/residual/  fitted residual-correction PipelineModel
   *   models/v_<n>/meta.json  train_rows baseline, written LAST
@@ -53,11 +58,35 @@ object ModelArtifact {
 
   private val What = "model artifact"
 
-  /** The feature columns whose distributions the drift tick monitors
-    * (the [[PricePredictor.featuresOf]] numeric recipe, label
-    * included — label drift is exactly the regime change a served
-    * regression must not ride through). */
-  private val HistCols = Seq("close", "prev_close", "pct_change", "vol", "label")
+  /** The feature columns whose distributions the drift tick monitors —
+    * DERIVED from the one [[PricePredictor.MonitoredCols]] recipe the
+    * assembler also consumes (r19 verdict #1: a hand-written copy here
+    * meant a future feature column could be fitted on yet silently
+    * un-monitored). A frame that does not carry every monitored column
+    * fails loudly at fit/tick time instead of quietly narrowing the
+    * monitor ([[requireMonitored]]). */
+  private def HistCols = PricePredictor.MonitoredCols
+
+  /** Loud recipe/frame agreement check at every fit and tick entry:
+    * the PSI monitor must cover exactly the fitted recipe, so a frame
+    * missing a monitored column is a wiring bug, never a silent
+    * narrowing of the drift loop. */
+  private def requireMonitored(feats: DataFrame, where: String): Unit = {
+    val missing = HistCols.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"$What $where: frame is missing monitored feature column(s) " +
+        s"${missing.mkString(", ")} (have: ${feats.columns.mkString(", ")}) — " +
+        "the drift monitor derives from PricePredictor.MonitoredCols and " +
+        "must see every fitted column")
+  }
+
+  /** The frame's columns in one canonical (name-sorted) order — every
+    * content hash in this artifact runs over this projection, so the
+    * fingerprint is identical whether the frame arrived freshly
+    * window-derived or read back from the standing feature table
+    * (parquet `partitionBy` reorders columns on read; an order-
+    * sensitive hash would refit on a phantom "content change"). */
+  private def canonCols(feats: DataFrame): Seq[String] = feats.columns.sorted.toSeq
 
   /** Equi-width buckets per monitored column. 10 finite buckets plus
     * one null/NaN bucket — the conventional PSI bucketing
@@ -71,8 +100,9 @@ object ModelArtifact {
     * first cut — and a DO-UPDATE history merge can change VALUES
     * without changing the count, which a count-only witness would
     * serve a superseded fit against forever (r18 review). */
-  private def frameIdentity(feats: DataFrame): (Long, Long) = {
-    val fp = graft.operators.Profile.contentFingerprint(feats)
+  private[graft] def frameIdentity(feats: DataFrame): (Long, Long) = {
+    val fp = graft.operators.Profile.contentFingerprint(feats,
+      d => xxhash64(canonCols(d).map(col): _*))
     val i = fp.indexOf('x')
     (fp.substring(0, i).toLong, fp.substring(i + 1).toLong)
   }
@@ -87,11 +117,14 @@ object ModelArtifact {
   }
 
   /** The bucket-count expressions for one column under FIXED edges —
-    * shared by the fit-time histogram and the tick's re-count so the
-    * two sides can never bucket differently. Emits HistBuckets finite
-    * buckets (clamped into [0, B), degenerate lo >= hi range → all
-    * finite mass in bucket 0) plus the null/NaN bucket. */
-  private def bucketCountCols(c: String, lo: Double, hi: Double): Seq[Column] = {
+    * shared by the fit-time histogram, the tick's re-count AND the
+    * folded tick's signed delta, so no two sides can ever bucket
+    * differently. Emits HistBuckets finite buckets (clamped into
+    * [0, B), degenerate lo >= hi range → all finite mass in bucket 0)
+    * plus the null/NaN bucket. `sign` (the fold's ±1 column) weights
+    * each indicator so replaced rows subtract and new rows add. */
+  private def bucketCountCols(c: String, lo: Double, hi: Double,
+                              sign: Option[Column] = None): Seq[Column] = {
     val d = finiteD(c)
     val b =
       if (!(lo < hi)) lit(0L)
@@ -100,9 +133,10 @@ object ModelArtifact {
         least(lit(HistBuckets - 1L), greatest(lit(0L),
           floor((d - lit(lo)) / lit(step)).cast("long")))
       }
+    val one = sign.getOrElse(lit(1L))
     (0 until HistBuckets).map(i =>
-      sum(when(d.isNotNull && b === i, 1L).otherwise(0L))) :+
-      sum(when(d.isNull, 1L).otherwise(0L))
+      coalesce(sum(when(d.isNotNull && b === i, one).otherwise(0L)), lit(0L))) :+
+      coalesce(sum(when(d.isNull, one).otherwise(0L)), lit(0L))
   }
 
   /** Fit-time histogram meta fields for every monitored column:
@@ -171,6 +205,7 @@ object ModelArtifact {
     * points nowhere. */
   def refresh(spark: SparkSession, path: String, feats: DataFrame): String = {
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", What)
+    requireMonitored(feats, "refresh")
     val root = modelsRoot(path)
     val served = graft.sources.VersionedRoot.resolve(spark, root, What)
     val newName = graft.sources.VersionedRoot.nextVersion(spark, root)
@@ -189,10 +224,15 @@ object ModelArtifact {
     // advice: without a distribution witness, sub-bound growth mixed
     // with in-place corrections served a superseded fit with no bound
     // in time)
+    val hist = histogramFields(pinned)
     graft.sources.IndexMeta.write(spark, s"$root/$newName/meta.json",
-      Seq("feat_version" -> 1L, "train_rows" -> n, "train_fp" -> fp) ++
-        histogramFields(pinned))
+      Seq("feat_version" -> 1L, "train_rows" -> n, "train_fp" -> fp) ++ hist)
     graft.sources.VersionedRoot.publish(spark, root, newName, served)
+    // re-base the maintained witness for free: at fit time the frame's
+    // current bucket counts under the new edges ARE the fit-time
+    // histogram, and (n, fp) were just computed — no extra pass
+    writeWit(spark, path, newName.stripPrefix("v_").toLong, n, fp,
+      hist.filter { case (k, _) => k.contains("_b") })
     newName
   }
 
@@ -240,17 +280,37 @@ object ModelArtifact {
       s"growthPct must be in 1..1000, got $growthPct")
     require(psiBound > 0, s"psiBound must be positive, got $psiBound")
     graft.sources.IndexMeta.read(spark, s"$path/meta.json", What)
+    requireMonitored(feats, "tick")
     val root = modelsRoot(path)
     val served = graft.sources.VersionedRoot.resolve(spark, root, What)
     val vmeta = served.map(r => graft.sources.IndexMeta
       .read(spark, s"$r/meta.json", s"$What version"))
-    // ONE pass over the frame: identity (count + XOR, formula-equal to
-    // Profile.contentFingerprint's default) and, when the served
-    // version stored a histogram, every bucket re-count under the
-    // STORED edges
     val histMeta = vmeta.filter(hasHistogram)
+    val (cur, fp, buckets) = measure(feats, histMeta)
+    if (cur == 0L) return None // nothing to fit — never publish from nothing
+    val prevTick = readTick(spark, path)
+    val stale = decideStale(vmeta, prevTick, cur, fp, buckets, growthPct, psiBound)
+    val out = if (stale) Some(refresh(spark, path, feats)) else None
+    if (!stale) served.foreach { r =>
+      // keep the maintained witness current (refresh re-bases it on
+      // the stale path): base version + this tick's full measurement,
+      // so a folded tick can pick up exactly where the full tick left
+      writeWit(spark, path, versionNum(r), cur, fp,
+        buckets.toSeq.flatMap(b => HistCols.flatMap(c =>
+          b(c).zipWithIndex.map { case (v, i) => bucketField(c, i) -> v })))
+    }
+    writeTick(spark, path, cur, fp)
+    out
+  }
+
+  /** The frame's full witness in ONE aggregation: exact count, the
+    * canonical-column XOR fingerprint and — when the served version
+    * stored a histogram — every bucket re-count under the STORED
+    * edges. Shared by the full tick and the fold-equality hook. */
+  private def measure(feats: DataFrame, histMeta: Option[Map[String, Long]])
+      : (Long, Long, Option[Map[String, IndexedSeq[Long]]]) = {
     val withH = feats.select(feats.columns.map(col) :+
-      xxhash64(feats.columns.map(col): _*).as("__h"): _*)
+      xxhash64(canonCols(feats).map(col): _*).as("__h"): _*)
     val aggCols = Seq(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))) ++
       histMeta.toSeq.flatMap { m =>
         HistCols.flatMap { c =>
@@ -260,34 +320,166 @@ object ModelArtifact {
         }
       }
     val row = withH.agg(aggCols.head, aggCols.tail: _*).head()
-    val (cur, fp) = (row.getLong(0), row.getLong(1))
-    if (cur == 0L) return None // nothing to fit — never publish from nothing
-    val prevTick = readTick(spark, path)
-    val stale = vmeta match {
-      case None => true
-      case Some(m) =>
-        val fitRows = m.getOrElse("train_rows", 0L)
-        val psiStale = histMeta.exists { hm =>
-          HistCols.zipWithIndex.exists { case (c, ci) =>
-            val fit = (0 until HistBuckets).map(b => hm(s"h_${c}_b$b")) :+ hm(s"h_${c}_bn")
-            val curCounts = (0 to HistBuckets).map(b => row.getLong(2 + ci * (HistBuckets + 1) + b))
-            psiOf(fit, curCounts) > psiBound
-          }
-        }
-        graft.sources.VersionedRoot.grewPast(cur, fitRows, growthPct) ||
-          (cur <= fitRows && !m.get("train_fp").contains(fp)) ||
-          prevTick.exists { case (pn, pfp) => pn == cur && pfp != fp } ||
-          psiStale
+    val buckets = histMeta.map { _ =>
+      HistCols.zipWithIndex.map { case (c, ci) =>
+        c -> (0 to HistBuckets)
+          .map(b => row.getLong(2 + ci * (HistBuckets + 1) + b)).toIndexedSeq
+      }.toMap
     }
-    val out = if (stale) Some(refresh(spark, path, feats)) else None
-    writeTick(spark, path, cur, fp)
-    out
+    (row.getLong(0), row.getLong(1), buckets)
   }
+
+  /** The four-witness staleness decision — ONE definition consumed by
+    * both the full tick ([[maybeRefresh]]) and the folded tick
+    * ([[maybeRefreshFolded]]), so the two measurement paths can never
+    * diverge on POLICY, only on how (cur, fp, buckets) were obtained
+    * (and the fold-equality spec pins that those are equal too). */
+  private def decideStale(vmeta: Option[Map[String, Long]],
+      prevTick: Option[(Long, Long)], cur: Long, fp: Long,
+      buckets: Option[Map[String, IndexedSeq[Long]]],
+      growthPct: Int, psiBound: Double): Boolean = vmeta match {
+    case None => true
+    case Some(m) =>
+      val fitRows = m.getOrElse("train_rows", 0L)
+      val psiStale = buckets.exists { curOf =>
+        HistCols.exists { c =>
+          val fit = (0 until HistBuckets).map(b => m(s"h_${c}_b$b")) :+ m(s"h_${c}_bn")
+          psiOf(fit, curOf(c)) > psiBound
+        }
+      }
+      graft.sources.VersionedRoot.grewPast(cur, fitRows, growthPct) ||
+        (cur <= fitRows && !m.get("train_fp").contains(fp)) ||
+        prevTick.exists { case (pn, pfp) => pn == cur && pfp != fp } ||
+        psiStale
+  }
+
+  /** [[maybeRefresh]] fed by a DAY-SIZED delta instead of the whole
+    * frame — the r19 verdict's one remaining table-proportional pass
+    * in the daily production path, closed: every witness is
+    * incrementally foldable (the count is additive, the XOR
+    * fingerprint is self-inverse — XORing a replaced row's old hash
+    * back out is the same operation as XORing its new hash in — and
+    * the histogram buckets are additive under the STORED edges), so
+    * the tick aggregates ONLY the rows the day changed.
+    *
+    * `oldRows` are the standing feature rows the merge REPLACED
+    * (empty for pure inserts), `newRows` the rows it wrote — exactly
+    * the both-sides knowledge a DO-UPDATE merge has. `standing`
+    * produces the FULL current frame and is invoked only when a refit
+    * actually fires (the amortized full pass a refit always was) or
+    * when the maintained witness is unusable and the tick must
+    * re-base (first fold ever, an out-of-band refresh moved the
+    * served version, or a torn witness file).
+    *
+    * Folding is sound only if every change to the frame routes
+    * through a fold — the caller's contract ([[graft.jobs.Pipeline
+    * .predictDay]] owns the standing feature table and is the single
+    * writer). The witness file records which served version its
+    * buckets count under; any mismatch falls back to one full
+    * measurement rather than folding onto a foreign base. */
+  def maybeRefreshFolded(spark: SparkSession, path: String,
+                         oldRows: DataFrame, newRows: DataFrame,
+                         standing: () => DataFrame,
+                         growthPct: Int = 10, psiBound: Double = 0.25): Option[String] = {
+    require(growthPct >= 1 && growthPct <= 1000,
+      s"growthPct must be in 1..1000, got $growthPct")
+    require(psiBound > 0, s"psiBound must be positive, got $psiBound")
+    graft.sources.IndexMeta.read(spark, s"$path/meta.json", What)
+    requireMonitored(newRows, "folded tick")
+    val root = modelsRoot(path)
+    val served = graft.sources.VersionedRoot.resolve(spark, root, What)
+    val vmeta = served.map(r => graft.sources.IndexMeta
+      .read(spark, s"$r/meta.json", s"$What version"))
+    val histMeta = vmeta.filter(hasHistogram)
+    val base = for {
+      r <- served
+      w <- readWit(spark, path)
+      if w("base_v") == versionNum(r)
+      // a histogram-monitored serving version needs a bucket-complete
+      // witness to fold onto; n/fp-only witnesses (pre-histogram
+      // vintages) fold iff the served version has no histogram either
+      if histMeta.forall(_ => HistCols.forall(c =>
+        (0 to HistBuckets).forall(b => w.contains(bucketField(c, b)))))
+    } yield w
+    base match {
+      case None =>
+        // no foldable base: one full measurement re-bases the witness
+        maybeRefresh(spark, path, standing(), growthPct, psiBound)
+      case Some(w) =>
+        // ONE day-sized aggregation: signed count, XOR over BOTH sides
+        // (self-inverse), signed bucket counts under the stored edges
+        val cols = canonCols(newRows)
+        val tagged = oldRows.select(cols.map(col): _*).withColumn("__sgn", lit(-1L))
+          .unionByName(newRows.select(cols.map(col): _*).withColumn("__sgn", lit(1L)))
+          .withColumn("__h", xxhash64(cols.map(col): _*))
+        val aggCols = Seq(
+          coalesce(sum(col("__sgn")), lit(0L)),
+          coalesce(expr("bit_xor(__h)"), lit(0L))) ++
+          histMeta.toSeq.flatMap { m =>
+            HistCols.flatMap { c =>
+              bucketCountCols(c,
+                java.lang.Double.longBitsToDouble(m(s"h_${c}_lo")),
+                java.lang.Double.longBitsToDouble(m(s"h_${c}_hi")),
+                sign = Some(col("__sgn")))
+            }
+          }
+        val row = tagged.agg(aggCols.head, aggCols.tail: _*).head()
+        val cur = w("n") + row.getLong(0)
+        val fp = w("fp") ^ row.getLong(1)
+        val buckets = histMeta.map { _ =>
+          HistCols.zipWithIndex.map { case (c, ci) =>
+            c -> (0 to HistBuckets).map(b =>
+              w(bucketField(c, b)) + row.getLong(2 + ci * (HistBuckets + 1) + b))
+              .toIndexedSeq
+          }.toMap
+        }
+        if (cur == 0L) return None
+        val prevTick = readTick(spark, path)
+        val stale = decideStale(vmeta, prevTick, cur, fp, buckets, growthPct, psiBound)
+        val out = if (stale) Some(refresh(spark, path, standing())) else None
+        if (!stale) served.foreach { r =>
+          writeWit(spark, path, versionNum(r), cur, fp,
+            buckets.toSeq.flatMap(b => HistCols.flatMap(c =>
+              b(c).zipWithIndex.map { case (v, i) => bucketField(c, i) -> v })))
+        }
+        writeTick(spark, path, cur, fp)
+        out
+    }
+  }
+
+  /** The full-frame witness under the served version's stored edges —
+    * the fold-equality verification hook: after any sequence of folds,
+    * the maintained `wit.json` must equal exactly this measurement of
+    * the standing frame (PipelineSpec pins adds AND in-place updates). */
+  private[graft] def fullWitnessFields(spark: SparkSession, path: String,
+                                       feats: DataFrame): Map[String, Long] = {
+    val served = graft.sources.VersionedRoot.resolve(spark, modelsRoot(path), What)
+    val vmeta = served.map(r => graft.sources.IndexMeta
+      .read(spark, s"$r/meta.json", s"$What version"))
+    val (cur, fp, buckets) = measure(feats, vmeta.filter(hasHistogram))
+    (Seq("base_v" -> served.map(versionNum).getOrElse(0L), "n" -> cur, "fp" -> fp) ++
+      buckets.toSeq.flatMap(b => HistCols.flatMap(c =>
+        b(c).zipWithIndex.map { case (v, i) => bucketField(c, i) -> v }))).toMap
+  }
+
+  private[graft] def readWitFields(spark: SparkSession, path: String): Option[Map[String, Long]] =
+    readWit(spark, path)
+
+  private def versionNum(resolvedRoot: String): Long =
+    resolvedRoot.substring(resolvedRoot.lastIndexOf("v_") + 2).toLong
+
+  private def bucketField(c: String, i: Int): String =
+    if (i == HistBuckets) s"h_${c}_bn" else s"h_${c}_b$i"
 
   /** Last tick's (count, fp) — advisory: a missing or torn tick file
     * (crash mid-write) reads as absent and the next tick rewrites it;
     * the cost of losing one is one missed rule-3 detection, bounded
-    * by rules 1/2/4. */
+    * by rules 1/2/4. Ticks are SINGLE-WRITER like every artifact
+    * mutation here: the write is atomic (temp + rename, a reader never
+    * sees a torn file), but two processes ticking one artifact can
+    * still interleave (count, fp) pairs and blunt rule 3 — the
+    * documented single-writer contract, now stated at the witness
+    * itself (r19 advice). */
   private def readTick(spark: SparkSession, path: String): Option[(Long, Long)] =
     scala.util.Try {
       val m = graft.sources.IndexMeta.read(spark, s"$path/tick.json", s"$What tick")
@@ -295,8 +487,26 @@ object ModelArtifact {
     }.toOption
 
   private def writeTick(spark: SparkSession, path: String, n: Long, fp: Long): Unit =
-    graft.sources.IndexMeta.write(spark, s"$path/tick.json",
+    graft.sources.IndexMeta.writeAtomic(spark, s"$path/tick.json",
       Seq("last_n" -> n, "last_fp" -> fp))
+
+  /** The maintained frame witness `wit.json` — what makes a DAY-SIZED
+    * tick possible: base served version, exact row count, canonical
+    * XOR fingerprint, and the current frame's bucket counts under the
+    * base version's stored edges. Advisory like the tick file: torn or
+    * missing reads as absent and the next tick re-bases with one full
+    * measurement. Same atomic write + single-writer contract. */
+  private def readWit(spark: SparkSession, path: String): Option[Map[String, Long]] =
+    scala.util.Try {
+      val m = graft.sources.IndexMeta.read(spark, s"$path/wit.json", s"$What witness")
+      require(m.contains("base_v") && m.contains("n") && m.contains("fp"))
+      m
+    }.toOption
+
+  private def writeWit(spark: SparkSession, path: String, baseV: Long,
+                       n: Long, fp: Long, buckets: Seq[(String, Long)]): Unit =
+    graft.sources.IndexMeta.writeAtomic(spark, s"$path/wit.json",
+      Seq("base_v" -> baseV, "n" -> n, "fp" -> fp) ++ buckets)
 
   /** JVM-level memo of loaded model pairs, keyed by the RESOLVED
     * version dir PLUS the version meta's fit identity (train_rows,

@@ -48,8 +48,22 @@ object PricePredictor {
       .na.drop(Seq("prev_close", "pct_change", "label"))
   }
 
+  /** The numeric feature recipe — the ONE definition both the model's
+    * assembler and the artifact's drift monitor consume (r19 verdict
+    * #1: a hand-duplicated monitor list meant a future feature column
+    * could be fitted on yet silently un-monitored — the drift loop
+    * would degrade with no loud failure). Extending the recipe HERE
+    * extends both the fit and the monitor; there is no second list to
+    * forget. */
+  val FeatureCols: Seq[String] = Seq("close", "prev_close", "pct_change", "vol")
+
+  /** Every column the model artifact's PSI tick monitors: the feature
+    * recipe plus the label — label drift is exactly the regime change
+    * a served regression must not ride through. */
+  val MonitoredCols: Seq[String] = FeatureCols :+ "label"
+
   private def assembler = new VectorAssembler()
-    .setInputCols(Array("close", "prev_close", "pct_change", "vol"))
+    .setInputCols(FeatureCols.toArray)
     .setOutputCol("raw_features")
 
   /** Primary pipeline: assemble → standardize → linear regression. */

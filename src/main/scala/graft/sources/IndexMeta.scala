@@ -25,6 +25,27 @@ object IndexMeta {
     finally out.close()
   }
 
+  /** [[write]] via temp + rename, for meta files that are REWRITTEN
+    * over their lifetime (advisory tick/witness state) rather than
+    * written once: a concurrent reader never sees a torn or
+    * half-written file — it sees the old content, the new content, or
+    * (inside the delete→rename window) no file, and every such caller
+    * already treats "missing" as "absent state". Write-once markers
+    * ([[write]] at publish time) don't need this: they are created
+    * complete before anything points at them. */
+  def writeAtomic(spark: SparkSession, path: String, fields: Seq[(String, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(fields.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeAtomic: could not swap $p")
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -147,6 +147,76 @@ class MlSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("drift monitor derives from the one feature recipe; a frame missing a monitored column is loud") {
+    import graft.ml.ModelArtifact
+    // ONE source of truth (r19 verdict #1): the fitted assembler's
+    // input columns ARE PricePredictor.FeatureCols, and the monitor is
+    // exactly that recipe plus the label — extending the recipe cannot
+    // leave the monitor behind because there is no second list
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      val primary = PricePredictor.fitPrimary(feats)
+      val asm = primary.stages.collectFirst {
+        case a: org.apache.spark.ml.feature.VectorAssembler => a
+      }.getOrElse(fail("primary pipeline lost its assembler stage"))
+      assert(asm.getInputCols.toSeq === PricePredictor.FeatureCols,
+        "the fitted recipe and FeatureCols must be the same list")
+      assert(PricePredictor.MonitoredCols === PricePredictor.FeatureCols :+ "label")
+      // a frame that does not carry every monitored column must fail
+      // LOUDLY at fit and at tick — never silently narrow the monitor
+      val path = java.nio.file.Files.createTempDirectory("graft-mlmon").toString
+      ModelArtifact.init(spark, path)
+      val crippled = feats.drop("vol")
+      val e1 = intercept[IllegalArgumentException] {
+        ModelArtifact.refresh(spark, path, crippled)
+      }
+      assert(e1.getMessage.contains("monitored feature column"))
+      val e2 = intercept[IllegalArgumentException] {
+        ModelArtifact.maybeRefresh(spark, path, crippled)
+      }
+      assert(e2.getMessage.contains("monitored feature column"))
+    } finally feats.unpersist()
+  }
+
+  test("folded tick: a mixed replacement+insert delta that legitimately rides leaves the witness equal to a full measurement") {
+    import graft.ml.ModelArtifact
+    import org.apache.spark.sql.functions._
+    // the one window where a fold with REPLACEMENTS does not refit —
+    // in-place corrections arriving in the SAME tick as sub-bound
+    // growth, at a count different from both the fit's and the last
+    // tick's, under the PSI bound (the documented blind window). The
+    // folded witness must still be EXACT: old rows XOR back out and
+    // subtract from the buckets, new rows XOR in and add — afterwards
+    // wit.json equals a from-scratch measurement of the final frame.
+    val path = java.nio.file.Files.createTempDirectory("graft-mlfold").toString
+    ModelArtifact.init(spark, path)
+    val feats = PricePredictor.features(spark, dir).cache()
+    try {
+      val bucket = pmod(xxhash64(col("user_id"), col("d")), lit(100))
+      val base = feats.filter(bucket >= 5)            // the fitted vintage
+      val replacedOld = base.filter(bucket >= 50 && bucket < 60)
+      val replacedNew = replacedOld.withColumn("vol", col("vol") + lit(0.001))
+      val inserts = feats.filter(bucket >= 2 && bucket < 5)
+      val (nBase, nIns) = (base.count(), inserts.count())
+      assert(nIns > 0 && replacedOld.count() > 0, "fixture needs both halves of the fold")
+      assert(nBase * 110 > (nBase + nIns) * 100, "growth must stay sub-bound")
+      ModelArtifact.refresh(spark, path, base) // bases wit.json at (v, base)
+      val finalFrame = base.filter(!(bucket >= 50 && bucket < 60))
+        .unionByName(replacedNew).unionByName(inserts)
+      val out = ModelArtifact.maybeRefreshFolded(spark, path,
+        replacedOld, replacedNew.unionByName(inserts), () => finalFrame)
+      assert(out.isEmpty,
+        "sub-bound growth + tiny in-place shift at a fresh count must ride")
+      val full = ModelArtifact.fullWitnessFields(spark, path, finalFrame)
+      val wit = ModelArtifact.readWitFields(spark, path)
+        .getOrElse(fail("no maintained witness after the fold"))
+      full.foreach { case (k, v) =>
+        assert(wit.get(k).contains(v),
+          s"folded witness field $k diverged (folded ${wit.get(k)}, full $v)")
+      }
+    } finally feats.unpersist()
+  }
+
   test("served-model memo: a recreated artifact root at the same path serves the NEW fit") {
     import graft.ml.ModelArtifact
     import org.apache.spark.sql.functions._
