@@ -279,19 +279,31 @@ object FuzzyLinkIndex {
     * the maximum ~V²/2. 0 = identical ranking (uniform growth that
     * scales every count preserves it); 1 = full reversal. Within 2×
     * of the Kendall inversion count (Diaconis & Graham 1977).
-    * Vocabulary-sized: two single-partition rank sorts + one
-    * aggregate, once per refresh — never corpus-proportional. */
+    * Vocabulary-sized AND distributed (r19 advice: the first cut ran
+    * two `row_number` windows with no partitionBy — the whole gram
+    * vocabulary through one task, twice per refresh): both ranks come
+    * from the house two-phase exact rank ([[Sampling
+    * .withExactRankMonotone]], bit-identical to the global window),
+    * bucketed by (df, first gram char) — monotone in the sort order,
+    * and the heavy df = 1 tie mass spreads across the alphabet instead
+    * of one task. Never corpus-proportional. */
   private def orderStaleness(epoch: DataFrame, fresh: DataFrame): Double = {
-    val w = org.apache.spark.sql.expressions.Window
     val joined = fresh.select(col("g"), col("occ"), col("df"))
       .join(epoch.select(col("g"), col("occ"), col("df").as("df_epoch")),
         Seq("g", "occ"), "left")
       .withColumn("df_epoch", coalesce(col("df_epoch"), lit(0L)))
-    val ranked = joined
-      .withColumn("r_new", row_number().over(
-        w.orderBy(col("df"), col("g"), col("occ"))))
-      .withColumn("r_epoch", row_number().over(
-        w.orderBy(col("df_epoch"), col("g"), col("occ"))))
+      .withColumn("__grp", lit(0))
+      .withColumn("__tie", struct(col("g"), col("occ")))
+    // pinned: each rank pass consumes the join twice (counts + rows)
+    val src = Checkpoints.pin(joined)
+    def bucketOf(value: String) =
+      col(value) * 1024L + least(lit(1023), coalesce(ascii(substring(col("g"), 1, 1)), lit(0)))
+    val rNew = Sampling
+      .withExactRankMonotone(src, "__grp", "df", "__tie", bucketOf("df"))
+      .withColumnRenamed("__rn", "r_new").drop("__n")
+    val ranked = Sampling
+      .withExactRankMonotone(rNew, "__grp", "df_epoch", "__tie", bucketOf("df_epoch"))
+      .withColumnRenamed("__rn", "r_epoch")
     val r = ranked.agg(count(lit(1)),
       coalesce(sum(abs(col("r_new") - col("r_epoch"))), lit(0L))).head()
     val v = r.getLong(0)

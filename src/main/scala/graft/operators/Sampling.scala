@@ -205,6 +205,21 @@ object Sampling {
       Some(sideRowsAtMost))
   }
 
+  /** The two-phase exact-rank core with a CALLER-SUPPLIED monotone
+    * bucket expression — for value distributions the equi-width
+    * bucketing of [[withExactRankScaled]] cannot balance (heavy ties:
+    * a document-frequency column where half the keys share df = 1
+    * lands half the rows in one bucket whatever the width). The caller
+    * promises `finiteBucket` is a pure function of the row that is
+    * MONOTONE in the (valueCol, tieCol) sort order; equal sort keys
+    * must bucket equally (any function of the sort-key prefix
+    * qualifies). Output contract identical to [[withExactRank]]:
+    * `__rn` bit-equal to `row_number() over (partition by group order
+    * by value, tie)`, plus `__n`. */
+  private[graft] def withExactRankMonotone(df: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String, finiteBucket: Column): DataFrame =
+    exactRankByBucket(df, groupCol, valueCol, tieCol, finiteBucket)
+
   /** The shared two-phase exact-rank core: sentinel buckets for
     * NULL/NaN around the caller's monotone `finiteBucket`, per-
     * (group, bucket) counts cumulated through the triangle join, the
