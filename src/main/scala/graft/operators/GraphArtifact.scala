@@ -280,7 +280,8 @@ object GraphArtifact {
 
   /** A memo's served version's `pub_seq` stamp — None for legacy
     * pre-stamp memos, never-published debris, or an unreadable meta.
-    * The ONE definition both the stamp assignment ([[nextPubSeq]])
+    * The ONE definition both the stamp reservation ([[reservePubSeq]]
+    * fallback scan)
     * and retention ranking ([[prunePprMemos]]) resolve through, so
     * the two can never rank on different stamps (r19 review). */
   private def pubSeqOf(spark: SparkSession, memoRoot: String): Option[Long] =
@@ -290,22 +291,42 @@ object GraphArtifact {
       graft.sources.IndexMeta.read(spark, s"$res/meta.json", "PPR memo version")("pub_seq")
     }.toOption
 
-  /** The next monotonic publish stamp across ALL of this artifact's
-    * PPR memos — max stored `pub_seq` + 1 (legacy memos without one
-    * count as 0). Retention ranks on this instead of filesystem
-    * mtimes (r18 advice: coarse-granularity or copy-preserved mtimes
-    * tie, and a tie-break by name can evict the most-recently
-    * refreshed kernel). Single-writer maintenance, like every
-    * refresh, so the read-max-increment cannot race itself; the scan
-    * is memo-population-sized (bounded by [[prunePprMemos]]), beside
-    * a full PPR sweep. */
-  private def nextPubSeq(spark: SparkSession,
+  /** RESERVE the next monotonic publish stamp across ALL of this
+    * artifact's PPR memos — served from a persisted artifact-level
+    * counter (`ppr/_pub_seq.json`, one FS read) instead of resolving
+    * and reading every memo's version meta per refresh (r19 advice:
+    * that was O(memo-count) small driver FS round-trips on every
+    * [[refreshPpr]], pruning or not). Reservation semantics: the
+    * counter is advanced and persisted BEFORE the stamp is used, so
+    * every stamp ever stored in a memo is ≤ the counter and a crash
+    * mid-refresh leaves at worst a GAP in the sequence, never a
+    * duplicate (writing the counter after publish would let a crash
+    * in between re-assign the published stamp). A missing or torn
+    * counter (legacy artifact, or the reservation write itself
+    * crashed) falls back to the original max-over-memos scan, which
+    * re-derives a safe next stamp from the stamps actually stored.
+    * Retention still ranks on the STORED stamps, not the counter
+    * (r18 advice: filesystem mtimes tie). Single-writer maintenance,
+    * like every refresh, so read-increment-persist cannot race
+    * itself; the write is atomic (temp + rename), so a torn counter
+    * reads as absent, never as a wrong number. */
+  private def reservePubSeq(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, pprRoot: org.apache.hadoop.fs.Path): Long = {
-    if (!fs.exists(pprRoot)) return 1L
-    val seqs = fs.listStatus(pprRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
-      .flatMap(m => pubSeqOf(spark, m.getPath.toString))
-    (if (seqs.isEmpty) 0L else seqs.max) + 1L
+    val counter =
+      if (!fs.exists(pprRoot)) None
+      else scala.util.Try(graft.sources.IndexMeta
+        .read(spark, s"$pprRoot/_pub_seq.json", "PPR publish counter")("last")).toOption
+    val next = counter.map(_ + 1L).getOrElse {
+      val seqs =
+        if (!fs.exists(pprRoot)) Array.empty[Long]
+        else fs.listStatus(pprRoot)
+          .filter(s => s.isDirectory && s.getPath.getName.matches("s-?\\d+xn?\\d+"))
+          .flatMap(m => pubSeqOf(spark, m.getPath.toString))
+      (if (seqs.isEmpty) 0L else seqs.max) + 1L
+    }
+    graft.sources.IndexMeta.writeAtomic(spark, s"$pprRoot/_pub_seq.json",
+      Seq("last" -> next))
+    next
   }
 
   /** Sweep PPR for `seeds` over the standing edge state into a fresh
@@ -320,7 +341,7 @@ object GraphArtifact {
     val (key, seedN, seedAlt) = seedSignature(seeds)
     val pprRoot = new org.apache.hadoop.fs.Path(s"$path/ppr")
     val fs = pprRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pubSeq = nextPubSeq(spark, fs, pprRoot)
+    val pubSeq = reservePubSeq(spark, fs, pprRoot)
     val root = s"$path/ppr/$key"
     val served = graft.sources.VersionedRoot.resolve(spark, root, "PPR memo")
     val newName = graft.sources.VersionedRoot.nextVersion(spark, root)

@@ -455,6 +455,26 @@ class GraphSpec extends SparkSpec {
     intercept[Exception] {
       GraphArtifact.maybeRefreshPpr(spark, s"$path-nope", seedsA)
     }
+    // publish-stamp counter (r19 advice: O(1) FS read per refresh, not
+    // a meta read per memo): losing it — legacy artifact or a crash
+    // before the reservation write — falls back to the max-over-memos
+    // scan and can NEVER assign a duplicate stamp
+    val counter = java.nio.file.Paths.get(s"$path/ppr/_pub_seq.json")
+    assert(java.nio.file.Files.exists(counter), "refresh must persist the stamp counter")
+    def stamps(): Seq[Long] = {
+      val pprDir = new java.io.File(s"$path/ppr")
+      pprDir.listFiles.filter(_.isDirectory).toSeq.map { m =>
+        graft.sources.IndexMeta.read(spark,
+          graft.sources.VersionedRoot.resolve(spark, m.toString, "t").get + "/meta.json",
+          "t")("pub_seq")
+      }
+    }
+    java.nio.file.Files.delete(counter)
+    GraphArtifact.refreshPpr(spark, path, seedsB) // fallback scan path
+    val all = stamps()
+    assert(all.distinct.length === all.length,
+      s"stamps must stay unique after counter loss, got $all")
+    assert(java.nio.file.Files.exists(counter), "the fallback must re-reserve the counter")
     rmTree(path)
   }
 
