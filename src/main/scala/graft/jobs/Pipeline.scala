@@ -397,7 +397,12 @@ object Pipeline {
         try {
           Sinks.mergeIntoPartitioned(feats, lake.features,
             Seq("user_id", "d"), "d", doUpdate = true)
-          graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
+          val out = graft.ml.ModelArtifact.maybeRefresh(spark, lake.models, feats)
+          // the bootstrap's full tick IS this day's measurement — stamp
+          // it so the day's re-run folds instead of re-basing once
+          graft.ml.ModelArtifact.stampWitDay(spark, lake.models,
+            day.toLocalDate.toEpochDay)
+          out
         } finally feats.unpersist()
       } else {
         // pinned EAGERLY: the merge below rewrites exactly these
@@ -407,7 +412,8 @@ object Pipeline {
         Sinks.mergeIntoPartitioned(delta, lake.features,
           Seq("user_id", "d"), "d", doUpdate = true)
         graft.ml.ModelArtifact.maybeRefreshFolded(spark, lake.models,
-          old, delta, () => spark.read.parquet(lake.features))
+          day.toLocalDate.toEpochDay, old, delta,
+          () => spark.read.parquet(lake.features))
       }
     val toScore = refit match {
       case Some(_) => spark.read.parquet(lake.features)
@@ -496,7 +502,17 @@ object Pipeline {
     * (r19 verdict #6: three redundant pruned scans per day otherwise);
     * the cache spills past memory, and the slice never couples stage
     * failure domains — each stage's merge is its own job with its own
-    * staged promote. */
+    * staged promote.
+    *
+    * Retry contract: a FAILED runDay must be retried to completion
+    * before a later day replays — every stage merge is idempotent, so
+    * the retry converges (the witness crash window inside the retry is
+    * detected and re-based, [[graft.ml.ModelArtifact
+    * .maybeRefreshFolded]]), but SKIPPING a failed day's predict stage
+    * would leave that day's fringe rows out of the standing feature
+    * table with nothing left to detect them. The external scheduler
+    * owns this day-to-day dependency, exactly as the reference's
+    * Airflow DAG does (trading_dashboard.py task ordering). */
   def runDay(spark: SparkSession, sfDir: String, lakeRoot: String,
              day: java.sql.Date,
              lookbackDays: Int = DayLookback): LakePaths = {

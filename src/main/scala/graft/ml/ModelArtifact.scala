@@ -376,8 +376,23 @@ object ModelArtifact {
     * .predictDay]] owns the standing feature table and is the single
     * writer). The witness file records which served version its
     * buckets count under; any mismatch falls back to one full
-    * measurement rather than folding onto a foreign base. */
-  def maybeRefreshFolded(spark: SparkSession, path: String,
+    * measurement rather than folding onto a foreign base.
+    *
+    * CRASH WINDOW, closed (r20 self-review): the table merge and the
+    * witness write cannot be atomic together, so a crash between them
+    * leaves a witness that never saw the merged delta — and the RETRY
+    * would fold old == new (a no-op) and miss that day forever. The
+    * witness therefore records `last_day`, the epoch day it last
+    * folded, and the fold REFUSES to trust its base when `day` is
+    * ahead of the stamp yet some delta key already has a standing old
+    * row: under the append-only contract a NEW day's fringe rows are
+    * always inserts (their labels just arrived), so a pre-existing row
+    * at a delta key proves a prior attempt's merge landed without its
+    * witness write (including a PARTIAL per-partition landing) — one
+    * full measurement re-bases instead. A same-day re-run
+    * (`last_day == day`, e.g. corrected values) folds normally:
+    * its replacements are the legitimate both-sides delta. */
+  def maybeRefreshFolded(spark: SparkSession, path: String, day: Long,
                          oldRows: DataFrame, newRows: DataFrame,
                          standing: () => DataFrame,
                          growthPct: Int = 10, psiBound: Double = 0.25): Option[String] = {
@@ -400,11 +415,17 @@ object ModelArtifact {
       // vintages) fold iff the served version has no histogram either
       if histMeta.forall(_ => HistCols.forall(c =>
         (0 to HistBuckets).forall(b => w.contains(bucketField(c, b)))))
+      // the crash-window guard (scaladoc above): a first fold for a
+      // NEW day must see only inserts; an old row at a delta key means
+      // a prior attempt merged without its witness write — re-base
+      if w.getOrElse("last_day", 0L) >= day || oldRows.isEmpty
     } yield w
     base match {
       case None =>
         // no foldable base: one full measurement re-bases the witness
-        maybeRefresh(spark, path, standing(), growthPct, psiBound)
+        val out = maybeRefresh(spark, path, standing(), growthPct, psiBound)
+        stampWitDay(spark, path, day)
+        out
       case Some(w) =>
         // ONE day-sized aggregation: signed count, XOR over BOTH sides
         // (self-inverse), signed bucket counts under the stored edges
@@ -440,12 +461,27 @@ object ModelArtifact {
         if (!stale) served.foreach { r =>
           writeWit(spark, path, versionNum(r), cur, fp,
             buckets.toSeq.flatMap(b => HistCols.flatMap(c =>
-              b(c).zipWithIndex.map { case (v, i) => bucketField(c, i) -> v })))
+              b(c).zipWithIndex.map { case (v, i) => bucketField(c, i) -> v })),
+            lastDay = Some(day))
         }
+        if (stale) stampWitDay(spark, path, day)
         writeTick(spark, path, cur, fp)
         out
     }
   }
+
+  /** Stamp `last_day` onto the maintained witness — the fold writes it
+    * inline; the re-base paths (refresh / full maybeRefresh) write the
+    * witness without one, so the day-scoped caller stamps afterwards
+    * (incl. [[graft.jobs.Pipeline.predictDay]]'s bootstrap, whose full
+    * tick IS a day-scoped measurement). Read-modify-write of a tiny
+    * advisory file under the single-writer contract; absent witness
+    * (empty-frame tick) is a no-op. */
+  private[graft] def stampWitDay(spark: SparkSession, path: String, day: Long): Unit =
+    readWit(spark, path).foreach { w =>
+      graft.sources.IndexMeta.writeAtomic(spark, s"$path/wit.json",
+        (w - "last_day").toSeq :+ ("last_day" -> day))
+    }
 
   /** The full-frame witness under the served version's stored edges —
     * the fold-equality verification hook: after any sequence of folds,
@@ -504,9 +540,11 @@ object ModelArtifact {
     }.toOption
 
   private def writeWit(spark: SparkSession, path: String, baseV: Long,
-                       n: Long, fp: Long, buckets: Seq[(String, Long)]): Unit =
+                       n: Long, fp: Long, buckets: Seq[(String, Long)],
+                       lastDay: Option[Long] = None): Unit =
     graft.sources.IndexMeta.writeAtomic(spark, s"$path/wit.json",
-      Seq("base_v" -> baseV, "n" -> n, "fp" -> fp) ++ buckets)
+      Seq("base_v" -> baseV, "n" -> n, "fp" -> fp) ++ buckets ++
+        lastDay.map("last_day" -> _))
 
   /** JVM-level memo of loaded model pairs, keyed by the RESOLVED
     * version dir PLUS the version meta's fit identity (train_rows,

@@ -197,14 +197,26 @@ class MlSpec extends SparkSpec {
       val replacedOld = base.filter(bucket >= 50 && bucket < 60)
       val replacedNew = replacedOld.withColumn("vol", col("vol") + lit(0.001))
       val inserts = feats.filter(bucket >= 2 && bucket < 5)
+      val inserts1 = feats.filter(bucket >= 3 && bucket < 5)
+      val inserts2 = feats.filter(bucket >= 2 && bucket < 3)
       val (nBase, nIns) = (base.count(), inserts.count())
-      assert(nIns > 0 && replacedOld.count() > 0, "fixture needs both halves of the fold")
+      assert(inserts1.count() > 0 && inserts2.count() > 0 && replacedOld.count() > 0,
+        "fixture needs all three delta pieces")
       assert(nBase * 110 > (nBase + nIns) * 100, "growth must stay sub-bound")
       ModelArtifact.refresh(spark, path, base) // bases wit.json at (v, base)
-      val finalFrame = base.filter(!(bucket >= 50 && bucket < 60))
-        .unionByName(replacedNew).unionByName(inserts)
-      val out = ModelArtifact.maybeRefreshFolded(spark, path,
-        replacedOld, replacedNew.unionByName(inserts), () => finalFrame)
+      val day = 19876L
+      // fold 1 — the day's first replay: pure inserts (stamps last_day)
+      val mid = base.unionByName(inserts1)
+      assert(ModelArtifact.maybeRefreshFolded(spark, path, day,
+        inserts1.limit(0), inserts1, () => mid).isEmpty,
+        "sub-bound insert fold must ride")
+      // fold 2 — a SAME-DAY re-run with corrections + late rows (the
+      // sanctioned replacement shape: last_day == day folds; a NEW day
+      // with standing old rows would re-base instead — the crash guard)
+      val finalFrame = mid.filter(!(bucket >= 50 && bucket < 60))
+        .unionByName(replacedNew).unionByName(inserts2)
+      val out = ModelArtifact.maybeRefreshFolded(spark, path, day,
+        replacedOld, replacedNew.unionByName(inserts2), () => finalFrame)
       assert(out.isEmpty,
         "sub-bound growth + tiny in-place shift at a fresh count must ride")
       val full = ModelArtifact.fullWitnessFields(spark, path, finalFrame)

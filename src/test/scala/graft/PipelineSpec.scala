@@ -218,6 +218,21 @@ class PipelineSpec extends SparkSpec {
       "the folded witness must detect the in-place correction and refit")
     assert(after === fullFeats().count(),
       "the refit must train on the corrected standing frame")
+    // day 34 — the CRASH WINDOW (r20 self-review): a prior attempt
+    // merged the feature table but died before the witness write; a
+    // naive retry folds old == new (a no-op) and the witness misses
+    // the day forever. Simulate: replay day 34 fully, then restore the
+    // pre-day-34 witness (= the crash state: table merged, witness
+    // stale) and replay again — the guard must spot standing old rows
+    // at a NEW day's delta keys and re-base with a full measurement.
+    bars(Seq(34), (u, _) => 26.0 + u)
+      .write.mode("append").partitionBy("d").parquet(lake.history)
+    val witPath = java.nio.file.Paths.get(s"${lake.models}/wit.json")
+    val staleWit = java.nio.file.Files.readAllBytes(witPath)
+    Pipeline.predictDay(spark, "unused-src-dir", lake, dayN(34), lookbackDays = 60)
+    java.nio.file.Files.write(witPath, staleWit)
+    Pipeline.predictDay(spark, "unused-src-dir", lake, dayN(34), lookbackDays = 60)
+    assertConverged("crash-window retry (stale witness re-based, not folded onto)")
   }
 
   test("rolling replay: five consecutive runDays converge to the full-replay lake at EVERY step, through a mid-sequence refit") {
