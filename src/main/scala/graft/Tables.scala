@@ -161,6 +161,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     conform(spark.read.parquet(s"$dir/$name.parquet"), name)
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, "input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"). The testdata tables are ONE parquet file with ONE
+    * row group, so every scan plans a single task and the heavy
+    * per-row work above it (tokenization, shingling, hashing, vector
+    * math) serializes onto one core however many the session has. If
+    * the scan plans fewer partitions than the session's default
+    * parallelism, round-robin repartition right after the read;
+    * otherwise IDENTITY — on a lake-scale table the scan already
+    * carries thousands of splits, so no shuffle is ever added at
+    * 100 TB (the guard derives from the actual scan partitioning, not
+    * a constant). A table this clause fires on is by construction
+    * smaller than parallelism × maxPartitionBytes, so the one-time
+    * shuffle is bounded and buys full-width CPU for everything above
+    * it. Predicate pushdown and column pruning pass through
+    * Repartition (Catalyst pushes both below it — PruningSpec). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -168,8 +189,8 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame  = fanOut(load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(load(spark, dir, "embeddings"))
 
   /** `events.ts` arrives in one of two physical parquet types depending on
     * the generator vintage: TIMESTAMP(NANOS) (Spark 4 reads it only as a raw

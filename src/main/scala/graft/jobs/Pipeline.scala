@@ -122,7 +122,8 @@ object Pipeline {
     * one date partition. */
   def mergeHistoryDay(spark: SparkSession, sfDir: String, lake: LakePaths,
                       day: java.sql.Date,
-                      lookbackDays: Int = DayLookback): Unit = {
+                      lookbackDays: Int = DayLookback,
+                      preSlice: Option[DataFrame] = None): Unit = {
     // pinned: consumed by the orphan anti-join, the updates join and
     // the merge's touched-partition collect — one source aggregation
     val dayBars = Checkpoints.pin(
@@ -135,8 +136,12 @@ object Pipeline {
           .limit(0)
       else {
         val hist = spark.read.parquet(lake.history)
-        val inLookback = Checkpoints.pin(hist
-          .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
+        // the [day − lookback, day) read: from the caller's shared
+        // cached slice when provided (r21 — runDay otherwise paid this
+        // partition-pruned scan twice, once here and once for the
+        // post-merge lookback slice), a fresh pruned scan otherwise
+        val inLookback = Checkpoints.pin(preSlice.getOrElse(hist
+            .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day)))
           .groupBy("user_id")
           .agg(max_by(col("close"), col("d")).as("prev_close")))
         val orphans = dayBars.select("user_id").distinct()
@@ -154,45 +159,65 @@ object Pipeline {
 
   /** The pattern derivation (full_stock_pipeline.py:425-489) over a
     * history slice — ONE definition for the whole-history and
-    * single-day replays, so the two paths cannot drift. */
+    * single-day replays, so the two paths cannot drift.
+    *
+    * Fused into ONE window pass (optimization guide §2.4, r21): the
+    * trend lags and both MA frames share the same (user_id, d)
+    * partitioning and ordering, so deriving them as one projection
+    * costs one Exchange + one Sort; the old two-branch union re-
+    * scanned and re-shuffled the history once per branch (2 scans,
+    * 2 Exchanges, 2 Sorts → 1/1/1, verified in plans/r21). Each row
+    * then explodes into its ≤2 pattern candidates — exactly the rows
+    * the two branches produced, proven by the unchanged q_e1 oracle.
+    *
+    * The MAs feed a comparison, and a comparison of double frame-sums
+    * is engine-divergent on boundary rows (Spark sums frames
+    * sequentially, other engines use segment trees) — so the frames
+    * sum exact fixed-point micros of the close, same rationale as
+    * q_w3_ma_cross, which is what lets q_e1_pipeline carry a
+    * value-exact oracle over this stage's output. */
   private def patternsOf(hist: DataFrame): DataFrame = {
     val w = Indicators.series("user_id", "d")
-    val trend = hist
-      .withColumn("c1", lag(col("close"), 1).over(w))
-      .withColumn("c2", lag(col("close"), 2).over(w))
-      .filter(col("c1").isNotNull && col("c2").isNotNull)
-      .withColumn("pattern",
-        when(col("close") > col("c1") && col("c1") > col("c2"), "Bullish Trend")
-          .when(col("close") < col("c1") && col("c1") < col("c2"), "Bearish Trend"))
-      .filter(col("pattern").isNotNull)
-      .withColumn("pattern_category", lit("Trend Patterns"))
-    // the MAs feed a comparison, and a comparison of double frame-sums
-    // is engine-divergent on boundary rows (Spark sums frames
-    // sequentially, other engines use segment trees) — so the frames
-    // sum exact fixed-point micros of the close, same rationale as
-    // q_w3_ma_cross, which is what lets q_e1_pipeline carry a
-    // value-exact oracle over this stage's output
     val f5 = w.rowsBetween(-4, 0)
     val f20 = w.rowsBetween(-19, 0)
     def ma(frame: org.apache.spark.sql.expressions.WindowSpec) =
       sum(col("c6")).over(frame).cast("double") / (lit(1000000.0) * count(lit(1)).over(frame))
-    val cross = hist
+    val trendPattern =
+      // the lag null-guard reproduces the old branch's pre-filter
+      // (first two rows of a series emit no trend row)
+      when(col("c1").isNotNull && col("c2").isNotNull,
+        when(col("close") > col("c1") && col("c1") > col("c2"), "Bullish Trend")
+          .when(col("close") < col("c1") && col("c1") < col("c2"), "Bearish Trend"))
+    val crossPattern =
+      when(col("ma_fast") > col("ma_slow"), "Golden Cross")
+        .when(col("ma_fast") < col("ma_slow"), "Death Cross")
+    hist
       .withColumn("c6", round(col("close") * 1000000).cast("long"))
+      .withColumn("c1", lag(col("close"), 1).over(w))
+      .withColumn("c2", lag(col("close"), 2).over(w))
       .withColumn("ma_fast", ma(f5))
       .withColumn("ma_slow", ma(f20))
-      .withColumn("pattern",
-        when(col("ma_fast") > col("ma_slow"), "Golden Cross")
-          .when(col("ma_fast") < col("ma_slow"), "Death Cross"))
-      .filter(col("pattern").isNotNull)
-      .withColumn("pattern_category", lit("Moving Average Patterns"))
-    trend.select("user_id", "d", "pattern_category", "pattern")
-      .unionByName(cross.select("user_id", "d", "pattern_category", "pattern"))
+      .select(col("user_id"), col("d"),
+        explode(array(
+          struct(lit("Trend Patterns").as("pattern_category"),
+            trendPattern.as("pattern")),
+          struct(lit("Moving Average Patterns").as("pattern_category"),
+            crossPattern.as("pattern")))).as("p"))
+      .filter(col("p.pattern").isNotNull)
+      .select(col("user_id"), col("d"),
+        col("p.pattern_category").as("pattern_category"),
+        col("p.pattern").as("pattern"))
   }
 
   /** Stage 3 — trend + MA-cross patterns over the merged history,
-    * U2 DO-NOTHING on (user, d, pattern). */
-  def detectPatterns(spark: SparkSession, lake: LakePaths): Unit = {
-    val all = patternsOf(spark.read.parquet(lake.history))
+    * U2 DO-NOTHING on (user, d, pattern). `hist` lets [[run]] hand in
+    * the ONE cached post-merge history read every full-replay stage
+    * shares (r21, guide §2.4/§5 — the same shared-read structure
+    * [[runDay]] has carried since r19; stages 3–5 otherwise re-scan
+    * the standing lake once each). */
+  def detectPatterns(spark: SparkSession, lake: LakePaths,
+                     hist: Option[DataFrame] = None): Unit = {
+    val all = patternsOf(hist.getOrElse(spark.read.parquet(lake.history)))
     Sinks.mergeIntoPartitioned(all, lake.patterns, Seq("user_id", "d", "pattern"), "d", doUpdate = false)
   }
 
@@ -239,11 +264,12 @@ object Pipeline {
   /** Stage 4 — per-(user, day) activity/price analysis, U4 DO-UPDATE.
     * `before` (exclusive) bounds the event scan for the standup shape. */
   def analyze(spark: SparkSession, sfDir: String, lake: LakePaths,
-              before: Option[java.sql.Date] = None): Unit = {
-    val hist = spark.read.parquet(lake.history)
+              before: Option[java.sql.Date] = None,
+              hist: Option[DataFrame] = None): Unit = {
+    val h = hist.getOrElse(spark.read.parquet(lake.history))
     val activity = activityOf(spark, sfDir,
       before.map(b => col("event_date") < lit(b)).getOrElse(lit(true)))
-    val joined = analysisOf(hist, activity)
+    val joined = analysisOf(h, activity)
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
@@ -278,14 +304,15 @@ object Pipeline {
     * this whole-history pass recomputes everything the table caches,
     * and a later [[runDay]] re-bootstraps it (maintaining it here
     * would tax every full replay for a table only the day path reads). */
-  def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
+  def predict(spark: SparkSession, sfDir: String, lake: LakePaths,
+              hist: Option[DataFrame] = None): Unit = {
     // train from the MERGED history stage 2 just wrote — exactly the
     // reference, which trains from stock_price_history
     // (analyze_news_stock_patterns.py:76-111), and one raw-events
     // aggregation cheaper than re-deriving the daily series; the bars
     // are value-identical, so the features (and q_e1's oracle) are too
     val feats = PricePredictor.featuresOf(
-      spark.read.parquet(lake.history).drop("prev_close")).cache()
+      hist.getOrElse(spark.read.parquet(lake.history)).drop("prev_close")).cache()
     try {
       val fs = new org.apache.hadoop.fs.Path(lake.features)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -486,11 +513,22 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           before: Option[java.sql.Date] = None): LakePaths = {
     val lake = LakePaths(lakeRoot)
-    lastStageSeconds = timedStages(Seq(
-      "merge_history" -> (() => mergeHistory(spark, sfDir, lake, before)),
-      "detect_patterns" -> (() => detectPatterns(spark, lake)),
-      "analyze" -> (() => analyze(spark, sfDir, lake, before)),
-      "predict" -> (() => predict(spark, sfDir, lake))))
+    // ONE cached read of the merged history shared by stages 3–5 (r21,
+    // guide §2.4/§5): each stage otherwise re-scans the standing lake.
+    // Same structure as runDay's shared lookback slice; the cache
+    // spills past memory and never couples stage failure domains (each
+    // stage's merge stays its own staged-promote job).
+    var hist: DataFrame = null
+    try {
+      lastStageSeconds = timedStages(Seq(
+        "merge_history" -> (() => {
+          mergeHistory(spark, sfDir, lake, before)
+          hist = spark.read.parquet(lake.history).cache()
+        }),
+        "detect_patterns" -> (() => detectPatterns(spark, lake, Some(hist))),
+        "analyze" -> (() => analyze(spark, sfDir, lake, before, Some(hist))),
+        "predict" -> (() => predict(spark, sfDir, lake, Some(hist)))))
+    } finally if (hist != null) hist.unpersist()
     lake
   }
 
@@ -518,19 +556,35 @@ object Pipeline {
              lookbackDays: Int = DayLookback): LakePaths = {
     val lake = LakePaths(lakeRoot)
     requireAppendOnly(spark, lake, day)
+    var pre: DataFrame = null
     var slice: DataFrame = null
     try {
       lastDayStageSeconds = timedStages(Seq(
         "merge_history" -> (() => {
-          mergeHistoryDay(spark, sfDir, lake, day, lookbackDays)
-          slice = lookbackSlice(spark, lake, day, lookbackDays).cache()
+          // ONE pruned [day − lookback, day) scan, cached PRE-merge and
+          // shared by the merge's prev_close aggregate AND the post-
+          // merge slice (r21, guide §2.4: the day path paid this scan
+          // twice). Safe to cache across the merge: the merge rewrites
+          // only day's own partition, which `pre` excludes (d < day).
+          // The post-merge slice is then pre ∪ the day's merged rows —
+          // a one-partition pruned read — and needs no second cache.
+          val fs = new org.apache.hadoop.fs.Path(lake.history)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(lake.history)))
+            pre = spark.read.parquet(lake.history)
+              .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
+              .cache()
+          mergeHistoryDay(spark, sfDir, lake, day, lookbackDays, Option(pre))
+          val dayRows = spark.read.parquet(lake.history)
+            .filter(col("d") === lit(day))
+          slice = if (pre != null) pre.unionByName(dayRows) else dayRows
         }),
         "detect_patterns" -> (() =>
           detectPatternsDay(spark, lake, day, lookbackDays, Some(slice))),
         "analyze" -> (() => analyzeDay(spark, sfDir, lake, day, Some(slice))),
         "predict" -> (() =>
           predictDay(spark, sfDir, lake, day, lookbackDays, Some(slice)))))
-    } finally if (slice != null) slice.unpersist()
+    } finally if (pre != null) pre.unpersist()
     lake
   }
 

@@ -120,7 +120,20 @@ object FuzzyJoin {
       else prefixRows(gb, dfreq, "b", prefixLen)
     val verifyCols = Seq(col("a_id"), col("b_id"),
       levenshtein(col("a_s"), col("b_s"), k).as("dist"))
-    val gramPairs = pa.join(pb.hint("shuffle_hash"), Seq("g", "occ"))
+    // The candidate join is CPU-dense and byte-light (its output is
+    // pairs of short strings, its work is hash-probing plus the
+    // per-candidate length filters feeding the exact verify), so
+    // AQE's byte-based partition coalescing collapses it to ONE task
+    // — a 2.6 s serial stage on the sf0.1 bench while 31 cores idle
+    // (guide §2.5: a partition's cost is not its bytes). Explicit
+    // same-key repartitioning at the session's shuffle parallelism
+    // pins the planner's own pre-AQE width — scale-parameterised via
+    // spark.sql.shuffle.partitions, no new exchange (the join needs
+    // this exact hash partitioning; AQE honors user-specified counts).
+    val nVerify = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramPairs = pa.repartition(nVerify, col("g"), col("occ"))
+      .join(pb.repartition(nVerify, col("g"), col("occ")).hint("shuffle_hash"),
+        Seq("g", "occ"))
       .filter(abs(col("a_len") - col("b_len")) <= k)
       .filter(greatest(col("a_len"), col("b_len")) >= minLong)
       .select("a_id", "a_s", "b_id", "b_s").distinct()

@@ -74,9 +74,23 @@ object Sinks {
     val fs = targetP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitionedMergeTarget(fs, targetPath)
     if (!fs.exists(targetP)) {
+      // Crash-atomic bootstrap (ADVICE r20 medium): the first write is
+      // staged and RENAMED into place, never written live. A direct
+      // write crashing midway leaves a partial-but-existing target dir,
+      // and every caller that gates an incremental path on
+      // fs.exists(target) — Pipeline.predictDay's witness fold above
+      // all — would then take the delta path against a silently
+      // incomplete table forever. With the rename, a mid-bootstrap
+      // crash leaves only `__staged` (dropped by
+      // [[recoverPartitionedMergeTarget]] on retry) and existence of
+      // the target is a completeness guarantee.
+      val staged = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "__staged")
       boundedPartitionLayout(Merge.overwrite(updates, keys), keys, partitionCol, filesPerPartition)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCol).parquet(targetPath)
+        .partitionBy(partitionCol).parquet(staged.toString)
+      if (!fs.rename(staged, targetP))
+        throw new java.io.IOException(
+          s"bootstrap promote: could not rename $staged to $targetP")
       return
     }
     val touched = updates.select(partitionCol).distinct().collect()

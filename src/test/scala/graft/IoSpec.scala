@@ -158,6 +158,29 @@ class IoSpec extends SparkSpec {
     assert(!fs.exists(p(dir + "__old")))
   }
 
+  test("mergeIntoPartitioned bootstrap is crash-atomic: a crashed first write leaves no live target and the retry re-bootstraps") {
+    val dir = tmp() + "/btarget"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // A bootstrap that crashed mid-write leaves only a partial __staged
+    // dir — the live target must NOT exist (fs.exists(target) is the
+    // completeness signal Pipeline.predictDay's fold path gates on;
+    // ADVICE r20 medium: the old direct write could leave a partial
+    // live table the fold path then extended forever).
+    fs.mkdirs(p(dir + "__staged/d=2024-01-01"))
+    assert(!fs.exists(p(dir)), "crashed bootstrap must leave no live target")
+    // the retry drops the stale staged dir, re-stages the FULL frame and
+    // promotes it with one atomic rename
+    Sinks.mergeIntoPartitioned(
+      Seq((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      dir, Seq("k", "d"), "d", doUpdate = true)
+    val rows = spark.read.parquet(dir).select("k", "d", "v")
+      .as[(Int, String, Double)].collect().toSet
+    assert(rows === Set((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)))
+    assert(!fs.exists(p(dir + "__staged")))
+  }
+
   test("S8 JDBC serving sink: batched upsert on embedded Derby, idempotent") {
     val url = "jdbc:derby:memory:graftjdbc;create=true"
     val setup = java.sql.DriverManager.getConnection(url)
