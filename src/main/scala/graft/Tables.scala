@@ -161,27 +161,6 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     conform(spark.read.parquet(s"$dir/$name.parquet"), name)
 
-  /** Scale-adaptive scan fan-out (optimization guide §2.5, "input
-    * skew: one huge unsplittable file … repartition immediately after
-    * the read"). The testdata tables are ONE parquet file with ONE
-    * row group, so every scan plans a single task and the heavy
-    * per-row work above it (tokenization, shingling, hashing, vector
-    * math) serializes onto one core however many the session has. If
-    * the scan plans fewer partitions than the session's default
-    * parallelism, round-robin repartition right after the read;
-    * otherwise IDENTITY — on a lake-scale table the scan already
-    * carries thousands of splits, so no shuffle is ever added at
-    * 100 TB (the guard derives from the actual scan partitioning, not
-    * a constant). A table this clause fires on is by construction
-    * smaller than parallelism × maxPartitionBytes, so the one-time
-    * shuffle is bounded and buys full-width CPU for everything above
-    * it. Predicate pushdown and column pruning pass through
-    * Repartition (Catalyst pushes both below it — PruningSpec). */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
-  }
-
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -189,8 +168,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame  = fanOut(load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(load(spark, dir, "embeddings"))
+  // Plain scans, no forced repartition (r22): r21's unconditional
+  // round-robin fanOut here taxed all ~114 consumers with a
+  // full-payload shuffle + local sort of text/vector rows (guide §2.3's
+  // anti-pattern) and its df.rdd guard forced an extra physical plan
+  // per load — a measured 0.70× geomean regression. Call sites whose
+  // downstream per-row work is provably serial-heavy opt in explicitly
+  // via [[fanOutScan]] AFTER projecting to the columns they need.
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Explicit, call-site-scoped scan fan-out (guide §2.5 "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read" + §2.3 "project before the exchange"). Each sf table is ONE
+    * parquet file with ONE row group, so a scan plans one task and any
+    * CPU-dense work directly above it (shingling, hashing, tokenizing)
+    * serializes on one core. Callers project to the narrow columns the
+    * operator needs FIRST, then fan out by a deterministic key hash —
+    * never round-robin, which pays a full local sort
+    * (sortBeforeRepartition) and is retry-unsafe guidance anyway.
+    *
+    * The guard is the INPUT FILE SIZE (one cheap FS status call, no
+    * plan forcing — r21's df.rdd.getNumPartitions guard planned every
+    * load twice): if the file already yields >= `width` scan splits at
+    * the session's maxPartitionBytes, the scan is wide on its own and
+    * this is the identity — on a lake-scale table no shuffle is ever
+    * added. `width` defaults to the session's defaultParallelism. */
+  def fanOutScan(df: DataFrame, dir: String, table: String,
+                 key: org.apache.spark.sql.Column,
+                 width: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val want = if (width > 0) width else spark.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes / math.max(1L, maxSplit) >= want) df
+    else df.repartition(want, key)
+  }
 
   /** `events.ts` arrives in one of two physical parquet types depending on
     * the generator vintage: TIMESTAMP(NANOS) (Spark 4 reads it only as a raw

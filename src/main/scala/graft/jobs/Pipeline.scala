@@ -210,14 +210,10 @@ object Pipeline {
   }
 
   /** Stage 3 — trend + MA-cross patterns over the merged history,
-    * U2 DO-NOTHING on (user, d, pattern). `hist` lets [[run]] hand in
-    * the ONE cached post-merge history read every full-replay stage
-    * shares (r21, guide §2.4/§5 — the same shared-read structure
-    * [[runDay]] has carried since r19; stages 3–5 otherwise re-scan
-    * the standing lake once each). */
-  def detectPatterns(spark: SparkSession, lake: LakePaths,
-                     hist: Option[DataFrame] = None): Unit = {
-    val all = patternsOf(hist.getOrElse(spark.read.parquet(lake.history)))
+    * U2 DO-NOTHING on (user, d, pattern). Reads its own column-pruned
+    * scan of the lake (user_id, d, close — see [[run]]). */
+  def detectPatterns(spark: SparkSession, lake: LakePaths): Unit = {
+    val all = patternsOf(spark.read.parquet(lake.history))
     Sinks.mergeIntoPartitioned(all, lake.patterns, Seq("user_id", "d", "pattern"), "d", doUpdate = false)
   }
 
@@ -264,12 +260,11 @@ object Pipeline {
   /** Stage 4 — per-(user, day) activity/price analysis, U4 DO-UPDATE.
     * `before` (exclusive) bounds the event scan for the standup shape. */
   def analyze(spark: SparkSession, sfDir: String, lake: LakePaths,
-              before: Option[java.sql.Date] = None,
-              hist: Option[DataFrame] = None): Unit = {
-    val h = hist.getOrElse(spark.read.parquet(lake.history))
+              before: Option[java.sql.Date] = None): Unit = {
+    val hist = spark.read.parquet(lake.history)
     val activity = activityOf(spark, sfDir,
       before.map(b => col("event_date") < lit(b)).getOrElse(lit(true)))
-    val joined = analysisOf(h, activity)
+    val joined = analysisOf(hist, activity)
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
@@ -304,15 +299,14 @@ object Pipeline {
     * this whole-history pass recomputes everything the table caches,
     * and a later [[runDay]] re-bootstraps it (maintaining it here
     * would tax every full replay for a table only the day path reads). */
-  def predict(spark: SparkSession, sfDir: String, lake: LakePaths,
-              hist: Option[DataFrame] = None): Unit = {
+  def predict(spark: SparkSession, sfDir: String, lake: LakePaths): Unit = {
     // train from the MERGED history stage 2 just wrote — exactly the
     // reference, which trains from stock_price_history
     // (analyze_news_stock_patterns.py:76-111), and one raw-events
     // aggregation cheaper than re-deriving the daily series; the bars
     // are value-identical, so the features (and q_e1's oracle) are too
     val feats = PricePredictor.featuresOf(
-      hist.getOrElse(spark.read.parquet(lake.history)).drop("prev_close")).cache()
+      spark.read.parquet(lake.history).drop("prev_close")).cache()
     try {
       val fs = new org.apache.hadoop.fs.Path(lake.features)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -513,22 +507,18 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, lakeRoot: String,
           before: Option[java.sql.Date] = None): LakePaths = {
     val lake = LakePaths(lakeRoot)
-    // ONE cached read of the merged history shared by stages 3–5 (r21,
-    // guide §2.4/§5): each stage otherwise re-scans the standing lake.
-    // Same structure as runDay's shared lookback slice; the cache
-    // spills past memory and never couples stage failure domains (each
-    // stage's merge stays its own staged-promote job).
-    var hist: DataFrame = null
-    try {
-      lastStageSeconds = timedStages(Seq(
-        "merge_history" -> (() => {
-          mergeHistory(spark, sfDir, lake, before)
-          hist = spark.read.parquet(lake.history).cache()
-        }),
-        "detect_patterns" -> (() => detectPatterns(spark, lake, Some(hist))),
-        "analyze" -> (() => analyze(spark, sfDir, lake, before, Some(hist))),
-        "predict" -> (() => predict(spark, sfDir, lake, Some(hist)))))
-    } finally if (hist != null) hist.unpersist()
+    // Each post-merge stage reads the lake itself (r22, guide §5):
+    // r21 cached the WHOLE history here for stages 3–5, which defeats
+    // per-stage column pruning (each stage needs a different narrow
+    // slice) and at lake scale spills the entire table to executor
+    // disk to save two pruned parquet scans — strictly worse than
+    // re-scanning columnar storage, and measurably slower at sf0.1
+    // (q_e1_pipeline 7.5→17.0 s driver-side).
+    lastStageSeconds = timedStages(Seq(
+      "merge_history" -> (() => mergeHistory(spark, sfDir, lake, before)),
+      "detect_patterns" -> (() => detectPatterns(spark, lake)),
+      "analyze" -> (() => analyze(spark, sfDir, lake, before)),
+      "predict" -> (() => predict(spark, sfDir, lake))))
     lake
   }
 
@@ -556,35 +546,39 @@ object Pipeline {
              lookbackDays: Int = DayLookback): LakePaths = {
     val lake = LakePaths(lakeRoot)
     requireAppendOnly(spark, lake, day)
-    var pre: DataFrame = null
     var slice: DataFrame = null
     try {
       lastDayStageSeconds = timedStages(Seq(
         "merge_history" -> (() => {
-          // ONE pruned [day − lookback, day) scan, cached PRE-merge and
-          // shared by the merge's prev_close aggregate AND the post-
-          // merge slice (r21, guide §2.4: the day path paid this scan
-          // twice). Safe to cache across the merge: the merge rewrites
-          // only day's own partition, which `pre` excludes (d < day).
-          // The post-merge slice is then pre ∪ the day's merged rows —
-          // a one-partition pruned read — and needs no second cache.
+          // ONE pruned [day − lookback, day) scan, PINNED pre-merge
+          // (eager localCheckpoint/checkpoint) and shared by the
+          // merge's prev_close aggregate AND the post-merge slice
+          // (r21, guide §2.4: the day path paid this scan twice).
+          // Eager pinning — not a lazy cache — is what makes reuse
+          // across the merge safe BY CONSTRUCTION: the rows are
+          // materialized before any file is rewritten, so correctness
+          // no longer rests on the merge touching only day's own
+          // partition (r21 verdict #5; PipelineSpec pins it). The
+          // post-merge slice (pre ∪ the day's merged rows) is then
+          // cached once and shared by stages 3–5, which otherwise
+          // re-pay the union + day-partition read each (ADVICE r21).
           val fs = new org.apache.hadoop.fs.Path(lake.history)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(lake.history)))
-            pre = spark.read.parquet(lake.history)
-              .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))
-              .cache()
-          mergeHistoryDay(spark, sfDir, lake, day, lookbackDays, Option(pre))
+          val pre =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(lake.history))) None
+            else Some(Checkpoints.pin(spark.read.parquet(lake.history)
+              .filter(col("d") >= date_sub(lit(day), lookbackDays) && col("d") < lit(day))))
+          mergeHistoryDay(spark, sfDir, lake, day, lookbackDays, pre)
           val dayRows = spark.read.parquet(lake.history)
             .filter(col("d") === lit(day))
-          slice = if (pre != null) pre.unionByName(dayRows) else dayRows
+          slice = pre.fold(dayRows)(_.unionByName(dayRows)).cache()
         }),
         "detect_patterns" -> (() =>
           detectPatternsDay(spark, lake, day, lookbackDays, Some(slice))),
         "analyze" -> (() => analyzeDay(spark, sfDir, lake, day, Some(slice))),
         "predict" -> (() =>
           predictDay(spark, sfDir, lake, day, lookbackDays, Some(slice)))))
-    } finally if (pre != null) pre.unpersist()
+    } finally if (slice != null) slice.unpersist()
     lake
   }
 

@@ -327,6 +327,26 @@ class PipelineSpec extends SparkSpec {
     assert(ModelArtifact.servedVersionMeta(spark, inc.models)("train_rows") != standupFit)
   }
 
+  test("pinned pre-merge slice survives a rewrite of the files it read") {
+    // runDay shares ONE pinned [day-lookback, day) read across the
+    // history merge: the pin (eager checkpoint) must materialize the
+    // rows BEFORE any merge rewrites files, so reuse is safe even if a
+    // merge touched the very partitions the slice read — the r21
+    // verdict's cross-merge coupling, enforced rather than assumed.
+    val root = Files.createTempDirectory("graft-pin").toString
+    val t = s"$root/t"
+    val df0 = spark.range(10).selectExpr("id as k", "id * 2 as v", "'a' as part")
+    df0.write.partitionBy("part").parquet(t)
+    val pinned = graft.operators.Checkpoints.pin(
+      spark.read.parquet(t).filter(col("part") === "a"))
+    // rewrite the exact partition the pinned slice read, with new values
+    spark.range(10).selectExpr("id as k", "id * 100 as v", "'a' as part")
+      .write.mode("overwrite").partitionBy("part").parquet(t)
+    val vs = pinned.select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vs == (0L until 10L).map(_ * 2),
+      "pinned slice re-read post-rewrite files — pin must be eager")
+  }
+
   test("patterns only contain the four defined categories") {
     val lakeRoot = Files.createTempDirectory("graft-lake2").toString
     val lake = Pipeline.run(spark, sfDir, lakeRoot)
