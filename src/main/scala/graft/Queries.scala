@@ -1215,7 +1215,12 @@ object Queries {
       |       count(DISTINCT l_orderkey) AS exact_orders,
       |       TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p99_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
-    val li = Tables.lineitem(s, dir)
+    // fanned (r22, guide §2.5): both the sketch pass and the audit pass
+    // are CPU-dense (HLL + percentile buffers per row) over the single-
+    // task lineitem scan; project to the three consumed columns first
+    val li = Tables.fanOutScan(
+      Tables.lineitem(s, dir).select("l_returnflag", "l_orderkey", "l_extendedprice"),
+      dir, "lineitem", col("l_orderkey"))
     // The quantile sketches are audited by RANK, not by value: join the
     // 3-row sketch output back onto the fact and count rows below each
     // estimate — two codegen counting scans, no value-buffering exact
@@ -1525,8 +1530,15 @@ object Queries {
       |       round(min(d.med), 4) AS med, round(min(mad.mad), 4) AS mad
       |FROM d JOIN mad USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""") { (s, dir) =>
+    // projected + fanned (r22, §2.3/§2.5): the operator PINS its input
+    // (eager copy), so handing it the full events row materialized the
+    // props payload and ts columns it never reads, off a single-task
+    // scan; three columns in, 16-wide
     graft.operators.Profile.robustOutliers(
-      Tables.events(s, dir), "event_type", "value", tieCol = "event_id", k = 3.0)
+      Tables.fanOutScan(
+        Tables.events(s, dir).select("event_type", "value", "event_id"),
+        dir, "events", col("event_id")),
+      "event_type", "value", tieCol = "event_id", k = 3.0)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

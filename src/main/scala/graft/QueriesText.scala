@@ -309,6 +309,22 @@ object QueriesText {
       (df, p, b) => graft.operators.Profile.quantileIngestBatch(df, "g", "v", p, b))(
       graft.operators.Profile.mergeArtifactParts(s, _, maxDirs = 1))
 
+  /** Scoped §2.5 scan fan-out of the documents table for the handful
+    * of call sites whose downstream per-row work (tokenize, shingle,
+    * md5-per-window) is CPU-dense enough that the single-file scan's
+    * one task serializes it (r22; replaces r21's net-negative loader-
+    * level fanOut): project FIRST to exactly the columns the operator
+    * needs (§2.3 — never shuffle the columns it doesn't), then
+    * [[Tables.fanOutScan]] hash-repartitions on doc_id (keyed, so no
+    * round-robin local sort; identity on any input already wide
+    * enough). Light consumers — the ~100 narrow aggregates — keep the
+    * plain scan. */
+  private def docsFanned(s: org.apache.spark.sql.SparkSession, dir: String,
+                         cols: String*): org.apache.spark.sql.DataFrame =
+    Tables.fanOutScan(
+      Tables.documents(s, dir).select(cols.map(col): _*),
+      dir, "documents", col("doc_id"))
+
   /** The deterministic doc-link graph shared by the PageRank family
     * (q_pagerank / q_ppr_seeds / q_pagerank_artifact): two hash
     * generators mod 1009 over doc_ids — multi-edges collapse,
@@ -364,7 +380,7 @@ object QueriesText {
     * house-tokenized words per doc, exact-deduped to (id, title) with
     * id = min(doc_id) — the clean list a dirty batch resolves against. */
   private def titleCatalog(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
+    docsFanned(s, dir, "doc_id", "text")
       .select(col("doc_id"),
         array_join(slice(TextStats.tokens(col("text")), 1, 4), " ").as("title"))
       .groupBy("title").agg(min(col("doc_id")).as("id"))
@@ -859,7 +875,7 @@ object QueriesText {
            |       count(*) OVER (PARTITION BY group_id) AS n_members
            |FROM grp
            |ORDER BY doc_id""") { (s, dir) =>
-        val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
+        val pairs = Dedup.minhashPairs(docsFanned(s, dir, "doc_id", "text"))
           .select("doc_a", "doc_b")
         Dedup.connectedComponents(pairs)
           .withColumn("n_members", count(lit(1)).over(
@@ -966,7 +982,7 @@ object QueriesText {
            |FROM withsingles WHERE n_groups > 0
            |ORDER BY sz""") { (s, dir) =>
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.minhashPairs(docs)
+        val pairs = Dedup.minhashPairs(docsFanned(s, dir, "doc_id", "text"))
           .select("doc_a", "doc_b")
         val sizes = Dedup.connectedComponents(pairs)
           .groupBy("group_id").agg(count(lit(1)).as("sz"))
@@ -1017,7 +1033,7 @@ object QueriesText {
            |SELECT jq.doc_id, jq.group_id, jq.quality, jq.doc_id = k.keeper AS keep
            |FROM jq JOIN k USING (group_id)
            |ORDER BY jq.doc_id""") { (s, dir) =>
-        val docs = Tables.documents(s, dir)
+        val docs = docsFanned(s, dir, "doc_id", "text")
         val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b")
         val groups = Dedup.connectedComponents(pairs)
         val quality = docs
@@ -1066,7 +1082,7 @@ object QueriesText {
            |SELECT jq.doc_id, jq.group_id, jq.quality, jq.doc_id = k.keeper AS keep
            |FROM jq JOIN k USING (group_id)
            |ORDER BY jq.doc_id""") { (s, dir) =>
-        val docs = Tables.documents(s, dir)
+        val docs = docsFanned(s, dir, "doc_id", "text")
         val quality = docs
           .withColumn("toks", TextStats.tokens(col("text")))
           .select(col("doc_id"),
@@ -1152,12 +1168,16 @@ object QueriesText {
            |       row_number() OVER (ORDER BY sh.sh_h, p.doc_id) - 1 AS pos
            |FROM packed p JOIN sh USING (doc_id)
            |ORDER BY p.doc_id""") { (s, dir) =>
-        val docs = Tables.documents(s, dir)
-        val toks = docs.withColumn("toks", TextStats.tokens(col("text")))
+        // fanned + pinned (r22): quality and the sized join otherwise
+        // each re-tokenize the corpus off the single-task scan
+        val toks = graft.operators.Checkpoints.pin(
+          docsFanned(s, dir, "doc_id", "text", "source", "n_chars")
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              TextStats.tokens(col("text")).as("toks")))
         val quality = toks.select(col("doc_id"),
           round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
         val surv = Dedup.survivorsFromState(s, ccStateRoot(s, dir), quality)
-        val kept = docs.select(col("doc_id"))
+        val kept = Tables.documents(s, dir).select(col("doc_id"))
           .join(surv.select(col("doc_id"), col("group_id"), col("keep")), Seq("doc_id"), "left")
           .withColumn("group_key", coalesce(col("group_id"), col("doc_id")))
           .filter(coalesce(col("keep"), lit(true)))
@@ -1342,7 +1362,7 @@ object QueriesText {
              |            ELSE 'domain_capped' END AS reason
              |FROM pre LEFT JOIN rcap rc USING (doc_id)
              |ORDER BY doc_id""") { (s, dir) =>
-          val docs = Tables.documents(s, dir)
+          val docs = docsFanned(s, dir, "doc_id", "text")
           val bench = docs.filter(col("doc_id") < 25)
           val corpus = docs.filter(col("doc_id") >= 25)
           // the contaminated / non-survivor flag sets are
@@ -1355,7 +1375,10 @@ object QueriesText {
               .withColumn("__contam", lit(true)).hint("shuffle_hash")
           val pairs = Dedup.minhashPairs(corpus).select("doc_a", "doc_b")
           val groups = Dedup.connectedComponents(pairs)
-          val toksDf = corpus.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+          // pinned (r22): three signal passes (quality, dup3, top-token)
+          // otherwise each re-tokenize the corpus from the scan
+          val toksDf = graft.operators.Checkpoints.pin(
+            corpus.select(col("doc_id"), TextStats.tokens(col("text")).as("toks")))
           val quality = toksDf.select(col("doc_id"),
             round(TextStats.qualityScoreOf(col("toks")), 4).as("quality"))
           val nonSurvivors =
@@ -1368,10 +1391,23 @@ object QueriesText {
               size(col("toks")).cast("long").as("n_tokens"),
               round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
                 / size(col("g3")), 4).as("dup3_frac"))
+          // top-token count per-row (r22, guide §2.3/§2.4): the max
+          // occurrence count of any token is the longest equal-run of
+          // the SORTED token array — one in-row fold (the dupSpans
+          // max_run shape) instead of exploding every token occurrence
+          // through two corpus-wide shuffles. Same value, oracle-gated.
           val top = toksDf
-            .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-            .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("c"))
-            .groupBy("doc_id", "n").agg(max("c").as("maxc"))
+            .select(col("doc_id"), size(col("toks")).as("n"),
+              aggregate(array_sort(col("toks")),
+                struct(lit(null).cast("string").as("prev"),
+                  lit(0L).as("cur"), lit(0L).as("best")),
+                (acc, x) => {
+                  val cur = when(x === acc.getField("prev"),
+                    acc.getField("cur") + 1L).otherwise(lit(1L))
+                  struct(x.as("prev"), cur.as("cur"),
+                    greatest(acc.getField("best"), cur).as("best"))
+                },
+                acc => acc.getField("best")).as("maxc"))
             .select(col("doc_id"),
               round(col("maxc").cast("double") / col("n"), 4).as("top_token_frac"))
           val pre = signals.join(quality, Seq("doc_id")).join(top, Seq("doc_id"))
@@ -1474,7 +1510,7 @@ object QueriesText {
         |SELECT doc_a, doc_b, round(jacc_raw, 4) AS jaccard
         |FROM j WHERE jacc_raw >= 0.5
         |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+      Dedup.ngramJaccardPairs(docsFanned(s, dir, "doc_id", "text")).orderBy("doc_a", "doc_b")
     }
 
     // Benchmark decontamination: docs 0-24 act as the held-out
@@ -1518,7 +1554,7 @@ object QueriesText {
         |GROUP BY th.doc_id, bh.bench_id
         |HAVING count(*) >= 5
         |ORDER BY doc_id, bench_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = docsFanned(s, dir, "doc_id", "text")
       val bench = docs.filter(col("doc_id") < 25)
       val train = docs.filter(col("doc_id") >= 25).unionByName(
         bench.filter(col("doc_id") % 5 === 0)
@@ -1568,7 +1604,7 @@ object QueriesText {
         |GROUP BY th.doc_id, bh.bench_id
         |HAVING count(*) >= 5
         |ORDER BY doc_id, bench_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = docsFanned(s, dir, "doc_id", "text")
       val bench = docs.filter(col("doc_id") < 25)
       val train = docs.filter(col("doc_id") >= 25).unionByName(
         bench.filter(col("doc_id") % 5 === 0)
@@ -1619,7 +1655,7 @@ object QueriesText {
         |GROUP BY th.doc_id, bh.bench_id
         |HAVING count(*) >= 5
         |ORDER BY doc_id, bench_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = docsFanned(s, dir, "doc_id", "text")
       val bench = docs.filter(col("doc_id") < 25)
       val train = docs.filter(col("doc_id") >= 25).unionByName(
         bench.filter(col("doc_id") % 5 === 0)
@@ -1691,7 +1727,7 @@ object QueriesText {
            |SELECT doc_id, bench_id, round(jacc_raw, 4) AS jaccard
            |FROM j WHERE jacc_raw >= 0.7
            |ORDER BY doc_id, bench_id""") { (s, dir) =>
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val docs = docsFanned(s, dir, "doc_id", "text")
         val bench = docs.filter(col("doc_id") < 25)
         val train = docs.filter(col("doc_id") >= 25).unionByName(
           bench.filter(col("doc_id") % 3 === 0)
@@ -1730,7 +1766,7 @@ object QueriesText {
         |GROUP BY p.tok, p.exact_cnt
         |ORDER BY tok"""
     register("q_cms_counts", cmsCountsSql) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
+      val toks = docsFanned(s, dir, "doc_id", "text")
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
       val sketch = graft.operators.Profile.countMinSketch(
         toks, "tok", depth = 4, width = 512)
@@ -2387,7 +2423,7 @@ object QueriesText {
         |       coalesce(string_agg(CASE WHEN nd = 1 THEN passage END, ' ' ORDER BY i), '') AS clean_text
         |FROM h JOIN d USING (h)
         |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Dedup.passageDedup(Tables.documents(s, dir), window = 8)
+      Dedup.passageDedup(docsFanned(s, dir, "doc_id", "text"), window = 8)
         .orderBy("doc_id")
     }
 
@@ -2427,7 +2463,7 @@ object QueriesText {
         |       CAST(coalesce(any_value(mr.max_run), 0) AS BIGINT) AS max_run
         |FROM f LEFT JOIN mr USING (doc_id)
         |GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, dir) =>
-      Dedup.dupSpans(Tables.documents(s, dir), window = 8)
+      Dedup.dupSpans(docsFanned(s, dir, "doc_id", "text"), window = 8)
         .orderBy("doc_id")
     }
 
@@ -2466,7 +2502,7 @@ object QueriesText {
         |LEFT JOIN kept k ON tk.doc_id = k.doc_id
         |GROUP BY tk.doc_id, tk.n
         |ORDER BY tk.doc_id""") { (s, dir) =>
-      Dedup.stripDupSpans(Tables.documents(s, dir), window = 8)
+      Dedup.stripDupSpans(docsFanned(s, dir, "doc_id", "text"), window = 8)
         .orderBy("doc_id")
     }
 
@@ -2671,7 +2707,7 @@ object QueriesText {
         |       coalesce(string_agg(CASE WHEN NOT boiler THEN passage END, ' ' ORDER BY i), '') AS clean_text
         |FROM h JOIN v USING (source, h)
         |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Dedup.boilerplateStrip(Tables.documents(s, dir),
+      Dedup.boilerplateStrip(docsFanned(s, dir, "doc_id", "source", "text"),
           sourceCol = "source", window = 8, minDocs = 2, minFrac = 0.05)
         .orderBy("doc_id")
     }
@@ -3581,7 +3617,7 @@ object QueriesText {
         |                                          ORDER BY term), x -> x.contrib)) / dl, 6) AS surprisal
         |FROM c GROUP BY doc_id, dl
         |ORDER BY doc_id""") { (s, dir) =>
-      graft.operators.KeywordSearch.unigramSurprisal(Tables.documents(s, dir))
+      graft.operators.KeywordSearch.unigramSurprisal(docsFanned(s, dir, "doc_id", "text"))
         .orderBy("doc_id")
     }
 
@@ -4071,7 +4107,7 @@ object QueriesText {
         |FROM dots d JOIN norms n2 USING (doc_id), qn
         |ORDER BY cosine DESC, doc_id LIMIT 10""") { (s, dir) =>
       graft.operators.KeywordSearch.tfidfMoreLikeThis(
-        Tables.documents(s, dir), queryDocId = 7L, k = 10)
+        docsFanned(s, dir, "doc_id", "text"), queryDocId = 7L, k = 10)
     }
 
     // Vocabulary coverage / OOV rate against the top-100 corpus
@@ -4219,7 +4255,7 @@ object QueriesText {
       // buckets), so the hash-value order loses nothing and the prefix
       // is a map-only slice of the already-sorted hash arrays
       graft.operators.SetSimilarityJoin.textSelfJoin(
-        Tables.documents(s, dir), "doc_id", "text", n = 3, theta = 0.6,
+        docsFanned(s, dir, "doc_id", "text"), "doc_id", "text", n = 3, theta = 0.6,
         dfOrdered = false)
         .orderBy("id1", "id2")
     }
@@ -4686,7 +4722,7 @@ object QueriesText {
     register("q_dsir_weights",
       s"""$dsirCtes
          |SELECT doc_id, w FROM docw ORDER BY w DESC, doc_id LIMIT 25""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = docsFanned(s, dir, "doc_id", "text", "lang")
       ImportanceSampling.weights(docs, docs.filter(col("lang") === "en"), 256)
         .orderBy(col("w").desc, col("doc_id")).limit(25)
     }
@@ -4697,7 +4733,7 @@ object QueriesText {
          |       round(w - ln(-ln((CAST(concat('0x', substring(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
          |                        / 1152921504606846976.0)), 6) AS key
          |FROM docw ORDER BY key DESC, doc_id LIMIT 25""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = docsFanned(s, dir, "doc_id", "text", "lang")
       val w = ImportanceSampling.weights(docs, docs.filter(col("lang") === "en"), 256)
       ImportanceSampling.gumbelTopK(w, 25).select("doc_id", "w", "key")
     }
@@ -4723,7 +4759,7 @@ object QueriesText {
          |       (SELECT tn FROM tot2) AS n_target_buckets,
          |       (SELECT rn FROM tot2) AS n_raw_buckets
          |FROM terms, tot GROUP BY tt, rt""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = docsFanned(s, dir, "doc_id", "text", "lang")
       ImportanceSampling.bucketDrift(docs.filter(col("lang") === "en"), docs, 256)
     }
 

@@ -94,14 +94,22 @@ object Pipeline {
     * [[runDay]]. */
   val DayLookback = 365
 
+  /** UTC epoch second of a date's midnight — the raw-pushdown bound
+    * equivalent to an `event_date`/`d` comparison (event_date is the
+    * UTC floor-to-day of ts, so `d < b` ⟺ `ts < epochSec(b)` and
+    * `d === day` ⟺ ts ∈ [epochSec(day), epochSec(day)+86400)). */
+  private def epochSec(d: java.sql.Date): Long =
+    d.toLocalDate.toEpochDay * 86400L
+
   /** Stage 2 — merge the day's series into history (U1 DO-UPDATE).
     * `before` (exclusive) bounds the source scan — the standup shape
-    * for a lake that later ingests the remaining days via [[runDay]]. */
+    * for a lake that later ingests the remaining days via [[runDay]];
+    * the bound reaches the RAW parquet scan (r22, guide §6 — a filter
+    * on the derived `d` never pushes down). */
   def mergeHistory(spark: SparkSession, sfDir: String, lake: LakePaths,
                    before: Option[java.sql.Date] = None): Unit = {
     val w = Indicators.series("user_id", "d")
-    val daily = before.foldLeft(DailySeries(spark, sfDir))(
-        (df, b) => df.filter(col("d") < lit(b)))
+    val daily = DailySeries.between(spark, sfDir, None, before.map(epochSec))
       .withColumn("prev_close", Indicators.prev(col("close"), w))
     Sinks.mergeIntoPartitioned(daily, lake.history, Seq("user_id", "d"), "d", doUpdate = true)
   }
@@ -125,9 +133,14 @@ object Pipeline {
                       lookbackDays: Int = DayLookback,
                       preSlice: Option[DataFrame] = None): Unit = {
     // pinned: consumed by the orphan anti-join, the updates join and
-    // the merge's touched-partition collect — one source aggregation
+    // the merge's touched-partition collect — one source aggregation.
+    // The day bound reaches the RAW events scan (r22, guide §6): the
+    // old `filter(d === day)` on the derived column read the whole
+    // events lake to derive one day's bars.
     val dayBars = Checkpoints.pin(
-      DailySeries(spark, sfDir).filter(col("d") === lit(day)))
+      DailySeries.between(spark, sfDir,
+          Some(epochSec(day)), Some(epochSec(day) + 86400L))
+        .filter(col("d") === lit(day)))
     val fs = new org.apache.hadoop.fs.Path(lake.history)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev =
@@ -249,26 +262,35 @@ object Pipeline {
         "volatility_score")
   }
 
+  /** Activity rollup over a raw-pushdown-bounded events scan (r22,
+    * guide §6 — the old derived-column dayFilter never reached the
+    * parquet reader, so the day path scanned the whole lake). */
   private def activityOf(spark: SparkSession, sfDir: String,
-                         dayFilter: Column): DataFrame =
-    Tables.events(spark, sfDir)
-      .filter(col("event_type").isin("click", "view"))
-      .filter(dayFilter)
+                         fromSec: Option[Long], untilSec: Option[Long]): DataFrame = {
+    val ev = (fromSec, untilSec) match {
+      case (Some(f), Some(u)) => Tables.eventsBetween(spark, sfDir, f, u)
+      case (Some(f), None)    => Tables.eventsFrom(spark, sfDir, f)
+      case (None, Some(u))    => Tables.eventsUntil(spark, sfDir, u)
+      case (None, None)       => Tables.events(spark, sfDir)
+    }
+    ev.filter(col("event_type").isin("click", "view"))
       .groupBy(col("user_id"), col("event_date").as("d"))
       .agg(count(lit(1)).as("news_count"))
+  }
 
   /** Stage 4 — per-(user, day) activity/price analysis, U4 DO-UPDATE.
-    * `before` (exclusive) bounds the event scan for the standup shape. */
+    * `before` (exclusive) bounds the event scan for the standup shape
+    * (pushed to the raw scan). */
   def analyze(spark: SparkSession, sfDir: String, lake: LakePaths,
               before: Option[java.sql.Date] = None): Unit = {
     val hist = spark.read.parquet(lake.history)
-    val activity = activityOf(spark, sfDir,
-      before.map(b => col("event_date") < lit(b)).getOrElse(lit(true)))
+    val activity = activityOf(spark, sfDir, None, before.map(epochSec))
     val joined = analysisOf(hist, activity)
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }
 
-  /** [[analyze]] for ONE day: the event scan prunes to the day, the
+  /** [[analyze]] for ONE day: the event scan prunes to the day AT THE
+    * PARQUET READER (ts bounds, not the derived event_date), the
     * history join reads the day's rows (from the shared `slice` when
     * [[runDay]] provides it), the merge rewrites one partition. */
   def analyzeDay(spark: SparkSession, sfDir: String, lake: LakePaths,
@@ -276,7 +298,8 @@ object Pipeline {
                  slice: Option[DataFrame] = None): Unit = {
     val hist = slice.getOrElse(spark.read.parquet(lake.history))
       .filter(col("d") === lit(day))
-    val activity = activityOf(spark, sfDir, col("event_date") === lit(day))
+    val activity = activityOf(spark, sfDir,
+      Some(epochSec(day)), Some(epochSec(day) + 86400L))
     val joined = analysisOf(hist, activity)
     Sinks.mergeIntoPartitioned(joined, lake.analysis, Seq("user_id", "d"), "d", doUpdate = true)
   }

@@ -27,7 +27,28 @@ object DailySeries {
   def cents(value: Column): Column = round(value * 100).cast("long")
 
   def apply(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    series(Tables.events(spark, dir))
+
+  /** [[apply]] over a RAW-pushdown-bounded events scan
+    * ([[Tables.eventsBetween]] family): a filter on the DERIVED
+    * `d`/`event_date` column never reaches the parquet reader, so the
+    * day-scoped pipeline stages were reading the full events lake to
+    * derive one day's bars (invisible at sf0.1's one row group; the
+    * decade vs the day at 100 TB — guide §6). Bounds are UTC epoch
+    * seconds, [from, until); rows are identical to filtering `d` by
+    * construction (event_date IS the UTC floor-to-day of ts), which
+    * the q_e1_day oracle hash-gates. */
+  def between(spark: SparkSession, dir: String,
+              fromSec: Option[Long], untilSec: Option[Long]): DataFrame =
+    series((fromSec, untilSec) match {
+      case (Some(f), Some(u)) => Tables.eventsBetween(spark, dir, f, u)
+      case (Some(f), None)    => Tables.eventsFrom(spark, dir, f)
+      case (None, Some(u))    => Tables.eventsUntil(spark, dir, u)
+      case (None, None)       => Tables.events(spark, dir)
+    })
+
+  private def series(events: DataFrame): DataFrame =
+    events
       // One shuffle for the whole series pipeline: hash-partitioning by
       // user_id alone satisfies the aggregate's (user_id, d) clustering
       // AND every downstream Window.partitionBy(user_id) — without this

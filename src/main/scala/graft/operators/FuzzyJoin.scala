@@ -247,8 +247,19 @@ object FuzzyJoin {
       k: Int, q: Int): (DataFrame, DataFrame, DataFrame) = {
     val minLong = q * (k + 1)
     val prefixLen = k * q + 1
-    val pb = gb.join(order.hint("shuffle_hash"), Seq("g", "occ"), "left")
+    // Same §2.5 width pin as editDistanceJoin's candidate stage (r21,
+    // driver-confirmed 1.48×): the df-attach join and the per-string
+    // prefix window are CPU-dense and byte-light, so AQE's byte-based
+    // coalescing collapses each to ONE task (two ~0.5 s serial stages
+    // on the sf0.1 lookup probe). Explicit same-key repartitions at
+    // the session's shuffle parallelism pin the planner's own pre-AQE
+    // width — each sits exactly where the join/window already requires
+    // that hash distribution, so NO extra exchange is added.
+    val nW = cSrc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pb = gb.repartition(nW, col("g"), col("occ"))
+      .join(order.hint("shuffle_hash"), Seq("g", "occ"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
+      .repartition(nW, col("b_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("b_id"))
           .orderBy(col("df"), col("g"), col("occ"))))

